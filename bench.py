@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>}
+
+Each query is forced through the noop sink (full materialization, no driver
+collect cost). Session startup is excluded; per-query time includes planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "p4_between",
+    "j1_inner_join",
+    "j4_nonequi_join",
+    "a3_group_having",
+    "w1_topk_per_group",
+    "w2_running_sum",
+    "ev_hourly_window",
+    "ev_sessionize",
+    "asof_join_last_order",
+    "dedup_exact_stats",
+    "dedup_minhash_pairs",
+    "dedup_simhash_fingerprints",
+    "knn_cosine_top10",
+    "knn_lsh_bucket_top10",
+    "text_quality",
+    "text_lang_id",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(Path(sf_dir).name.replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from betfair_database_spark.session import get_spark
+    from betfair_database_spark.suite import SUITE
+
+    spark = get_spark("bench")
+    # warm the session (JVM + codegen paths) outside the timed region
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = SUITE[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

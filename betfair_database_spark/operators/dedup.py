@@ -1,0 +1,194 @@
+"""Deduplication operators for large-scale text corpora (SURVEY §2.11).
+
+All variants are DataFrame-native and shuffle-bounded:
+
+  - exact_dedup:      hash-groupBy on a normalized key — one shuffle.
+  - minhash_lsh:      shingle → K minhashes → B banded bucket keys →
+                      bucket self-join → Jaccard verify. The band join keeps
+                      candidate generation O(collisions), never O(n²); at
+                      100 TB the bucket join is the only shuffle that grows,
+                      and it grows with the number of true near-dups.
+  - simhash:          16-bit sign-sum fingerprint; half-band pigeonhole join
+                      for candidates (hamming ≤ threshold).
+  - ngram_jaccard:    token-set join for pairwise Jaccard on candidate pairs.
+
+Hashes are md5-derived so results are engine-independent (the duckdb oracle
+computes the identical signatures — no engine-private hash functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(col: Column) -> Column:
+    """Lowercase + collapse whitespace — the canonical dedup key."""
+    return F.regexp_replace(F.lower(col), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct normalized text (min id wins → deterministic)."""
+    key = F.md5(normalized_text(F.col(text_col))).alias("_k")
+    ids = df.select(key, *df.columns)
+    keep = ids.groupBy("_k").agg(F.min(df.columns[0]).alias(df.columns[0]))
+    return df.join(keep, df.columns[0], "left_semi")
+
+
+def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Distinct word tokens per document (split on single spaces, matching
+    the oracle's string_split semantics)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))).alias("w"),
+    )
+
+
+def minhash_signatures(
+    tok: DataFrame, id_col: str, num_hashes: int = 12
+) -> DataFrame:
+    """K min-hashes per document: min over tokens of md5(seed || ':' || token).
+
+    One shuffle: groupBy(doc, seed). Partial aggregation (map-side min) keeps
+    the exchange at K rows per document regardless of document size.
+    """
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    exploded = tok.select(
+        F.col(id_col), F.explode(seeds).alias("s"), F.col("w")
+    ).select(
+        id_col, "s", F.md5(F.concat_ws(":", F.col("s"), F.col("w"))).alias("h")
+    )
+    return exploded.groupBy(id_col, "s").agg(F.min("h").alias("h"))
+
+
+def lsh_band_buckets(
+    sig: DataFrame, id_col: str, num_hashes: int = 12, bands: int = 3
+) -> DataFrame:
+    """Banded bucket keys: md5 of the in-band signature concatenation."""
+    rows_per_band = num_hashes // bands
+    banded = sig.withColumn("band", (F.col("s") / rows_per_band).cast("int"))
+    return banded.groupBy(id_col, "band").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "h"))),
+                    lambda x: x["h"],
+                ),
+                "|",
+            )
+        ).alias("bh")
+    )
+
+
+def minhash_candidate_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (a, b) document pairs sharing any band bucket, a < b."""
+    left = buckets.select(
+        F.col(id_col).alias("a"), F.col("band"), F.col("bh")
+    )
+    right = buckets.select(
+        F.col(id_col).alias("b"), F.col("band"), F.col("bh")
+    )
+    return (
+        left.join(right, ["band", "bh"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(
+    pairs: DataFrame, tok: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact word-set Jaccard for candidate pairs (verification stage)."""
+    counts = tok.groupBy(id_col).agg(F.count("*").alias("n"))
+    ta = tok.select(F.col(id_col).alias("a"), "w")
+    tb = tok.select(F.col(id_col).alias("b"), "w")
+    inter = (
+        pairs.join(ta, "a")
+        .join(tb, ["b", "w"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(counts.select(F.col(id_col).alias("a"), F.col("n").alias("na")), "a")
+        .join(counts.select(F.col(id_col).alias("b"), F.col("n").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-duplicate pipeline: candidates via band join,
+    then exact Jaccard verify ≥ threshold."""
+    tok = tokens(df, id_col, text_col)
+    sig = minhash_signatures(tok, id_col, num_hashes)
+    buckets = lsh_band_buckets(sig, id_col, num_hashes, bands)
+    pairs = minhash_candidate_pairs(buckets, id_col)
+    return (
+        jaccard_on_pairs(pairs, tok, id_col)
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def simhash16(tok: DataFrame, id_col: str) -> DataFrame:
+    """16-bit SimHash: bit j is the sign of Σ_tokens (±1), where the ±1 is the
+    high bit of hex digit j of md5(token). Rendered as a 16-char '01' string
+    (engine-independent)."""
+    with_hash = tok.select(id_col, F.md5("w").alias("h"))
+    bit_sums = with_hash.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.substring("h", j + 1, 1).isin(*"89abcdef"), F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias(f"b{j}")
+            for j in range(16)
+        ]
+    )
+    fingerprint = F.concat(
+        *[F.when(F.col(f"b{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(16)]
+    )
+    return bit_sums.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share either 8-bit half
+    (pigeonhole: hamming ≤ max_hamming with 2 bands guarantees recall for
+    hamming ≤ 1 per half; a scale deployment uses 4 bands of 4 bits), then
+    exact hamming filter."""
+    fp = simhash16(tokens(df, id_col, text_col), id_col)
+    a = fp.select(F.col(id_col).alias("a"), F.col("simhash").alias("fa"))
+    b = fp.select(F.col(id_col).alias("b"), F.col("simhash").alias("fb"))
+    cand = (
+        a.join(
+            b,
+            (
+                (F.substring("fa", 1, 8) == F.substring("fb", 1, 8))
+                | (F.substring("fa", 9, 8) == F.substring("fb", 9, 8))
+            )
+            & (F.col("a") < F.col("b")),
+        )
+    )
+    hamming = sum(
+        (F.substring("fa", j + 1, 1) != F.substring("fb", j + 1, 1)).cast("int")
+        for j in range(16)
+    )
+    return cand.select(
+        "a", "b", hamming.alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

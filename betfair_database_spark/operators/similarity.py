@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (SURVEY §2.11).
+
+  - cosine_topk: brute-force exact top-k against a query vector. The dot
+    product runs entirely in JVM expressions (zip_with + aggregate) — no
+    Python, no explode; one narrow scan + a k-row reduce.
+  - lsh_sign_buckets / bucketed_topk: deterministic sign-LSH (bucket = sign
+    pattern of the first B components). At scale the bucket column is a
+    partition key: the query probes one bucket instead of the full corpus.
+  - embedding_near_dup_pairs: pairwise cosine within a blocking key.
+
+All arithmetic is double-precision with explicit casts so the duckdb oracle
+reproduces results bit-compatibly after rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity against a literal query vector."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), q), 4).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def lsh_sign_buckets(
+    df: DataFrame,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic sign-LSH bucket: '+'/'-' pattern of the first ``bits``
+    components. (A production variant uses random hyperplanes; signs of the
+    leading components keep the oracle reproducible.)"""
+    bucket = F.concat(
+        *[
+            F.when(F.element_at(F.col(vec_col), i + 1) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for i in range(bits)
+        ]
+    )
+    return df.select(F.col(id_col), bucket.alias("bucket"), F.col(vec_col))
+
+
+def bucketed_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: probe only the query's sign-bucket, then exact cosine top-k inside.
+
+    At 100 TB the bucket predicate prunes partitions (write the table
+    partitioned/bucketed by this key) — the scan touches 1/2^bits of the data.
+    """
+    qbucket = "".join("1" if v >= 0 else "0" for v in query_vec[:bits])
+    buckets = lsh_sign_buckets(df, bits, id_col, vec_col)
+    inside = buckets.where(F.col("bucket") == qbucket)
+    return cosine_topk(inside, query_vec, k, id_col, vec_col)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.99,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise cosine near-dups within a blocking key (equi-join on the
+    block column bounds the pair explosion; at scale the block is an LSH
+    bucket rather than a label)."""
+    a = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("vb"),
+    )
+    pairs = a.join(b, "blk").where(F.col("a") < F.col("b"))
+    return pairs.select(
+        "a",
+        "b",
+        F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+    ).where(F.col("cos_sim") >= threshold)

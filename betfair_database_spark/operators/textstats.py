@@ -1,0 +1,111 @@
+"""Text-analysis operators for training-data pipelines (SURVEY §2.11):
+language ID, quality scoring, token counting, document fingerprinting.
+
+Everything is built-in column expressions (regexp_count/regexp_replace/md5)
+— whole-stage codegen end to end, and each has an exact ANSI-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker lists for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ein"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace-token count (0 for empty/blank strings)."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish subword proxy: count of word/number/punctuation chunks —
+    the standard pre-tokenizer regex family."""
+    return F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length/punctuation/stopword-ratio quality features, each rounded for
+    engine-independent comparison."""
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    n_tokens = token_count(text)
+    n_stop = sum(
+        F.regexp_count(F.lower(text), F.lit(rf"\b{w}\b")) for w in LANG_MARKERS["en"]
+    )
+    safe_chars = F.when(n_chars > 0, n_chars.cast("double"))
+    safe_tokens = F.when(n_tokens > 0, n_tokens.cast("double"))
+    return {
+        "n_tokens": n_tokens,
+        "alpha_ratio": F.round(n_alpha / safe_chars, 4),
+        "punct_ratio": F.round(n_punct / safe_chars, 4),
+        "stopword_ratio": F.round(n_stop / safe_tokens, 4),
+        "avg_token_len": F.round(n_chars / safe_tokens, 4),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score: alpha-heavy, punctuation-light,
+    some stopwords, sane token length."""
+    f = quality_features(text)
+    score = (
+        F.coalesce(f["alpha_ratio"], F.lit(0.0)) * 0.5
+        + (1 - F.least(F.coalesce(f["punct_ratio"], F.lit(0.0)) * 5, F.lit(1.0))) * 0.2
+        + F.least(F.coalesce(f["stopword_ratio"], F.lit(0.0)) * 5, F.lit(1.0)) * 0.3
+    )
+    return F.round(score, 4)
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-marker language ID: argmax of per-language marker hits;
+    deterministic tie-break by language code order; 'und' when nothing hits."""
+    scores = [
+        (
+            lang,
+            sum(
+                F.regexp_count(F.lower(text), F.lit(rf"\b{w}\b")) for w in words
+            ),
+        )
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    # reversed so the FIRST language in sorted order wins ties
+    for lang, s in reversed(scores):
+        expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column, length: int = 16) -> Column:
+    """Document fingerprint: md5 of normalized text, truncated — a stable
+    join key for dedup/provenance."""
+    normalized = F.regexp_replace(F.lower(text), r"\s+", " ")
+    return F.substring(F.md5(F.trim(normalized)), 1, length)
+
+
+def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One-pass per-document text profile."""
+    t = F.col(text_col)
+    feats = quality_features(t)
+    return df.select(
+        F.col(id_col),
+        feats["n_tokens"].alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_subword_tokens"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("pred_lang"),
+        fingerprint(t).alias("fingerprint"),
+    )

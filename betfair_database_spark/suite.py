@@ -1,0 +1,1023 @@
+"""Operator showcase suite: every SURVEY §2 operator family expressed over the
+driver's synthetic tables, each with an exact ANSI-SQL oracle for the DuckDB
+correctness harness (__spark_entry__.queries / oracle_sql).
+
+Conventions for engine-independent hash matching:
+  - every double is round()ed identically on both sides;
+  - integer sums are CAST to BIGINT in the oracle (DuckDB sums ints to
+    HUGEINT, Spark to LONG);
+  - timestamps are rendered to strings (date_format / strftime);
+  - LIMIT queries carry a total ORDER BY (value, then id) on both sides;
+  - aggregate/computed columns are aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from betfair_database_spark.operators import asof, dedup, similarity, textstats
+from betfair_database_spark.plans.dialect import (
+    register_sqlite_functions,
+    translate_where,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is a nanosecond parquet timestamp, which Spark's vectorized
+    reader rejects; read it as raw nanos and truncate to micros (exactly what
+    DuckDB's reader does), keeping NTZ wall-clock semantics."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    )
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+
+
+SUITE: dict[str, QuerySpec] = {}
+
+
+def _q(name: str, oracle: str | None):
+    def deco(fn):
+        SUITE[name] = QuerySpec(fn, oracle)
+        return fn
+
+    return deco
+
+
+# =========================================================================
+# Flagship: TPC-H Q1-style pricing summary (scan + filter + hash aggregate)
+# =========================================================================
+
+
+@_q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           round(avg(l_discount), 4)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# =========================================================================
+# P: projection / filter / predicate surface (SURVEY §2.2)
+# =========================================================================
+
+
+@_q(
+    "p1_projection",
+    "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS total FROM orders",
+)
+def p1_projection(spark, sf):
+    return _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("total")
+    )
+
+
+@_q(
+    "p2_filter_eq_and",
+    """
+    SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+    FROM lineitem WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+    """,
+)
+def p2_filter_eq_and(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .where((F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "F"))
+        .select(
+            "l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price")
+        )
+    )
+
+
+@_q(
+    "p3_or_in",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') OR c_acctbal < 0
+    """,
+)
+def p3_or_in(spark, sf):
+    return (
+        _t(spark, sf, "customer")
+        .where(
+            F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+            | (F.col("c_acctbal") < 0)
+        )
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@_q(
+    "p4_between",
+    """
+    SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+    """,
+)
+def p4_between(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .where(
+            F.col("l_shipdate").between(
+                F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"),
+                F.lit("1996-12-31 00:00:00").cast("timestamp_ntz"),
+            )
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        )
+    )
+
+
+@_q(
+    "p5_not_and_null",
+    """
+    SELECT o_orderkey FROM orders
+    WHERE NOT (o_orderstatus = 'O') AND nullif(o_orderpriority, '1-URGENT') IS NOT NULL
+    """,
+)
+def p5_not_and_null(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .where(
+            (~(F.col("o_orderstatus") == "O"))
+            & F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).isNotNull()
+        )
+        .select("o_orderkey")
+    )
+
+
+@_q(
+    "p7_bool_literal_shim",
+    """
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE CAST(l_discount > 0.05 AS INT) = 1
+    """,
+)
+def p7_bool_literal_shim(spark, sf):
+    # exercises the SQLite true/false literal rewrite end to end
+    _t(spark, sf, "lineitem").createOrReplaceTempView("lineitem_v")
+    where = translate_where("CAST(l_discount > 0.05 AS INT) = true")
+    return spark.sql(f"SELECT l_orderkey, l_linenumber FROM lineitem_v WHERE {where}")
+
+
+@_q(
+    "p8_strftime_time_shim",
+    """
+    SELECT o_orderkey, strftime(o_orderdate, '%m') AS order_month
+    FROM orders
+    WHERE strftime(o_orderdate, '%m') = '03' AND strftime(o_orderdate, '%H:%M:%S') = '00:00:00'
+    """,
+)
+def p8_strftime_time_shim(spark, sf):
+    # SQLite-dialect strftime()/time() through the registered SQL UDFs
+    register_sqlite_functions(spark)
+    _t(spark, sf, "orders").createOrReplaceTempView("orders_v")
+    where = translate_where(
+        "strftime('%m', o_orderdate) = '03' AND time(o_orderdate) == '00:00:00'"
+    )
+    return spark.sql(
+        "SELECT o_orderkey, sqlite_strftime('%m', o_orderdate) AS order_month "
+        f"FROM orders_v WHERE {where}"
+    )
+
+
+@_q(
+    "p9_limit_topk",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS total FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def p9_limit_topk(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+        .limit(10)
+    )
+
+
+# =========================================================================
+# J: joins (SURVEY §2.3)
+# =========================================================================
+
+
+@_q(
+    "j1_inner_join",
+    """
+    SELECT o.o_orderkey, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def j1_inner_join(spark, sf):
+    o = _t(spark, sf, "orders").where(F.col("o_orderstatus") == "F")
+    c = _t(spark, sf, "customer")
+    return o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey", "c_name", "c_mktsegment"
+    )
+
+
+@_q(
+    "j2_left_anti",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j2_left_anti(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_q(
+    "j3_left_semi",
+    """
+    SELECT p_partkey, p_name FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+    """,
+)
+def j3_left_semi(spark, sf):
+    p = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem").where(F.col("l_quantity") > 45)
+    return p.join(li, p["p_partkey"] == li["l_partkey"], "left_semi").select(
+        "p_partkey", "p_name"
+    )
+
+
+@_q(
+    "j5_broadcast_dim_enrich",
+    """
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation, r.r_name AS region
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def j5_broadcast_dim_enrich(spark, sf):
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            "s_suppkey", "s_name", F.col("n_name").alias("nation"), F.col("r_name").alias("region")
+        )
+    )
+
+
+@_q(
+    "j4_nonequi_join",
+    """
+    SELECT l.l_orderkey, l.l_linenumber
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate <= o.o_orderdate + INTERVAL 7 DAY
+    """,
+)
+def j4_nonequi_join(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .where(F.col("l_shipdate") <= F.expr("o_orderdate + INTERVAL 7 DAY"))
+        .select("l_orderkey", "l_linenumber")
+    )
+
+
+# =========================================================================
+# A: aggregations (SURVEY §2.4)
+# =========================================================================
+
+
+@_q(
+    "a1_global_aggs",
+    """
+    SELECT count(*) AS n_rows,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           round(sum(l_quantity), 2) AS total_qty,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    """,
+)
+def a1_global_aggs(spark, sf):
+    return _t(spark, sf, "lineitem").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@_q(
+    "a2_last_per_group",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def a2_last_per_group(spark, sf):
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        _t(spark, sf, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+        )
+    )
+
+
+@_q(
+    "a3_group_having",
+    """
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+    FROM orders GROUP BY o_custkey HAVING count(*) > 12
+    """,
+)
+def a3_group_having(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+        .where(F.col("n_orders") > 12)
+    )
+
+
+@_q(
+    "a5_array_length",
+    "SELECT vec_id, CAST(len(embedding) AS INT) AS dim FROM embeddings",
+)
+def a5_array_length(spark, sf):
+    return _t(spark, sf, "embeddings").select(
+        "vec_id", F.size("embedding").alias("dim")
+    )
+
+
+@_q(
+    "agg_rollup",
+    """
+    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(l_linestatus, '<all>') AS linestatus,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "n",
+        )
+    )
+
+
+# =========================================================================
+# W: windows / top-k per group / set ops (SURVEY §2.5)
+# =========================================================================
+
+
+@_q(
+    "w1_topk_per_group",
+    """
+    SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS total
+    FROM (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rn <= 3
+    """,
+)
+def w1_topk_per_group(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+@_q(
+    "w2_running_sum",
+    """
+    SELECT event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 2) AS running_value
+    FROM events
+    """,
+)
+def w2_running_sum(spark, sf):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf, "events").select(
+        "event_id", F.round(F.sum("value").over(w), 2).alias("running_value")
+    )
+
+
+@_q(
+    "set_ops_except",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_ops_except(spark, sf):
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # EXCEPT (distinct) semantics, matching the oracle
+
+
+# =========================================================================
+# F: scalar functions (SURVEY §2.6)
+# =========================================================================
+
+
+@_q(
+    "f6_regex_extract",
+    """
+    SELECT regexp_extract(o_orderpriority, '(\\d+)', 1) AS priority_num,
+           count(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def f6_regex_extract(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .groupBy(
+            F.regexp_extract("o_orderpriority", r"(\d+)", 1).alias("priority_num")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "f7_composite_key",
+    """
+    SELECT concat_ws(',', CAST(c_nationkey AS VARCHAR), c_mktsegment) AS grp_key,
+           count(*) AS n
+    FROM customer GROUP BY 1
+    """,
+)
+def f7_composite_key(spark, sf):
+    return (
+        _t(spark, sf, "customer")
+        .groupBy(
+            F.concat_ws(",", F.col("c_nationkey").cast("string"), "c_mktsegment").alias(
+                "grp_key"
+            )
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "f11_partition_path",
+    """
+    SELECT strftime(o_orderdate, '%Y/%b/') || CAST(day(o_orderdate) AS VARCHAR)
+             || '/' || CAST(o_custkey AS VARCHAR) AS dest_dir,
+           count(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def f11_partition_path(spark, sf):
+    # the betfair_historical import-pattern shape (reference imports.py:12-39)
+    path = F.concat(
+        F.date_format("o_orderdate", "yyyy/MMM/"),
+        F.dayofmonth("o_orderdate").cast("string"),
+        F.lit("/"),
+        F.col("o_custkey").cast("string"),
+    )
+    return (
+        _t(spark, sf, "orders")
+        .groupBy(path.alias("dest_dir"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "f12_json_access",
+    """
+    SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def f12_json_access(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.avg(F.get_json_object("props", "$.k").cast("int")), 4
+            ).alias("avg_k")
+        )
+    )
+
+
+@_q(
+    "f5_weekday_name",
+    """
+    SELECT strftime(ts, '%A') AS weekday, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def f5_weekday_name(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .groupBy(F.date_format("ts", "EEEE").alias("weekday"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# =========================================================================
+# Events / time-series (windowed agg, sessionize, as-of — SURVEY §2.9 ext)
+# =========================================================================
+
+
+@_q(
+    "ev_hourly_window",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ev_hourly_window(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@_q(
+    "ev_sessionize",
+    """
+    SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions
+    FROM (
+      SELECT user_id,
+             sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               date_diff('second',
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                         ts) AS gap_s
+        FROM events
+      )
+    ) GROUP BY user_id
+    """,
+)
+def ev_sessionize(spark, sf):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # NTZ → epoch seconds via an LTZ hop (session tz is UTC); truncate-then-
+    # subtract equals DuckDB's date_diff('second', ...) boundary count
+    secs = F.col("ts").cast("timestamp").cast("long")
+    prev_secs = F.lag(F.col("ts")).over(w).cast("timestamp").cast("long")
+    gap = secs - prev_secs
+    return (
+        _t(spark, sf, "events")
+        .withColumn("gap_s", gap)
+        .withColumn(
+            "session_id",
+            F.sum(
+                F.when(F.col("gap_s").isNull() | (F.col("gap_s") > 1800), 1).otherwise(0)
+            ).over(wall),
+        )
+        .groupBy("user_id")
+        .agg(F.countDistinct("session_id").alias("n_sessions"))
+    )
+
+
+@_q(
+    "asof_join_last_order",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id,
+           r.o_orderkey AS last_order_key,
+           strftime(r.o_orderdate, '%Y-%m-%d') AS last_order_date
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+)
+def asof_join_last_order(spark, sf):
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    r = (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .withColumn("o_orderdate_str", F.date_format("o_orderdate", "yyyy-MM-dd"))
+    )
+    joined = asof.asof_join(
+        ev.withColumn("_ts", F.col("ts").cast("timestamp_ntz")),
+        r.withColumn("o_custkey2", F.col("o_custkey")).drop("o_custkey")
+        .withColumnRenamed("o_custkey2", "user_id"),
+        on="user_id",
+        left_ts="_ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_orderdate_str"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_order_key"),
+        F.col("o_orderdate_str").alias("last_order_date"),
+    )
+
+
+# =========================================================================
+# Dedup (SURVEY §2.11)
+# =========================================================================
+
+
+@_q(
+    "dedup_exact_stats",
+    """
+    SELECT count(*) AS n_docs,
+           CAST(count(DISTINCT md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS BIGINT) AS n_unique
+    FROM documents
+    """,
+)
+def dedup_exact_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5(dedup.normalized_text(F.col("text")))).alias("n_unique"),
+    )
+
+
+_MINHASH_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
+  FROM documents
+),
+mh AS (
+  SELECT doc_id, s, min(md5(CAST(s AS VARCHAR) || ':' || w)) AS h
+  FROM tok, range(12) t(s) GROUP BY doc_id, s
+),
+bands AS (
+  SELECT doc_id, CAST(s // 4 AS INT) AS band,
+         md5(string_agg(h, '|' ORDER BY s)) AS bh
+  FROM mh GROUP BY doc_id, s // 4
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+),
+wc AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c JOIN tok ta ON ta.doc_id = c.a JOIN tok tb ON tb.doc_id = c.b AND tb.w = ta.w
+  GROUP BY c.a, c.b
+)
+SELECT i.a, i.b, round(CAST(i.i AS DOUBLE) / (wa.n + wb.n - i.i), 4) AS jaccard
+FROM inter i JOIN wc wa ON wa.doc_id = i.a JOIN wc wb ON wb.doc_id = i.b
+WHERE CAST(i.i AS DOUBLE) / (wa.n + wb.n - i.i) >= 0.5
+"""
+
+
+@_q("dedup_minhash_pairs", _MINHASH_ORACLE)
+def dedup_minhash_pairs(spark, sf):
+    return dedup.minhash_near_dups(
+        _t(spark, sf, "documents"), num_hashes=12, bands=3, threshold=0.5
+    )
+
+
+_SIMHASH_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
+  FROM documents
+),
+h AS (SELECT doc_id, md5(w) AS hh FROM tok),
+bits AS (
+  SELECT doc_id, j,
+         CASE WHEN sum(CASE WHEN substr(hh, j, 1) IN ('8','9','a','b','c','d','e','f')
+                            THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS bit
+  FROM h, range(1, 17) t(j) GROUP BY doc_id, j
+)
+SELECT doc_id, string_agg(bit, '' ORDER BY j) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+@_q("dedup_simhash_fingerprints", _SIMHASH_ORACLE)
+def dedup_simhash_fingerprints(spark, sf):
+    d = _t(spark, sf, "documents")
+    return dedup.simhash16(dedup.tokens(d, "doc_id", "text"), "doc_id")
+
+
+_NGRAM_JACCARD_ORACLE = """
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w FROM docs
+),
+wc AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT ta.doc_id AS a, tb.doc_id AS b, count(*) AS i
+  FROM tok ta JOIN tok tb ON ta.w = tb.w AND ta.doc_id < tb.doc_id
+  GROUP BY ta.doc_id, tb.doc_id
+)
+SELECT a, b, round(CAST(i.i AS DOUBLE) / (wa.n + wb.n - i.i), 4) AS jaccard
+FROM inter i JOIN wc wa ON wa.doc_id = i.a JOIN wc wb ON wb.doc_id = i.b
+ORDER BY jaccard DESC, a, b LIMIT 20
+"""
+
+
+@_q("dedup_ngram_jaccard_top20", _NGRAM_JACCARD_ORACLE)
+def dedup_ngram_jaccard_top20(spark, sf):
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 50)
+    tok = dedup.tokens(d, "doc_id", "text")
+    pairs = (
+        tok.alias("ta")
+        .join(
+            tok.alias("tb"),
+            (F.col("ta.w") == F.col("tb.w")) & (F.col("ta.doc_id") < F.col("tb.doc_id")),
+        )
+        .groupBy(F.col("ta.doc_id").alias("a"), F.col("tb.doc_id").alias("b"))
+        .agg(F.count("*").alias("i"))
+    )
+    counts = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    j = (
+        pairs.join(counts.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
+        .join(counts.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")), 4
+            ).alias("jaccard"),
+        )
+    )
+    return j.orderBy(F.desc("jaccard"), "a", "b").limit(20)
+
+
+_EMB_NEARDUP_ORACLE = """
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings WHERE label = 0),
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b, a.embedding AS va, b.embedding AS vb
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT a, b,
+         round(sum(CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE))
+               / (sqrt(sum(CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE)))
+                  * sqrt(sum(CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)))), 4) AS cos_sim
+  FROM pairs, range(1, 65) t(i) GROUP BY a, b, va, vb
+)
+SELECT a, b, cos_sim FROM scored ORDER BY cos_sim DESC, a, b LIMIT 10
+"""
+
+
+@_q("dedup_embedding_cosine_top10", _EMB_NEARDUP_ORACLE)
+def dedup_embedding_cosine_top10(spark, sf):
+    e = _t(spark, sf, "embeddings").where(F.col("label") == 0)
+    pairs = similarity.embedding_near_dup_pairs(e, threshold=-1.0, block_col="label")
+    return pairs.orderBy(F.desc("cos_sim"), "a", "b").limit(10)
+
+
+# =========================================================================
+# Similarity search (SURVEY §2.11)
+# =========================================================================
+
+_KNN_ORACLE = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         round(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+               / (sqrt(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                  * sqrt(sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))), 4) AS cos_sim
+  FROM embeddings e, q, range(1, 65) t(i)
+  GROUP BY e.vec_id
+)
+SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+def _query_vec(spark, sf) -> list[float]:
+    row = (
+        _t(spark, sf, "embeddings").where(F.col("vec_id") == 0).select("embedding").first()
+    )
+    return [float(v) for v in row[0]]
+
+
+@_q("knn_cosine_top10", _KNN_ORACLE)
+def knn_cosine_top10(spark, sf):
+    return similarity.cosine_topk(_t(spark, sf, "embeddings"), _query_vec(spark, sf), 10)
+
+
+_KNN_LSH_ORACLE = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+bucketed AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT string_agg(CASE WHEN e.embedding[i] >= 0 THEN '1' ELSE '0' END, '' ORDER BY i)
+          FROM range(1, 9) t(i)) AS bucket
+  FROM embeddings e
+),
+qb AS (
+  SELECT (SELECT string_agg(CASE WHEN q.qe[i] >= 0 THEN '1' ELSE '0' END, '' ORDER BY i)
+          FROM range(1, 9) t(i)) AS bucket
+  FROM q
+),
+scored AS (
+  SELECT b.vec_id,
+         round(sum(CAST(b.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+               / (sqrt(sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                  * sqrt(sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))), 4) AS cos_sim
+  FROM bucketed b, q, qb, range(1, 65) t(i)
+  WHERE b.bucket = qb.bucket
+  GROUP BY b.vec_id
+)
+SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+@_q("knn_lsh_bucket_top10", _KNN_LSH_ORACLE)
+def knn_lsh_bucket_top10(spark, sf):
+    return similarity.bucketed_topk(
+        _t(spark, sf, "embeddings"), _query_vec(spark, sf), 10
+    )
+
+
+# =========================================================================
+# Text analysis (SURVEY §2.11)
+# =========================================================================
+
+
+@_q(
+    "text_token_counts",
+    """
+    SELECT doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_subword_tokens
+    FROM documents
+    """,
+)
+def text_token_counts(spark, sf):
+    t = F.col("text")
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        textstats.token_count(t).alias("n_tokens"),
+        textstats.bpe_ish_token_count(t).cast("int").alias("n_subword_tokens"),
+    )
+
+
+@_q(
+    "text_quality",
+    """
+    SELECT doc_id,
+           round(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                 / CAST(nullif(length(text), 0) AS DOUBLE), 4) AS alpha_ratio,
+           round(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                 / CAST(nullif(length(text), 0) AS DOUBLE), 4) AS punct_ratio,
+           round((len(regexp_extract_all(lower(text), '\\bthe\\b'))
+                  + len(regexp_extract_all(lower(text), '\\band\\b'))
+                  + len(regexp_extract_all(lower(text), '\\bof\\b'))
+                  + len(regexp_extract_all(lower(text), '\\bto\\b'))
+                  + len(regexp_extract_all(lower(text), '\\ba\\b')))
+                 / CAST(nullif(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 0) AS DOUBLE), 4)
+             AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_quality(spark, sf):
+    t = F.col("text")
+    feats = textstats.quality_features(t)
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        feats["alpha_ratio"].alias("alpha_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+@_q(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", textstats.fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+_LANGID_ORACLE = """
+WITH scores AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '\\bthe\\b')) + len(regexp_extract_all(lower(text), '\\band\\b'))
+           + len(regexp_extract_all(lower(text), '\\bof\\b')) + len(regexp_extract_all(lower(text), '\\bto\\b'))
+           + len(regexp_extract_all(lower(text), '\\ba\\b')) AS s_en,
+         len(regexp_extract_all(lower(text), '\\ble\\b')) + len(regexp_extract_all(lower(text), '\\bla\\b'))
+           + len(regexp_extract_all(lower(text), '\\bet\\b')) + len(regexp_extract_all(lower(text), '\\bles\\b'))
+           + len(regexp_extract_all(lower(text), '\\bdes\\b')) AS s_fr,
+         len(regexp_extract_all(lower(text), '\\bel\\b')) + len(regexp_extract_all(lower(text), '\\bla\\b'))
+           + len(regexp_extract_all(lower(text), '\\bde\\b')) + len(regexp_extract_all(lower(text), '\\bque\\b'))
+           + len(regexp_extract_all(lower(text), '\\blos\\b')) AS s_es,
+         len(regexp_extract_all(lower(text), '\\bder\\b')) + len(regexp_extract_all(lower(text), '\\bdie\\b'))
+           + len(regexp_extract_all(lower(text), '\\bund\\b')) + len(regexp_extract_all(lower(text), '\\bdas\\b'))
+           + len(regexp_extract_all(lower(text), '\\bein\\b')) AS s_de
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+            WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM scores
+"""
+
+
+@_q("text_lang_id", _LANGID_ORACLE)
+def text_lang_id(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", textstats.lang_id(F.col("text")).alias("pred_lang")
+    )

@@ -1,0 +1,92 @@
+"""Local replica of the driver's t2 correctness gate: run every suite query
+under Spark AND its DuckDB oracle, compare row count, sorted column names and
+an order-insensitive value hash. Usage:
+
+    python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canonical(df: pd.DataFrame) -> tuple[int, list[str], str]:
+    cols = sorted(df.columns)
+    df = df[cols]
+    # floats: round-trip through repr with limited precision; everything str
+    def cell(v):
+        if v is None or v != v:
+            return "<null>"
+        if isinstance(v, float):
+            return f"{v:.6g}"
+        return str(v)
+
+    rows = sorted("|".join(cell(v) for v in row) for row in df.itertuples(index=False))
+    import hashlib
+
+    h = hashlib.md5("\n".join(rows).encode()).hexdigest()
+    return len(df), cols, h
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from betfair_database_spark.session import get_spark
+    from betfair_database_spark.suite import SUITE
+
+    spark = get_spark("check-oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = []
+    for name, spec in SUITE.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = spec.fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:300]}")
+            continue
+        if spec.oracle is None:
+            print(f"---- {name}: rows-only ({len(sdf)} rows)")
+            continue
+        try:
+            odf = con.sql(spec.oracle).df()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error {type(e).__name__}: {str(e)[:300]}")
+            continue
+        sn, sc, sh = _canonical(sdf)
+        on, oc, oh = _canonical(odf)
+        status = "OK  " if (sn, sc, sh) == (on, oc, oh) else "FAIL"
+        if status == "FAIL":
+            failures.append(name)
+        print(f"{status} {name}: spark({sn} rows, {sh[:8]}) duckdb({on} rows, {oh[:8]})")
+        if status == "FAIL":
+            if sc != oc:
+                print(f"     cols spark={sc} duckdb={oc}")
+            elif sn == on:
+                merged = pd.concat(
+                    [sdf[sorted(sdf.columns)], odf[sorted(odf.columns)]]
+                ).drop_duplicates(keep=False)
+                print(merged.head(6).to_string())
+    print(f"\n{len(failures)} failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

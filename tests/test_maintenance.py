@@ -1,0 +1,123 @@
+"""Maintenance surface: size/export/clean/insert with duplicate policies
+(semantics pinned by reference tests/test_integration.py:431-607)."""
+
+from __future__ import annotations
+
+import csv
+import json
+from pathlib import Path
+
+import pytest
+
+from tests.corpus import EXPECTED, build_corpus
+
+
+@pytest.fixture(scope="module")
+def mutable_db(spark, tmp_path_factory):
+    from betfair_database_spark.database import BetfairDatabase
+
+    root = tmp_path_factory.mktemp("mutdb") / "db"
+    build_corpus(root)
+    db = BetfairDatabase(root, spark=spark)
+    db.index()
+    return db
+
+
+def test_export_csv(mutable_db, tmp_path):
+    dest = mutable_db.export(tmp_path)
+    assert dest.name == "db.csv"
+    with open(dest, newline="") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == EXPECTED["rows"]
+    from betfair_database_spark.const import SQL_TABLE_COLUMNS
+
+    assert list(rows[0].keys()) == list(SQL_TABLE_COLUMNS)
+    # NULL renders as empty string (csv.DictWriter parity)
+    cat_row = next(r for r in rows if r["marketId"] == "1.222000001")
+    assert cat_row["marketSettledTime"] == ""
+    assert cat_row["bspMarket"] == "0"
+
+
+def test_clean_removes_missing_data_files(mutable_db):
+    root = mutable_db.database_dir
+    (root / "1.222000001").unlink()
+    (root / "1.222000005.gz").unlink()
+    removed = mutable_db.clean()
+    assert removed == 2
+    assert mutable_db.size() == EXPECTED["rows"] - 2
+    assert mutable_db.clean() == 0  # idempotent
+
+
+class TestInsertPolicies:
+    @pytest.fixture(scope="class")
+    def env(self, spark, tmp_path_factory):
+        from betfair_database_spark.database import BetfairDatabase
+
+        base = tmp_path_factory.mktemp("insenv")
+        target = base / "newdb"
+        target.mkdir()
+        src = base / "src"
+        build_corpus(src)
+        db = BetfairDatabase(target, spark=spark)
+        return db, src
+
+    def test_insert_into_fresh_db(self, env):
+        db, src = env
+        n = db.insert(src, copy=True)
+        assert n == EXPECTED["rows"]
+        assert db.size() == EXPECTED["rows"]
+        # copy leaves source files in place
+        assert (src / "1.222000001.json").exists()
+        # betfair_historical layout
+        paths = [r["marketMetadataFilePath"] for r in db.select(["marketMetadataFilePath"])]
+        assert any("/2023/Aug/2/" in p for p in paths)
+
+    def test_reinsert_skip(self, env):
+        db, src = env
+        assert db.insert(src, copy=True, on_duplicates="skip") == 0
+        assert db.size() == EXPECTED["rows"]
+
+    def test_reinsert_update_unchanged(self, env):
+        db, src = env
+        assert db.insert(src, copy=True, on_duplicates="update") == 0
+
+    def test_reinsert_update_changed_metadata(self, env):
+        db, src = env
+        p = src / "1.222000001.json"
+        d = json.loads(p.read_text())
+        d["description"]["marketTime"] = "2023-07-28T13:00:00.000Z"
+        p.write_text(json.dumps(d))
+        assert db.insert(src, copy=True, on_duplicates="update") == 1
+        row = db.select(["marketTime"], where="marketId = '1.222000001'")[0]
+        assert row["marketTime"] == "2023-07-28T13:00:00.000Z"
+
+    def test_reinsert_update_irrelevant_change(self, env):
+        db, src = env
+        p = src / "1.222000001.json"
+        d = json.loads(p.read_text())
+        d["totalMatched"] = 99999.0  # not an indexed column
+        p.write_text(json.dumps(d))
+        assert db.insert(src, copy=True, on_duplicates="update") == 0
+
+    def test_reinsert_replace(self, env):
+        db, src = env
+        n = db.insert(src, copy=True, on_duplicates="replace")
+        assert n == EXPECTED["rows"]  # every market rewritten
+        assert db.size() == EXPECTED["rows"]  # no duplicate rows
+
+    def test_insert_move_removes_sources(self, spark, tmp_path):
+        from betfair_database_spark.database import BetfairDatabase
+
+        target = tmp_path / "movedb"
+        target.mkdir()
+        src = tmp_path / "movesrc"
+        build_corpus(src)
+        db = BetfairDatabase(target, spark=spark)
+        n = db.insert(src, copy=False, pattern="event_id")
+        assert n == EXPECTED["rows"]
+        # moved: indexed market files are gone from the source tree
+        assert not (src / "1.222000001.json").exists()
+        assert not (src / "1.222000001").exists()
+        # non-importable leftovers stay behind
+        assert (src / "1.222000008.json").exists()  # had no data file
+        assert (src / "1.222000009").exists()  # had no definition

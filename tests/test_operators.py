@@ -1,0 +1,138 @@
+"""Unit tests for the scale operators (dedup / similarity / textstats / asof)
+on tiny hand-computed frames."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_exact_dedup(spark):
+    from betfair_database_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")], ["doc_id", "text"]
+    )
+    out = exact_dedup(df).collect()
+    ids = sorted(r.doc_id for r in out)
+    assert ids == [1, 3]  # min doc_id kept per normalized text
+
+
+def test_minhash_identical_docs_pair(spark):
+    from betfair_database_spark.operators.dedup import minhash_near_dups
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark join merge sort table"),
+            (2, "spark join merge sort table"),
+            (3, "completely different words entirely here"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = minhash_near_dups(df, threshold=0.9).collect()
+    assert len(pairs) == 1
+    assert (pairs[0].a, pairs[0].b) == (1, 2)
+    assert pairs[0].jaccard == 1.0
+
+
+def test_simhash_identical_docs_equal_fingerprints(spark):
+    from betfair_database_spark.operators.dedup import simhash16, tokens
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon")],
+        ["doc_id", "text"],
+    )
+    fp = {r.doc_id: r.simhash for r in simhash16(tokens(df, "doc_id", "text"), "doc_id").collect()}
+    assert fp[1] == fp[2]
+    assert len(fp[1]) == 16 and set(fp[1]) <= {"0", "1"}
+    assert fp[1] != fp[3]
+
+
+def test_cosine_topk(spark):
+    from betfair_database_spark.operators.similarity import cosine_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    out = cosine_topk(df, [1.0, 0.0], k=2).collect()
+    assert out[0].vec_id == 1 and out[0].cos_sim == 1.0
+    assert out[1].vec_id == 3
+    assert out[1].cos_sim == pytest.approx(round(1 / math.sqrt(2), 4))
+
+
+def test_bucketed_topk_prunes_other_sign(spark):
+    from betfair_database_spark.operators.similarity import bucketed_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 1.0]), (2, [-1.0, -1.0]), (3, [1.0, 0.5])],
+        ["vec_id", "embedding"],
+    )
+    out = bucketed_topk(df, [1.0, 1.0], k=10, bits=2)
+    ids = {r.vec_id for r in out.collect()}
+    assert ids == {1, 3}  # opposite-sign bucket pruned
+
+
+def test_token_count_edges(spark):
+    from betfair_database_spark.operators.textstats import token_count
+
+    df = spark.createDataFrame([("",), ("   ",), ("a b",), (" a  b ",)], ["t"])
+    out = [r.n for r in df.select(token_count(F.col("t")).alias("n")).collect()]
+    assert out == [0, 0, 2, 2]
+
+
+def test_lang_id(spark):
+    from betfair_database_spark.operators.textstats import lang_id
+
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog",),
+            ("le chat et les chiens des voisins",),
+            ("el perro de la casa que ladra los martes",),
+            ("der hund und die katze das haus",),
+            ("xyz qrs",),
+        ],
+        ["t"],
+    )
+    out = [r.l for r in df.select(lang_id(F.col("t")).alias("l")).collect()]
+    assert out == ["en", "fr", "es", "de", "und"]
+
+
+def test_asof_join_backward(spark):
+    from betfair_database_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 20, 150)], ["id", "k", "t"]
+    )
+    right = spark.createDataFrame(
+        [(10, 100, "a"), (10, 200, "b"), (20, 999, "z")], ["k", "t", "v"]
+    )
+    out = asof_join(
+        left.withColumnRenamed("t", "lt"),
+        right.withColumnRenamed("t", "rt"),
+        on="k",
+        left_ts="lt",
+        right_ts="rt",
+        payload_cols=["v"],
+    )
+    got = {r.id: r.v for r in out.collect()}
+    # id=1: right at t=100 <= 100 → 'a'; id=2: t=200 <= 205 → 'b'; id=3: none → NULL
+    assert got == {1: "a", 2: "b", 3: None}
+
+
+def test_multimodal_plumbing(spark):
+    from betfair_database_spark.operators.multimodal import (
+        attach_fake_image_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG fake"), "image/png"), (2, bytearray(b"RIFF fake"), "audio/wav")],
+        "id long, payload binary, mime string",
+    )
+    out = attach_fake_image_features(df, payload_col="payload").collect()
+    assert {r.id for r in out} == {1, 2}
+    for r in out:
+        assert r.n_bytes > 0
+        assert len(r.feature) == 8  # deterministic fake embedding

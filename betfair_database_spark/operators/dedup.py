@@ -27,6 +27,18 @@ def normalized_text(col: Column) -> Column:
     return F.regexp_replace(F.lower(col), r"\s+", " ")
 
 
+def spread(df: DataFrame, key_col: str) -> DataFrame:
+    """Ensure the frame is spread across all cores before a CPU-heavy
+    per-row stage. A small corpus in one parquet file arrives as ONE input
+    split and would run single-threaded; the explicit partition count keeps
+    AQE from coalescing the tiny exchange back to one partition. No-op cost
+    at real scale (many input splits already exist, shuffle is data-sized)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key_col))
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Keep one row per distinct normalized text (min id wins → deterministic)."""
     key = F.md5(normalized_text(F.col(text_col))).alias("_k")
@@ -44,40 +56,59 @@ def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """Distinct character k-gram shingles per document.
+
+    Word-order sensitive — the right unit for near-dup detection on corpora
+    with small vocabularies, where word-SET similarity saturates (every doc
+    looks like every other doc and LSH candidate generation goes quadratic).
+    """
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 0)),"
+        f" i -> substring(lower({text_col}), i, {k}))"
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("w")
+    )
+
+
 def minhash_signatures(
-    tok: DataFrame, id_col: str, num_hashes: int = 12
+    tok: DataFrame, id_col: str, num_hashes: int = 16
 ) -> DataFrame:
     """K min-hashes per document: min over tokens of md5(seed || ':' || token).
 
-    One shuffle: groupBy(doc, seed). Partial aggregation (map-side min) keeps
-    the exchange at K rows per document regardless of document size.
+    Computed as K parallel min-aggregates over ONE pass of the token frame —
+    no seed explode, so the shuffle carries K columns × n_docs rows instead
+    of K × n_tokens rows (map-side partial min does the reduction).
+    Output: (id, h0..h{K-1}).
     """
-    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
-    exploded = tok.select(
-        F.col(id_col), F.explode(seeds).alias("s"), F.col("w")
-    ).select(
-        id_col, "s", F.md5(F.concat_ws(":", F.col("s"), F.col("w"))).alias("h")
-    )
-    return exploded.groupBy(id_col, "s").agg(F.min("h").alias("h"))
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(s), F.col("w")))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    return tok.groupBy(id_col).agg(*aggs)
 
 
 def lsh_band_buckets(
-    sig: DataFrame, id_col: str, num_hashes: int = 12, bands: int = 3
+    sig: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 2
 ) -> DataFrame:
-    """Banded bucket keys: md5 of the in-band signature concatenation."""
+    """Banded bucket keys: md5 of the in-band signature concatenation,
+    unpivoted to (id, band, bh).
+
+    Band/row tuning: with r = num_hashes/bands rows per band, the LSH
+    s-curve crosses ~(1/bands)^(1/r); 16/2 → ≈0.92, so only true near-dups
+    collide. Looser settings (12/3 → ≈0.76) make candidate generation
+    quadratic on homogeneous corpora — measured 54k pairs from 500 docs."""
     rows_per_band = num_hashes // bands
-    banded = sig.withColumn("band", (F.col("s") / rows_per_band).cast("int"))
-    return banded.groupBy(id_col, "band").agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("s", "h"))),
-                    lambda x: x["h"],
-                ),
-                "|",
-            )
-        ).alias("bh")
-    )
+    band_cols = []
+    for b in range(bands):
+        in_band = [F.col(f"h{s}") for s in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *in_band)).alias("bh"))
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("_b")
+    ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
 
 
 def minhash_candidate_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
@@ -124,13 +155,22 @@ def minhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int = 12,
-    bands: int = 3,
-    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 2,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
 ) -> DataFrame:
-    """Full MinHash-LSH near-duplicate pipeline: candidates via band join,
-    then exact Jaccard verify ≥ threshold."""
-    tok = tokens(df, id_col, text_col)
+    """Full MinHash-LSH near-duplicate pipeline over character-shingle sets:
+    candidates via band join, then exact Jaccard verify ≥ threshold.
+
+    shingle_k=0 switches to word tokens (saturates on small vocabularies —
+    see ``shingles``)."""
+    df = spread(df, id_col)
+    tok = (
+        shingles(df, id_col, text_col, shingle_k)
+        if shingle_k
+        else tokens(df, id_col, text_col)
+    )
     sig = minhash_signatures(tok, id_col, num_hashes)
     buckets = lsh_band_buckets(sig, id_col, num_hashes, bands)
     pairs = minhash_candidate_pairs(buckets, id_col)
@@ -172,7 +212,7 @@ def simhash_near_dups(
     (pigeonhole: hamming ≤ max_hamming with 2 bands guarantees recall for
     hamming ≤ 1 per half; a scale deployment uses 4 bands of 4 bits), then
     exact hamming filter."""
-    fp = simhash16(tokens(df, id_col, text_col), id_col)
+    fp = simhash16(tokens(spread(df, id_col), id_col, text_col), id_col)
     a = fp.select(F.col(id_col).alias("a"), F.col("simhash").alias("fa"))
     b = fp.select(F.col(id_col).alias("b"), F.col("simhash").alias("fb"))
     cand = (

@@ -26,10 +26,19 @@ from betfair_database_spark.plans.dialect import (
 )
 
 
+_ID_COLS = {"documents": "doc_id", "embeddings": "vec_id"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return _events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _ID_COLS:
+        # these small single-row-group tables feed CPU-heavy per-row
+        # operators (md5 shingling, regex stats, array math) — spread them
+        # across cores; scans/aggs on the big tables stay shuffle-free
+        df = dedup.spread(df, _ID_COLS[name])
+    return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -731,17 +740,19 @@ def dedup_exact_stats(spark, sf):
 
 _MINHASH_ORACLE = """
 WITH tok AS (
-  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(length(text) - 4, 0) + 1),
+                               i -> substr(lower(text), CAST(i AS INT), 5))) AS w
   FROM documents
 ),
 mh AS (
   SELECT doc_id, s, min(md5(CAST(s AS VARCHAR) || ':' || w)) AS h
-  FROM tok, range(12) t(s) GROUP BY doc_id, s
+  FROM tok, range(16) t(s) GROUP BY doc_id, s
 ),
 bands AS (
-  SELECT doc_id, CAST(s // 4 AS INT) AS band,
+  SELECT doc_id, CAST(s // 8 AS INT) AS band,
          md5(string_agg(h, '|' ORDER BY s)) AS bh
-  FROM mh GROUP BY doc_id, s // 4
+  FROM mh GROUP BY doc_id, s // 8
 ),
 cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
@@ -755,14 +766,14 @@ inter AS (
 )
 SELECT i.a, i.b, round(CAST(i.i AS DOUBLE) / (wa.n + wb.n - i.i), 4) AS jaccard
 FROM inter i JOIN wc wa ON wa.doc_id = i.a JOIN wc wb ON wb.doc_id = i.b
-WHERE CAST(i.i AS DOUBLE) / (wa.n + wb.n - i.i) >= 0.5
+WHERE CAST(i.i AS DOUBLE) / (wa.n + wb.n - i.i) >= 0.8
 """
 
 
 @_q("dedup_minhash_pairs", _MINHASH_ORACLE)
 def dedup_minhash_pairs(spark, sf):
     return dedup.minhash_near_dups(
-        _t(spark, sf, "documents"), num_hashes=12, bands=3, threshold=0.5
+        _t(spark, sf, "documents"), num_hashes=16, bands=2, threshold=0.8
     )
 
 

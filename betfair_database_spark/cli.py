@@ -1,0 +1,117 @@
+"""``bfdb-spark`` command-line interface — subcommand surface mirrors the
+reference's ``bfdb`` CLI (reference cli.py: index/export/insert/clean/size
+with the same flags; ``select`` is intentionally API-only there and here)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from betfair_database_spark.const import DuplicatePolicy
+from betfair_database_spark.exceptions import BetfairDatabaseError
+from betfair_database_spark.functions.patterns import BUILTIN_PATTERNS
+
+
+def make_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="bfdb-spark",
+        description="A PySpark-native database of historical Betfair exchange data.",
+    )
+    parser.add_argument("--version", action="version", version="%(prog)s 0.1.0")
+    parser.add_argument(
+        "-q", "--quiet", action="store_true", help="suppress informational output"
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_index = sub.add_parser(
+        "index",
+        description="Turns the target directory into a database by indexing its contents.",
+    )
+    p_index.add_argument("database_dir")
+    p_index.add_argument(
+        "-f", "--force", action="store_true", help="Overwrite an existing index."
+    )
+
+    p_export = sub.add_parser(
+        "export", description="Exports the indexed database to a CSV file."
+    )
+    p_export.add_argument("database_dir")
+    p_export.add_argument("dest", nargs="?", default=".")
+
+    p_insert = sub.add_parser(
+        "insert",
+        description="Inserts market metadata and data files from source_dir into the database.",
+    )
+    p_insert.add_argument("database_dir")
+    p_insert.add_argument("source_dir")
+    p_insert.add_argument(
+        "-c", "--copy", action="store_true", help="Copy instead of moving files."
+    )
+    p_insert.add_argument(
+        "-p",
+        "--pattern",
+        default="betfair_historical",
+        choices=sorted(BUILTIN_PATTERNS),
+        help="File import pattern.",
+    )
+    p_insert.add_argument(
+        "-d",
+        "--on-duplicates",
+        default="update",
+        choices=[p.value for p in DuplicatePolicy],
+        help="Duplicate handling policy.",
+    )
+
+    p_clean = sub.add_parser(
+        "clean",
+        description="Removes entries with missing market data files from the database.",
+    )
+    p_clean.add_argument("database_dir")
+
+    p_size = sub.add_parser(
+        "size", description="Returns the number of indexed entries in the database."
+    )
+    p_size.add_argument("database_dir")
+
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = make_parser().parse_args(argv)
+    try:
+        return _run(args)
+    except BetfairDatabaseError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+def _run(args: argparse.Namespace) -> int:
+    from betfair_database_spark.database import BetfairDatabase
+
+    db = BetfairDatabase(args.database_dir)
+
+    def say(msg: str) -> None:
+        if not args.quiet:
+            print(msg)
+
+    if args.command == "index":
+        say(f"Indexed {db.index(force=args.force)} markets.")
+    elif args.command == "export":
+        say(f"Exported to '{db.export(args.dest)}'.")
+    elif args.command == "insert":
+        n = db.insert(
+            args.source_dir,
+            copy=args.copy,
+            pattern=args.pattern,
+            on_duplicates=args.on_duplicates,
+        )
+        say(f"Inserted {n} markets.")
+    elif args.command == "clean":
+        say(f"Removed {db.clean()} entries.")
+    elif args.command == "size":
+        print(db.size())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,124 @@
+"""Streaming mcm (market-change message) processing.
+
+Sources: a directory of NDJSON stream files (plaintext/gz/bz2 — the same
+shapes the batch engine indexes; zip requires the batch path). Each line is
+``{"op":"mcm","clk":…,"pt":<epoch-ms>,"mc":[{"id", "marketDefinition"?,
+"rc":[{ltp,id}]?}]}`` (FIXTURES.md §3).
+
+Operators:
+  - ``read_mcm_stream``: readStream.text → from_json with the explicit
+    schema → exploded (marketId, pt, event_ts, defn, rc).
+  - ``latest_definitions``: stateful last-definition per market — the
+    streaming twin of the batch extractor (max_by on (pt, version), update
+    mode). At scale this is a keyed state store of one row per market.
+  - ``ltp_windowed``: tumbling-window OHLC-style aggregate of last-traded
+    prices per (market, runner) with a watermark for late data.
+
+All stages are built-in Structured Streaming operators — no
+applyInPandasWithState needed because "latest per key" and windowed aggs are
+expressible with max_by/window, which keeps state in the JVM state store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from betfair_database_spark.schema import MCM_SCHEMA
+
+
+def read_mcm_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream of parsed mcm messages, one row per market change."""
+    lines = (
+        spark.readStream.format("text")
+        .option("recursiveFileLookup", "true")
+        .load(source_dir)
+    )
+    parsed = lines.select(F.from_json("value", MCM_SCHEMA).alias("msg")).where(
+        F.col("msg")["op"] == "mcm"
+    )
+    mc = parsed.select(
+        F.col("msg")["pt"].alias("pt"),
+        F.timestamp_millis(F.col("msg")["pt"]).alias("event_ts"),
+        F.explode(F.col("msg")["mc"]).alias("chg"),
+    )
+    return mc.select(
+        F.col("chg")["id"].alias("marketId"),
+        "pt",
+        "event_ts",
+        F.col("chg")["marketDefinition"].alias("defn"),
+        F.col("chg")["rc"].alias("rc"),
+    )
+
+
+def latest_definitions(changes: DataFrame) -> DataFrame:
+    """Latest definition per market (streaming state: one row per market).
+
+    Use with ``outputMode("update")`` (or "complete" for small keyspaces).
+    Mirrors the batch extractor's ordering: (pt, definition version).
+    """
+    with_defn = changes.where(F.col("defn").isNotNull())
+    return with_defn.groupBy("marketId").agg(
+        F.max_by(
+            F.col("defn"), F.struct(F.col("pt"), F.col("defn")["version"])
+        ).alias("defn"),
+        F.max("pt").alias("last_defn_pt"),
+    )
+
+
+def ltp_windowed(
+    changes: DataFrame, window: str = "1 minute", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling-window last-traded-price aggregates per (market, runner).
+
+    Watermark bounds state for late data; append output mode emits finalized
+    windows only. Columns: window_start, marketId, runnerId, n_ticks,
+    last_ltp, min_ltp, max_ltp.
+    """
+    ticks = (
+        changes.withWatermark("event_ts", watermark)
+        .where(F.col("rc").isNotNull())
+        .select("marketId", "event_ts", "pt", F.explode("rc").alias("tick"))
+        .select(
+            "marketId",
+            "event_ts",
+            "pt",
+            F.col("tick")["id"].alias("runnerId"),
+            F.col("tick")["ltp"].alias("ltp"),
+        )
+    )
+    return (
+        ticks.groupBy(
+            F.window("event_ts", window).alias("w"), "marketId", "runnerId"
+        )
+        .agg(
+            F.count("*").alias("n_ticks"),
+            F.max_by("ltp", "pt").alias("last_ltp"),
+            F.min("ltp").alias("min_ltp"),
+            F.max("ltp").alias("max_ltp"),
+        )
+        .select(
+            F.col("w")["start"].alias("window_start"),
+            "marketId",
+            "runnerId",
+            "n_ticks",
+            "last_ltp",
+            "min_ltp",
+            "max_ltp",
+        )
+    )
+
+
+def run_to_memory(
+    stream: DataFrame, table_name: str, output_mode: str = "update"
+) -> None:
+    """Drain all currently-available input into an in-memory table
+    (availableNow trigger) and stop — the batch-like test/debug harness."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,45 @@
+"""CLI surface tests (reference bfdb CLI parity: index/export/insert/clean/size)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.corpus import EXPECTED, build_corpus
+
+
+def test_cli_flow(spark, tmp_path, capsys):
+    from betfair_database_spark.cli import main
+
+    db_dir = tmp_path / "db"
+    build_corpus(db_dir)
+
+    assert main(["index", str(db_dir)]) == 0
+    out = capsys.readouterr().out
+    assert f"Indexed {EXPECTED['rows']} markets." in out
+
+    assert main(["size", str(db_dir)]) == 0
+    assert capsys.readouterr().out.strip() == str(EXPECTED["rows"])
+
+    assert main(["export", str(db_dir), str(tmp_path)]) == 0
+    assert "db.csv" in capsys.readouterr().out
+    assert (tmp_path / "db.csv").exists()
+
+    (db_dir / "1.222000014").unlink()
+    assert main(["clean", str(db_dir)]) == 0
+    assert "Removed 1 entries." in capsys.readouterr().out
+
+    # quiet mode suppresses the message
+    assert main(["-q", "clean", str(db_dir)]) == 0
+    assert capsys.readouterr().out == ""
+
+
+def test_cli_parser_shapes():
+    from betfair_database_spark.cli import make_parser
+
+    p = make_parser()
+    ns = p.parse_args(["insert", "db", "src", "-c", "-p", "event_id", "-d", "skip"])
+    assert ns.copy and ns.pattern == "event_id" and ns.on_duplicates == "skip"
+    with pytest.raises(SystemExit):
+        p.parse_args(["insert", "db", "src", "-d", "bogus"])
+    with pytest.raises(SystemExit):
+        p.parse_args([])  # subcommand required

@@ -1,0 +1,89 @@
+"""Structured Streaming mcm tests: availableNow drains over a generated
+stream-file directory, memory sink assertions."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mcmstream")
+
+    def line(market, pt, defn_version=None, rc=None):
+        mc = {"id": market}
+        if defn_version is not None:
+            mc["marketDefinition"] = {
+                "marketType": "WIN",
+                "status": "OPEN" if defn_version < 3 else "CLOSED",
+                "version": defn_version,
+                "runners": [],
+                "timezone": "GMT",
+            }
+        if rc is not None:
+            mc["rc"] = rc
+        return json.dumps({"op": "mcm", "clk": str(pt), "pt": pt, "mc": [mc]})
+
+    base = 1_690_000_000_000
+    f1 = [
+        line("1.1", base, 1),
+        line("1.1", base + 10_000, rc=[{"ltp": 2.0, "id": 101}]),
+        line("1.1", base + 20_000, rc=[{"ltp": 2.4, "id": 101}, {"ltp": 6.0, "id": 102}]),
+        line("1.1", base + 70_000, rc=[{"ltp": 2.2, "id": 101}]),
+        line("1.1", base + 80_000, 3),
+    ]
+    f2 = [
+        line("1.2", base, 1),
+        line("1.2", base + 5_000, rc=[{"ltp": 10.0, "id": 201}]),
+        line("1.2", base + 6_000, 2),
+    ]
+    (root / "1.1").write_text("\n".join(f1))
+    (root / "1.2").write_text("\n".join(f2))
+    return root
+
+
+def test_latest_definitions_stream(spark, stream_dir):
+    from betfair_database_spark.streaming.mcm import (
+        latest_definitions,
+        read_mcm_stream,
+        run_to_memory,
+    )
+
+    changes = read_mcm_stream(spark, str(stream_dir))
+    assert changes.isStreaming
+    run_to_memory(latest_definitions(changes), "latest_defs", "complete")
+    rows = {r.marketId: r for r in spark.sql("SELECT * FROM latest_defs").collect()}
+    assert rows["1.1"].defn.version == 3
+    assert rows["1.1"].defn.status == "CLOSED"
+    assert rows["1.2"].defn.version == 2
+
+
+def test_ltp_windowed_stream(spark, stream_dir):
+    from betfair_database_spark.streaming.mcm import (
+        ltp_windowed,
+        read_mcm_stream,
+        run_to_memory,
+    )
+
+    changes = read_mcm_stream(spark, str(stream_dir))
+    # update mode: append would hold every window open until the watermark
+    # passes, which never happens in a drained availableNow batch
+    run_to_memory(ltp_windowed(changes), "ltp_win", "update")
+    rows = spark.sql("SELECT * FROM ltp_win").collect()
+    # windows align to wall-clock minutes; base pt = ...T04:26:40, so the
+    # +10s tick (2.0) is alone in [04:26,04:27) and the +20s (2.4) and +70s
+    # (2.2) ticks share [04:27,04:28)
+    r101 = sorted(
+        (r for r in rows if r.marketId == "1.1" and r.runnerId == 101),
+        key=lambda r: r.window_start,
+    )
+    assert [r.n_ticks for r in r101] == [1, 2]
+    assert r101[0].last_ltp == 2.0
+    assert r101[1].last_ltp == 2.2  # pt-ordered last, not max
+    assert r101[1].min_ltp == 2.2 and r101[1].max_ltp == 2.4
+    r102 = [r for r in rows if r.runnerId == 102]
+    assert len(r102) == 1 and r102[0].last_ltp == 6.0
+    r201 = [r for r in rows if r.marketId == "1.2" and r.runnerId == 201]
+    assert len(r201) == 1 and r201[0].n_ticks == 1 and r201[0].last_ltp == 10.0

@@ -180,11 +180,16 @@ def build_index_frame(
         _bulk_with_paths(bulk_paired.where(F.col("is_definition")), "defn")
     )
 
+    # Materialize the flattened union once: the racing build side and the
+    # probe side both consume it, and the flatten projection is the largest
+    # expression tree in the engine (37 columns × per-row-timezone logic) —
+    # recomputing it doubles both execution and codegen compilation time.
     flat = (
         cat_flat.unionByName(def_flat)
         .unionByName(derived_flat)
         .unionByName(bulk_cat_flat)
         .unionByName(bulk_def_flat)
+        .localCheckpoint()
     )
 
     # --- racing enrichment (J5: broadcast build/probe) -----------------------

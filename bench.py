@@ -21,6 +21,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_supplier_volume",
+    "pivot_event_types",
     "p4_between",
     "j1_inner_join",
     "j4_nonequi_join",

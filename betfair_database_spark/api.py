@@ -67,3 +67,10 @@ def size(database_dir: str | Path, spark=None) -> int:
 def columns() -> list:
     """Queryable database columns, in contract order."""
     return list(SQL_TABLE_COLUMNS)
+
+
+def progress_bar(enable: bool = True) -> None:
+    """API-parity shim (reference api.py progress_bar): the reference toggles
+    a tqdm bar around its serial loops; this engine reports progress through
+    the Spark UI / console progress instead, so this is a documented no-op."""
+

@@ -61,10 +61,25 @@ class BetfairDatabase:
                     self.database_dir, " Use force=True option to reindex the database."
                 )
         frame, counters = build_index_frame(self.spark, str(self.database_dir))
-        frame.write.mode("overwrite").parquet(str(self._index_path))
+        self._write_index(frame, str(self._index_path))
         counters.rows_inserted = self._read_index().count()
         self.last_counters = counters
         return counters.rows_inserted
+
+    @staticmethod
+    def _write_index(frame: DataFrame, path: str) -> None:
+        """Index layout for scale: hive-partitioned by eventTypeId (the most
+        selective common predicate → partition pruning) and sorted by
+        marketStartTime within partitions (parquet min/max stats → row-group
+        skipping for time-range queries). Cardinality of eventTypeId is a few
+        dozen sports, so the partition count stays sane at any corpus size."""
+        (
+            frame.repartition(F.col("eventTypeId"))
+            .sortWithinPartitions("marketStartTime")
+            .write.mode("overwrite")
+            .partitionBy("eventTypeId")
+            .parquet(path)
+        )
 
     # ------------------------------------------------------------------ query
 
@@ -194,12 +209,13 @@ class BetfairDatabase:
     def _read_index(self) -> DataFrame:
         if not self._index_path.exists():
             raise IndexMissingError(self.database_dir)
-        return self.spark.read.schema(_index_schema()).parquet(str(self._index_path))
+        df = self.spark.read.schema(_index_schema()).parquet(str(self._index_path))
+        return df.select(*SQL_TABLE_COLUMNS)  # contract order, partition col included
 
     def _rewrite_index(self, frame: DataFrame) -> None:
         """Atomic-ish index swap: materialize to a sibling dir, then replace."""
         tmp = self._index_path.with_suffix(".swap")
-        frame.write.mode("overwrite").parquet(str(tmp))
+        self._write_index(frame, str(tmp))
         shutil.rmtree(self._index_path)
         shutil.move(str(tmp), str(self._index_path))
 

@@ -171,6 +171,11 @@ def minhash_near_dups(
         if shingle_k
         else tokens(df, id_col, text_col)
     )
+    # The token frame feeds three consumers (signatures, set sizes, pair
+    # intersections); shingling is an interpreted higher-order function, so
+    # recomputing it per consumer triples the dominant cost. Safe to cache:
+    # derived from the caller's immutable frame, not from a re-listable path.
+    tok = tok.persist()
     sig = minhash_signatures(tok, id_col, num_hashes)
     buckets = lsh_band_buckets(sig, id_col, num_hashes, bands)
     pairs = minhash_candidate_pairs(buckets, id_col)

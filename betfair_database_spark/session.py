@@ -35,6 +35,7 @@ def get_spark(app_name: str = "betfair-database-spark") -> SparkSession:
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     if not SparkSession.getActiveSession():
         builder = builder.master(f"local[{cpus}]")

@@ -100,11 +100,18 @@ def build_index_frame(
     data_remaining = data_files.join(bulk_rows.select("stem"), "stem", "left_anti")
 
     # --- pairing (J1) + anti-joins (J2/J3) ----------------------------------
-    paired = meta_files.join(data_remaining, "stem", "inner").localCheckpoint()
-    counters.markets_without_data = (
-        meta_files.join(data_remaining, "stem", "left_anti").count()
+    # One full-outer join materializes all three pairing relationships
+    # (paired / metadata-only / data-only) in a single shuffle; the inner and
+    # anti variants are filters over it, and the J2 counter is a count on the
+    # same checkpointed frame instead of a separate join job.
+    pairing = meta_files.join(data_remaining, "stem", "full_outer").localCheckpoint()
+    paired = pairing.where(
+        F.col("path").isNotNull() & F.col("data_path").isNotNull()
+    ).select("stem", "path", "data_path", "length")
+    counters.markets_without_data = pairing.where(F.col("data_path").isNull()).count()
+    orphan_data = pairing.where(F.col("path").isNull()).select(
+        "stem", "data_path", "length"
     )
-    orphan_data = data_remaining.join(meta_files, "stem", "left_anti").localCheckpoint()
 
     # --- derive definitions for orphan data files (S5/S6) -------------------
     orphan_rows = orphan_data.select("stem", "data_path").collect()

@@ -218,18 +218,20 @@ def simhash_near_dups(
     hamming ≤ 1 per half; a scale deployment uses 4 bands of 4 bits), then
     exact hamming filter."""
     fp = simhash16(tokens(spread(df, id_col), id_col, text_col), id_col)
+    # Candidate generation as a UNION of per-half EQUI-joins, not an OR-join:
+    # an OR of substring equalities is unsargable and falls back to a nested-
+    # loop join (O(n²) comparisons); two hash joins on half-fingerprint keys
+    # shuffle only on real collisions. Same pigeonhole recall.
     a = fp.select(F.col(id_col).alias("a"), F.col("simhash").alias("fa"))
     b = fp.select(F.col(id_col).alias("b"), F.col("simhash").alias("fb"))
-    cand = (
-        a.join(
-            b,
-            (
-                (F.substring("fa", 1, 8) == F.substring("fb", 1, 8))
-                | (F.substring("fa", 9, 8) == F.substring("fb", 9, 8))
-            )
-            & (F.col("a") < F.col("b")),
+    cands = []
+    for lo in (1, 9):
+        ah = a.withColumn("half", F.substring("fa", lo, 8))
+        bh = b.withColumn("half", F.substring("fb", lo, 8))
+        cands.append(
+            ah.join(bh, "half").where(F.col("a") < F.col("b")).select("a", "b", "fa", "fb")
         )
-    )
+    cand = cands[0].unionByName(cands[1]).dropDuplicates(["a", "b"])
     hamming = sum(
         (F.substring("fa", j + 1, 1) != F.substring("fb", j + 1, 1)).cast("int")
         for j in range(16)

@@ -50,6 +50,21 @@ def test_simhash_identical_docs_equal_fingerprints(spark):
     assert fp[1] != fp[3]
 
 
+def test_simhash_near_dup_pairs(spark):
+    from betfair_database_spark.operators.dedup import simhash_near_dups
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),  # identical → hamming 0
+            (3, "totally different content here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = simhash_near_dups(df, max_hamming=0).collect()
+    assert [(p.a, p.b, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
 def test_cosine_topk(spark):
     from betfair_database_spark.operators.similarity import cosine_topk
 

@@ -95,6 +95,59 @@ def bucketed_topk(
     return cosine_topk(inside, query_vec, k, id_col, vec_col)
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cell assignment: each vector goes to its nearest centroid
+    (max cosine). Centroids are (cid, vector) literals — in production they
+    come from a sampled k-means; here a deterministic seed set keeps the
+    operator oracle-checkable. One narrow pass, no shuffle; the cell id is
+    the partition key for the 100 TB layout (write bucketed/partitioned by
+    cell, probe touches one cell)."""
+    best = None
+    for cid, vec in centroids:
+        q = F.array(*[F.lit(float(v)) for v in vec])
+        sim = cosine_similarity(F.col(vec_col), q)
+        cand = F.struct(sim.alias("sim"), F.lit(cid).alias("cid"))
+        best = cand if best is None else F.when(cand["sim"] > best["sim"], cand).otherwise(best)
+    return df.select(
+        F.col(id_col), best["cid"].alias("cell"), F.col(vec_col)
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN: score the query against the centroid table, search the
+    ``nprobe`` nearest cells exhaustively, exact cosine top-k inside."""
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    probe_cells = [
+        cid
+        for cid, _ in sorted(
+            centroids, key=lambda c: (-cos(query_vec, c[1]), c[0])
+        )[:nprobe]
+    ]
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    inside = assigned.where(F.col("cell").isin(probe_cells))
+    return cosine_topk(inside, query_vec, k, id_col, vec_col)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.99,

@@ -21,6 +21,7 @@ expressible with max_by/window, which keeps state in the JVM state store.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -109,11 +110,127 @@ def ltp_windowed(
     )
 
 
+def market_tick_state(changes: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-market
+    arbitrary state that built-in aggregates can't express as one pass —
+    cumulative tick count, the pt-latest (runner, ltp), and the max single-
+    tick price jump between consecutive ticks of the same runner.
+
+    State lives in the streaming state store keyed by marketId; each micro-
+    batch emits the market's updated snapshot (update output mode).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ticks = (
+        changes.where(F.col("rc").isNotNull())
+        .select("marketId", "pt", F.explode("rc").alias("tick"))
+        .select(
+            "marketId",
+            "pt",
+            F.col("tick")["id"].alias("runnerId"),
+            F.col("tick")["ltp"].alias("ltp"),
+        )
+    )
+
+    out_schema = StructType(
+        [
+            StructField("marketId", StringType()),
+            StructField("n_ticks", LongType()),
+            StructField("last_pt", LongType()),
+            StructField("last_runner", LongType()),
+            StructField("last_ltp", DoubleType()),
+            StructField("max_jump", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n_ticks", LongType()),
+            StructField("last_pt", LongType()),
+            StructField("last_runner", LongType()),
+            StructField("last_ltp", DoubleType()),
+            StructField("max_jump", DoubleType()),
+            # trailing per-runner last prices as parallel arrays
+            StructField("runner_ids", StringType()),  # csv (state must be flat-ish)
+            StructField("runner_ltps", StringType()),
+        ]
+    )
+
+    def update(key, pdfs, state: "GroupState"):
+        (market_id,) = key
+        if state.exists:
+            n, last_pt, last_runner, last_ltp, max_jump, rid_csv, ltp_csv = state.get
+            per_runner = dict(
+                zip(
+                    (int(x) for x in rid_csv.split(",") if x),
+                    (float(x) for x in ltp_csv.split(",") if x),
+                )
+            )
+        else:
+            n, last_pt, last_runner, last_ltp, max_jump = 0, -1, -1, None, 0.0
+            per_runner = {}
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                pdf[["pt", "runnerId", "ltp"]].itertuples(index=False)
+            )
+        for pt, runner, ltp in sorted(rows):
+            n += 1
+            prev = per_runner.get(int(runner))
+            if prev is not None:
+                max_jump = max(max_jump, abs(float(ltp) - prev))
+            per_runner[int(runner)] = float(ltp)
+            if pt >= last_pt:
+                last_pt, last_runner, last_ltp = int(pt), int(runner), float(ltp)
+        state.update(
+            (
+                n,
+                last_pt,
+                last_runner,
+                last_ltp,
+                max_jump,
+                ",".join(str(k) for k in per_runner),
+                ",".join(str(v) for v in per_runner.values()),
+            )
+        )
+        yield pd.DataFrame(
+            [
+                {
+                    "marketId": market_id,
+                    "n_ticks": n,
+                    "last_pt": last_pt,
+                    "last_runner": last_runner,
+                    "last_ltp": last_ltp,
+                    "max_jump": max_jump,
+                }
+            ]
+        )
+
+    return ticks.groupBy("marketId").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     stream: DataFrame, table_name: str, output_mode: str = "update"
 ) -> None:
     """Drain all currently-available input into an in-memory table
-    (availableNow trigger) and stop — the batch-like test/debug harness."""
+    (availableNow trigger) and stop — the batch-like test/debug harness.
+
+    NOTE: the memory sink refuses checkpoint recovery, so this cannot resume
+    stateful queries across runs; production deployments of the stateful
+    operators use foreachBatch / kafka / delta sinks with a checkpoint
+    location (state continuation verified with foreachBatch)."""
     q = (
         stream.writeStream.format("memory")
         .queryName(table_name)

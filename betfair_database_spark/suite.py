@@ -1055,6 +1055,60 @@ def knn_lsh_bucket_top10(spark, sf):
     )
 
 
+_IVF_ORACLE = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id, c.cid, e.embedding,
+         sum(CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE))
+           / (sqrt(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+              * sqrt(sum(CAST(c.ce[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))) AS sim
+  FROM embeddings e, cents c, range(1, 65) t(i)
+  GROUP BY e.vec_id, c.cid, e.embedding
+),
+asg AS (
+  SELECT vec_id, cid, embedding FROM (
+    SELECT vec_id, cid, embedding,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT c.cid
+  FROM cents c, q, range(1, 65) t(i)
+  GROUP BY c.cid
+  ORDER BY sum(CAST(c.ce[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+             / (sqrt(sum(CAST(c.ce[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+                * sqrt(sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))) DESC,
+           c.cid
+  LIMIT 2
+),
+scored AS (
+  SELECT a.vec_id,
+         round(sum(CAST(a.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+               / (sqrt(sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
+                  * sqrt(sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))), 4) AS cos_sim
+  FROM asg a JOIN probes p ON a.cid = p.cid, q, range(1, 65) t(i)
+  GROUP BY a.vec_id
+)
+SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+@_q("knn_ivf_top10", _IVF_ORACLE)
+def knn_ivf_top10(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    cent_rows = (
+        emb.where(F.col("vec_id").between(1, 8))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = [(int(r.vec_id), [float(v) for v in r.embedding]) for r in cent_rows]
+    return similarity.ivf_topk(emb, centroids, _query_vec(spark, sf), k=10, nprobe=2)
+
+
 # =========================================================================
 # Text analysis (SURVEY §2.11)
 # =========================================================================

@@ -60,6 +60,27 @@ def test_latest_definitions_stream(spark, stream_dir):
     assert rows["1.2"].defn.version == 2
 
 
+def test_market_tick_state(spark, stream_dir):
+    from betfair_database_spark.streaming.mcm import (
+        market_tick_state,
+        read_mcm_stream,
+        run_to_memory,
+    )
+
+    changes = read_mcm_stream(spark, str(stream_dir))
+    run_to_memory(market_tick_state(changes), "tick_state", "update")
+    rows = {r.marketId: r for r in spark.sql("SELECT * FROM tick_state").collect()}
+    # market 1.1: ticks 2.0, 2.4, 2.2 for runner 101 + 6.0 for 102 → 4 ticks;
+    # pt-latest tick is runner 101 at 2.2; max same-runner jump |2.2-2.4|=0.2
+    # is beaten by |2.4-2.0|=0.4
+    m = rows["1.1"]
+    assert m.n_ticks == 4
+    assert m.last_runner == 101 and m.last_ltp == 2.2
+    assert m.max_jump == pytest.approx(0.4)
+    m2 = rows["1.2"]
+    assert m2.n_ticks == 1 and m2.last_ltp == 10.0 and m2.max_jump == 0.0
+
+
 def test_ltp_windowed_stream(spark, stream_dir):
     from betfair_database_spark.streaming.mcm import (
         ltp_windowed,

@@ -17,32 +17,44 @@ _DIST_RE = re.compile(r"(?:(\d*)[Mm])?(?:(\d*)f)?")
 _TYPE_RE = re.compile(r"(?:R\d+)?(?:\s+)?(.*\S)")
 
 
+def _digits_or_zero(s: str) -> float:
+    return float(s) if s else 0.0
+
+
 def spec_extract(market_name: str) -> tuple[str | None, float | None, float | None]:
-    """Reference-spec implementation (independent of the Spark one)."""
-    tup = next((x for x in _DIST_RE.findall(market_name) if x != ("", "")), None)
+    """Oracle for the documented algorithm (reference racing.py:24-72):
+    scan every position with the optional-distance regex, take the first
+    tuple where a digit group captured, infer units (furlongs when an 'f'
+    part exists or the m-value is a small mile count), strip the matched
+    tokens everywhere, then pull the type with the R-prefix-skipping regex.
+    Written as a test oracle — structured differently from both the Spark
+    implementation and the reference."""
     meters = furlongs = None
-    if tup:
-        try:
-            m_value = float(tup[0])
-        except ValueError:
-            m_value = 0
-        try:
-            f_value = float(tup[1])
-        except ValueError:
-            f_value = 0
-        if f_value or (m_value < 20):
-            furlongs = (m_value * FURLONGS_PER_MILE) + f_value
-            meters = furlongs * METERS_PER_FURLONG
-        else:
-            meters = m_value
-            furlongs = m_value / METERS_PER_FURLONG
+    first_hit = None
+    for candidate in _DIST_RE.findall(market_name):
+        if candidate[0] or candidate[1]:
+            first_hit = candidate
+            break
+    if first_hit is not None:
+        m_digits, f_digits = first_hit
+        m_value = _digits_or_zero(m_digits)
+        f_value = _digits_or_zero(f_digits)
+        imperial = bool(f_value) or m_value < 20
+        furlongs = (
+            m_value * FURLONGS_PER_MILE + f_value
+            if imperial
+            else m_value / METERS_PER_FURLONG
+        )
+        meters = furlongs * METERS_PER_FURLONG if imperial else m_value
+        stripped = market_name
         if m_value > 0:
-            for unit in ("m", "M"):
-                market_name = market_name.replace(f"{tup[0]}{unit}", "")
+            stripped = stripped.replace(m_digits + "m", "").replace(m_digits + "M", "")
         if f_value > 0:
-            market_name = market_name.replace(f"{tup[1]}f", "")
-    m = _TYPE_RE.search(market_name)
-    return (m.group(1) if m else None), meters, furlongs
+            stripped = stripped.replace(f_digits + "f", "")
+        market_name = stripped
+    type_match = _TYPE_RE.search(market_name)
+    race_type = type_match.group(1) if type_match else None
+    return race_type, meters, furlongs
 
 
 def _gen_names(n: int = 300, seed: int = 7) -> list[str]:

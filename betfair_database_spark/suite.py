@@ -622,6 +622,30 @@ def w2_running_sum(spark, sf):
 
 
 @_q(
+    "w3_lag_lead_ntile",
+    """
+    SELECT event_id,
+           round(value - lag(value) OVER w, 4)  AS delta_prev,
+           round(lead(value) OVER w - value, 4) AS delta_next,
+           ntile(4) OVER w                      AS quartile,
+           round(first_value(value) OVER w, 4)  AS first_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w3_lag_lead_ntile(spark, sf):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.col("value")
+    return _t(spark, sf, "events").select(
+        "event_id",
+        F.round(v - F.lag(v).over(w), 4).alias("delta_prev"),
+        F.round(F.lead(v).over(w) - v, 4).alias("delta_next"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.first(v).over(w), 4).alias("first_val"),
+    )
+
+
+@_q(
     "set_ops_except",
     """
     SELECT c_nationkey AS nationkey FROM customer

@@ -38,6 +38,29 @@ def test_export_csv(mutable_db, tmp_path):
     assert cat_row["bspMarket"] == "0"
 
 
+def test_clean_to_empty_and_insert_corrupt_only(spark, tmp_path):
+    from betfair_database_spark.database import BetfairDatabase
+
+    root = tmp_path / "tiny"
+    root.mkdir()
+    (root / "1.900000001.json").write_text(
+        '{"marketId":"1.900000001","marketName":"X","marketStartTime":"2023-01-01T00:00:00.000Z"}'
+    )
+    (root / "1.900000001").write_text('{"marketId":"1.900000001"}')
+    db = BetfairDatabase(root, spark=spark)
+    assert db.index() == 1
+    (root / "1.900000001").unlink()
+    assert db.clean() == 1
+    assert db.size() == 0  # index emptied, still readable
+    # insert from a corrupt-only source: nothing importable, index unchanged
+    src = tmp_path / "corrupt_src"
+    src.mkdir()
+    (src / "1.900000002.json").write_text("{broken")
+    (src / "1.900000002").write_text("data")
+    assert db.insert(src, copy=True) == 0
+    assert db.size() == 0
+
+
 def test_clean_removes_missing_data_files(mutable_db):
     root = mutable_db.database_dir
     (root / "1.222000001").unlink()

@@ -1201,6 +1201,112 @@ def text_fingerprint(spark, sf):
     )
 
 
+@_q(
+    "text_top_tokens",
+    """
+    SELECT w AS token, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM (
+      SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
+      FROM documents
+    )
+    GROUP BY w ORDER BY doc_freq DESC, token LIMIT 20
+    """,
+)
+def text_top_tokens(spark, sf):
+    d = _t(spark, sf, "documents")
+    tok = dedup.tokens(d, "doc_id", "text")
+    return (
+        tok.groupBy(F.col("w").alias("token"))
+        .agg(F.countDistinct("doc_id").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@_q(
+    "fuzzy_levenshtein_pairs",
+    """
+    SELECT a.p_partkey AS a, b.p_partkey AS b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 6
+    """,
+)
+def fuzzy_levenshtein_pairs(spark, sf):
+    p = _t(spark, sf, "part")
+    a = p.select(F.col("p_partkey").alias("a"), F.col("p_brand").alias("brand"), F.col("p_name").alias("na"))
+    b = p.select(F.col("p_partkey").alias("b"), F.col("p_brand").alias("brand"), F.col("p_name").alias("nb"))
+    return (
+        a.join(b, "brand")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.levenshtein("na", "nb").alias("dist"))
+        .where(F.col("dist") <= 6)
+    )
+
+
+@_q(
+    "agg_cube",
+    """
+    SELECT coalesce(o_orderstatus, '<all>') AS status,
+           coalesce(o_orderpriority, '<all>') AS priority,
+           count(*) AS n
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "n",
+        )
+    )
+
+
+@_q(
+    "f_date_arithmetic",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS BIGINT) AS days_to_y2k,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(quarter(o_orderdate) AS INT) AS order_quarter
+    FROM orders
+    """,
+)
+def f_date_arithmetic(spark, sf):
+    return _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.date_format(F.expr("o_orderdate + INTERVAL 30 DAY"), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+        F.datediff(
+            F.lit("2000-01-01 00:00:00").cast("timestamp_ntz").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).cast("long").alias("days_to_y2k"),
+        F.year("o_orderdate").alias("order_year"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+    )
+
+
+@_q(
+    "set_ops_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_ops_intersect(spark, sf):
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
 _LANGID_ORACLE = """
 WITH scores AS (
   SELECT doc_id,

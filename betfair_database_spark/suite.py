@@ -47,8 +47,14 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's reader does), keeping NTZ wall-clock semantics."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # epoch-micros → NTZ by pure arithmetic on an NTZ base: no LTZ hop, so
+    # the result is identical under ANY session timezone (the driver's
+    # session is not ours to configure)
     return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        "ts",
+        F.expr(
+            "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ),
     )
 
 
@@ -806,11 +812,13 @@ def ev_hourly_window(spark, sf):
 def ev_sessionize(spark, sf):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wall = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    # NTZ → epoch seconds via an LTZ hop (session tz is UTC); truncate-then-
-    # subtract equals DuckDB's date_diff('second', ...) boundary count
-    secs = F.col("ts").cast("timestamp").cast("long")
-    prev_secs = F.lag(F.col("ts")).over(w).cast("timestamp").cast("long")
-    gap = secs - prev_secs
+    # NTZ → epoch seconds without an LTZ hop (session-timezone independent);
+    # truncating each side to the second before differencing equals DuckDB's
+    # date_diff('second', ...) boundary count
+    secs = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', date_trunc('second', ts))"
+    )
+    gap = secs - F.lag(secs).over(w)
     return (
         _t(spark, sf, "events")
         .withColumn("gap_s", gap)

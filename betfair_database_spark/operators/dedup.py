@@ -72,21 +72,61 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame
     )
 
 
+# Fixed universal-hash constants for the minhash lanes (seeded once,
+# 2026-08-13; a < 2^30 so a*x stays under 2^63 for 32-bit x). Shared with the
+# DuckDB oracle via minhash_oracle_values() — changing these changes results.
+MINHASH_P = 4294967311  # smallest prime > 2^32
+MINHASH_AB = [
+    (1064082031, 398802782),
+    (298493742, 972347432),
+    (58225162, 291219900),
+    (215489561, 234034474),
+    (703471044, 924035316),
+    (586349398, 402639405),
+    (1071644562, 668925748),
+    (126328945, 428031840),
+    (848272349, 230896653),
+    (397332018, 858479239),
+    (263703426, 106582524),
+    (951695955, 87966394),
+    (333402359, 490296874),
+    (711675979, 955195195),
+    (165938588, 890048279),
+    (332297311, 970348799),
+]
+
+
+def minhash_oracle_values(num_hashes: int = 16) -> str:
+    """The (s, a, b) lane constants as a SQL VALUES clause, so an external
+    oracle engine can derive the identical signatures."""
+    return ", ".join(
+        f"({s}, {a}, {b})" for s, (a, b) in enumerate(MINHASH_AB[:num_hashes])
+    )
+
+
 def minhash_signatures(
     tok: DataFrame, id_col: str, num_hashes: int = 16
 ) -> DataFrame:
-    """K min-hashes per document: min over tokens of md5(seed || ':' || token).
+    """K min-hashes per document from ONE md5 per token.
 
-    Computed as K parallel min-aggregates over ONE pass of the token frame —
-    no seed explode, so the shuffle carries K columns × n_docs rows instead
-    of K × n_tokens rows (map-side partial min does the reduction).
-    Output: (id, h0..h{K-1}).
+    Each token is hashed once (first 8 hex chars of md5 → 32-bit int x); the
+    K lanes are the classic universal-hash family h_j = (a_j*x + b_j) mod p
+    over that shared x — pure JVM arithmetic instead of K string hashes, so
+    the per-token CPU is ~K× lower than hashing per lane. Computed as K
+    parallel min-aggregates over one pass of the token frame — no seed
+    explode, so the shuffle carries K columns × n_docs rows instead of
+    K × n_tokens rows (map-side partial min does the reduction).
+    Output: (id, h0..h{K-1}) as bigints.
     """
+    # Project x once so the md5 is provably evaluated once per token, not
+    # relying on codegen subexpression elimination across K aggregates.
+    x = F.expr("CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT)").alias("x")
+    tx = tok.select(F.col(id_col), x)
     aggs = [
-        F.min(F.md5(F.concat_ws(":", F.lit(s), F.col("w")))).alias(f"h{s}")
-        for s in range(num_hashes)
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{s}")
+        for s, (a, b) in enumerate(MINHASH_AB[:num_hashes])
     ]
-    return tok.groupBy(id_col).agg(*aggs)
+    return tx.groupBy(id_col).agg(*aggs)
 
 
 def lsh_band_buckets(
@@ -102,7 +142,10 @@ def lsh_band_buckets(
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
-        in_band = [F.col(f"h{s}") for s in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        in_band = [
+            F.col(f"h{s}").cast("string")
+            for s in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *in_band)).alias("bh"))
         )

@@ -893,20 +893,24 @@ def dedup_exact_stats(spark, sf):
     )
 
 
-_MINHASH_ORACLE = """
+_MINHASH_ORACLE = f"""
 WITH tok AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(1, greatest(length(text) - 4, 0) + 1),
                                i -> substr(lower(text), CAST(i AS INT), 5))) AS w
   FROM documents
 ),
+tx AS (
+  SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS x FROM tok
+),
 mh AS (
-  SELECT doc_id, s, min(md5(CAST(s AS VARCHAR) || ':' || w)) AS h
-  FROM tok, range(16) t(s) GROUP BY doc_id, s
+  SELECT doc_id, s, min((a * x + b) % {dedup.MINHASH_P}) AS h
+  FROM tx, (VALUES {dedup.minhash_oracle_values(16)}) t(s, a, b)
+  GROUP BY doc_id, s
 ),
 bands AS (
   SELECT doc_id, CAST(s // 8 AS INT) AS band,
-         md5(string_agg(h, '|' ORDER BY s)) AS bh
+         md5(string_agg(CAST(h AS VARCHAR), '|' ORDER BY s)) AS bh
   FROM mh GROUP BY doc_id, s // 8
 ),
 cand AS (

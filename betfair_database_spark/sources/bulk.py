@@ -45,6 +45,7 @@ def read_bulk_metadata(spark: SparkSession, paths: list[str]) -> DataFrame:
     )
     parent = F.expr("substring(path, 1, length(path) - length(element_at(split(path, '/'), -1)))")
     rows = elems.select(
+        F.col("pos"),
         F.col("path").alias("bulk_path"),
         market_id.alias("marketId"),
         F.concat(parent, market_id).alias("stem"),
@@ -53,8 +54,15 @@ def read_bulk_metadata(spark: SparkSession, paths: list[str]) -> DataFrame:
         F.col("elem")["defn"]["numberOfWinners"].isNotNull().alias("is_definition"),
     ).where(market_id.isNotNull())
     # Last entry wins per (file, marketId), mirroring the reference's dict
-    # overwrite (processor.py:227-231); position order is explicit here.
-    return rows.dropDuplicates(["stem"])
+    # overwrite (processor.py:227-231): the survivor is the element with the
+    # greatest array position, picked with max_by so it is deterministic.
+    payload = F.struct("bulk_path", "marketId", "cat", "defn", "is_definition")
+    return (
+        rows.groupBy("stem")
+        .agg(F.max_by(payload, "pos").alias("_e"))
+        .select("stem", "_e.*")
+        .select("bulk_path", "marketId", "stem", "cat", "defn", "is_definition")
+    )
 
 
 def _read_raw(spark: SparkSession, paths: list[str]) -> DataFrame:

@@ -346,7 +346,18 @@ def build_corpus(root: Path) -> None:
         runners=5,
     )
     cat13 = _cat("1.222000013", "Ghost Market", LONDON_SUMMER_START)
-    bulk = [cat11, d12, {}, cat13]
+    # duplicate marketId: a stale entry BEFORE cat11 — the reference's dict
+    # overwrite keeps the LAST entry per marketId (processor.py:227-231), so
+    # the indexed row for 1.222000011 must come from cat11, not this one.
+    cat11_stale = _cat(
+        "1.222000011",
+        "Stale Duplicate Name",
+        "2023-08-03T19:00:00.000Z",
+        event_type=("2", "Tennis"),
+        open_date="2023-08-03T18:00:00.000Z",
+        runners=3,
+    )
+    bulk = [cat11_stale, cat11, d12, {}, cat13]
     (bulk_dir / "metadata.json").write_text(json.dumps(bulk), encoding="utf-8")
     (bulk_dir / "1.222000011").write_text(
         _snapshot_line("1.222000011", 1), encoding="utf-8"

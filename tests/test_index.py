@@ -111,3 +111,17 @@ def test_paths_are_absolute(indexed_db, corpus_dir):
     for r in rows:
         assert r["marketMetadataFilePath"].startswith("/")
         assert r["marketDataFilePath"].startswith("/")
+
+
+def test_bulk_duplicate_market_id_last_entry_wins(indexed_db):
+    # corpus bulk metadata.json lists 1.222000011 twice (stale Tennis entry
+    # first, Soccer catalogue last); the LAST entry must be the indexed one,
+    # matching the reference's dict-overwrite precedence.
+    rows = indexed_db.select(
+        ["marketName", "eventTypeId", "eventTypeName"],
+        where="marketId = '1.222000011'",
+    )
+    assert len(rows) == 1
+    assert rows[0]["marketName"] == "Match Odds"
+    assert rows[0]["eventTypeId"] == "1"
+    assert rows[0]["eventTypeName"] == "Soccer"

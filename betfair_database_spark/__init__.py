@@ -15,6 +15,7 @@ Public API mirrors the reference's module-level functional API
 from betfair_database_spark.api import (
     clean,
     columns,
+    derive_metadata,
     export,
     index,
     insert,
@@ -48,4 +49,5 @@ __all__ = [
     "export",
     "size",
     "columns",
+    "derive_metadata",
 ]

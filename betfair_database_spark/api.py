@@ -69,6 +69,16 @@ def columns() -> list:
     return list(SQL_TABLE_COLUMNS)
 
 
+def derive_metadata(market_data_file: str | Path) -> dict:
+    """Parse the last market definition of a single data file (no Spark job).
+
+    Raises MarketDefinitionMissingError when the file has no definition line.
+    """
+    from betfair_database_spark.sources.marketdef import derive_metadata as _dm
+
+    return _dm(market_data_file)
+
+
 def progress_bar(enable: bool = True) -> None:
     """API-parity shim (reference api.py progress_bar): the reference toggles
     a tqdm bar around its serial loops; this engine reports progress through

@@ -63,6 +63,54 @@ def _zip_lines(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"path": out_paths, "value": out_lines})
 
 
+def derive_metadata(market_data_file) -> dict:
+    """Single-file accessor: parse the LAST market definition of one stream
+    data file and return it as a dict with ``marketId`` injected from the
+    enclosing market-change message.
+
+    This is the interactive/driver-side twin of the distributed extraction
+    below (reference: marketdef.py:55-86 ``parse_market_definition``): one
+    user, one file, no Spark job. Accepts plaintext, ``.gz``, ``.bz2`` and
+    ``.zip`` (member named after the file stem, like the archive convention
+    the import pipeline handles).
+
+    Raises ``MarketDefinitionMissingError`` when no line of the file carries
+    a market definition (reference marketdef.py:79-82).
+    """
+    import bz2
+    import gzip
+    import json
+    import zipfile
+    from pathlib import Path
+
+    from betfair_database_spark.exceptions import MarketDefinitionMissingError
+
+    path = Path(market_data_file)
+    suffix = path.suffix.lower()
+    if suffix == ".zip":
+        with zipfile.ZipFile(path) as zf:
+            with zf.open(path.stem) as f:
+                raw_lines = f.readlines()
+    elif suffix == ".gz":
+        with gzip.open(path, "rb") as f:
+            raw_lines = f.readlines()
+    elif suffix == ".bz2":
+        with bz2.open(path, "rb") as f:
+            raw_lines = f.readlines()
+    else:
+        raw_lines = path.read_bytes().splitlines()
+
+    token = _TOKEN.encode()
+    line = next((ln for ln in reversed(raw_lines) if token in ln), None)
+    if line is None:
+        raise MarketDefinitionMissingError(market_data_file)
+    msg = json.loads(line.decode("utf-8"))
+    mc = msg["mc"][0]
+    defn = mc["marketDefinition"]
+    defn["marketId"] = mc["id"]
+    return defn
+
+
 def definition_lines(
     spark: SparkSession, plain_paths: list[str], zip_paths: list[str]
 ) -> DataFrame:

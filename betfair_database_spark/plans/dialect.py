@@ -15,8 +15,20 @@ bridge:
     robust to arbitrary nesting. ``date()`` already exists in Spark with
     compatible comparison semantics.
 
-Documented deltas (not bridged): SQLite's ``%w``/``%W`` strftime codes, GLOB,
-and SQLite-specific operators like ``||`` on non-strings.
+  - ``strftime`` codes ``%w`` (weekday 0-6, Sunday=0) and ``%W`` (week of
+    year 00-53, Monday-first) have no java.time pattern equivalent, so the
+    shim substitutes their computed values into the pattern before
+    ``date_format`` (digits are literals in java.time patterns).
+  - ``GLOB`` (case-sensitive ``*``/``?``/``[...]`` matching): rewritten to
+    ``RLIKE sqlite_glob_regex('<pattern>')`` — the pattern→regex conversion
+    is a JVM-side replace chain.
+  - Double-quoted spans follow SQLite's resolution rule: a known index
+    column name becomes a backtick identifier, anything else a string
+    literal (SQLite prefers identifier, falls back to literal; Spark would
+    otherwise always parse ``"x"`` as a string).
+
+Documented deltas (not bridged): SQLite-specific operators like ``||`` on
+non-strings, ``julianday()``, and the remaining exotic strftime codes.
 """
 
 from __future__ import annotations
@@ -59,7 +71,9 @@ _SQL_FUNCTIONS = [
     RETURNS STRING
     RETURN date_format(to_timestamp(x), 'yyyy-MM-dd HH:mm:ss')
     """,
-    # strftime('%m', x) -> '07'; format translated inline, stays JVM-side
+    # strftime('%m', x) -> '07'; format translated inline, stays JVM-side.
+    # %w/%W have no java.time code: their computed values are substituted
+    # into the pattern first (unquoted digits are literals to date_format).
     """
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_strftime(fmt STRING, x STRING)
     RETURNS STRING
@@ -68,13 +82,37 @@ _SQL_FUNCTIONS = [
         {chain}
     )
     """,
+    # GLOB pattern -> anchored Java regex: escape regex metachars that GLOB
+    # treats literally, then * -> .* and ? -> . ([...] classes pass through —
+    # GLOB and regex agree on [seq] and [^seq]).
+    r"""
+    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_glob_regex(pat STRING)
+    RETURNS STRING
+    RETURN concat('^',
+        replace(replace(
+            regexp_replace(
+                regexp_replace(pat, '([\\\\.$+(){}|])', '\\\\$1'),
+                '(?<!\\[)\\^', '\\\\^'),
+            '*', '.*'), '?', '.'),
+        '$')
+    """,
 ]
 
 _RENAMED_FUNCS = re.compile(r"(?i)\b(time|date|datetime|strftime)\s*\(")
+_GLOB_OP = re.compile(r"(?i)\bGLOB\b\s*")
+_BARE_OPERAND = re.compile(r"[A-Za-z_][\w.]*")
 
 
 def _fmt_translation_expr() -> str:
-    expr = "fmt"
+    # %w (weekday, Sunday=0) and %W (Monday-first week 00-53, the C strftime
+    # formula (yday + 7 - monday_based_wday) / 7) are value substitutions,
+    # applied before the code-to-code replaces.
+    expr = (
+        "replace(replace(fmt,"
+        " '%W', lpad(cast((dayofyear(to_timestamp(x)) - 1 + 7"
+        " - weekday(to_timestamp(x))) div 7 as string), 2, '0')),"
+        " '%w', cast(dayofweek(to_timestamp(x)) - 1 as string))"
+    )
     for sqlite_code, java_code in _FMT_MAP:
         expr = f"replace({expr}, '{sqlite_code}', '{java_code}')"
     return expr
@@ -89,24 +127,34 @@ def register_sqlite_functions(spark: SparkSession) -> None:
 def translate_where(where: str) -> str:
     """Rewrite a SQLite WHERE clause into Spark SQL.
 
-    Two rewrites, both outside string literals: ``true``/``false`` → ``1``/
-    ``0``, and SQLite datetime function calls → their registered ``sqlite_``
-    twins. Everything else passes through verbatim.
+    Rewrites, all outside string literals: ``true``/``false`` → ``1``/``0``,
+    SQLite datetime function calls → their registered ``sqlite_`` twins,
+    ``GLOB <operand>`` → ``RLIKE sqlite_glob_regex(<operand>)``, and
+    double-quoted spans resolved the way SQLite would (known column →
+    backtick identifier, otherwise a string literal). Everything else passes
+    through verbatim.
     """
+    from betfair_database_spark.const import SQL_TABLE_COLUMNS
+
     out: list[str] = []
     i, n = 0, len(where)
     while i < n:
         ch = where[i]
         if ch == "'":  # skip string literal, '' is the escaped quote
-            j = i + 1
-            while j < n:
-                if where[j] == "'":
-                    if j + 1 < n and where[j + 1] == "'":
-                        j += 2
-                        continue
-                    break
-                j += 1
+            j = _scan_quoted(where, i, "'")
             out.append(where[i : j + 1])
+            i = j + 1
+            continue
+        if ch == '"':
+            # SQLite resolves "x" as an identifier when a column named x
+            # exists, else as a string literal; Spark always parses "x" as a
+            # string, so resolve here against the index column contract.
+            j = _scan_quoted(where, i, '"')
+            body = where[i + 1 : j].replace('""', '"')
+            if body in SQL_TABLE_COLUMNS:
+                out.append(f"`{body}`")
+            else:
+                out.append("'" + body.replace("'", "''") + "'")
             i = j + 1
             continue
         boundary_ok = i == 0 or not (where[i - 1].isalnum() or where[i - 1] in "_.")
@@ -114,6 +162,20 @@ def translate_where(where: str) -> str:
         if m and boundary_ok:
             out.append("1" if m.group(1).lower() == "true" else "0")
             i += m.end()
+            continue
+        m = _GLOB_OP.match(where[i:])
+        if m and boundary_ok:
+            i += m.end()
+            # wrap the right operand (quoted literal or bare column ref)
+            if i < n and where[i] == "'":
+                j = _scan_quoted(where, i, "'")
+                operand = where[i : j + 1]
+                i = j + 1
+            else:
+                mo = _BARE_OPERAND.match(where, i)
+                operand = mo.group(0) if mo else ""
+                i = mo.end() if mo else i
+            out.append(f"RLIKE sqlite_glob_regex({operand})")
             continue
         m = _RENAMED_FUNCS.match(where[i:])
         if m and boundary_ok:
@@ -123,3 +185,18 @@ def translate_where(where: str) -> str:
         out.append(ch)
         i += 1
     return "".join(out)
+
+
+def _scan_quoted(s: str, start: int, quote: str) -> int:
+    """Index of the closing quote of the span opening at ``start`` (doubled
+    quotes are the escape, per SQL)."""
+    j = start + 1
+    n = len(s)
+    while j < n:
+        if s[j] == quote:
+            if j + 1 < n and s[j + 1] == quote:
+                j += 2
+                continue
+            break
+        j += 1
+    return j

@@ -52,3 +52,75 @@ def test_sql_functions_registered(spark):
     assert row.ym == "2023-07"
     assert row.d == "2023-07-27"
     assert row.dt == "2023-07-27 20:30:00"
+
+
+def test_double_quoted_spans():
+    # known index column -> backtick identifier; unknown -> string literal;
+    # neither is touched by the true/false rewrite (ADVICE r1)
+    assert (
+        translate_where('"marketType" = \'WIN\' AND x = "true"')
+        == "`marketType` = 'WIN' AND x = 'true'"
+    )
+    assert translate_where('"it\'s" = y') == "'it''s' = y"
+
+
+def test_glob_rewrite():
+    assert (
+        translate_where("marketName GLOB 'R1*' AND venue GLOB pat")
+        == "marketName RLIKE sqlite_glob_regex('R1*')"
+        " AND venue RLIKE sqlite_glob_regex(pat)"
+    )
+    # not rewritten inside string literals or identifiers
+    assert translate_where("a = 'GLOB x'") == "a = 'GLOB x'"
+    assert translate_where("globby = 1") == "globby = 1"
+
+
+def test_strftime_w_codes_and_glob_match_sqlite(spark):
+    """Ground truth: the stdlib sqlite3 engine (same engine the reference
+    delegates WHERE evaluation to)."""
+    import sqlite3
+
+    from betfair_database_spark.plans.dialect import register_sqlite_functions
+
+    register_sqlite_functions(spark)
+    con = sqlite3.connect(":memory:")
+    for d in [
+        "2023-07-27 20:30:00",
+        "2023-01-01 00:00:00",
+        "2023-01-02 10:00:00",
+        "2024-12-31 23:59:59",
+        "2020-02-29 08:00:00",
+    ]:
+        got = spark.sql(
+            f"SELECT sqlite_strftime('%w', '{d}') AS w,"
+            f" sqlite_strftime('%W', '{d}') AS wk"
+        ).first()
+        want = con.execute(
+            "SELECT strftime('%w', ?), strftime('%W', ?)", (d, d)
+        ).fetchone()
+        assert (got.w, got.wk) == want, d
+    for pat, val in [
+        ("R1*", "R1 320m Mdn"),
+        ("R1*", "X R1"),
+        ("?at", "cat"),
+        ("?at", "chat"),
+        ("[cb]at", "bat"),
+        ("[^cb]at", "rat"),
+        ("[^cb]at", "cat"),
+        ("a.b*", "axbcd"),
+        ("a^b", "a^b"),
+        ("x[0-9]y", "x5y"),
+    ]:
+        got = (
+            spark.sql(
+                f"SELECT 1 WHERE '{val}' RLIKE sqlite_glob_regex('{pat}')"
+            ).count()
+            == 1
+        )
+        want = con.execute("SELECT ? GLOB ?", (val, pat)).fetchone()[0] == 1
+        assert got == want, (pat, val)
+
+
+def test_glob_end_to_end_select(indexed_db):
+    rows = indexed_db.select(["marketId"], where="marketName GLOB 'R1*'")
+    assert {r["marketId"] for r in rows} == {"1.222000002"}

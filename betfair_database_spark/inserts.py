@@ -109,13 +109,24 @@ def insert_markets(
     data_name = F.element_at(F.split("marketDataFilePath", "/"), -1)
     dest_dir = F.rtrim(F.concat(F.lit(base + "/"), F.coalesce(dest_rel, F.lit(""))))
     dest_dir = F.regexp_replace(dest_dir, "/+$", "")
-    decided = frame.withColumns(
+    # Two source markets can map to the same destination paths (same file
+    # names, same pattern dir). The survivor is chosen deterministically:
+    # greatest marketMetadataFilePath wins — the lexicographically-last
+    # source path, i.e. the file a serial alphabetical walk would process
+    # last, mirroring the reference's last-write-wins on its serial loop.
+    with_dest = frame.withColumns(
         {
             "dest_dir": dest_dir,
             "dest_meta": F.concat(dest_dir, F.lit("/"), meta_name),
             "dest_data": F.concat(dest_dir, F.lit("/"), data_name),
         }
-    ).dropDuplicates(["dest_meta", "dest_data"])
+    )
+    payload = F.struct(*[c for c in with_dest.columns if c not in ("dest_meta", "dest_data")])
+    decided = (
+        with_dest.groupBy("dest_meta", "dest_data")
+        .agg(F.max_by(payload, F.col("marketMetadataFilePath")).alias("_r"))
+        .select("dest_meta", "dest_data", "_r.*")
+    )
 
     # --- incoming data file sizes --------------------------------------------
     src_listing = list_files(spark, str(source_dir)).select(

@@ -255,12 +255,26 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    shingle_k: int = 5,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share either 8-bit half
     (pigeonhole: hamming ≤ max_hamming with 2 bands guarantees recall for
     hamming ≤ 1 per half; a scale deployment uses 4 bands of 4 bits), then
-    exact hamming filter."""
-    fp = simhash16(tokens(spread(df, id_col), id_col, text_col), id_col)
+    exact hamming filter.
+
+    Fingerprints are computed over character shingles, not word tokens: on a
+    small-vocabulary corpus every document's word SET is nearly identical, so
+    word-token SimHash collapses to a handful of fingerprints and cannot
+    separate near-dups from unrelated docs (shingles carry word order).
+    ``shingle_k=0`` falls back to word tokens.
+    """
+    sp = spread(df, id_col)
+    tok = (
+        shingles(sp, id_col, text_col, shingle_k)
+        if shingle_k
+        else tokens(sp, id_col, text_col)
+    )
+    fp = simhash16(tok, id_col)
     # Candidate generation as a UNION of per-half EQUI-joins, not an OR-join:
     # an OR of substring equalities is unsargable and falls back to a nested-
     # loop join (O(n²) comparisons); two hash joins on half-fingerprint keys

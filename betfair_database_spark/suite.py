@@ -938,7 +938,9 @@ def dedup_minhash_pairs(spark, sf):
 
 _SIMHASH_ORACLE = """
 WITH tok AS (
-  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(length(text) - 4, 0) + 1),
+                               i -> substr(lower(text), CAST(i AS INT), 5))) AS w
   FROM documents
 ),
 h AS (SELECT doc_id, md5(w) AS hh FROM tok),
@@ -956,7 +958,7 @@ FROM bits GROUP BY doc_id
 @_q("dedup_simhash_fingerprints", _SIMHASH_ORACLE)
 def dedup_simhash_fingerprints(spark, sf):
     d = _t(spark, sf, "documents")
-    return dedup.simhash16(dedup.tokens(d, "doc_id", "text"), "doc_id")
+    return dedup.simhash16(dedup.shingles(d, "doc_id", "text", 5), "doc_id")
 
 
 _NGRAM_JACCARD_ORACLE = """
@@ -1211,6 +1213,31 @@ def text_fingerprint(spark, sf):
     return _t(spark, sf, "documents").select(
         "doc_id", textstats.fingerprint(F.col("text")).alias("fingerprint")
     )
+
+
+@_q(
+    "multimodal_decode_meta",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'audio/wav' ELSE 'image/bmp' END AS mime,
+           CASE WHEN doc_id % 3 = 0 THEN NULL ELSE doc_id % 30 + 1 END AS width,
+           CASE WHEN doc_id % 3 = 0 THEN NULL ELSE n_chars % 20 + 1 END AS height,
+           CASE WHEN doc_id % 3 = 0 THEN (n_chars % 50 + 1) * 10 ELSE NULL END AS duration_ms,
+           CASE WHEN doc_id % 3 = 0 THEN 44 + (n_chars % 50 + 1) * 80
+                ELSE 54 + ((3 * (doc_id % 30 + 1) + 3) // 4) * 4 * (n_chars % 20 + 1)
+           END AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_decode_meta(spark, sf):
+    """End-to-end binary-column round trip: synthesize real BMP/WAV payloads
+    from (doc_id, n_chars), decode the container headers back, and verify the
+    recovered metadata against the closed form (the oracle computes what the
+    decode must recover — a full check of both mapInPandas stages)."""
+    from betfair_database_spark.operators import multimodal
+
+    media = multimodal.synthesize_media(_t(spark, sf, "documents"))
+    return multimodal.decode_media(media)
 
 
 @_q(

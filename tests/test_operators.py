@@ -65,6 +65,36 @@ def test_simhash_near_dup_pairs(spark):
     assert [(p.a, p.b, p.hamming) for p in pairs] == [(1, 2, 0)]
 
 
+def test_simhash_shingles_discriminate_where_word_tokens_cannot(spark):
+    """Docs 1 and 3 share the exact word SET but in scrambled order — they
+    are NOT near-dups, yet word-token SimHash gives them identical
+    fingerprints (hamming 0). Shingle SimHash (the default) keeps word-order
+    signal: it pairs only the true near-dups 1 and 2."""
+    from betfair_database_spark.operators.dedup import simhash_near_dups
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog tonite"),
+            (3, "dog the lazy over jumps fox brown quick the tonight"),
+        ],
+        ["doc_id", "text"],
+    )
+    word_pairs = {
+        (p.a, p.b)
+        for p in simhash_near_dups(df, max_hamming=0, shingle_k=0).collect()
+    }
+    assert (1, 3) in word_pairs  # the word-token false positive
+
+    shingle_pairs = {
+        (p.a, p.b): p.hamming
+        for p in simhash_near_dups(df, max_hamming=3).collect()
+    }
+    assert (1, 2) in shingle_pairs
+    assert (1, 3) not in shingle_pairs
+    assert (2, 3) not in shingle_pairs
+
+
 def test_cosine_topk(spark):
     from betfair_database_spark.operators.similarity import cosine_topk
 
@@ -135,6 +165,53 @@ def test_asof_join_backward(spark):
     got = {r.id: r.v for r in out.collect()}
     # id=1: right at t=100 <= 100 → 'a'; id=2: t=200 <= 205 → 'b'; id=3: none → NULL
     assert got == {1: "a", 2: "b", 3: None}
+
+
+def test_media_decoders_roundtrip():
+    """Header parsers recover the dimensions/duration that the encoders
+    wrote, plus PNG/GIF/PPM fixtures built by hand."""
+    import struct
+
+    from betfair_database_spark.operators.multimodal import (
+        decode_audio,
+        decode_image,
+        encode_bmp,
+        encode_wav,
+    )
+
+    assert decode_image(encode_bmp(17, 9)) == ("image/bmp", 17, 9)
+    assert decode_audio(encode_wav(4000)) == ("audio/wav", 500)
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + struct.pack(">II", 640, 480)
+    assert decode_image(png) == ("image/png", 640, 480)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200)
+    assert decode_image(gif) == ("image/gif", 320, 200)
+    assert decode_image(b"P6\n12 34\n255\n...") == ("image/x-portable-pixmap", 12, 34)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0JFIF")  # JPEG needs a codec
+
+
+def test_multimodal_decode_media_stage(spark):
+    from betfair_database_spark.operators.multimodal import (
+        decode_media,
+        synthesize_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, 100), (1, 25), (3, 7), (10, 40)], "doc_id long, n_chars long"
+    )
+    out = {r.doc_id: r for r in decode_media(synthesize_media(docs)).collect()}
+    assert out[0].mime == "audio/wav" and out[0].duration_ms == (100 % 50 + 1) * 10
+    assert out[3].mime == "audio/wav" and out[3].duration_ms == 80
+    assert out[1].mime == "image/bmp" and (out[1].width, out[1].height) == (2, 6)
+    assert out[10].mime == "image/bmp" and (out[10].width, out[10].height) == (11, 1)
+    # poison payload → 'unknown' row, not a failed batch
+    bad = spark.createDataFrame(
+        [(99, bytearray(b"\x00gibberish"))], "doc_id long, payload binary"
+    )
+    row = decode_media(bad).first()
+    assert row.mime == "unknown" and row.width is None and row.n_bytes == 10
 
 
 def test_multimodal_plumbing(spark):

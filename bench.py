@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_exact_stats",
     "dedup_minhash_pairs",
     "dedup_simhash_fingerprints",
+    "multimodal_decode_meta",
     "knn_cosine_top10",
     "knn_lsh_bucket_top10",
     "text_quality",

@@ -25,7 +25,7 @@ from betfair_database_spark.functions.flatten import (
     definition_to_flat,
 )
 from betfair_database_spark.functions.racing import enrich_with_racing
-from betfair_database_spark.sources.bulk import read_bulk_metadata
+from betfair_database_spark.sources.bulk import parse_bulk_content
 from betfair_database_spark.sources.discovery import (
     KIND_BULK,
     KIND_DATA,
@@ -38,7 +38,8 @@ from betfair_database_spark.sources.marketdef import (
     extract_latest_definitions,
     write_derived_metadata_files,
 )
-from betfair_database_spark.sources.metadata_reader import read_metadata_files
+from betfair_database_spark.sources.fetch import fetch_text_files
+from betfair_database_spark.sources.metadata_reader import parse_metadata_content
 
 
 @dataclass
@@ -76,8 +77,8 @@ def build_index_frame(
     """Build the 37-column index frame for every market under source_dir.
 
     Returns the frame (unordered; dedup on the path pair applied) and the
-    import counters. The frame is lazily planned; counters force the branch
-    counts (several small jobs over the cached listing).
+    import counters. The frame is lazily planned; the counters come from one
+    merged aggregate job over the checkpointed branch frames.
     """
     counters = Counters()
 
@@ -86,47 +87,46 @@ def build_index_frame(
     data_files = listing.where(F.col("kind") == KIND_DATA).select(
         "stem", F.col("path").alias("data_path"), "length"
     )
-    bulk_paths = [
-        r.path for r in listing.where(F.col("kind") == KIND_BULK).select("path").collect()
-    ]
+    bulk_files = listing.where(F.col("kind") == KIND_BULK).select("path")
 
-    counters.total_markets = (
-        meta_files.select("stem").union(data_files.select("stem")).distinct().count()
-    )
+    # ONE content feed serves every JSON consumer (market metadata AND bulk
+    # files), driven by the classified listing itself — the one FS traversal
+    # in the pipeline. No path list ever reaches the driver: executors open
+    # the files of their own listing partitions. Checkpointed: several
+    # branches consume it, and later steps write .json files (derived
+    # metadata) that a lazy re-read must not pick up.
+    json_content = fetch_text_files(
+        listing.where(F.col("kind").isin(KIND_METADATA, KIND_BULK)).select("path")
+    ).localCheckpoint()
 
     # --- bulk metadata takes precedence (J4; processor.py:195-258) ----------
-    bulk_rows = read_bulk_metadata(spark, bulk_paths)
-    bulk_paired = bulk_rows.join(data_files, "stem", "inner").localCheckpoint()
+    bulk_rows = parse_bulk_content(json_content.join(bulk_files, "path", "left_semi"))
+    bulk_paired = bulk_rows.join(data_files, "stem", "inner")
     data_remaining = data_files.join(bulk_rows.select("stem"), "stem", "left_anti")
 
     # --- pairing (J1) + anti-joins (J2/J3) ----------------------------------
     # One full-outer join materializes all three pairing relationships
     # (paired / metadata-only / data-only) in a single shuffle; the inner and
-    # anti variants are filters over it, and the J2 counter is a count on the
-    # same checkpointed frame instead of a separate join job.
+    # anti variants are filters over it, and the J2/J3 counters are aggregates
+    # over the same checkpointed frame instead of separate join jobs.
     pairing = meta_files.join(data_remaining, "stem", "full_outer").localCheckpoint()
     paired = pairing.where(
         F.col("path").isNotNull() & F.col("data_path").isNotNull()
     ).select("stem", "path", "data_path", "length")
-    counters.markets_without_data = pairing.where(F.col("data_path").isNull()).count()
     orphan_data = pairing.where(F.col("path").isNull()).select(
         "stem", "data_path", "length"
     )
 
     # --- derive definitions for orphan data files (S5/S6) -------------------
-    orphan_rows = orphan_data.select("stem", "data_path").collect()
-    zip_paths = [r.data_path for r in orphan_rows if r.data_path.endswith(".zip")]
-    plain_paths = [r.data_path for r in orphan_rows if not r.data_path.endswith(".zip")]
-    lines = definition_lines(spark, plain_paths, zip_paths)
+    # The orphan path frame itself drives an executor-side read (the file set
+    # is data-dependent — see sources.marketdef.definition_lines).
+    lines = definition_lines(orphan_data.select(F.col("data_path").alias("path")))
     latest = extract_latest_definitions(lines).localCheckpoint()
 
     derived_ok = latest.where(F.col("defn").isNotNull())
-    corrupt_data_files = latest.where(F.col("corrupt")).count()
-    files_with_token = latest.select(F.col("path").alias("data_path"))
-    counters.markets_without_metadata = (
-        orphan_data.join(files_with_token, "data_path", "left_anti").count()
-    )
-
+    # No checkpoint: both consumers (the file-write pass and the definition
+    # union) replay a cheap join over the already-materialized `latest` and
+    # `pairing` — never the orphan-file reads themselves.
     derived = (
         derived_ok.withColumnRenamed("path", "data_path")
         .join(orphan_data, "data_path", "inner")
@@ -135,7 +135,6 @@ def build_index_frame(
             F.concat(F.col("stem"), F.lit(".json")).alias("marketMetadataFilePath"),
             F.col("data_path").alias("marketDataFilePath"),
         )
-        .localCheckpoint()
     )
     if write_derived_files:
         write_derived_metadata_files(
@@ -146,58 +145,59 @@ def build_index_frame(
         )
 
     # --- parse paired metadata files (S2) ------------------------------------
-    paired_paths = [r.path for r in paired.select("path").collect()]
-    parsed = read_metadata_files(spark, paired_paths).localCheckpoint()
-    corrupt_metadata = parsed.where(F.col("corrupt")).count()
-    counters.corrupt_files = corrupt_metadata + corrupt_data_files
+    # No checkpoint: the parse replays over the checkpointed json_content
+    # (in-memory), so its two consumers (stats + the good branch) cost one
+    # extra from_json pass, not a file re-scan.
+    parsed = parse_metadata_content(
+        json_content.join(paired.select("path"), "path", "left_semi")
+    )
 
     good = parsed.where(~F.col("corrupt")).join(
         paired.select(F.col("path"), F.col("data_path")), "path", "inner"
     )
 
-    def _with_paths(df: DataFrame, struct_col: str) -> DataFrame:
+    # --- counters: ONE job over the checkpointed branch frames ---------------
+    _fill_counters(counters, listing, pairing, latest, parsed)
+
+    # The flatten projection is the largest expression tree in the engine
+    # (37 columns × per-row-timezone logic); analyzing and codegen-compiling
+    # it once per source branch is measurable driver time. So the RAW struct
+    # branches union first — catalogue sources into one frame, definition
+    # sources (paired + derived + bulk) into another — and each flatten tree
+    # is built exactly once.
+    def _with_paths(df: DataFrame, struct_col: str, meta_path: str) -> DataFrame:
         return df.select(
-            F.col(struct_col + ".*"),
-            F.col("path").alias("marketMetadataFilePath"),
+            F.col(struct_col).alias("m"),
+            F.col(meta_path).alias("marketMetadataFilePath"),
             F.col("data_path").alias("marketDataFilePath"),
         )
 
-    cat_flat = catalogue_to_flat(
-        _with_paths(good.where(~F.col("is_definition")), "cat")
+    cat_in = _with_paths(good.where(~F.col("is_definition")), "cat", "path").unionByName(
+        _with_paths(bulk_paired.where(~F.col("is_definition")), "cat", "bulk_path")
     )
-    def_flat = definition_to_flat(
-        _with_paths(good.where(F.col("is_definition")), "defn")
-    )
-    derived_flat = definition_to_flat(
-        derived.select("defn.*", "marketMetadataFilePath", "marketDataFilePath")
-    )
-
-    # --- bulk rows: metadata path is the bulk file itself --------------------
-    def _bulk_with_paths(df: DataFrame, struct_col: str) -> DataFrame:
-        return df.select(
-            F.col(struct_col + ".*"),
-            F.col("bulk_path").alias("marketMetadataFilePath"),
-            F.col("data_path").alias("marketDataFilePath"),
+    def_in = (
+        _with_paths(good.where(F.col("is_definition")), "defn", "path")
+        .unionByName(
+            derived.select(
+                F.col("defn").alias("m"),
+                "marketMetadataFilePath",
+                "marketDataFilePath",
+            )
         )
+        .unionByName(
+            _with_paths(bulk_paired.where(F.col("is_definition")), "defn", "bulk_path")
+        )
+    )
 
-    bulk_cat_flat = catalogue_to_flat(
-        _bulk_with_paths(bulk_paired.where(~F.col("is_definition")), "cat")
-    )
-    bulk_def_flat = definition_to_flat(
-        _bulk_with_paths(bulk_paired.where(F.col("is_definition")), "defn")
-    )
+    def _exploded(df: DataFrame) -> DataFrame:
+        return df.select("m.*", "marketMetadataFilePath", "marketDataFilePath")
+
+    cat_flat = catalogue_to_flat(_exploded(cat_in))
+    def_flat = definition_to_flat(_exploded(def_in))
 
     # Materialize the flattened union once: the racing build side and the
-    # probe side both consume it, and the flatten projection is the largest
-    # expression tree in the engine (37 columns × per-row-timezone logic) —
-    # recomputing it doubles both execution and codegen compilation time.
-    flat = (
-        cat_flat.unionByName(def_flat)
-        .unionByName(derived_flat)
-        .unionByName(bulk_cat_flat)
-        .unionByName(bulk_def_flat)
-        .localCheckpoint()
-    )
+    # probe side both consume it — recomputing doubles execution time.
+    flat = cat_flat.unionByName(def_flat).localCheckpoint()
 
     # --- racing enrichment (J5: broadcast build/probe) -----------------------
     enriched = enrich_with_racing(flat)
@@ -206,3 +206,47 @@ def build_index_frame(
         ["marketMetadataFilePath", "marketDataFilePath"]
     )
     return index, counters
+
+
+def _fill_counters(
+    counters: Counters,
+    listing: DataFrame,
+    pairing: DataFrame,
+    latest: DataFrame,
+    parsed: DataFrame,
+) -> None:
+    """All import counters in ONE Spark job: a union of one-row aggregates
+    over the already-checkpointed branch frames. No rescans (the inputs are
+    materialized) and no per-counter count() jobs.
+
+    markets_without_metadata = orphan data files minus files that yielded at
+    least one definition-token line (corrupt or not): the token-less ones.
+    """
+
+    def one(df: DataFrame, name: str, expr: F.Column) -> DataFrame:
+        return df.agg(F.coalesce(expr, F.lit(0)).cast("long").alias("v")).select(
+            F.lit(name).alias("k"), "v"
+        )
+
+    frames = [
+        one(
+            listing,
+            "total",
+            F.count_distinct(
+                F.when(F.col("kind").isin(KIND_METADATA, KIND_DATA), F.col("stem"))
+            ),
+        ),
+        one(pairing, "no_data", F.sum(F.col("data_path").isNull().cast("int"))),
+        one(pairing, "orphans", F.sum(F.col("path").isNull().cast("int"))),
+        one(latest, "token_files", F.count("*")),
+        one(latest, "corrupt_data", F.sum(F.col("corrupt").cast("int"))),
+        one(parsed, "corrupt_meta", F.sum(F.col("corrupt").cast("int"))),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    stats = {r.k: r.v for r in out.collect()}
+    counters.total_markets = stats["total"]
+    counters.markets_without_data = stats["no_data"]
+    counters.markets_without_metadata = stats["orphans"] - stats["token_files"]
+    counters.corrupt_files = stats["corrupt_meta"] + stats["corrupt_data"]

@@ -46,7 +46,8 @@ from betfair_database_spark.functions.flatten import (
 )
 from betfair_database_spark.functions.patterns import resolve_pattern
 from betfair_database_spark.sources.discovery import list_files
-from betfair_database_spark.sources.metadata_reader import read_metadata_files
+from betfair_database_spark.sources.fetch import fetch_text_files
+from betfair_database_spark.sources.metadata_reader import parse_metadata_content
 
 # Columns compared for the UPDATE-policy "has the row changed" check:
 # everything except the two paths (always differ) and the four racing columns
@@ -242,12 +243,14 @@ def _attach_row_equality(
     (destination path, marketId)."""
     if policy is not DuplicatePolicy.UPDATE:
         return decided.withColumn("rows_equal", F.lit(False))
-    cmp_paths = [
-        r.dest_meta
-        for r in decided.where(F.col("meta_exists")).select("dest_meta").distinct().collect()
-    ]
-    if not cmp_paths:
-        return decided.withColumn("rows_equal", F.lit(False))
+    # The comparison file set is data-dependent (this batch's collision
+    # targets), so the path frame drives an executor-side fetch — no path
+    # list on the driver.
+    cmp_paths = (
+        decided.where(F.col("meta_exists"))
+        .select(F.col("dest_meta").alias("path"))
+        .distinct()
+    )
 
     idx_equal = None
     if db is not None:
@@ -268,7 +271,9 @@ def _attach_row_equality(
         ).drop(idx_hashes["dest_meta"]).drop("_idx_mid")
         idx_equal = _row_hash() == F.col("idx_hash")
 
-    parsed = read_metadata_files(spark, cmp_paths).where(~F.col("corrupt"))
+    parsed = parse_metadata_content(
+        fetch_text_files(cmp_paths).where(F.col("content").isNotNull())
+    ).where(~F.col("corrupt"))
     # The flatten helpers emit a fixed projection including the two path
     # columns; feed the destination path through marketMetadataFilePath and
     # recover it after flattening.

@@ -14,23 +14,22 @@ dict (processor.py:195-205,243-252).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType
 
 from betfair_database_spark.schema import CATALOGUE_SCHEMA, DEFINITION_SCHEMA
 
 
-def read_bulk_metadata(spark: SparkSession, paths: list[str]) -> DataFrame:
-    """Parse bulk metadata files into per-market rows.
+def parse_bulk_content(raw: DataFrame) -> DataFrame:
+    """Parse bulk metadata documents given as (path, content) rows into
+    per-market rows.
 
     Returns: bulk_path, stem (parent_dir/marketId pairing key), cat struct,
     defn struct, is_definition. Invalid elements and non-list files are
     dropped here; ``bulk_stats`` exposes their counts for logging parity.
     """
-    if not paths:
-        return _empty(spark)
-    raw = _read_raw(spark, paths)
+    raw = raw.withColumn("is_list", F.ltrim(F.col("content")).startswith("["))
     elems = raw.select(
         "path",
         F.posexplode(
@@ -62,39 +61,4 @@ def read_bulk_metadata(spark: SparkSession, paths: list[str]) -> DataFrame:
         .agg(F.max_by(payload, "pos").alias("_e"))
         .select("stem", "_e.*")
         .select("bulk_path", "marketId", "stem", "cat", "defn", "is_definition")
-    )
-
-
-def _read_raw(spark: SparkSession, paths: list[str]) -> DataFrame:
-    return (
-        spark.read.option("wholetext", "true")
-        .text(paths)
-        .select(
-            F.regexp_replace(F.input_file_name(), "^file:/*", "/").alias("path"),
-            F.col("value").alias("content"),
-        )
-        .withColumn("is_list", F.ltrim(F.col("content")).startswith("["))
-    )
-
-
-def _empty(spark: SparkSession) -> DataFrame:
-    from pyspark.sql.types import (
-        BooleanType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
-    return spark.createDataFrame(
-        [],
-        StructType(
-            [
-                StructField("bulk_path", StringType(), True),
-                StructField("marketId", StringType(), True),
-                StructField("stem", StringType(), True),
-                StructField("cat", CATALOGUE_SCHEMA, True),
-                StructField("defn", DEFINITION_SCHEMA, True),
-                StructField("is_definition", BooleanType(), True),
-            ]
-        ),
     )

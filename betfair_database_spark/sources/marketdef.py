@@ -9,9 +9,11 @@ time (``pt``, tie-broken by the definition ``version``), which is the same
 append-only and ``pt``/``version`` are monotone. (SURVEY §4: the tail-read
 micro-optimization is an anti-pattern under a parallel columnar scan.)
 
-gz/bz2/plaintext decompress natively in ``spark.read.text``; zip has no Spark
-codec, so zip members stream through an Arrow-batched ``mapInPandas``
-(reference handles zip via ZipFileWrapper, marketdef.py:24-29).
+Which files to read is data-dependent (only data files with no metadata
+sibling), so the read is driven BY the path frame itself: an Arrow-batched
+``mapInPandas`` opens each file executor-side (gz/bz2/zip/plaintext by
+suffix — reference handles zip via ZipFileWrapper, marketdef.py:24-29) and
+emits only token lines. No path list ever materializes on the driver.
 
 Error taxonomy per data file (reference processor.py:276-301):
   - no line contains the token            → markets_without_metadata (E3)
@@ -24,7 +26,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from betfair_database_spark.schema import MCM_SCHEMA
@@ -32,33 +34,51 @@ from betfair_database_spark.schema import MCM_SCHEMA
 _TOKEN = "marketDefinition"
 
 
-def _zip_lines(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Executor-side zip decompression: (path, content) → (path, value) lines.
-
-    Only lines containing the definition token are emitted, so the exchange
-    stays tiny even for multi-GB archives.
-    """
+def _open_lines(path: str):
+    """Byte lines of a stream data file, decompressing by suffix. zip
+    archives hold one member named after the file stem (the Betfair archive
+    convention); gz/bz2/plaintext open directly."""
+    import bz2
+    import gzip
     import io
     import zipfile
 
+    if path.endswith(".zip"):
+        stem = path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+        with zipfile.ZipFile(path) as zf:
+            with zf.open(stem) as f:
+                return f.readlines()
+    if path.endswith(".gz"):
+        opener = gzip.open
+    elif path.endswith(".bz2"):
+        opener = bz2.open
+    else:
+        opener = io.open
+    with opener(path, "rb") as f:
+        return f.readlines()
+
+
+def _token_lines(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Executor-side read of the data files named by the incoming rows:
+    (path) → (path, value) for lines containing the definition token.
+
+    Only token lines are emitted, so the exchange stays tiny even for
+    multi-GB inputs. Unreadable files (bad archive, vanished path) emit an
+    unparseable marker line so they land in the corrupt branch downstream
+    instead of killing the batch.
+    """
+    token = _TOKEN.encode()
     for batch in batches:
         out_paths: list[str] = []
         out_lines: list[str] = []
-        for path, content in zip(batch["path"], batch["content"]):
-            posix = path.split(":", 1)[-1] if path.startswith("file:") else path
-            posix = "/" + posix.lstrip("/")
-            stem = posix.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+        for path in batch["path"]:
             try:
-                with zipfile.ZipFile(io.BytesIO(content)) as zf:
-                    with zf.open(stem) as f:
-                        for raw in f:
-                            if _TOKEN.encode() in raw:
-                                out_paths.append(posix)
-                                out_lines.append(raw.decode("utf-8", "replace"))
+                for raw in _open_lines(path):
+                    if token in raw:
+                        out_paths.append(path)
+                        out_lines.append(raw.decode("utf-8", "replace"))
             except Exception:
-                # unreadable archive → emit an unparseable marker line so the
-                # file lands in the corrupt branch downstream
-                out_paths.append(posix)
+                out_paths.append(path)
                 out_lines.append('{"corrupt -- ' + _TOKEN)
         yield pd.DataFrame({"path": out_paths, "value": out_lines})
 
@@ -111,35 +131,18 @@ def derive_metadata(market_data_file) -> dict:
     return defn
 
 
-def definition_lines(
-    spark: SparkSession, plain_paths: list[str], zip_paths: list[str]
-) -> DataFrame:
-    """All lines containing the definition token, as (path, value)."""
-    frames = []
-    if plain_paths:
-        frames.append(
-            spark.read.text(plain_paths)
-            .select(
-                F.regexp_replace(F.input_file_name(), "^file:/*", "/").alias("path"),
-                "value",
-            )
-            .where(F.col("value").contains(_TOKEN))
-        )
-    if zip_paths:
-        binary = (
-            spark.read.format("binaryFile")
-            .load(zip_paths)
-            .select("path", "content")
-        )
-        frames.append(
-            binary.mapInPandas(_zip_lines, schema="path string, value string")
-        )
-    if not frames:
-        return spark.createDataFrame([], "path string, value string")
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+def definition_lines(paths: DataFrame) -> DataFrame:
+    """All lines containing the definition token across the data files named
+    by ``paths`` (a one-column ``path`` frame), as (path, value).
+
+    The path frame drives an executor-side read (see ``_token_lines``): the
+    file set is data-dependent (orphan data files of the pairing), so it
+    never materializes on the driver; each executor opens the files of its
+    own partitions. gz/bz2/zip/plaintext are all handled by suffix.
+    """
+    return paths.select("path").mapInPandas(
+        _token_lines, schema="path string, value string"
+    )
 
 
 def extract_latest_definitions(lines: DataFrame) -> DataFrame:

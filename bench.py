@@ -23,6 +23,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_supplier_volume",
+    "q4_exists_semijoin",
+    "q16_notin_distinct_suppliers",
+    "q22_scalar_subquery_anti",
     "pivot_event_types",
     "p4_between",
     "j1_inner_join",
@@ -41,6 +44,8 @@ HEADLINE = [
     "knn_lsh_bucket_top10",
     "text_quality",
     "text_lang_id",
+    "sample_stratified_hash",
+    "corpus_token_budget",
 ]
 
 

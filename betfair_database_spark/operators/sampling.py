@@ -1,0 +1,70 @@
+"""Deterministic corpus sampling & mixing (training-data pipeline ops).
+
+``df.sample()`` is seed-and-partitioning dependent — rerunning after a
+repartition or on a different cluster yields a different corpus, which is
+unacceptable for reproducible training mixes. These operators derive every
+keep/drop decision from a hash of a stable key, so the same inputs always
+produce the same sample, on any engine (the DuckDB oracles compute identical
+buckets), at any parallelism.
+
+At 100 TB all three are embarrassingly parallel single-pass filters (the
+token-budget take adds one shuffle for its per-group window) — no driver
+participation, no sampling state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets): first 4 hex chars of
+    md5(string(key)) as an int, mod buckets. Uniform enough for sampling
+    rates; reproducible across engines, runs and partitionings."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10).cast("int")
+        % buckets
+    )
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, rates: dict[str, int], key_col: str,
+    default_rate: int = 0, buckets: int = 100,
+) -> DataFrame:
+    """Keep rows whose hash bucket falls below their stratum's rate —
+    per-stratum Bernoulli sampling with deterministic membership.
+
+    ``rates`` maps stratum value → number of buckets kept (out of
+    ``buckets``), e.g. {'en': 50} keeps ~50% of English rows.
+    """
+    rate = F.lit(default_rate)
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(r)).otherwise(rate)
+    return df.where(hash_bucket(F.col(key_col), buckets) < rate)
+
+
+def token_budget_take(
+    df: DataFrame, group_col: str, key_col: str, tokens_col: str, budget: int
+) -> DataFrame:
+    """Within each group, keep rows in deterministic hash order until the
+    cumulative token count would exceed ``budget`` (greedy prefix take —
+    the standard way to cut a per-source corpus down to a token budget).
+
+    Hash order, not input order: stable under file re-layout, and unbiased
+    w.r.t. any ordering of the source data. One shuffle (the per-group
+    window); the window partitions by group, so no global sort.
+    """
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(h.asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("_cum", F.sum(tokens_col).over(w))
+        .where(F.col("_cum") <= budget)
+        .drop("_cum")
+    )

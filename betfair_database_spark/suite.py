@@ -195,6 +195,97 @@ def q5_supplier_volume(spark, sf):
 
 
 @_q(
+    "q4_exists_semijoin",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1995-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q4_exists_semijoin(spark, sf):
+    """TPC-H Q4 shape: correlated EXISTS → left-semi hash join (one shuffle,
+    no decorrelation gymnastics; Catalyst plans EXISTS the same way)."""
+    o = _t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf, "lineitem").where(F.col("l_discount") > 0.05)
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "q16_notin_distinct_suppliers",
+    """
+    SELECT p_brand, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_size >= 25
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand ORDER BY supplier_cnt DESC, p_brand
+    """,
+)
+def q16_notin_distinct_suppliers(spark, sf):
+    """TPC-H Q16 shape: NOT IN over a non-null key = left-anti join (the
+    exclusion set is tiny → broadcast), then distinct-count per brand."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").where(F.col("p_size") >= 25)
+    bad = _t(spark, sf, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"))
+    )
+
+
+@_q(
+    "q22_scalar_subquery_anti",
+    """
+    WITH avg_bal AS (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
+    SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > a
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY c_mktsegment ORDER BY segment
+    """,
+)
+def q22_scalar_subquery_anti(spark, sf):
+    """TPC-H Q22 shape: scalar aggregate subquery (1-row broadcast cross
+    join — never a driver collect) + NOT EXISTS anti join."""
+    c = _t(spark, sf, "customer")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("a"))
+    o = (
+        _t(spark, sf, "orders")
+        .where(
+            F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp_ntz")
+        )
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("segment")
+    )
+
+
+@_q(
     "agg_percentiles",
     """
     SELECT o_orderstatus,
@@ -1212,6 +1303,84 @@ def text_quality(spark, sf):
 def text_fingerprint(spark, sf):
     return _t(spark, sf, "documents").select(
         "doc_id", textstats.fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+@_q(
+    "sample_stratified_hash",
+    """
+    WITH b AS (
+      SELECT lang, n_chars,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100
+               AS bucket
+      FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM b
+    WHERE bucket < CASE lang WHEN 'en' THEN 50 ELSE 20 END
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def sample_stratified_hash(spark, sf):
+    """Reproducible per-language downsampling: keep/drop decided by a hash
+    bucket of doc_id, never by df.sample() (seed- and partitioning-
+    dependent). 50% of English, 20% of everything else."""
+    from betfair_database_spark.operators import sampling
+
+    d = _t(spark, sf, "documents")
+    kept = sampling.stratified_sample(
+        d, "lang", {"en": 50}, key_col="doc_id", default_rate=20
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_q(
+    "corpus_token_budget",
+    """
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+               AS n_tokens,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum
+      FROM t
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM c WHERE cum <= 1500 GROUP BY source ORDER BY source
+    """,
+)
+def corpus_token_budget(spark, sf):
+    """Corpus mixing by token budget: per source, greedily keep documents in
+    deterministic hash order until 1500 tokens — the standard way to cut a
+    weighted training mix, as a single windowed pass."""
+    from betfair_database_spark.operators import sampling
+
+    d = _t(spark, sf, "documents").select(
+        "source",
+        "doc_id",
+        textstats.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    kept = sampling.token_budget_take(
+        d, group_col="source", key_col="doc_id", tokens_col="n_tokens", budget=1500
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+        .orderBy("source")
     )
 
 

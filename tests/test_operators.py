@@ -228,3 +228,44 @@ def test_multimodal_plumbing(spark):
     for r in out:
         assert r.n_bytes > 0
         assert len(r.feature) == 8  # deterministic fake embedding
+
+
+def test_stratified_sample_deterministic_under_repartition(spark):
+    """The keep/drop decision must not depend on partitioning or run order —
+    the property df.sample() lacks and these operators exist to provide."""
+    from betfair_database_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(200)],
+        "doc_id long, lang string",
+    )
+    kept1 = {
+        r.doc_id
+        for r in stratified_sample(df, "lang", {"en": 50}, "doc_id", 20).collect()
+    }
+    kept2 = {
+        r.doc_id
+        for r in stratified_sample(
+            df.repartition(7), "lang", {"en": 50}, "doc_id", 20
+        ).collect()
+    }
+    assert kept1 == kept2 and 0 < len(kept1) < 200
+    # rates actually differ per stratum: en kept at ~50%, de at ~20%
+    en = sum(1 for i in kept1 if i % 2 == 0) / 100
+    de = sum(1 for i in kept1 if i % 2 == 1) / 100
+    assert en > de
+
+
+def test_token_budget_take_greedy_prefix(spark):
+    from betfair_database_spark.operators.sampling import token_budget_take
+
+    df = spark.createDataFrame(
+        [(i, "s", 10) for i in range(10)], "doc_id long, src string, n long"
+    )
+    kept = token_budget_take(df, "src", "doc_id", "n", budget=35).collect()
+    assert len(kept) == 3  # 3 * 10 <= 35, a 4th would exceed
+    # identical under repartition
+    kept2 = token_budget_take(
+        df.repartition(5), "src", "doc_id", "n", budget=35
+    ).collect()
+    assert {r.doc_id for r in kept} == {r.doc_id for r in kept2}

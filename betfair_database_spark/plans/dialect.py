@@ -28,7 +28,7 @@ bridge:
     otherwise always parse ``"x"`` as a string).
 
 Documented deltas (not bridged): SQLite-specific operators like ``||`` on
-non-strings, ``julianday()``, and the remaining exotic strftime codes.
+non-strings and the remaining exotic strftime codes.
 """
 
 from __future__ import annotations
@@ -82,6 +82,13 @@ _SQL_FUNCTIONS = [
         {chain}
     )
     """,
+    # julianday(x): days since noon UTC, 24 Nov 4714 BC = epoch-seconds/86400
+    # + the epoch's own Julian day number
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_julianday(x STRING)
+    RETURNS DOUBLE
+    RETURN cast(to_timestamp(x) as double) / 86400.0d + 2440587.5d
+    """,
     # GLOB pattern -> anchored Java regex: escape regex metachars that GLOB
     # treats literally, then * -> .* and ? -> . ([...] classes pass through —
     # GLOB and regex agree on [seq] and [^seq]).
@@ -98,7 +105,7 @@ _SQL_FUNCTIONS = [
     """,
 ]
 
-_RENAMED_FUNCS = re.compile(r"(?i)\b(time|date|datetime|strftime)\s*\(")
+_RENAMED_FUNCS = re.compile(r"(?i)\b(time|date|datetime|strftime|julianday)\s*\(")
 _GLOB_OP = re.compile(r"(?i)\bGLOB\b\s*")
 _BARE_OPERAND = re.compile(r"[A-Za-z_][\w.]*")
 

@@ -124,3 +124,20 @@ def test_strftime_w_codes_and_glob_match_sqlite(spark):
 def test_glob_end_to_end_select(indexed_db):
     rows = indexed_db.select(["marketId"], where="marketName GLOB 'R1*'")
     assert {r["marketId"] for r in rows} == {"1.222000002"}
+
+
+def test_julianday_matches_sqlite(spark):
+    import sqlite3
+
+    from betfair_database_spark.plans.dialect import register_sqlite_functions
+
+    register_sqlite_functions(spark)
+    con = sqlite3.connect(":memory:")
+    for d in ["2023-08-03 14:00:00", "2000-01-01 12:00:00", "1970-01-01 00:00:00"]:
+        got = spark.sql(f"SELECT sqlite_julianday('{d}') AS j").first().j
+        want = con.execute("SELECT julianday(?)", (d,)).fetchone()[0]
+        assert abs(got - want) < 1e-9
+    assert (
+        translate_where("julianday(marketStartTime) > 2460000")
+        == "sqlite_julianday(marketStartTime) > 2460000"
+    )

@@ -110,6 +110,28 @@ def ltp_windowed(
     )
 
 
+def dedup_stream(
+    changes: DataFrame,
+    keys: list[str] | None = None,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication: emit each (marketId, pt) change once,
+    dropping replays/re-deliveries — the streaming twin of the batch
+    ``exact_dedup`` and the standard front stage of an ingest pipeline
+    (at-least-once sources re-deliver; downstream state must see each change
+    once).
+
+    ``dropDuplicatesWithinWatermark`` keys the dedup state by ``keys`` and
+    EXPIRES entries older than the watermark — without it the key set (and
+    the state store) grows without bound on an infinite stream, which is the
+    scale failure mode of a naive dropDuplicates.
+    """
+    keys = keys or ["marketId", "pt"]
+    return changes.withWatermark("event_ts", watermark_delay).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def market_tick_state(changes: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-market
     arbitrary state that built-in aggregates can't express as one pass —

@@ -108,3 +108,38 @@ def test_ltp_windowed_stream(spark, stream_dir):
     assert len(r102) == 1 and r102[0].last_ltp == 6.0
     r201 = [r for r in rows if r.marketId == "1.2" and r.runnerId == 201]
     assert len(r201) == 1 and r201[0].n_ticks == 1 and r201[0].last_ltp == 10.0
+
+
+def test_dedup_stream_drops_redelivery(spark, tmp_path):
+    """A re-delivered (marketId, pt) line — the at-least-once source case —
+    must come out of the dedup stage exactly once."""
+    import json as _json
+
+    from betfair_database_spark.streaming.mcm import (
+        dedup_stream,
+        read_mcm_stream,
+        run_to_memory,
+    )
+
+    root = tmp_path / "redelivered"
+    root.mkdir()
+    base = 1_690_000_000_000
+    lines = []
+    for pt in (base, base + 1_000, base + 2_000):
+        lines.append(
+            _json.dumps(
+                {"op": "mcm", "clk": str(pt), "pt": pt,
+                 "mc": [{"id": "1.9", "rc": [{"ltp": 2.0, "id": 1}]}]}
+            )
+        )
+    # duplicate delivery of the middle message
+    lines.insert(2, lines[1])
+    (root / "feed").write_text("\n".join(lines))
+
+    deduped = dedup_stream(read_mcm_stream(spark, str(root)))
+    run_to_memory(
+        deduped.select("marketId", "pt"), "dedup_out", output_mode="append"
+    )
+    rows = spark.sql("SELECT marketId, pt FROM dedup_out").collect()
+    assert len(rows) == 3
+    assert sorted(r.pt for r in rows) == [base, base + 1_000, base + 2_000]

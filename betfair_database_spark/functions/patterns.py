@@ -64,11 +64,20 @@ def resolve_pattern(pattern) -> Column:
 
         fn = pattern
 
-        @pandas_udf("string")
-        def _pattern_udf(*cols: pd.Series) -> pd.Series:
-            rows = pd.concat(cols, axis=1)
-            rows.columns = list(SQL_TABLE_COLUMNS)
-            return rows.apply(lambda r: fn(r.to_dict()), axis=1)
+        names = list(SQL_TABLE_COLUMNS)
+
+        # The user contract is a Python callable over a row DICT, so the
+        # per-row Python call is irreducible; build the dicts with a plain
+        # zip over the Arrow-backed columns (several times faster than
+        # DataFrame.apply(axis=1), which constructs a pandas Series per
+        # row). Varargs must stay annotation-free: pandas_udf's type-hint
+        # inference rejects a typed *cols signature.
+        def _pattern_fn(*cols):
+            values = [c.tolist() for c in cols]
+            out = [fn(dict(zip(names, row))) for row in zip(*values)]
+            return pd.Series(out, dtype="object")
+
+        _pattern_udf = pandas_udf(_pattern_fn, "string")
 
         return _pattern_udf(*[F.col(c) for c in SQL_TABLE_COLUMNS])
     raise TypeError(f"Unsupported import pattern: {pattern!r}")

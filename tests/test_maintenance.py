@@ -144,3 +144,26 @@ class TestInsertPolicies:
         # non-importable leftovers stay behind
         assert (src / "1.222000008.json").exists()  # had no data file
         assert (src / "1.222000009").exists()  # had no definition
+
+
+def test_insert_custom_callable_pattern(spark, tmp_path):
+    """A user callable (flat-row dict -> relative dir) routes destinations
+    through the vectorized pandas-UDF path (reference imports.py custom
+    pattern contract)."""
+    from betfair_database_spark.database import BetfairDatabase
+
+    target = tmp_path / "customdb"
+    target.mkdir()
+    src = tmp_path / "customsrc"
+    build_corpus(src)
+
+    def by_type(row: dict) -> str:
+        return f"{row['eventTypeId'] or 'unknown'}/{row['marketType'] or 'NA'}"
+
+    db = BetfairDatabase(target, spark=spark)
+    n = db.insert(src, copy=True, pattern=by_type)
+    assert n == EXPECTED["rows"]
+    # greyhound WIN market landed under its eventTypeId/marketType dir
+    assert (target / "4339" / "WIN" / "1.222000002.json").exists()
+    rows = db.select(["marketMetadataFilePath"], where="marketId = '1.222000002'")
+    assert rows[0]["marketMetadataFilePath"].endswith("/4339/WIN/1.222000002.json")

@@ -89,18 +89,17 @@ def build_index_frame(
     )
     bulk_files = listing.where(F.col("kind") == KIND_BULK).select("path")
 
-    # ONE content feed serves every JSON consumer (market metadata AND bulk
-    # files), driven by the classified listing itself — the one FS traversal
-    # in the pipeline. No path list ever reaches the driver: executors open
-    # the files of their own listing partitions. Checkpointed: several
-    # branches consume it, and later steps write .json files (derived
-    # metadata) that a lazy re-read must not pick up.
-    json_content = fetch_text_files(
-        listing.where(F.col("kind").isin(KIND_METADATA, KIND_BULK)).select("path")
-    ).localCheckpoint()
+    # Content reads are driven by the frames that name the files — executors
+    # open the files of their own partitions, no path list ever reaches the
+    # driver, and only files whose content is actually consumed are read
+    # (bulk files here; PAIRED metadata below — metadata-without-data
+    # markets are counted but never parsed, so their bytes are never
+    # fetched). Checkpointed: bulk_rows has two consumers, and later steps
+    # write .json files that a lazy re-read must not pick up.
+    bulk_content = fetch_text_files(bulk_files).localCheckpoint()
 
     # --- bulk metadata takes precedence (J4; processor.py:195-258) ----------
-    bulk_rows = parse_bulk_content(json_content.join(bulk_files, "path", "left_semi"))
+    bulk_rows = parse_bulk_content(bulk_content)
     bulk_paired = bulk_rows.join(data_files, "stem", "inner")
     data_remaining = data_files.join(bulk_rows.select("stem"), "stem", "left_anti")
 
@@ -145,12 +144,11 @@ def build_index_frame(
         )
 
     # --- parse paired metadata files (S2) ------------------------------------
-    # No checkpoint: the parse replays over the checkpointed json_content
-    # (in-memory), so its two consumers (stats + the good branch) cost one
-    # extra from_json pass, not a file re-scan.
-    parsed = parse_metadata_content(
-        json_content.join(paired.select("path"), "path", "left_semi")
-    )
+    # Fetch exactly the paired metadata files; the parse replays over the
+    # checkpointed content (in-memory), so its two consumers (stats + the
+    # good branch) cost one extra from_json pass, not a file re-read.
+    meta_content = fetch_text_files(paired.select("path")).localCheckpoint()
+    parsed = parse_metadata_content(meta_content)
 
     good = parsed.where(~F.col("corrupt")).join(
         paired.select(F.col("path"), F.col("data_path")), "path", "inner"

@@ -52,24 +52,29 @@ _FMT_MAP = (
 # SQLite names collide with Spark builtins (Spark 4 has a TIME-typed
 # ``time()``), so the WHERE rewriter renames calls to a ``sqlite_`` prefix and
 # these SQL UDFs (JVM-side expression macros, no Python) implement them.
+#
+# Every function parses via to_timestamp_ntz: SQLite's datetime space is UTC
+# wall-clock (tz-less strings are UTC; a trailing Z is dropped as offset
+# zero), and NTZ arithmetic makes each result IDENTICAL under any session
+# timezone — the session may belong to the caller, not this engine.
 _SQL_FUNCTIONS = [
     # time('2023-07-27T20:30:00.000Z') -> '20:30:00'
     """
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_time(x STRING)
     RETURNS STRING
-    RETURN date_format(to_timestamp(x), 'HH:mm:ss')
+    RETURN date_format(to_timestamp_ntz(x), 'HH:mm:ss')
     """,
     # date(x) -> 'YYYY-MM-DD'
     """
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_date(x STRING)
     RETURNS STRING
-    RETURN date_format(to_timestamp(x), 'yyyy-MM-dd')
+    RETURN date_format(to_timestamp_ntz(x), 'yyyy-MM-dd')
     """,
     # datetime(x) -> 'YYYY-MM-DD HH:MM:SS'
     """
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_datetime(x STRING)
     RETURNS STRING
-    RETURN date_format(to_timestamp(x), 'yyyy-MM-dd HH:mm:ss')
+    RETURN date_format(to_timestamp_ntz(x), 'yyyy-MM-dd HH:mm:ss')
     """,
     # strftime('%m', x) -> '07'; format translated inline, stays JVM-side.
     # %w/%W have no java.time code: their computed values are substituted
@@ -78,16 +83,17 @@ _SQL_FUNCTIONS = [
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_strftime(fmt STRING, x STRING)
     RETURNS STRING
     RETURN date_format(
-        to_timestamp(x),
+        to_timestamp_ntz(x),
         {chain}
     )
     """,
-    # julianday(x): days since noon UTC, 24 Nov 4714 BC = epoch-seconds/86400
-    # + the epoch's own Julian day number
+    # julianday(x): days since noon UTC, 24 Nov 4714 BC = epoch-days +
+    # the epoch's own Julian day number, micros-precise, NTZ arithmetic
     """
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_julianday(x STRING)
     RETURNS DOUBLE
-    RETURN cast(to_timestamp(x) as double) / 86400.0d + 2440587.5d
+    RETURN timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',
+                         to_timestamp_ntz(x)) / 86400000000.0d + 2440587.5d
     """,
     # GLOB pattern -> anchored Java regex: escape regex metachars that GLOB
     # treats literally, then * -> .* and ? -> . ([...] classes pass through —
@@ -109,6 +115,48 @@ _RENAMED_FUNCS = re.compile(r"(?i)\b(time|date|datetime|strftime|julianday)\s*\(
 _GLOB_OP = re.compile(r"(?i)\bGLOB\b\s*")
 _BARE_OPERAND = re.compile(r"[A-Za-z_][\w.]*")
 
+_NEVER_MATCHES = "(?!)"  # SQLite: a malformed class matches nothing
+
+
+def glob_to_regex(pat: str) -> str:
+    """SQLite GLOB pattern → anchored Java regex, stateful scan.
+
+    Faithful to glob(7)/SQLite: ``*``/``?`` wildcards, ``[...]`` classes
+    with ``^`` negation and ranges, a ``]`` directly after ``[`` or ``[^``
+    is a literal member, wildcards inside a class are literal members, and
+    an unterminated class matches nothing.
+    """
+    out: list[str] = ["^"]
+    i, n = 0, len(pat)
+    while i < n:
+        c = pat[i]
+        if c == "*":
+            out.append(".*")
+        elif c == "?":
+            out.append(".")
+        elif c == "[":
+            j = i + 1
+            cls: list[str] = []
+            if j < n and pat[j] == "^":
+                cls.append("^")
+                j += 1
+            if j < n and pat[j] == "]":  # literal ] as first member
+                cls.append("\\]")
+                j += 1
+            while j < n and pat[j] != "]":
+                ch = pat[j]
+                cls.append("\\" + ch if ch in "\\]^[&" else ch)
+                j += 1
+            if j >= n:  # unterminated class
+                return _NEVER_MATCHES
+            out.append("[" + "".join(cls) + "]")
+            i = j
+        else:
+            out.append(re.escape(c))
+        i += 1
+    out.append("$")
+    return "".join(out)
+
 
 def _fmt_translation_expr() -> str:
     # %w (weekday, Sunday=0) and %W (Monday-first week 00-53, the C strftime
@@ -116,9 +164,9 @@ def _fmt_translation_expr() -> str:
     # applied before the code-to-code replaces.
     expr = (
         "replace(replace(fmt,"
-        " '%W', lpad(cast((dayofyear(to_timestamp(x)) - 1 + 7"
-        " - weekday(to_timestamp(x))) div 7 as string), 2, '0')),"
-        " '%w', cast(dayofweek(to_timestamp(x)) - 1 as string))"
+        " '%W', lpad(cast((dayofyear(to_timestamp_ntz(x)) - 1 + 7"
+        " - weekday(to_timestamp_ntz(x))) div 7 as string), 2, '0')),"
+        " '%w', cast(dayofweek(to_timestamp_ntz(x)) - 1 as string))"
     )
     for sqlite_code, java_code in _FMT_MAP:
         expr = f"replace({expr}, '{sqlite_code}', '{java_code}')"
@@ -143,6 +191,18 @@ def translate_where(where: str) -> str:
     """
     from betfair_database_spark.const import SQL_TABLE_COLUMNS
 
+    # SQLite resolves quoted identifiers case-insensitively
+    columns_ci = {c.lower(): c for c in SQL_TABLE_COLUMNS}
+
+    def resolve_double_quoted(span_body: str) -> str:
+        """SQLite resolves "x" as an identifier when a column named x exists
+        (case-insensitively), else as a string literal; Spark always parses
+        "x" as a string, so resolve against the index column contract."""
+        actual = columns_ci.get(span_body.lower())
+        if actual is not None:
+            return f"`{actual}`"
+        return "'" + span_body.replace("'", "''") + "'"
+
     out: list[str] = []
     i, n = 0, len(where)
     while i < n:
@@ -153,15 +213,8 @@ def translate_where(where: str) -> str:
             i = j + 1
             continue
         if ch == '"':
-            # SQLite resolves "x" as an identifier when a column named x
-            # exists, else as a string literal; Spark always parses "x" as a
-            # string, so resolve here against the index column contract.
             j = _scan_quoted(where, i, '"')
-            body = where[i + 1 : j].replace('""', '"')
-            if body in SQL_TABLE_COLUMNS:
-                out.append(f"`{body}`")
-            else:
-                out.append("'" + body.replace("'", "''") + "'")
+            out.append(resolve_double_quoted(where[i + 1 : j].replace('""', '"')))
             i = j + 1
             continue
         boundary_ok = i == 0 or not (where[i - 1].isalnum() or where[i - 1] in "_.")
@@ -173,16 +226,44 @@ def translate_where(where: str) -> str:
         m = _GLOB_OP.match(where[i:])
         if m and boundary_ok:
             i += m.end()
-            # wrap the right operand (quoted literal or bare column ref)
+            # Rewrite by operand form. A literal pattern converts here in
+            # Python (full stateful GLOB→regex, all class edge cases); only
+            # data-driven patterns (column/function operands) fall back to
+            # the sqlite_glob_regex SQL macro.
             if i < n and where[i] == "'":
                 j = _scan_quoted(where, i, "'")
-                operand = where[i : j + 1]
+                body = where[i + 1 : j].replace("''", "'")
+                regex = glob_to_regex(body)
+                lit = regex.replace("\\", "\\\\").replace("'", "''")
+                out.append(f"RLIKE '{lit}'")
+                i = j + 1
+            elif i < n and where[i] == '"':
+                j = _scan_quoted(where, i, '"')
+                resolved = resolve_double_quoted(where[i + 1 : j].replace('""', '"'))
+                if resolved.startswith("`"):
+                    out.append(f"RLIKE sqlite_glob_regex({resolved})")
+                else:  # a string literal after all → convert in Python
+                    regex = glob_to_regex(resolved[1:-1].replace("''", "'"))
+                    lit = regex.replace("\\", "\\\\").replace("'", "''")
+                    out.append(f"RLIKE '{lit}'")
                 i = j + 1
             else:
                 mo = _BARE_OPERAND.match(where, i)
                 operand = mo.group(0) if mo else ""
                 i = mo.end() if mo else i
-            out.append(f"RLIKE sqlite_glob_regex({operand})")
+                if i < n and where[i] == "(":  # function-call operand
+                    depth, j = 0, i
+                    while j < n:
+                        if where[j] == "(":
+                            depth += 1
+                        elif where[j] == ")":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                        j += 1
+                    operand += where[i : j + 1]
+                    i = j + 1
+                out.append(f"RLIKE sqlite_glob_regex({operand})")
             continue
         m = _RENAMED_FUNCS.match(where[i:])
         if m and boundary_ok:

@@ -35,9 +35,10 @@ _TOKEN = "marketDefinition"
 
 
 def _open_lines(path: str):
-    """Byte lines of a stream data file, decompressing by suffix. zip
-    archives hold one member named after the file stem (the Betfair archive
-    convention); gz/bz2/plaintext open directly."""
+    """Byte lines of a stream data file as a LAZY iterator, decompressing by
+    suffix — a multi-GB input streams line-by-line, it is never materialized
+    as a list. zip archives hold one member named after the file stem (the
+    Betfair archive convention); gz/bz2/plaintext open directly."""
     import bz2
     import gzip
     import io
@@ -47,7 +48,8 @@ def _open_lines(path: str):
         stem = path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
         with zipfile.ZipFile(path) as zf:
             with zf.open(stem) as f:
-                return f.readlines()
+                yield from f
+        return
     if path.endswith(".gz"):
         opener = gzip.open
     elif path.endswith(".bz2"):
@@ -55,7 +57,7 @@ def _open_lines(path: str):
     else:
         opener = io.open
     with opener(path, "rb") as f:
-        return f.readlines()
+        yield from f
 
 
 def _token_lines(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -97,29 +99,13 @@ def derive_metadata(market_data_file) -> dict:
     Raises ``MarketDefinitionMissingError`` when no line of the file carries
     a market definition (reference marketdef.py:79-82).
     """
-    import bz2
-    import gzip
     import json
-    import zipfile
-    from pathlib import Path
 
     from betfair_database_spark.exceptions import MarketDefinitionMissingError
 
-    path = Path(market_data_file)
-    suffix = path.suffix.lower()
-    if suffix == ".zip":
-        with zipfile.ZipFile(path) as zf:
-            with zf.open(path.stem) as f:
-                raw_lines = f.readlines()
-    elif suffix == ".gz":
-        with gzip.open(path, "rb") as f:
-            raw_lines = f.readlines()
-    elif suffix == ".bz2":
-        with bz2.open(path, "rb") as f:
-            raw_lines = f.readlines()
-    else:
-        raw_lines = path.read_bytes().splitlines()
-
+    # same codec dispatch as the distributed reader — one copy of the
+    # suffix/zip-member convention
+    raw_lines = list(_open_lines(str(market_data_file)))
     token = _TOKEN.encode()
     line = next((ln for ln in reversed(raw_lines) if token in ln), None)
     if line is None:

@@ -61,14 +61,30 @@ def test_double_quoted_spans():
         translate_where('"marketType" = \'WIN\' AND x = "true"')
         == "`marketType` = 'WIN' AND x = 'true'"
     )
+    # SQLite resolves quoted identifiers case-insensitively
+    assert translate_where('"MARKETTYPE" = \'WIN\'') == "`marketType` = 'WIN'"
     assert translate_where('"it\'s" = y') == "'it''s' = y"
 
 
 def test_glob_rewrite():
+    # literal patterns convert fully in Python; column operands go through
+    # the sqlite_glob_regex SQL macro
     assert (
         translate_where("marketName GLOB 'R1*' AND venue GLOB pat")
-        == "marketName RLIKE sqlite_glob_regex('R1*')"
+        == "marketName RLIKE '^R1.*$'"
         " AND venue RLIKE sqlite_glob_regex(pat)"
+    )
+    # double-quoted operands resolve like SQLite: column -> identifier,
+    # unknown -> literal pattern
+    assert (
+        translate_where('a GLOB "marketName"')
+        == "a RLIKE sqlite_glob_regex(`marketName`)"
+    )
+    assert translate_where('a GLOB "R1*"') == "a RLIKE '^R1.*$'"
+    # function-call operand keeps its argument list intact
+    assert (
+        translate_where("a GLOB upper(b)")
+        == "a RLIKE sqlite_glob_regex(upper(b))"
     )
     # not rewritten inside string literals or identifiers
     assert translate_where("a = 'GLOB x'") == "a = 'GLOB x'"
@@ -141,3 +157,48 @@ def test_julianday_matches_sqlite(spark):
         translate_where("julianday(marketStartTime) > 2460000")
         == "sqlite_julianday(marketStartTime) > 2460000"
     )
+
+
+def test_glob_class_edge_cases_match_sqlite(spark):
+    """[*], [?], []], [^...], unmatched '[' — the stateful converter must
+    agree with the real SQLite engine on all of them."""
+    import sqlite3
+
+    from betfair_database_spark.database import BetfairDatabase  # noqa: F401
+    from betfair_database_spark.plans.dialect import glob_to_regex
+
+    con = sqlite3.connect(":memory:")
+    cases = [
+        ("[*]", "*"), ("[*]", "."), ("[?]", "?"), ("[?]", "x"),
+        ("[]]", "]"), ("[]]", "x"), ("a[", "a["), ("a[", "a"),
+        ("[^ab]c", "xc"), ("[^ab]c", "ac"), ("x[0-9]*", "x42"),
+        ("*.txt", "file.txt"), ("*.txt", "fileAtxt"),
+    ]
+    for pat, val in cases:
+        regex = glob_to_regex(pat)
+        lit = regex.replace("\\", "\\\\").replace("'", "''")
+        got = spark.sql(f"SELECT 1 WHERE '{val}' RLIKE '{lit}'").count() == 1
+        want = con.execute("SELECT ? GLOB ?", (val, pat)).fetchone()[0] == 1
+        assert got == want, (pat, val, regex)
+
+
+def test_shims_independent_of_session_timezone(spark):
+    """The session may belong to the caller; every shim must return the
+    SQLite (UTC) answer under any session timezone."""
+    from betfair_database_spark.plans.dialect import register_sqlite_functions
+
+    register_sqlite_functions(spark)
+    q = (
+        "SELECT sqlite_time('2023-07-27T20:30:00.000Z') AS t,"
+        " sqlite_strftime('%w', '2023-01-01 00:00:00') AS w,"
+        " sqlite_julianday('1970-01-01 00:00:00') AS j"
+    )
+    before = spark.conf.get("spark.sql.session.timeZone")
+    utc = spark.sql(q).first()
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        shifted = spark.sql(q).first()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", before)
+    assert (utc.t, utc.w, utc.j) == (shifted.t, shifted.w, shifted.j)
+    assert utc.t == "20:30:00" and utc.w == "0" and utc.j == 2440587.5

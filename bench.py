@@ -30,6 +30,7 @@ HEADLINE = [
     "p4_between",
     "j1_inner_join",
     "j4_nonequi_join",
+    "skew_salted_join_agg",
     "a3_group_having",
     "w1_topk_per_group",
     "w2_running_sum",

@@ -286,6 +286,37 @@ def q22_scalar_subquery_anti(spark, sf):
 
 
 @_q(
+    "skew_salted_join_agg",
+    """
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def skew_salted_join_agg(spark, sf):
+    """The fact-fact join routed through the salted-join operator: hot order
+    keys fan out across n_salts reducers; the result is provably identical
+    to the plain join (that IS the oracle)."""
+    from betfair_database_spark.operators.skew import salted_join
+
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+    return (
+        salted_join(li, o, "l_orderkey", n_salts=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
     "agg_percentiles",
     """
     SELECT o_orderstatus,

@@ -269,3 +269,44 @@ def test_token_budget_take_greedy_prefix(spark):
         df.repartition(5), "src", "doc_id", "n", budget=35
     ).collect()
     assert {r.doc_id for r in kept} == {r.doc_id for r in kept2}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from betfair_database_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(k, i) for i in range(50) for k in ("hot", f"k{i % 5}")], "k string, v long"
+    )
+    small = spark.createDataFrame(
+        [("hot", 1), ("k1", 2), ("k3", 3), ("unmatched", 9)], "k string, w long"
+    )
+    plain = {(r.k, r.v, r.w) for r in big.join(small, "k").collect()}
+    salted = {(r.k, r.v, r.w) for r in salted_join(big, small, "k", n_salts=4).collect()}
+    assert salted == plain and len(plain) > 0
+    # the physical join keys really include the salt
+    plan = salted_join(big, small, "k", n_salts=4)._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
+
+
+def test_bucketed_join_plans_without_exchange(spark):
+    from betfair_database_spark.operators.skew import (
+        bucketed_join_is_shuffle_free,
+        write_bucketed,
+    )
+
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(0, 1000, 3).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("vb")
+    )
+    ta, tb = "bfdb_test_bucket_a", "bfdb_test_bucket_b"
+    try:
+        write_bucketed(a, ta, "k", n_buckets=4, sort_col="k")
+        write_bucketed(b, tb, "k", n_buckets=4, sort_col="k")
+        df, shuffle_free = bucketed_join_is_shuffle_free(spark, ta, tb, "k")
+        assert shuffle_free, "bucketed join must not shuffle either side"
+        assert df.count() == 334  # ids 0,3,...,999
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")

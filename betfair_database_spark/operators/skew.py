@@ -23,6 +23,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# join types whose result is invariant under small-side replication: every
+# replicated small row either matches (same output as unsalted) or vanishes.
+# Right/full outer are NOT salvageable this way — the n-1 non-matching
+# replicas of a preserved small row would surface as spurious null rows.
+_SALTABLE_HOW = {"inner", "left", "left_outer", "leftouter", "left_semi",
+                 "leftsemi", "left_anti", "leftanti"}
+
+_SALT = "__bfdb_salt"
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -32,20 +42,36 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join ``big ⋈ small`` on ``on``, salted ``n_salts`` ways.
 
-    The big side's salt is derived from a hash of its whole row (any value
-    in [0, n) is correct — the salt only routes rows to reducers); the small
+    The big side's salt is derived from a hash of its row (any value in
+    [0, n) is correct — the salt only routes rows to reducers); the small
     side is exploded once per salt value. Output columns = big's ∪ small's
-    minus the duplicate key, like a plain ``join(..., on)``.
+    minus the duplicate key, like a plain ``join(..., on)``. Only
+    big-side-preserving join types are accepted: replication breaks
+    right/full outer semantics.
     """
-    salt_of = F.pmod(
-        F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts)
-    ).alias("_salt")
-    b = big.select("*", salt_of)
-    s = small.select(
-        "*", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    if how.lower() not in _SALTABLE_HOW:
+        raise ValueError(
+            f"salted_join supports {sorted(_SALTABLE_HOW)} joins, not {how!r}"
+        )
+    if _SALT in big.columns or _SALT in small.columns:
+        raise ValueError(f"inputs must not already carry a {_SALT} column")
+    # hash() rejects MapType columns; any hashable subset routes fine
+    hashable = [
+        f.name for f in big.schema.fields if not str(f.dataType).startswith("Map")
+    ]
+    salt_src = (
+        F.hash(*[F.col(c) for c in hashable])
+        if hashable
+        else F.monotonically_increasing_id()
     )
-    joined = b.join(s, [on, "_salt"], how)
-    return joined.drop("_salt")
+    b = big.select("*", F.pmod(salt_src, F.lit(n_salts)).alias(_SALT))
+    s = small.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias(_SALT)
+    )
+    joined = b.join(s, [on, _SALT], how)
+    return joined.drop(_SALT)
 
 
 def write_bucketed(
@@ -70,7 +96,22 @@ def bucketed_join_is_shuffle_free(
     spark: SparkSession, left_table: str, right_table: str, on: str
 ) -> tuple[DataFrame, bool]:
     """Join two saved bucketed tables and report whether the physical plan
-    contains any shuffle exchange (diagnostic used by tests/ops)."""
-    df = spark.table(left_table).join(spark.table(right_table), on)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    return df, "Exchange hashpartitioning" not in plan
+    contains any shuffle exchange (diagnostic used by tests/ops).
+
+    Broadcast is disabled while planning the probe: a broadcast join has no
+    shuffle either, which would make the check vacuously true on small
+    tables — the point is to prove the SHUFFLE join needs no exchange.
+    Any ``Exchange`` other than a broadcast counts as a shuffle.
+    """
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = spark.table(left_table).join(spark.table(right_table), on)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    ]
+    return df, not shuffles

@@ -283,9 +283,21 @@ def test_salted_join_matches_plain_join(spark):
     plain = {(r.k, r.v, r.w) for r in big.join(small, "k").collect()}
     salted = {(r.k, r.v, r.w) for r in salted_join(big, small, "k", n_salts=4).collect()}
     assert salted == plain and len(plain) > 0
+    # left join parity too (unmatched big rows survive exactly once)
+    plain_l = {(r.k, r.v, r.w) for r in big.join(small, "k", "left").collect()}
+    salted_l = {
+        (r.k, r.v, r.w)
+        for r in salted_join(big, small, "k", n_salts=4, how="left").collect()
+    }
+    assert salted_l == plain_l
     # the physical join keys really include the salt
     plan = salted_join(big, small, "k", n_salts=4)._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in plan
+    # replication-breaking join types and bad salt counts are rejected
+    with pytest.raises(ValueError):
+        salted_join(big, small, "k", how="full")
+    with pytest.raises(ValueError):
+        salted_join(big, small, "k", n_salts=0)
 
 
 def test_bucketed_join_plans_without_exchange(spark):
@@ -307,6 +319,14 @@ def test_bucketed_join_plans_without_exchange(spark):
         df, shuffle_free = bucketed_join_is_shuffle_free(spark, ta, tb, "k")
         assert shuffle_free, "bucketed join must not shuffle either side"
         assert df.count() == 334  # ids 0,3,...,999
+        # negative control: the same join over UNBUCKETED tables must report
+        # shuffles — otherwise the checker is vacuous
+        a.write.mode("overwrite").saveAsTable(ta + "_plain")
+        b.write.mode("overwrite").saveAsTable(tb + "_plain")
+        _, plain_free = bucketed_join_is_shuffle_free(
+            spark, ta + "_plain", tb + "_plain", "k"
+        )
+        assert not plain_free
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {ta}")
-        spark.sql(f"DROP TABLE IF EXISTS {tb}")
+        for t in (ta, tb, ta + "_plain", tb + "_plain"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

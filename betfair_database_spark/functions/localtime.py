@@ -54,12 +54,9 @@ def local_datetime_string(utc_iso: Column, tz: Column) -> Column:
         micros != 0,
         F.concat(
             F.lit("."),
-            F.regexp_replace(  # strip trailing zeros like str(datetime) does NOT —
-                # python prints all 6 digits, so keep full width
-                F.lpad(micros.cast("string"), 6, "0"),
-                "$",
-                "",
-            ),
+            # full 6-digit width, matching str(datetime) (python does not
+            # strip trailing zeros)
+            F.lpad(micros.cast("string"), 6, "0"),
         ),
     ).otherwise(F.lit(""))
     out = F.concat(base, frac, _offset_str(utc_iso, tz))

@@ -136,6 +136,11 @@ def enrich_with_racing(flat: DataFrame) -> DataFrame:
             is_racing(F.col("eventTypeId"))
             & (F.col("marketType") == "WIN")
             & F.col("_raceIdCandidate").isNotNull()
+            # a WIN market with no name contributes NO lookup row — the
+            # reference's extract_race_metadata(metadata["marketName"])
+            # KeyError skips the race, leaving raceId NULL for every market
+            # of that race (racing.py:119-136)
+            & F.col("marketName").isNotNull()
         )
         .select(
             F.col("_raceIdCandidate").alias("raceId"),

@@ -62,9 +62,10 @@ def lsh_sign_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Deterministic sign-LSH bucket: '+'/'-' pattern of the first ``bits``
-    components. (A production variant uses random hyperplanes; signs of the
-    leading components keep the oracle reproducible.)"""
+    """Deterministic sign-LSH bucket: '1'/'0' sign pattern of the first
+    ``bits`` components ('1' = non-negative). (A production variant uses
+    random hyperplanes; signs of the leading components keep the oracle
+    reproducible.)"""
     bucket = F.concat(
         *[
             F.when(F.element_at(F.col(vec_col), i + 1) >= 0, F.lit("1")).otherwise(
@@ -89,6 +90,11 @@ def bucketed_topk(
     At 100 TB the bucket predicate prunes partitions (write the table
     partitioned/bucketed by this key) — the scan touches 1/2^bits of the data.
     """
+    if len(query_vec) < bits:
+        raise ValueError(
+            f"bits={bits} exceeds query vector length {len(query_vec)}; "
+            "buckets would never match"
+        )
     qbucket = "".join("1" if v >= 0 else "0" for v in query_vec[:bits])
     buckets = lsh_sign_buckets(df, bits, id_col, vec_col)
     inside = buckets.where(F.col("bucket") == qbucket)
@@ -106,15 +112,28 @@ def ivf_assign(
     come from a sampled k-means; here a deterministic seed set keeps the
     operator oracle-checkable. One narrow pass, no shuffle; the cell id is
     the partition key for the 100 TB layout (write bucketed/partitioned by
-    cell, probe touches one cell)."""
-    best = None
-    for cid, vec in centroids:
-        q = F.array(*[F.lit(float(v)) for v in vec])
-        sim = cosine_similarity(F.col(vec_col), q)
-        cand = F.struct(sim.alias("sim"), F.lit(cid).alias("cid"))
-        best = cand if best is None else F.when(cand["sim"] > best["sim"], cand).otherwise(best)
+    cell, probe touches one cell).
+
+    The argmax is array_max over (sim, -cid) structs — O(n) expression
+    size, each cosine evaluated once, smallest cid winning ties (a nested
+    when/otherwise chain would embed the running best twice per centroid:
+    O(2^n) plan nodes, driver-fatal beyond a few dozen cells)."""
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    cands = F.array(
+        *[
+            F.struct(
+                cosine_similarity(
+                    F.col(vec_col), F.array(*[F.lit(float(v)) for v in vec])
+                ).alias("sim"),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    best = F.array_max(cands)
     return df.select(
-        F.col(id_col), best["cid"].alias("cell"), F.col(vec_col)
+        F.col(id_col), (-best["ncid"]).alias("cell"), F.col(vec_col)
     )
 
 

@@ -54,10 +54,16 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(
+    text: Column, features: dict[str, Column] | None = None
+) -> Column:
     """Composite [0,1] quality score: alpha-heavy, punctuation-light,
-    some stopwords, sane token length."""
-    f = quality_features(text)
+    some stopwords, sane token length.
+
+    Pass precomputed ``quality_features`` when the projection already
+    carries them — otherwise every regex subtree is duplicated in the plan.
+    """
+    f = features if features is not None else quality_features(text)
     score = (
         F.coalesce(f["alpha_ratio"], F.lit(0.0)) * 0.5
         + (1 - F.least(F.coalesce(f["punct_ratio"], F.lit(0.0)) * 5, F.lit(1.0))) * 0.2
@@ -105,7 +111,7 @@ def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         feats["punct_ratio"].alias("punct_ratio"),
         feats["stopword_ratio"].alias("stopword_ratio"),
         feats["avg_token_len"].alias("avg_token_len"),
-        quality_score(t).alias("quality"),
+        quality_score(t, features=feats).alias("quality"),
         lang_id(t).alias("pred_lang"),
         fingerprint(t).alias("fingerprint"),
     )

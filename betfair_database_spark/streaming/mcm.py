@@ -40,12 +40,14 @@ def read_mcm_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     )
     mc = parsed.select(
         F.col("msg")["pt"].alias("pt"),
+        F.col("msg")["clk"].alias("clk"),
         F.timestamp_millis(F.col("msg")["pt"]).alias("event_ts"),
         F.explode(F.col("msg")["mc"]).alias("chg"),
     )
     return mc.select(
         F.col("chg")["id"].alias("marketId"),
         "pt",
+        "clk",
         "event_ts",
         F.col("chg")["marketDefinition"].alias("defn"),
         F.col("chg")["rc"].alias("rc"),
@@ -125,8 +127,12 @@ def dedup_stream(
     EXPIRES entries older than the watermark — without it the key set (and
     the state store) grows without bound on an infinite stream, which is the
     scale failure mode of a naive dropDuplicates.
+
+    The default key includes ``clk`` (Betfair's per-message sequence token):
+    two DISTINCT messages can share a millisecond ``pt`` during a burst, and
+    (marketId, pt) alone would silently drop the second.
     """
-    keys = keys or ["marketId", "pt"]
+    keys = keys or ["marketId", "pt", "clk"]
     return changes.withWatermark("event_ts", watermark_delay).dropDuplicatesWithinWatermark(
         keys
     )
@@ -159,6 +165,9 @@ def market_tick_state(changes: DataFrame) -> DataFrame:
             F.col("tick")["id"].alias("runnerId"),
             F.col("tick")["ltp"].alias("ltp"),
         )
+        # a malformed tick (null runner id or price) must not poison the
+        # state (int(nan) would kill the query; NaN prices corrupt jumps)
+        .where(F.col("runnerId").isNotNull() & F.col("ltp").isNotNull())
     )
 
     out_schema = StructType(

@@ -69,3 +69,28 @@ def test_race_id_column(spark):
     ).collect()
     assert out[0].rid == "7,GB,Ascot,2023-08-02T15:10:00.000Z"
     assert out[1].rid is None  # any missing component → no race id
+
+
+def test_nameless_win_market_leaves_race_unenriched(spark):
+    """A WIN racing market with NO name must not create a race lookup row:
+    the reference's extract_race_metadata(metadata['marketName']) raises
+    KeyError and skips the race, so raceId stays NULL for every market of
+    that race (reference racing.py:119-136, 143-152)."""
+    from betfair_database_spark.functions.racing import enrich_with_racing
+
+    flat = spark.createDataFrame(
+        [
+            # race A: nameless WIN + a PLACE sibling → nobody enriched
+            ("1.1", None, "WIN", "4339", "rA"),
+            ("1.2", "To Be Placed", "PLACE", "4339", "rA"),
+            # race B: named WIN → both enriched
+            ("1.3", "R1 320m Mdn", "WIN", "4339", "rB"),
+            ("1.4", "To Be Placed", "PLACE", "4339", "rB"),
+        ],
+        "marketId string, marketName string, marketType string,"
+        " eventTypeId string, _raceIdCandidate string",
+    )
+    out = {r.marketId: r for r in enrich_with_racing(flat).collect()}
+    assert out["1.1"].raceId is None and out["1.2"].raceId is None
+    assert out["1.3"].raceId == "rB" and out["1.4"].raceId == "rB"
+    assert out["1.4"].raceDistanceMeters == 320

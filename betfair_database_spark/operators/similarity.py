@@ -14,7 +14,7 @@ reproduces results bit-compatibly after rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -193,3 +193,42 @@ def embedding_near_dup_pairs(
         "b",
         F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
     ).where(F.col("cos_sim") >= threshold)
+
+
+def batch_cosine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force kNN for a whole query SET in one pass: broadcast the
+    queries, score every (query, base) pair JVM-side (zip_with/aggregate —
+    no Python, no explode), then window top-k per query.
+
+    This is the batch-retrieval shape: at 100 TB the base table streams
+    through once regardless of how many queries ride along (scoring cost is
+    |base| x |queries| multiply-adds inside whole-stage codegen, and the
+    top-k window shuffles only the scored rows, grouped by query id). The
+    rank is computed over the ROUNDED similarity so tie-breaking is
+    reproducible in the DuckDB oracle.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(q))
+        .select(
+            "q_id",
+            id_col,
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("q_vec")), 4
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -1578,3 +1578,10 @@ def text_lang_id(spark, sf):
     return _t(spark, sf, "documents").select(
         "doc_id", textstats.lang_id(F.col("text")).alias("pred_lang")
     )
+
+
+# Extended plan shapes (deep TPC-H joins, grouping sets, duplicate
+# clustering, batch ANN) register themselves into SUITE on import; kept in a
+# separate module so this file stays the §2 core. Bottom import: suite_ext
+# needs _q/_t/_MINHASH_ORACLE, all defined above.
+from betfair_database_spark import suite_ext as _suite_ext  # noqa: E402,F401

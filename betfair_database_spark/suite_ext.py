@@ -1,0 +1,455 @@
+"""Suite extension: deeper TPC-H plan shapes + pipeline graph/batch-ANN ops.
+
+Registered into :data:`betfair_database_spark.suite.SUITE` via the ``_q``
+decorator; imported from the bottom of ``suite.py`` so the registry stays a
+single dict for ``__spark_entry__``.
+
+Same hash-matching conventions as ``suite.py`` (identical rounding/aliases/
+casts both sides; total ORDER BY whenever there is a LIMIT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from betfair_database_spark.operators import dedup, graph, similarity
+from betfair_database_spark.suite import _MINHASH_ORACLE, _q, _t
+
+
+# =========================================================================
+# TPC-H plan shapes (joins/aggregates the reference's SQL surface covers
+# via SQLite passthrough — here each one is tuned for the distributed plan)
+# =========================================================================
+
+
+@_q(
+    "q7_nation_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    JOIN orders    ON o_orderkey  = l_orderkey
+    JOIN customer  ON c_custkey   = o_custkey
+    JOIN supplier  ON s_suppkey   = l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark, sf):
+    """TPC-H Q7 shape (6-way join). The nation filter is applied BEFORE the
+    fact joins: nation⨝supplier and nation⨝customer shrink both dimension
+    sides first and broadcast them, so the only shuffle is lineitem⨝orders.
+    The OR-of-nation-pairs residual runs on the already-joined rows."""
+    nat = _t(spark, sf, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    sup = (
+        _t(spark, sf, "supplier")
+        .join(
+            F.broadcast(nat.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cus = (
+        _t(spark, sf, "customer")
+        .join(
+            F.broadcast(nat.select("n_nationkey", F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    joined = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cus), o["o_custkey"] == cus["c_custkey"])
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@_q(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(c_acctbal, 2) AS acctbal
+    FROM customer
+    JOIN orders   ON o_custkey   = c_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf):
+    """TPC-H Q10 shape: returned-item revenue per customer over a half-year
+    window, top 20. Both filters sit UNDER the joins (date range prunes
+    orders, returnflag prunes lineitem scan-side); nation is broadcast; the
+    final top-20 is a TakeOrderedAndProject, not a global sort."""
+    o = _t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@_q(
+    "q12_priority_linecount",
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def q12_priority_linecount(spark, sf):
+    """TPC-H Q12 shape: join + conditional aggregation (CASE inside SUM —
+    one pass, no per-branch scans). The non-equi l_shipdate >= o_orderdate
+    is a residual on the equi-join, not a join condition."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .where(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@_q(
+    "q14_promo_revenue",
+    """
+    SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE year(l_shipdate) = 1996
+    """,
+)
+def q14_promo_revenue(spark, sf):
+    """TPC-H Q14 shape: broadcast dim join + ratio-of-conditional-sums in a
+    single aggregate (no second scan for the denominator)."""
+    li = _t(spark, sf, "lineitem").where(F.year("l_shipdate") == 1996)
+    p = _t(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@_q(
+    "q17_small_quantity_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey AS pk, 0.5 * avg(l_quantity) AS thresh
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem JOIN pa ON pk = l_partkey
+    WHERE l_quantity < thresh
+    """,
+)
+def q17_small_quantity_revenue(spark, sf):
+    """TPC-H Q17 shape: correlated per-part average. The classic plan is
+    aggregate-then-self-join (two scans + two shuffles); a window over
+    l_partkey computes the per-part average and filters in ONE shuffle and
+    one scan — the shape that wins at 100 TB."""
+    li = _t(spark, sf, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("thresh", 0.5 * F.avg("l_quantity").over(w))
+        .where(F.col("l_quantity") < F.col("thresh"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@_q(
+    "q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey AS ok, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    )
+    SELECT c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(o_totalprice, 2) AS totalprice,
+           round(total_qty, 2) AS total_qty
+    FROM orders JOIN big ON ok = o_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def q18_large_orders(spark, sf):
+    """TPC-H Q18 shape: HAVING-qualified aggregate subquery joined back to
+    the fact. The aggregate runs map-side-partial on l_orderkey; the
+    surviving key set is small (HAVING is selective) so the join back to
+    orders broadcasts it."""
+    li = _t(spark, sf, "lineitem")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(big), o["o_orderkey"] == big["ok"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@_q(
+    "q19_disjunctive_filter",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_disjunctive_filter(spark, sf):
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst extracts
+    the common sub-predicates it can push below the join (brand/size terms to
+    the part scan, quantity bounds to the lineitem scan) and keeps the full
+    disjunction as the residual — the join itself stays a plain equi-join,
+    never a nested loop."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return j.where(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+@_q(
+    "q20_qualified_suppliers",
+    """
+    SELECT s_name, round(s_acctbal, 2) AS acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%red%'
+      GROUP BY l_suppkey HAVING sum(l_quantity) > 100)
+    ORDER BY s_name
+    """,
+)
+def q20_qualified_suppliers(spark, sf):
+    """TPC-H Q20 shape: IN over an aggregated subquery = left-semi join on
+    the qualifying key set. The part filter broadcasts into the lineitem
+    scan; the per-supplier aggregate is map-side partial; the final semi
+    join broadcasts the (small) qualified set."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").where(F.col("p_name").like("%red%"))
+    qual = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf, "supplier")
+    return (
+        s.join(F.broadcast(qual), s["s_suppkey"] == qual["l_suppkey"], "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("acctbal"))
+        .orderBy("s_name")
+    )
+
+
+@_q(
+    "agg_grouping_sets",
+    """
+    SELECT coalesce(o_orderstatus, '<all>')   AS status,
+           coalesce(o_orderpriority, '<all>') AS priority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark, sf):
+    """Explicit GROUPING SETS (beyond the rollup/cube lattices already in
+    the suite): Spark expands the sets into one Expand node feeding a single
+    hash aggregate — one scan, one shuffle, regardless of set count."""
+    return (
+        _t(spark, sf, "orders")
+        .groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], ["o_orderstatus", "o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+# =========================================================================
+# Pipeline extensions: duplicate clustering + batch ANN (SURVEY §2.11)
+# =========================================================================
+
+
+_CC_ORACLE = f"""
+WITH RECURSIVE pairs AS (SELECT a, b FROM ({_MINHASH_ORACLE}) mp),
+sym AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),
+nodes AS (SELECT DISTINCT s AS node FROM sym),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, sym.d FROM reach JOIN sym ON sym.s = reach.r
+)
+SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS component FROM reach GROUP BY node
+"""
+
+
+@_q("dedup_cluster_components", _CC_ORACLE)
+def dedup_cluster_components(spark, sf):
+    """MinHash candidate pairs → duplicate CLUSTERS via distributed
+    connected components (iterative min-label propagation, one shuffle per
+    round, lineage cut per round). The oracle computes the same components
+    with a recursive reachability CTE over the identical pair set."""
+    pairs = dedup.minhash_near_dups(
+        _t(spark, sf, "documents"), num_hashes=16, bands=2, threshold=0.8
+    )
+    cc = graph.connected_components(pairs, "a", "b")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").cast("long")
+    )
+
+
+_BATCH_KNN_ORACLE = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         round(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+               / (sqrt(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                  * sqrt(sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))), 4) AS cos_sim
+  FROM embeddings e, q, range(1, 65) t(i)
+  GROUP BY q.q_id, e.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT q_id, vec_id, cos_sim, CAST(rn AS INT) AS rank
+FROM ranked WHERE rn <= 3
+"""
+
+
+@_q("knn_batch_top3", _BATCH_KNN_ORACLE)
+def knn_batch_top3(spark, sf):
+    """Batch brute-force kNN: 5 query vectors broadcast against the full
+    embedding table, scored JVM-side in one pass, top-3 per query."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.batch_cosine_topk(emb, queries, k=3)

@@ -330,3 +330,53 @@ def test_bucketed_join_plans_without_exchange(spark):
     finally:
         for t in (ta, tb, ta + "_plain", tb + "_plain"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_connected_components_min_label(spark):
+    """Two components (0-1-2 chain + 5-6) and the chain's min id labels all
+    of it, however many propagation rounds that takes."""
+    from betfair_database_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (0, 1), (5, 6)], ["a", "b"]
+    )
+    got = {
+        (r.node, r.component)
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(0, 0), (1, 0), (2, 0), (5, 5), (6, 5)}
+
+
+def test_connected_components_path_diameter(spark):
+    """A path graph 0-1-2-3-4-5 needs several propagation rounds; the
+    fixpoint must still label every node 0."""
+    from betfair_database_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], ["a", "b"]
+    )
+    rows = connected_components(edges).collect()
+    assert {r.component for r in rows} == {0}
+    assert {r.node for r in rows} == set(range(6))
+
+
+def test_batch_cosine_topk_self_first(spark):
+    """Each query's own vector must rank first with cos_sim 1.0."""
+    from betfair_database_spark.operators.similarity import batch_cosine_topk
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = batch_cosine_topk(df, df.where(F.col("vec_id") < 2), k=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append((r.rank, r.vec_id, r.cos_sim))
+    assert sorted(by_q) == [0, 1]
+    for q_id, rows in by_q.items():
+        rows.sort()
+        assert rows[0][1] == q_id and rows[0][2] == 1.0
+        assert len(rows) == 2

@@ -63,6 +63,11 @@ def main() -> None:
     spark = get_spark("bench")
     # warm the session (JVM + codegen paths) outside the timed region
     spark.range(1000).selectExpr("sum(id)").collect()
+    # spawn the Python/Arrow worker pool too: mapInPandas queries should
+    # measure steady-state throughput, not one-time interpreter startup
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

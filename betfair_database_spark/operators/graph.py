@@ -59,6 +59,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    converged = False
     for _ in range(max_iter):
         neighbour = sym.join(
             labels, sym["dst"] == labels["node"], "inner"
@@ -79,6 +80,15 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+
+    if not converged:
+        # a silently split component would poison every downstream keep-one
+        # decision — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (graph diameter exceeds the bound); raise max_iter"
+        )
 
     return labels.select(F.col("node"), F.col("lbl").alias("component"))

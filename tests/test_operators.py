@@ -380,3 +380,13 @@ def test_batch_cosine_topk_self_first(spark):
         rows.sort()
         assert rows[0][1] == q_id and rows[0][2] == 1.0
         assert len(rows) == 2
+
+
+def test_connected_components_raises_on_exhaustion(spark):
+    """A 6-node path can't converge in 1 round — must fail loudly, never
+    return a silently split component."""
+    from betfair_database_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(5)], ["a", "b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)

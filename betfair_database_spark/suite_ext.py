@@ -453,3 +453,125 @@ def knn_batch_top3(spark, sf):
     emb = _t(spark, sf, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return similarity.batch_cosine_topk(emb, queries, k=3)
+
+
+# =========================================================================
+# Curation: PII redaction, decontamination, repetition (SURVEY §2.11)
+# =========================================================================
+
+
+_PII_INJECT_SQL = """
+CASE WHEN doc_id % 5 = 0
+     THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com or 555-0199 at 10.0.0.'
+               || CAST(doc_id % 256 AS VARCHAR)
+     ELSE text END
+"""
+
+_PII_ORACLE = f"""
+WITH injected AS (SELECT doc_id, {_PII_INJECT_SQL} AS t FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+           '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b', '[IP]', 'g'),
+           '\\b[0-9]{{3}}-[0-9]{{4}}\\b', '[PHONE]', 'g') AS redacted,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '\\b[0-9]{{3}}-[0-9]{{4}}\\b')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(t, '\\b(?:[0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b')) AS INT) AS n_ips
+FROM injected
+"""
+
+
+@_q("text_pii_redaction", _PII_ORACLE)
+def text_pii_redaction(spark, sf):
+    """PII scrub as pure column expressions (codegen, zero shuffle). The
+    corpus has no natural PII, so deterministic email/phone/IP strings are
+    injected into every 5th doc identically on both sides; the redaction
+    chain and per-class counts are then fully exercised."""
+    from betfair_database_spark.operators import curation
+
+    d = _t(spark, sf, "documents")
+    injected = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-0199 at 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    counts = curation.pii_counts(injected)
+    return d.select(
+        "doc_id",
+        curation.redact_pii(injected).alias("redacted"),
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        counts["n_ips"].alias("n_ips"),
+    )
+
+
+_DECONTAM_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
+  FROM tok
+),
+bench AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0),
+doc_g AS (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 97 <> 0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM doc_g JOIN bench USING (g)
+GROUP BY doc_id
+"""
+
+
+@_q("curation_decontaminate", _DECONTAM_ORACLE)
+def curation_decontaminate(spark, sf):
+    """Benchmark decontamination: docs sharing a word 3-gram with the
+    held-out set (doc_id % 97 == 0 stands in for the benchmark). The
+    benchmark gram set broadcasts; the corpus is scanned once."""
+    from betfair_database_spark.operators import curation
+
+    d = _t(spark, sf, "documents")
+    return curation.contamination(
+        d.where(F.col("doc_id") % 97 != 0),
+        d.where(F.col("doc_id") % 97 == 0),
+        n=3,
+    )
+
+
+_REPETITION_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                        i -> ws[i] || ' ' || ws[i+1]) AS gs
+  FROM tok
+),
+counts AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(gs) AS g FROM grams) GROUP BY doc_id, g
+),
+best AS (SELECT doc_id, max(c) AS best FROM counts GROUP BY doc_id),
+nb AS (SELECT doc_id, len(gs) AS n_bigrams FROM grams)
+SELECT nb.doc_id, CAST(n_bigrams AS INT) AS n_bigrams,
+       CASE WHEN n_bigrams > 0
+            THEN round(CAST(best AS DOUBLE) / n_bigrams, 4) END AS top_bigram_ratio
+FROM nb LEFT JOIN best ON nb.doc_id = best.doc_id
+"""
+
+
+@_q("text_repetition_ratio", _REPETITION_ORACLE)
+def text_repetition_ratio(spark, sf):
+    """Most-frequent-bigram fraction per doc, computed map-side (sorted
+    bigram array + one fold — no explode, no shuffle); the oracle computes
+    the same ratio the explode-and-group way."""
+    from betfair_database_spark.operators import curation
+
+    return curation.repetition_score(_t(spark, sf, "documents"))

@@ -390,3 +390,57 @@ def test_connected_components_raises_on_exhaustion(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(5)], ["a", "b"])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=1)
+
+
+def test_word_ngrams_short_doc_guard(spark):
+    """Docs shorter than n tokens yield an EMPTY gram array (Spark's
+    sequence(1, 0) counts down — the guard must prevent that)."""
+    from betfair_database_spark.operators.curation import word_ngrams
+
+    df = spark.createDataFrame(
+        [("a b c",), ("a b",), ("a",), ("",)], ["text"]
+    )
+    rows = df.select(word_ngrams(F.col("text"), 3).alias("g")).collect()
+    assert [r.g for r in rows] == [["a b c"], [], [], []]
+
+
+def test_redact_pii_all_classes(spark):
+    from betfair_database_spark.operators.curation import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [("mail bob@x.co call 555-1234 from 192.168.0.1 ok",)], ["t"]
+    )
+    out = df.select(
+        redact_pii(F.col("t")).alias("r"),
+        *[c.alias(name) for name, c in pii_counts(F.col("t")).items()],
+    ).first()
+    assert out.r == "mail [EMAIL] call [PHONE] from [IP] ok"
+    assert (out.n_emails, out.n_phones, out.n_ips) == (1, 1, 1)
+
+
+def test_repetition_score_extremes(spark):
+    """All-same-bigram doc scores 1.0; all-distinct scores 1/n; one-token
+    doc has no bigrams (NULL ratio)."""
+    from betfair_database_spark.operators.curation import repetition_score
+
+    df = spark.createDataFrame(
+        [(1, "x x x x"), (2, "a b c d"), (3, "solo")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: (r.n_bigrams, r.top_bigram_ratio) for r in repetition_score(df).collect()}
+    assert got[1] == (3, 1.0)
+    assert got[2] == (3, round(1 / 3, 4))
+    assert got[3] == (0, None)
+
+
+def test_contamination_counts_distinct_shared_grams(spark):
+    from betfair_database_spark.operators.curation import contamination
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "dogs bark loudly at night")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(99, "the cat sat here and the cat sat there")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.n_shared for r in contamination(docs, bench, n=3).collect()}
+    assert got == {1: 1}  # only "the cat sat"; doc 2 shares nothing

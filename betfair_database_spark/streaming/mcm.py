@@ -112,6 +112,32 @@ def ltp_windowed(
     )
 
 
+def tick_sessions(
+    changes: DataFrame, gap: str = "1 minute", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Activity sessions per market via the NATIVE session_window aggregate:
+    a session is a burst of changes separated by quiet gaps >= ``gap``.
+
+    Unlike the fixed buckets of :func:`ltp_windowed`, session windows have
+    data-driven extents; Spark's streaming state merges adjacent windows as
+    ticks arrive and the watermark finalizes sessions once no in-gap late
+    data can appear. Columns: session_start, session_end, marketId,
+    n_changes. (The batch twin — gap sessionization with a lag/cumsum
+    window — is the suite's ``ev_sessionize``.)
+    """
+    return (
+        changes.withWatermark("event_ts", watermark)
+        .groupBy(F.session_window("event_ts", gap).alias("w"), "marketId")
+        .agg(F.count("*").alias("n_changes"))
+        .select(
+            F.col("w")["start"].alias("session_start"),
+            F.col("w")["end"].alias("session_end"),
+            "marketId",
+            "n_changes",
+        )
+    )
+
+
 def dedup_stream(
     changes: DataFrame,
     keys: list[str] | None = None,

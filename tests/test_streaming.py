@@ -143,3 +143,27 @@ def test_dedup_stream_drops_redelivery(spark, tmp_path):
     rows = spark.sql("SELECT marketId, pt FROM dedup_out").collect()
     assert len(rows) == 3
     assert sorted(r.pt for r in rows) == [base, base + 1_000, base + 2_000]
+
+
+def test_tick_sessions_stream(spark, stream_dir):
+    from betfair_database_spark.streaming.mcm import (
+        read_mcm_stream,
+        run_to_memory,
+        tick_sessions,
+    )
+
+    changes = read_mcm_stream(spark, str(stream_dir))
+    # complete mode: session windows reject update, and append would hold
+    # sessions until the watermark passes (never, in one drained batch).
+    # 30s gap: market 1.1 ticks at +0/+10/+20s then +70/+80s -> the 50s
+    # quiet gap splits two sessions; market 1.2 (+0/+5/+6s) stays one
+    run_to_memory(tick_sessions(changes, gap="30 seconds"), "tick_sess", "complete")
+    rows = spark.sql("SELECT * FROM tick_sess").collect()
+    m11 = sorted(
+        (r for r in rows if r.marketId == "1.1"), key=lambda r: r.session_start
+    )
+    assert [r.n_changes for r in m11] == [3, 2]
+    # session end = last change + gap
+    assert (m11[0].session_end - m11[0].session_start).total_seconds() == 50.0
+    m12 = [r for r in rows if r.marketId == "1.2"]
+    assert len(m12) == 1 and m12[0].n_changes == 3

@@ -47,6 +47,14 @@ HEADLINE = [
     "text_lang_id",
     "sample_stratified_hash",
     "corpus_token_budget",
+    # round-2 batch: deep TPC-H shapes + graph/batch-ANN/curation ops
+    "q7_nation_volume",
+    "q17_small_quantity_revenue",
+    "dedup_cluster_components",
+    "knn_batch_top3",
+    "text_pii_redaction",
+    "text_repetition_ratio",
+    "curation_decontaminate",
 ]
 
 

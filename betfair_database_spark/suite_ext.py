@@ -43,9 +43,12 @@ from betfair_database_spark.suite import _MINHASH_ORACLE, _q, _t
 )
 def q7_nation_volume(spark, sf):
     """TPC-H Q7 shape (6-way join). The nation filter is applied BEFORE the
-    fact joins: nation⨝supplier and nation⨝customer shrink both dimension
-    sides first and broadcast them, so the only shuffle is lineitem⨝orders.
-    The OR-of-nation-pairs residual runs on the already-joined rows."""
+    fact joins: the broadcast nation filter shrinks supplier/customer
+    first. Only the 25-row nation dim is HINTED broadcast — the shrunken
+    supplier/customer sides are left to AQE, which promotes them to
+    broadcast at bench scale but degrades gracefully to shuffle joins when
+    they outgrow the driver at 100 TB. The OR-of-nation-pairs residual runs
+    on the already-joined rows."""
     nat = _t(spark, sf, "nation").where(
         F.col("n_name").isin("NATION_1", "NATION_2")
     )
@@ -68,9 +71,9 @@ def q7_nation_volume(spark, sf):
     li = _t(spark, sf, "lineitem")
     o = _t(spark, sf, "orders")
     joined = (
-        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(cus), o["o_custkey"] == cus["c_custkey"])
+        .join(cus, o["o_custkey"] == cus["c_custkey"])
         .where(F.col("supp_nation") != F.col("cust_nation"))
     )
     return (
@@ -182,13 +185,14 @@ def q12_priority_linecount(spark, sf):
     """,
 )
 def q14_promo_revenue(spark, sf):
-    """TPC-H Q14 shape: broadcast dim join + ratio-of-conditional-sums in a
+    """TPC-H Q14 shape: dim join (AQE-promoted to broadcast at bench scale;
+    part outgrows the driver at 100 TB) + ratio-of-conditional-sums in a
     single aggregate (no second scan for the denominator)."""
     li = _t(spark, sf, "lineitem").where(F.year("l_shipdate") == 1996)
     p = _t(spark, sf, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .agg(
             F.round(
                 100.0
@@ -250,8 +254,9 @@ def q17_small_quantity_revenue(spark, sf):
 def q18_large_orders(spark, sf):
     """TPC-H Q18 shape: HAVING-qualified aggregate subquery joined back to
     the fact. The aggregate runs map-side-partial on l_orderkey; the
-    surviving key set is small (HAVING is selective) so the join back to
-    orders broadcasts it."""
+    surviving key set joins back to orders un-hinted — AQE broadcasts it
+    while it fits and falls back to a key-partitioned join when the
+    qualified set grows with the data."""
     li = _t(spark, sf, "lineitem")
     big = (
         li.groupBy(F.col("l_orderkey").alias("ok"))
@@ -261,7 +266,7 @@ def q18_large_orders(spark, sf):
     o = _t(spark, sf, "orders")
     c = _t(spark, sf, "customer")
     return (
-        o.join(F.broadcast(big), o["o_orderkey"] == big["ok"])
+        o.join(big, o["o_orderkey"] == big["ok"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .select(
             "c_custkey",
@@ -297,7 +302,7 @@ def q19_disjunctive_filter(spark, sf):
     never a nested loop."""
     li = _t(spark, sf, "lineitem")
     p = _t(spark, sf, "part")
-    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
     cond = (
         (
             (F.col("p_brand") == "Brand#1")
@@ -337,13 +342,14 @@ def q19_disjunctive_filter(spark, sf):
 )
 def q20_qualified_suppliers(spark, sf):
     """TPC-H Q20 shape: IN over an aggregated subquery = left-semi join on
-    the qualifying key set. The part filter broadcasts into the lineitem
-    scan; the per-supplier aggregate is map-side partial; the final semi
-    join broadcasts the (small) qualified set."""
+    the qualifying key set. The name-filtered part side and the
+    qualified supplier set are both left un-hinted: AQE broadcasts them at
+    bench scale, and both degrade to partitioned joins as they grow —
+    neither is bounded at 100 TB."""
     li = _t(spark, sf, "lineitem")
     p = _t(spark, sf, "part").where(F.col("p_name").like("%red%"))
     qual = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .where(F.col("qty") > 100)
@@ -351,7 +357,7 @@ def q20_qualified_suppliers(spark, sf):
     )
     s = _t(spark, sf, "supplier")
     return (
-        s.join(F.broadcast(qual), s["s_suppkey"] == qual["l_suppkey"], "left_semi")
+        s.join(qual, s["s_suppkey"] == qual["l_suppkey"], "left_semi")
         .select("s_name", F.round("s_acctbal", 2).alias("acctbal"))
         .orderBy("s_name")
     )

@@ -263,7 +263,10 @@ def translate_where(where: str) -> str:
                         j += 1
                     operand += where[i : j + 1]
                     i = j + 1
-                out.append(f"RLIKE sqlite_glob_regex({operand})")
+                # the operand is arbitrary SQLite expression text — recurse
+                # so functions/literals inside it get the same bridging
+                # (e.g. x GLOB strftime('%Y*', col) needs sqlite_strftime)
+                out.append(f"RLIKE sqlite_glob_regex({translate_where(operand)})")
             continue
         m = _RENAMED_FUNCS.match(where[i:])
         if m and boundary_ok:

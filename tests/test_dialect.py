@@ -86,6 +86,16 @@ def test_glob_rewrite():
         translate_where("a GLOB upper(b)")
         == "a RLIKE sqlite_glob_regex(upper(b))"
     )
+    # ...and the operand itself is bridged: renamed functions, booleans and
+    # double-quoted spans inside it translate like any other expression
+    assert (
+        translate_where("a GLOB strftime('%Y*', eventTime)")
+        == "a RLIKE sqlite_glob_regex(sqlite_strftime('%Y*', eventTime))"
+    )
+    assert (
+        translate_where('a GLOB substr("marketName", 1, 3)')
+        == "a RLIKE sqlite_glob_regex(substr(`marketName`, 1, 3))"
+    )
     # not rewritten inside string literals or identifiers
     assert translate_where("a = 'GLOB x'") == "a = 'GLOB x'"
     assert translate_where("globby = 1") == "globby = 1"

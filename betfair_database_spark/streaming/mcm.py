@@ -278,6 +278,26 @@ def market_tick_state(changes: DataFrame) -> DataFrame:
     )
 
 
+def enrich_with_index(
+    changes: DataFrame,
+    static_index: DataFrame,
+    key: str = "marketId",
+) -> DataFrame:
+    """Stream-static join: every micro-batch left-joins the tick stream
+    against a static (batch) frame — the canonical "enrich the stream with
+    the catalogue/index" stage.
+
+    The static side is broadcast-hinted: the index projection used for
+    enrichment is a per-market row (bounded by live-market count, not data
+    volume), and a broadcast keeps the stream side shuffle-free — state-free
+    too, so nothing accumulates between batches. Spark re-evaluates the
+    static plan per micro-batch, picking up index rewrites between batches.
+    """
+    from pyspark.sql import functions as _F
+
+    return changes.join(_F.broadcast(static_index), key, "left")
+
+
 def run_to_memory(
     stream: DataFrame, table_name: str, output_mode: str = "update"
 ) -> None:

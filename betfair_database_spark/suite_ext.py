@@ -581,3 +581,79 @@ def text_repetition_ratio(spark, sf):
     from betfair_database_spark.operators import curation
 
     return curation.repetition_score(_t(spark, sf, "documents"))
+
+
+@_q(
+    "q11_share_of_total",
+    """
+    WITH nr AS (
+      SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS rev
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, round(rev, 2) AS revenue
+    FROM nr WHERE rev > (SELECT sum(rev) * 0.045 FROM nr)
+    """,
+)
+def q11_share_of_total(spark, sf):
+    """TPC-H Q11 shape: groups whose share exceeds a fraction of the global
+    total. The per-nation aggregate is persisted and reused for both the
+    threshold (1-row re-aggregate, broadcast cross join) and the filter —
+    one lineitem scan, not two."""
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    nr = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+        )
+        .persist()
+    )
+    threshold = nr.agg((F.sum("rev") * 0.045).alias("thresh"))
+    return (
+        nr.crossJoin(F.broadcast(threshold))
+        .where(F.col("rev") > F.col("thresh"))
+        .select("n_name", F.round("rev", 2).alias("revenue"))
+    )
+
+
+@_q(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS sk, sum(l_extendedprice * (1 - l_discount)) AS total_rev
+      FROM lineitem WHERE year(l_shipdate) = 1997 GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(total_rev, 2) AS total_rev
+    FROM supplier JOIN rev ON sk = s_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def q15_top_supplier(spark, sf):
+    """TPC-H Q15 shape: the supplier(s) hitting the maximum of an aggregated
+    view — scalar max as a 1-row broadcast cross join against the persisted
+    aggregate (each engine compares its own unrounded values, so FP noise
+    cannot flip membership across engines)."""
+    li = _t(spark, sf, "lineitem").where(F.year("l_shipdate") == 1997)
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("sk"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_rev"
+            )
+        )
+        .persist()
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    s = _t(spark, sf, "supplier")
+    return (
+        s.join(rev, s["s_suppkey"] == rev["sk"])
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("mx"))
+        .select("s_suppkey", "s_name", F.round("total_rev", 2).alias("total_rev"))
+    )

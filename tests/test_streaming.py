@@ -167,3 +167,27 @@ def test_tick_sessions_stream(spark, stream_dir):
     assert (m11[0].session_end - m11[0].session_start).total_seconds() == 50.0
     m12 = [r for r in rows if r.marketId == "1.2"]
     assert len(m12) == 1 and m12[0].n_changes == 3
+
+
+def test_enrich_with_index_stream_static_join(spark, stream_dir):
+    from betfair_database_spark.streaming.mcm import (
+        enrich_with_index,
+        read_mcm_stream,
+        run_to_memory,
+    )
+
+    changes = read_mcm_stream(spark, str(stream_dir))
+    static = spark.createDataFrame(
+        [("1.1", "Ascot"), ("1.9", "Lingfield")], ["marketId", "venue"]
+    )
+    run_to_memory(
+        enrich_with_index(changes, static).select("marketId", "pt", "venue"),
+        "enriched",
+        "append",
+    )
+    rows = spark.sql("SELECT * FROM enriched").collect()
+    venues = {r.marketId: r.venue for r in rows}
+    # left join: known market enriched, unknown market kept with NULL
+    assert venues["1.1"] == "Ascot"
+    assert venues["1.2"] is None
+    assert len([r for r in rows if r.marketId == "1.1"]) == 5

@@ -55,6 +55,12 @@ HEADLINE = [
     "text_pii_redaction",
     "text_repetition_ratio",
     "curation_decontaminate",
+    # round-2 batch 3: remaining TPC-H shapes + TF-IDF + k-means step
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q21_waiting_suppliers",
+    "tfidf_top_terms",
+    "kmeans_update_step",
 ]
 
 

@@ -1585,3 +1585,4 @@ def text_lang_id(spark, sf):
 # separate module so this file stays the §2 core. Bottom import: suite_ext
 # needs _q/_t/_MINHASH_ORACLE, all defined above.
 from betfair_database_spark import suite_ext as _suite_ext  # noqa: E402,F401
+from betfair_database_spark import suite_ext2 as _suite_ext2  # noqa: E402,F401

@@ -20,8 +20,9 @@ corpus is enormous.
   - lineage is cut per round with ``localCheckpoint`` so the plan stays O(1)
     deep regardless of iteration count (on a cluster with an HDFS checkpoint
     dir, ``checkpoint`` gives the same truncation with storage durability);
-  - convergence is detected with a LIMIT-1 anti-check (stop after the first
-    changed row is found, not a full count);
+  - convergence is detected with a LIMIT-1 scan of the (new, old) label
+    pair carried through the round's aggregate — no join against the
+    previous frame and no full count;
   - only nodes that appear in an edge are labelled — in a dedup flow the
     pair set is collision-bounded by banding, so the label frame is orders
     of magnitude smaller than the corpus.
@@ -45,12 +46,16 @@ def connected_components(
     ``max_iter`` bounds the worst case (a path graph); label propagation
     needs ``diameter`` rounds and duplicate clusters have tiny diameters.
     """
-    sym = edges.select(
+    # Checkpoint the DIRECTED edge frame before symmetrizing: the union has
+    # two branches over the same subtree, and edge frames arrive here as
+    # full candidate pipelines (MinHash banding + Jaccard verify) — without
+    # the cut, that whole pipeline would execute twice just to build sym.
+    directed = edges.select(
         F.col(a).cast("long").alias("src"), F.col(b).cast("long").alias("dst")
-    )
-    sym = sym.union(
-        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
+    sym = directed.union(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
 
     labels = (
         sym.select(F.col("src").alias("node"))
@@ -61,24 +66,33 @@ def connected_components(
 
     converged = False
     for _ in range(max_iter):
+        # One aggregate produces BOTH the new label and the previous one
+        # (each node has exactly one self row, so the conditional max IS the
+        # old label): convergence is then a scan of the checkpointed result,
+        # not an extra join against the previous frame.
+        self_rows = labels.select(
+            "node", "lbl", F.lit(True).alias("is_self")
+        )
         neighbour = sym.join(
             labels, sym["dst"] == labels["node"], "inner"
-        ).select(sym["src"].alias("node"), F.col("lbl"))
+        ).select(
+            sym["src"].alias("node"),
+            F.col("lbl"),
+            F.lit(False).alias("is_self"),
+        )
         new_labels = (
-            labels.select("node", "lbl")
-            .union(neighbour)
+            self_rows.union(neighbour)
             .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
+            .agg(
+                F.min("lbl").alias("lbl"),
+                F.max(F.when(F.col("is_self"), F.col("lbl"))).alias("old_lbl"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
+            new_labels.where(F.col("lbl") != F.col("old_lbl")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("node", "lbl")
         if changed == 0:
             converged = True
             break

@@ -1586,3 +1586,88 @@ def text_lang_id(spark, sf):
 # needs _q/_t/_MINHASH_ORACLE, all defined above.
 from betfair_database_spark import suite_ext as _suite_ext  # noqa: E402,F401
 from betfair_database_spark import suite_ext2 as _suite_ext2  # noqa: E402,F401
+
+# ---------------------------------------------------------------------------
+# Registration order. External harnesses sample the FIRST 50 queries, so the
+# head of the dict is a curated cross-section — at least one query from every
+# operator family (TPC-H plan shapes, dialect shims, join/agg/window/set-op
+# cores, event windows, as-of, every dedup algorithm, every ANN variant,
+# text stats, curation, sampling, multimodal) — and the tail holds the
+# remaining within-family variants. Names listed here must exist; anything
+# registered but not listed keeps its definition order after the curated head.
+# ---------------------------------------------------------------------------
+_CURATED_HEAD = [
+    # TPC-H plan shapes (scan-agg, join-topk, semi/anti, outer-count, nested)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_exists_semijoin",
+    "q16_notin_distinct_suppliers",
+    "q9_profit_by_nation",
+    "q13_customer_distribution",
+    "q21_waiting_suppliers",
+    # skew + aggregate variants
+    "skew_salted_join_agg",
+    "agg_percentiles",
+    "pivot_event_types",
+    "agg_grouping_sets",
+    # reference passthrough / dialect shims
+    "p1_projection",
+    "p2_filter_eq_and",
+    "p7_bool_literal_shim",
+    "p8_strftime_time_shim",
+    "p9_limit_topk",
+    # join + aggregate core
+    "j1_inner_join",
+    "j4_nonequi_join",
+    "j5_broadcast_dim_enrich",
+    "a1_global_aggs",
+    "a2_last_per_group",
+    "a5_array_length",
+    # windows + set ops
+    "w1_topk_per_group",
+    "w3_lag_lead_ntile",
+    "set_ops_except",
+    # scalar functions
+    "f5_weekday_name",
+    "f6_regex_extract",
+    "f12_json_access",
+    "f_date_arithmetic",
+    # event-time windows + as-of
+    "ev_hourly_window",
+    "ev_sessionize",
+    "asof_join_last_order",
+    # deduplication (each algorithm is its own operator)
+    "dedup_exact_stats",
+    "dedup_minhash_pairs",
+    "dedup_simhash_fingerprints",
+    "dedup_ngram_jaccard_top20",
+    "dedup_cluster_components",
+    "fuzzy_levenshtein_pairs",
+    "dedup_embedding_cosine_top10",
+    # similarity search / clustering
+    "knn_cosine_top10",
+    "knn_lsh_bucket_top10",
+    "knn_ivf_top10",
+    "kmeans_update_step",
+    # text analysis + curation + sampling + multimodal
+    "text_quality",
+    "text_lang_id",
+    "tfidf_top_terms",
+    "text_pii_redaction",
+    "curation_decontaminate",
+    "sample_stratified_hash",
+    "multimodal_decode_meta",
+]
+
+
+def _reorder_suite() -> None:
+    missing = [n for n in _CURATED_HEAD if n not in SUITE]
+    if missing:  # a typo here must fail loudly at import, not silently reorder
+        raise RuntimeError(f"curated suite head names not registered: {missing}")
+    tail = [n for n in SUITE if n not in _CURATED_HEAD]
+    ordered = {n: SUITE[n] for n in [*_CURATED_HEAD, *tail]}
+    SUITE.clear()
+    SUITE.update(ordered)
+
+
+_reorder_suite()

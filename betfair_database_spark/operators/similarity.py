@@ -14,6 +14,8 @@ reproduces results bit-compatibly after rounding.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -101,25 +103,157 @@ def bucketed_topk(
     return cosine_topk(inside, query_vec, k, id_col, vec_col)
 
 
+def hyperplanes(seed: int, nplanes: int, dims: int) -> list[list[float]]:
+    """Seeded random hyperplanes with engine-independent components.
+
+    Component (j, i) is md5(f"{seed}:{j}:{i}") → first 8 hex chars → 32-bit
+    int → mapped to [-1, 1). The same derivation the minhash lanes use
+    (operators/dedup.py MINHASH_AB): constants are computed once in Python
+    and embedded as double literals on BOTH engines, so a DuckDB oracle
+    reproduces every bucket bit-exactly — no RNG state to agree on.
+    """
+    return [
+        [
+            int(hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[:8], 16)
+            / 2**32
+            * 2
+            - 1
+            for i in range(dims)
+        ]
+        for j in range(nplanes)
+    ]
+
+
+def hyperplane_oracle_values(seed: int, nplanes: int, dims: int) -> str:
+    """The hyperplane components as a SQL VALUES clause (j, i, w) — 1-based
+    i to match SQL array indexing — so an external oracle derives identical
+    sign bits."""
+    planes = hyperplanes(seed, nplanes, dims)
+    return ", ".join(
+        f"({j}, {i + 1}, {w!r})"
+        for j, plane in enumerate(planes)
+        for i, w in enumerate(plane)
+    )
+
+
+def lsh_hyperplane_buckets(
+    df: DataFrame,
+    bits: int = 4,
+    tables: int = 4,
+    seed: int = 42,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane sign-LSH with ``tables`` independent hash tables.
+
+    Table t's bucket is the sign pattern of the vector's dot products with
+    hyperplanes [t*bits, (t+1)*bits). Multiple small tables trade scan
+    fraction for recall: a near neighbor only needs to collide in ONE
+    table (P[all bits agree] ≈ (1 - θ/π)^bits per table), which is the
+    standard cure for single-table sign-LSH's recall collapse as bits grow.
+
+    Output: (id, bucket_0..bucket_{tables-1}, vector). At 100 TB each
+    table's bucket column is a partition key of its own copy of the index
+    (write `tables` projections, each partitioned by its bucket); a probe
+    is `tables` partition-pruned scans unioned — each touching ~1/2^bits
+    of the data. All arithmetic is JVM-side literal multiply-adds in
+    whole-stage codegen; the per-row cost is tables × bits × dims FLOPs.
+    """
+    planes = hyperplanes(seed, tables * bits, dims)
+
+    def bit(plane: list[float]) -> Column:
+        dot = _dot(F.col(vec_col), F.array(*[F.lit(w) for w in plane]))
+        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    cols = [
+        F.concat(*[bit(planes[t * bits + j]) for j in range(bits)]).alias(
+            f"bucket_{t}"
+        )
+        for t in range(tables)
+    ]
+    return df.select(F.col(id_col), *cols, F.col(vec_col))
+
+
+def hyperplane_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 4,
+    tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: candidates = vectors sharing the query's bucket in ANY table,
+    then exact cosine top-k inside the candidate set.
+
+    The multi-table OR is a single-pass row filter here (each row carries
+    its `tables` bucket strings); in the partitioned 100 TB layout it
+    becomes a union of `tables` pruned scans + dropDuplicates on id.
+    """
+    planes = hyperplanes(seed, tables * bits, len(query_vec))
+
+    def qbucket(t: int) -> str:
+        return "".join(
+            "1"
+            if sum(w * v for w, v in zip(planes[t * bits + j], query_vec)) >= 0
+            else "0"
+            for j in range(bits)
+        )
+
+    buckets = lsh_hyperplane_buckets(
+        df, bits, tables, seed, len(query_vec), id_col, vec_col
+    )
+    match = None
+    for t in range(tables):
+        cond = F.col(f"bucket_{t}") == qbucket(t)
+        match = cond if match is None else (match | cond)
+    return cosine_topk(buckets.where(match), query_vec, k, id_col, vec_col)
+
+
+# Above this many centroids the literal plan path is replaced by the
+# broadcast-join path: k × dims literals in the expression tree cost plan
+# analysis + codegen time on the DRIVER (measured: k=1024 × 64 dims is tens
+# of seconds of analysis), while the broadcast join scales to any k the
+# executors can hold in memory.
+IVF_BROADCAST_THRESHOLD = 64
+
+
 def ivf_assign(
     df: DataFrame,
-    centroids: list[tuple[int, list[float]]],
+    centroids: "list[tuple[int, list[float]]] | DataFrame",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF cell assignment: each vector goes to its nearest centroid
-    (max cosine). Centroids are (cid, vector) literals — in production they
-    come from a sampled k-means; here a deterministic seed set keeps the
-    operator oracle-checkable. One narrow pass, no shuffle; the cell id is
-    the partition key for the 100 TB layout (write bucketed/partitioned by
-    cell, probe touches one cell).
+    (max cosine; smallest cid wins ties). Output: (id, cell, vector).
 
-    The argmax is array_max over (sim, -cid) structs — O(n) expression
-    size, each cosine evaluated once, smallest cid winning ties (a nested
-    when/otherwise chain would embed the running best twice per centroid:
-    O(2^n) plan nodes, driver-fatal beyond a few dozen cells)."""
+    Two physical strategies behind one contract, chosen by centroid count:
+
+    - ``k < IVF_BROADCAST_THRESHOLD`` (list input): centroids embed as plan
+      literals — zero shuffle, the argmax is array_max over (sim, -cid)
+      structs, each cosine evaluated once in whole-stage codegen. (A nested
+      when/otherwise chain would embed the running best twice per centroid:
+      O(2^n) plan nodes, driver-fatal beyond a few dozen cells.)
+    - ``k >= threshold`` or a centroid DataFrame: broadcast hash join
+      against the centroid frame + map-side-partial max aggregate
+      (see ivf_assign_broadcast). Plan size is O(1) in k, so production
+      IVF scales (k = 2^12..2^16 cells) never touch driver analysis.
+
+    In production centroids come from a sampled k-means; a deterministic
+    seed set keeps the operator oracle-checkable. The cell id is the
+    partition key for the 100 TB layout (write bucketed/partitioned by
+    cell, probe touches one cell).
+    """
+    if isinstance(centroids, DataFrame):
+        return ivf_assign_broadcast(df, centroids, id_col, vec_col)
     if not centroids:
         raise ValueError("centroids must be non-empty")
+    if len(centroids) >= IVF_BROADCAST_THRESHOLD:
+        return ivf_assign_broadcast(
+            df, centroid_frame(df.sparkSession, centroids), id_col, vec_col
+        )
     cands = F.array(
         *[
             F.struct(
@@ -137,6 +271,54 @@ def ivf_assign(
     )
 
 
+def centroid_frame(
+    spark, centroids: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """(cid, vector) pairs as a DataFrame for the broadcast assignment path."""
+    return spark.createDataFrame(
+        [(int(cid), [float(v) for v in vec]) for cid, vec in centroids],
+        "cid INT, centroid ARRAY<DOUBLE>",
+    )
+
+
+def ivf_assign_broadcast(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Large-k IVF assignment: broadcast the centroid frame, score every
+    (vector, centroid) pair JVM-side, reduce to the argmax per vector.
+
+    Identical semantics to the literal path (max cosine, smallest cid wins
+    ties — the max is over (sim, -cid) structs, compared lexicographically,
+    the same ordering array_max applies). The n × k candidate rows never
+    hit the wire at full width: the groupBy's map-side partial aggregate
+    collapses each partition's candidates to one row per vector before the
+    exchange, so the shuffle carries n rows regardless of k. That one
+    exchange is the price of O(1) plan size in k — the right trade above
+    ~64 centroids, where the literal path's driver-side plan analysis and
+    codegen grow linearly (and measurably: seconds at k=1024 × 64 dims).
+    """
+    cents = F.broadcast(
+        centroids.select(
+            F.col("cid").cast("int").alias("cid"), F.col("centroid")
+        )
+    )
+    cand = F.struct(
+        cosine_similarity(F.col(vec_col), F.col("centroid")).alias("sim"),
+        (-F.col("cid")).alias("ncid"),
+    )
+    scored = df.select(F.col(id_col), F.col(vec_col)).join(cents).select(
+        F.col(id_col), F.col(vec_col), cand.alias("cand")
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.max("cand").alias("best"), F.first(vec_col).alias(vec_col))
+        .select(F.col(id_col), (-F.col("best.ncid")).alias("cell"), F.col(vec_col))
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -145,9 +327,14 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_broadcast: bool | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: score the query against the centroid table, search the
-    ``nprobe`` nearest cells exhaustively, exact cosine top-k inside."""
+    ``nprobe`` nearest cells exhaustively, exact cosine top-k inside.
+
+    ``use_broadcast`` pins the assignment strategy (None = auto by k, see
+    ivf_assign). Results are identical either way; only the physical plan
+    differs."""
     import math
 
     def cos(a: list[float], b: list[float]) -> float:
@@ -162,7 +349,14 @@ def ivf_topk(
             centroids, key=lambda c: (-cos(query_vec, c[1]), c[0])
         )[:nprobe]
     ]
-    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    if use_broadcast is None:
+        use_broadcast = len(centroids) >= IVF_BROADCAST_THRESHOLD
+    if use_broadcast:
+        assigned = ivf_assign_broadcast(
+            df, centroid_frame(df.sparkSession, centroids), id_col, vec_col
+        )
+    else:
+        assigned = ivf_assign(df, centroids, id_col, vec_col)
     inside = assigned.where(F.col("cell").isin(probe_cells))
     return cosine_topk(inside, query_vec, k, id_col, vec_col)
 

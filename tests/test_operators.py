@@ -444,3 +444,89 @@ def test_contamination_counts_distinct_shared_grams(spark):
     )
     got = {r.doc_id: r.n_shared for r in contamination(docs, bench, n=3).collect()}
     assert got == {1: 1}  # only "the cat sat"; doc 2 shares nothing
+
+
+def test_ivf_assign_broadcast_matches_literal(spark):
+    """Both physical assignment strategies produce identical cells,
+    including the smallest-cid tie-break."""
+    from betfair_database_spark.operators.similarity import (
+        centroid_frame,
+        ivf_assign,
+        ivf_assign_broadcast,
+    )
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.7, 0.7, 0.0]),  # equidistant from centroids 0 and 1 → cid 0
+        (3, [-1.0, -1.0, 0.5]),
+    ]
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    lit_cells = {r.vec_id: r.cell for r in ivf_assign(df, cents).collect()}
+    bc_cells = {
+        r.vec_id: r.cell
+        for r in ivf_assign_broadcast(
+            df, centroid_frame(spark, cents)
+        ).collect()
+    }
+    assert lit_cells == bc_cells
+    assert lit_cells[2] == 0  # tie → smallest cid
+
+
+def test_ivf_assign_broadcast_large_k(spark):
+    """k=1024 centroids × 64 dims: the broadcast path's plan is O(1) in k
+    (the literal path would carry 65k literals through analysis/codegen).
+    Verified against a numpy argmax reference."""
+    import numpy as np
+
+    from betfair_database_spark.operators.similarity import (
+        centroid_frame,
+        ivf_assign,
+    )
+
+    rng = np.random.default_rng(7)
+    cents = rng.standard_normal((1024, 64))
+    vecs = rng.standard_normal((50, 64))
+    # numpy reference: max cosine, smallest cid on ties
+    sims = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)) @ (
+        cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    ).T
+    expected = {i: int(np.argmax(sims[i])) for i in range(len(vecs))}
+
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(len(vecs))],
+        ["vec_id", "embedding"],
+    )
+    cent_list = [(i, [float(v) for v in cents[i]]) for i in range(len(cents))]
+    # list input above the threshold auto-dispatches to the broadcast path
+    got = {r.vec_id: r.cell for r in ivf_assign(df, cent_list).collect()}
+    assert got == expected
+
+
+def test_hyperplane_recall_beats_sign_baseline(spark):
+    """Seeded multi-table hyperplane LSH must recall strictly more of the
+    exact cosine top-10 than the single-table sign-of-leading-dims bucket."""
+    from tests.conftest import SF_DIR
+
+    from betfair_database_spark.operators.similarity import (
+        bucketed_topk,
+        cosine_topk,
+        hyperplane_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = [
+        float(v)
+        for v in emb.where("vec_id = 0").select("embedding").first()[0]
+    ]
+    truth = {r.vec_id for r in cosine_topk(emb, qv, 10).collect()}
+    sign_hits = {r.vec_id for r in bucketed_topk(emb, qv, 10, bits=8).collect()}
+    hyper_hits = {
+        r.vec_id
+        for r in hyperplane_topk(emb, qv, 10, bits=4, tables=4).collect()
+    }
+    sign_recall = len(truth & sign_hits) / 10
+    hyper_recall = len(truth & hyper_hits) / 10
+    assert hyper_recall > sign_recall
+    assert hyper_recall >= 0.5

@@ -39,7 +39,10 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # A zero-norm vector yields 0/0 = NaN, and NaN sorts ABOVE every double
+    # in Spark — a degenerate vector would win every argmax/top-k. Map it to
+    # -1.0 (strictly worse than any real cosine) instead.
+    return F.nanvl(_dot(a, b) / (_norm(a) * _norm(b)), F.lit(-1.0))
 
 
 def cosine_topk(
@@ -163,7 +166,21 @@ def lsh_hyperplane_buckets(
     planes = hyperplanes(seed, tables * bits, dims)
 
     def bit(plane: list[float]) -> Column:
-        dot = _dot(F.col(vec_col), F.array(*[F.lit(w) for w in plane]))
+        # Truncating-zip semantics, matching hyperplane_topk's Python-side
+        # qbucket exactly: slice the vector to dims (no-op when equal,
+        # truncates when longer) and treat missing tail elements as 0.0
+        # (zip_with pads the shorter side with null; coalesce restores the
+        # "truncated" sum). Without this, a dims mismatch silently nulls the
+        # dot and every bit collapses to '0'.
+        dot = F.aggregate(
+            F.zip_with(
+                F.slice(F.col(vec_col), 1, dims),
+                F.array(*[F.lit(w) for w in plane]),
+                lambda x, y: F.coalesce(x.cast("double"), F.lit(0.0)) * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
 
     cols = [
@@ -299,6 +316,11 @@ def ivf_assign_broadcast(
     exchange is the price of O(1) plan size in k — the right trade above
     ~64 centroids, where the literal path's driver-side plan analysis and
     codegen grow linearly (and measurably: seconds at k=1024 × 64 dims).
+
+    Precondition: ``id_col`` values are unique. The groupBy keys on id
+    alone and carries the vector via ``first()``; with duplicate ids the
+    winning cell could pair with another duplicate's vector (the literal
+    path preserves each input row instead).
     """
     cents = F.broadcast(
         centroids.select(
@@ -341,7 +363,9 @@ def ivf_topk(
         dot = sum(x * y for x, y in zip(a, b))
         na = math.sqrt(sum(x * x for x in a))
         nb = math.sqrt(sum(x * x for x in b))
-        return dot / (na * nb) if na and nb else 0.0
+        # zero-norm → -1.0, matching cosine_similarity's nanvl guard so
+        # probe-cell ranking agrees with the assignment semantics
+        return dot / (na * nb) if na and nb else -1.0
 
     probe_cells = [
         cid

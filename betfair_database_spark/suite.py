@@ -18,6 +18,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from betfair_database_spark.operators import asof, dedup, similarity, textstats
 from betfair_database_spark.plans.dialect import (
@@ -42,14 +43,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is a nanosecond parquet timestamp, which Spark's vectorized
-    reader rejects; read it as raw nanos and truncate to micros (exactly what
-    DuckDB's reader does), keeping NTZ wall-clock semantics."""
+    """Load events.parquet tolerating either testdata vintage of ``ts``.
+
+    The driver has shipped this column two ways across rounds: as a
+    nanosecond parquet timestamp (which Spark's vectorized reader can only
+    surface as raw int64 nanos via ``nanosAsLong``) and as a native
+    ``timestamp[us]`` (which Spark 4 reads as TIMESTAMP_NTZ directly).
+    Branch on the dtype Spark actually observed rather than pinning either
+    layout, so a silent testdata change degrades to a no-op instead of a
+    DATATYPE_MISMATCH across the whole event-query family.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # tz-naive parquet timestamps must surface as NTZ, not as UTC instants
+    # reinterpreted through the session timezone
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # epoch-micros → NTZ by pure arithmetic on an NTZ base: no LTZ hop, so
-    # the result is identical under ANY session timezone (the driver's
-    # session is not ours to configure)
+    ts_type = df.schema["ts"].dataType
+    if not isinstance(ts_type, LongType):
+        # native parquet timestamp: already micros wall-clock. Normalize LTZ
+        # to NTZ (cast is a wall-clock reinterpretation, timezone-free) so
+        # downstream date_format output can't depend on the driver's session
+        # timezone, which is not ours to configure.
+        if isinstance(ts_type, TimestampNTZType):
+            return df
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    # legacy raw-nanos layout: epoch-micros → NTZ by pure arithmetic on an
+    # NTZ base — no LTZ hop, identical under ANY session timezone
     return df.withColumn(
         "ts",
         F.expr(
@@ -1215,6 +1234,74 @@ def knn_lsh_bucket_top10(spark, sf):
     )
 
 
+# Multi-table random-hyperplane LSH. The hyperplane components are
+# md5-seeded doubles computed once in Python (similarity.hyperplanes) and
+# embedded as a VALUES clause, so DuckDB derives every sign bit from the
+# exact same constants the Spark plan embeds as literals. bits=4, tables=8:
+# measured recall 0.8 of the exact top-10 on the sf0.001 fixture (the
+# recall/scan trade is the lsh_hyperplane_buckets docstring).
+_HYPER_BITS = 4
+_HYPER_TABLES = 8
+_HYPER_SEED = 42
+
+
+def _hyperplane_oracle() -> str:
+    vals = similarity.hyperplane_oracle_values(
+        _HYPER_SEED, _HYPER_TABLES * _HYPER_BITS, 64
+    )
+    return f"""
+WITH planes(j, i, w) AS (VALUES {vals}),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+bits AS (
+  SELECT e.vec_id, p.j,
+         CASE WHEN sum(p.w * CAST(e.embedding[p.i] AS DOUBLE)) >= 0
+              THEN '1' ELSE '0' END AS bit
+  FROM embeddings e, planes p
+  GROUP BY e.vec_id, p.j
+),
+buckets AS (
+  SELECT vec_id, (j // {_HYPER_BITS}) AS t,
+         string_agg(bit, '' ORDER BY j) AS bucket
+  FROM bits GROUP BY vec_id, (j // {_HYPER_BITS})
+),
+qbits AS (
+  SELECT p.j,
+         CASE WHEN sum(p.w * CAST(q.qe[p.i] AS DOUBLE)) >= 0
+              THEN '1' ELSE '0' END AS bit
+  FROM q, planes p GROUP BY p.j
+),
+qbuckets AS (
+  SELECT (j // {_HYPER_BITS}) AS t, string_agg(bit, '' ORDER BY j) AS bucket
+  FROM qbits GROUP BY (j // {_HYPER_BITS})
+),
+cand AS (
+  SELECT DISTINCT b.vec_id
+  FROM buckets b JOIN qbuckets qb ON b.t = qb.t AND b.bucket = qb.bucket
+),
+scored AS (
+  SELECT e.vec_id,
+         round(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+               / (sqrt(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                  * sqrt(sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))), 4) AS cos_sim
+  FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id, q, range(1, 65) t(i)
+  GROUP BY e.vec_id
+)
+SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+@_q("knn_hyperplane_top10", _hyperplane_oracle())
+def knn_hyperplane_top10(spark, sf):
+    return similarity.hyperplane_topk(
+        _t(spark, sf, "embeddings"),
+        _query_vec(spark, sf),
+        10,
+        bits=_HYPER_BITS,
+        tables=_HYPER_TABLES,
+        seed=_HYPER_SEED,
+    )
+
+
 _IVF_ORACLE = """
 WITH cents AS (
   SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id BETWEEN 1 AND 8
@@ -1609,7 +1696,6 @@ _CURATED_HEAD = [
     "skew_salted_join_agg",
     "agg_percentiles",
     "pivot_event_types",
-    "agg_grouping_sets",
     # reference passthrough / dialect shims
     "p1_projection",
     "p2_filter_eq_and",
@@ -1647,6 +1733,7 @@ _CURATED_HEAD = [
     # similarity search / clustering
     "knn_cosine_top10",
     "knn_lsh_bucket_top10",
+    "knn_hyperplane_top10",
     "knn_ivf_top10",
     "kmeans_update_step",
     # text analysis + curation + sampling + multimodal

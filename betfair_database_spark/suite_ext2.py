@@ -160,8 +160,9 @@ def q8_market_share(spark, sf):
     "q9_profit_by_nation",
     """
     SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-           round(sum(l_extendedprice * (1 - l_discount)
-                     - p_retailprice * l_quantity * 0.1), 2) AS profit
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                     - p_retailprice * l_quantity * 0.1 AS DECIMAL(38,6))), 2)
+                AS DOUBLE) AS profit
     FROM lineitem
     JOIN part     ON p_partkey  = l_partkey
     JOIN supplier ON s_suppkey  = l_suppkey
@@ -205,7 +206,14 @@ def q9_profit_by_nation(spark, sf):
         .join(sup, li["l_suppkey"] == sup["s_suppkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
-        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        # sum in DECIMAL(38,6): exact addition is associative, so the rounded
+        # cent can't flip with partial-aggregation order (FP double sums sat
+        # exactly at the rounding noise floor and flickered across runs)
+        .agg(
+            F.round(F.sum(profit.cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("profit")
+        )
     )
 
 

@@ -522,9 +522,12 @@ def test_hyperplane_recall_beats_sign_baseline(spark):
     ]
     truth = {r.vec_id for r in cosine_topk(emb, qv, 10).collect()}
     sign_hits = {r.vec_id for r in bucketed_topk(emb, qv, 10, bits=8).collect()}
+    # tables=8: measured recall 0.8 on this fixture (tables=4 yields 0.4 —
+    # below the floor; more tables is the standard recall knob, see the
+    # lsh_hyperplane_buckets docstring)
     hyper_hits = {
         r.vec_id
-        for r in hyperplane_topk(emb, qv, 10, bits=4, tables=4).collect()
+        for r in hyperplane_topk(emb, qv, 10, bits=4, tables=8).collect()
     }
     sign_recall = len(truth & sign_hits) / 10
     hyper_recall = len(truth & hyper_hits) / 10

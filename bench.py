@@ -87,7 +87,11 @@ def main() -> None:
     for name in HEADLINE:
         fn = SUITE[name].fn
         best = float("inf")
-        for _ in range(2):  # best-of-2: first run pays one-time Janino codegen
+        # best-of-3: first run pays one-time Janino codegen, and single-box
+        # timings show 2-4× run-to-run variance under external load — the
+        # min is the steady-state number (measured: dedup queries swing
+        # 2.4s-9s across back-to-back identical runs)
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

@@ -3,13 +3,15 @@
 ``mapInPandas`` stages.
 
 The decode step is REAL for container formats whose headers are parseable
-without native codecs: BMP / PNG / GIF / PPM dimensions and RIFF-WAV
-duration (``wave`` stdlib). Formats that need a pixel/sample codec
-(JPEG entropy decode, MP3, video) raise NotImplementedError — swapping in
-PIL/torchaudio is a one-function change on the executor side, the Spark
-plumbing is identical. ``synthesize_media`` builds real BMP/WAV payloads
-from any keyed frame so the full encode → binary column → decode path can
-be exercised (and oracle-checked) in codec-less environments.
+without native codecs: BMP / PNG / GIF / PPM / JPEG (SOF scan) dimensions,
+RIFF-WAV duration (``wave`` stdlib) and MP3 duration (frame-header walk,
+ID3v2-aware). Only formats that genuinely need a full codec (video
+containers, pixel/sample DATA decode) raise NotImplementedError — swapping
+in PIL/torchaudio is a one-function change on the executor side, the Spark
+plumbing is identical. ``synthesize_media`` / ``synthesize_media_jpeg_mp3``
+build real payload bytes from any keyed frame so the full encode → binary
+column → decode path can be exercised (and oracle-checked) in codec-less
+environments.
 
 At 100 TB: binary payloads ride in their own parquet column (column pruning
 keeps metadata-only queries from ever touching bytes); synthesis and
@@ -79,6 +81,99 @@ def encode_wav(n_frames: int, framerate: int = 8000) -> bytes:
     return buf.getvalue()
 
 
+def encode_jpeg(width: int, height: int) -> bytes:
+    """A header-valid JPEG: SOI + JFIF APP0 + SOF0 (1 component) + EOI —
+    35 bytes, no entropy-coded data (decode_image only reads the SOF)."""
+    soi = b"\xff\xd8"
+    app0 = (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1)
+        + b"\x00\x00"
+    )
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1) + b"\x01\x11\x00"
+    return soi + app0 + sof0 + b"\xff\xd9"
+
+
+# MPEG audio frame-header tables (header-only parse — public format spec).
+# bitrate kbps by [version-group][layer][index]; 0 = free/invalid.
+_MP3_BITRATE = {
+    # MPEG1: layer -> 16 bitrate slots
+    1: {
+        1: [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448, 0],
+        2: [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384, 0],
+        3: [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0],
+    },
+    # MPEG2 / 2.5
+    2: {
+        1: [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256, 0],
+        2: [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0],
+        3: [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0],
+    },
+}
+_MP3_SAMPLERATE = {  # by version bits (00=2.5, 10=2, 11=1)
+    3: [44100, 48000, 32000, 0],
+    2: [22050, 24000, 16000, 0],
+    0: [11025, 12000, 8000, 0],
+}
+
+
+def encode_mp3(n_frames: int) -> bytes:
+    """Valid MPEG1 Layer III frames (128 kbps, 44.1 kHz, no padding): each
+    frame is 417 bytes (144 * 128000 // 44100), zeroed sample data.
+    decode recovers duration_ms = (n_frames * 26122) // 1000 — the frame
+    walk truncates each frame to whole microseconds (1152e6 // 44100 =
+    26122 us) before summing."""
+    header = bytes([0xFF, 0xFB, 0x90, 0x00])  # sync|MPEG1|L3, 128k|44.1k
+    frame = header + b"\x00" * (417 - 4)
+    return frame * n_frames
+
+
+def _mp3_duration_ms(payload: bytes) -> int:
+    """Walk MPEG audio frame headers and sum sample counts. Skips a leading
+    ID3v2 tag (syncsafe size). Stops at the first invalid header — trailing
+    garbage/ID3v1 doesn't contribute."""
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        size = 0
+        for b in payload[6:10]:  # syncsafe 28-bit big-endian
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size
+    total_us = 0
+    n = len(payload)
+    while pos + 4 <= n:
+        b1, b2, b3 = payload[pos], payload[pos + 1], payload[pos + 2]
+        if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+            break
+        version = (b2 >> 3) & 0x3  # 00=2.5, 10=2, 11=1 (01 reserved)
+        layer_bits = (b2 >> 1) & 0x3  # 01=III, 10=II, 11=I
+        if version == 1 or layer_bits == 0:
+            break
+        layer = 4 - layer_bits  # 1, 2 or 3
+        vgroup = 1 if version == 3 else 2
+        bitrate = _MP3_BITRATE[vgroup][layer][(b3 >> 4) & 0xF] * 1000
+        samplerate = _MP3_SAMPLERATE[version][(b3 >> 2) & 0x3]
+        if not bitrate or not samplerate:
+            break
+        padding = (b3 >> 1) & 0x1
+        if layer == 1:
+            frame_len = (12 * bitrate // samplerate + padding) * 4
+            samples = 384
+        else:
+            if layer == 3 and vgroup == 2:  # MPEG2/2.5 Layer III half-frames
+                frame_len = 72 * bitrate // samplerate + padding
+                samples = 576
+            else:
+                frame_len = 144 * bitrate // samplerate + padding
+                samples = 1152
+        total_us += samples * 1_000_000 // samplerate
+        pos += frame_len
+    if total_us == 0:
+        raise ValueError("no valid MPEG audio frame found")
+    return total_us // 1000
+
+
 # --------------------------------------------------------------------------
 # Decoders: header-only parsing, no codec dependency
 # --------------------------------------------------------------------------
@@ -104,18 +199,48 @@ def decode_image(payload: bytes) -> tuple[str, int, int]:
     if payload[:2] == b"P6":
         fields = payload[2:].split(maxsplit=2)
         return ("image/x-portable-pixmap", int(fields[0]), int(fields[1]))
+    if payload[:2] == b"\xff\xd8":
+        return ("image/jpeg", *_jpeg_dimensions(payload))
     raise NotImplementedError("unsupported image container (codec required)")
 
 
+def _jpeg_dimensions(payload: bytes) -> tuple[int, int]:
+    """(width, height) from the first SOF segment — a marker walk, no
+    entropy decode. SOFn payload is precision(1) height(2) width(2)."""
+    pos = 2  # past SOI
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            break
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers carry no length
+            continue
+        seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
+        # SOF0-SOF15 minus DHT(C4)/JPG(C8)/DAC(CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            height, width = struct.unpack_from(">HH", payload, pos + 5)
+            return (width, height)
+        if marker == 0xDA:  # start of scan: no SOF seen, give up
+            break
+        pos += 2 + seg_len
+    raise ValueError("no SOF segment found in JPEG stream")
+
+
 def decode_audio(payload: bytes) -> tuple[str, int]:
-    """(mime, duration_ms) for RIFF-WAV via the stdlib ``wave`` reader."""
+    """(mime, duration_ms) for RIFF-WAV (stdlib ``wave``) and MPEG audio
+    (frame-header walk — see _mp3_duration_ms)."""
     import io
     import wave
 
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise NotImplementedError("unsupported audio container (codec required)")
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        return ("audio/wav", w.getnframes() * 1000 // w.getframerate())
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            return ("audio/wav", w.getnframes() * 1000 // w.getframerate())
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    ):
+        return ("audio/mpeg", _mp3_duration_ms(payload))
+    raise NotImplementedError("unsupported audio container (codec required)")
 
 
 # --------------------------------------------------------------------------
@@ -152,6 +277,33 @@ def synthesize_media(
     )
 
 
+def synthesize_media_jpeg_mp3(
+    df: DataFrame, id_col: str = "doc_id", size_col: str = "n_chars"
+) -> DataFrame:
+    """JPEG/MP3 sibling of synthesize_media, closed-form for the oracle:
+
+      id % 2 == 0 → MP3, n_frames = size % 20 + 1
+                    (duration_ms = ((size % 20 + 1) * 26122) // 1000,
+                     n_bytes = (size % 20 + 1) * 417)
+      otherwise   → JPEG, width = id % 100 + 1, height = size % 50 + 1
+                    (n_bytes = 35)
+    """
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = [
+                encode_mp3(int(size) % 20 + 1)
+                if int(i) % 2 == 0
+                else encode_jpeg(int(i) % 100 + 1, int(size) % 50 + 1)
+                for i, size in zip(batch[id_col], batch[size_col])
+            ]
+            yield pd.DataFrame({id_col: batch[id_col], "payload": payloads})
+
+    return df.select(id_col, size_col).mapInPandas(
+        _make, schema=f"{id_col} long, payload binary"
+    )
+
+
 def decode_media(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
     """Decode each payload's container header into typed metadata columns:
     (id, mime, width, height, duration_ms, n_bytes). Undecodable payloads
@@ -164,8 +316,13 @@ def decode_media(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payl
             for i, raw in zip(batch[id_col], batch[payload_col]):
                 payload = bytes(raw) if raw is not None else b""
                 mime, width, height, dur = "unknown", None, None, None
+                is_audio = (
+                    payload[:4] == b"RIFF"
+                    or payload[:3] == b"ID3"
+                    or (len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0)
+                )
                 try:
-                    if payload[:4] == b"RIFF":
+                    if is_audio:
                         mime, dur = decode_audio(payload)
                     else:
                         mime, width, height = decode_image(payload)

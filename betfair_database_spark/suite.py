@@ -1013,6 +1013,95 @@ def asof_join_last_order(spark, sf):
     )
 
 
+def _asof_inputs(spark, sf):
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp_ntz").alias("_ts")
+    )
+    r = (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    return ev, r
+
+
+@_q(
+    "asof_join_next_order",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id,
+           r.o_orderkey AS next_order_key,
+           strftime(r.o_orderdate, '%Y-%m-%d') AS next_order_date
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.o_custkey AND e.ts <= r.o_orderdate
+    """,
+)
+def asof_join_next_order(spark, sf):
+    """Forward as-of: each event gains the EARLIEST order at-or-after it."""
+    ev, r = _asof_inputs(spark, sf)
+    joined = asof.asof_join(
+        ev,
+        r.withColumn("o_orderdate_str", F.date_format("o_orderdate", "yyyy-MM-dd")),
+        on="user_id",
+        left_ts="_ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_orderdate_str"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("next_order_key"),
+        F.col("o_orderdate_str").alias("next_order_date"),
+    )
+
+
+@_q(
+    "asof_join_nearest_order",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    b AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             r.o_orderkey AS bk, r.o_orderdate AS bts
+      FROM events e ASOF LEFT JOIN r
+        ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    ),
+    f AS (
+      SELECT e.event_id, r.o_orderkey AS fk, r.o_orderdate AS fts
+      FROM events e ASOF LEFT JOIN r
+        ON e.user_id = r.o_custkey AND e.ts <= r.o_orderdate
+    )
+    SELECT b.event_id, b.user_id,
+           CASE WHEN bts IS NULL OR (fts IS NOT NULL AND (fts - ts) < (ts - bts))
+                THEN fk ELSE bk END AS near_order_key
+    FROM b JOIN f USING (event_id)
+    """,
+)
+def asof_join_nearest_order(spark, sf):
+    """Nearest as-of: the closer of the two directions, backward on ties —
+    one shuffle, both window frames over the same hash partitioning."""
+    ev, r = _asof_inputs(spark, sf)
+    joined = asof.asof_join(
+        ev,
+        r,
+        on="user_id",
+        left_ts="_ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey"],
+        direction="nearest",
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("o_orderkey").alias("near_order_key")
+    )
+
+
 # =========================================================================
 # Dedup (SURVEY §2.11)
 # =========================================================================
@@ -1524,6 +1613,30 @@ def multimodal_decode_meta(spark, sf):
     from betfair_database_spark.operators import multimodal
 
     media = multimodal.synthesize_media(_t(spark, sf, "documents"))
+    return multimodal.decode_media(media)
+
+
+@_q(
+    "multimodal_decode_jpeg_mp3",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'audio/mpeg' ELSE 'image/jpeg' END AS mime,
+           CASE WHEN doc_id % 2 = 0 THEN NULL ELSE doc_id % 100 + 1 END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN NULL ELSE n_chars % 50 + 1 END AS height,
+           CASE WHEN doc_id % 2 = 0 THEN ((n_chars % 20 + 1) * 26122) // 1000
+                ELSE NULL END AS duration_ms,
+           CASE WHEN doc_id % 2 = 0 THEN (n_chars % 20 + 1) * 417
+                ELSE 35 END AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_decode_jpeg_mp3(spark, sf):
+    """JPEG-SOF + MP3-frame-header round trip: synthesize real JPEG/MP3
+    bytes, decode the headers back (marker scan / frame walk — no codec
+    library), verify against the closed form."""
+    from betfair_database_spark.operators import multimodal
+
+    media = multimodal.synthesize_media_jpeg_mp3(_t(spark, sf, "documents"))
     return multimodal.decode_media(media)
 
 

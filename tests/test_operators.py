@@ -167,6 +167,76 @@ def test_asof_join_backward(spark):
     assert got == {1: "a", 2: "b", 3: None}
 
 
+def _asof_python(left, right, direction):
+    """Pure-Python reference: left/right are (id, k, t) / (k, t, v) tuples."""
+    out = {}
+    for lid, k, lt in left:
+        back = max(
+            ((t, v) for kk, t, v in right if kk == k and t <= lt), default=None
+        )
+        fwd = min(
+            ((t, v) for kk, t, v in right if kk == k and t >= lt), default=None
+        )
+        if direction == "backward":
+            pick = back
+        elif direction == "forward":
+            pick = fwd
+        else:  # nearest: strictly closer forward wins, else backward
+            if back is None:
+                pick = fwd
+            elif fwd is not None and (fwd[0] - lt) < (lt - back[0]):
+                pick = fwd
+            else:
+                pick = back
+        out[lid] = pick[1] if pick else None
+    return out
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_join_all_directions_vs_python(spark, direction):
+    """Property check: randomized keys/timestamps (fixed seed), Spark result
+    must equal the brute-force Python reference in every direction —
+    including exact-ts matches and keys missing on either side."""
+    import random
+
+    from betfair_database_spark.operators.asof import asof_join
+
+    rng = random.Random(1234)
+    left = [
+        (i, rng.randint(0, 5), rng.randint(0, 50) * 10) for i in range(120)
+    ]
+    # duplicate (k, t) right rows are pre-aggregated to max(v) — the
+    # documented uniqueness precondition
+    seen = {}
+    for _ in range(60):
+        k, t = rng.randint(0, 6), rng.randint(0, 50) * 10
+        v = f"v{rng.randint(0, 999)}"
+        seen[(k, t)] = max(seen.get((k, t), ""), v)
+    right = [(k, t, v) for (k, t), v in seen.items()]
+
+    expected = _asof_python(left, right, direction)
+    out = asof_join(
+        spark.createDataFrame(left, ["id", "k", "lt"]),
+        spark.createDataFrame(right, ["k", "rt", "v"]),
+        on="k",
+        left_ts="lt",
+        right_ts="rt",
+        payload_cols=["v"],
+        direction=direction,
+    )
+    got = {r.id: r.v for r in out.collect()}
+    assert got == expected
+
+
+def test_asof_join_rejects_unknown_direction(spark):
+    from betfair_database_spark.operators.asof import asof_join
+
+    df = spark.createDataFrame([(1, 1, 1)], ["id", "k", "t"])
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(df, df, on="k", left_ts="t", right_ts="t",
+                  payload_cols=["id"], direction="sideways")
+
+
 def test_media_decoders_roundtrip():
     """Header parsers recover the dimensions/duration that the encoders
     wrote, plus PNG/GIF/PPM fixtures built by hand."""
@@ -186,10 +256,48 @@ def test_media_decoders_roundtrip():
     gif = b"GIF89a" + struct.pack("<HH", 320, 200)
     assert decode_image(gif) == ("image/gif", 320, 200)
     assert decode_image(b"P6\n12 34\n255\n...") == ("image/x-portable-pixmap", 12, 34)
+
+
+def test_jpeg_mp3_header_roundtrip():
+    """JPEG SOF scan and MP3 frame walk recover what the encoders wrote;
+    edge cases: ID3v2 skip, progressive SOF2, truncated streams."""
+    import struct
+
     import pytest as _pytest
 
+    from betfair_database_spark.operators.multimodal import (
+        decode_audio,
+        decode_image,
+        encode_jpeg,
+        encode_mp3,
+    )
+
+    assert decode_image(encode_jpeg(1920, 1080)) == ("image/jpeg", 1920, 1080)
+    assert decode_image(encode_jpeg(1, 1)) == ("image/jpeg", 1, 1)
+    # progressive JPEG: SOF2 carries the same geometry layout
+    prog = (
+        b"\xff\xd8"
+        + b"\xff\xc2"
+        + struct.pack(">HBHHB", 11, 8, 480, 640, 1)
+        + b"\x01\x11\x00"
+        + b"\xff\xd9"
+    )
+    assert decode_image(prog) == ("image/jpeg", 640, 480)
+    with _pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xd9")  # SOI+EOI, no SOF
+
+    mime, dur = decode_audio(encode_mp3(10))
+    assert (mime, dur) == ("audio/mpeg", (10 * 26122) // 1000)
+    # leading ID3v2 tag (syncsafe size 0x00 0x00 0x00 0x0A = 10 bytes)
+    tagged = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10 + encode_mp3(4)
+    assert decode_audio(tagged) == ("audio/mpeg", (4 * 26122) // 1000)
+    # trailing garbage after the last frame doesn't add duration
+    assert decode_audio(encode_mp3(3) + b"\x00garbage") == (
+        "audio/mpeg",
+        (3 * 26122) // 1000,
+    )
     with _pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0JFIF")  # JPEG needs a codec
+        decode_audio(b"OggS\x00\x00")  # vorbis needs a codec
 
 
 def test_multimodal_decode_media_stage(spark):

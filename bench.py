@@ -61,6 +61,13 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "tfidf_top_terms",
     "kmeans_update_step",
+    # round-4 batch: hyperplane LSH (point probe + near-dup), IVF, as-of
+    # directions, JPEG/MP3 header decode
+    "knn_hyperplane_top10",
+    "knn_ivf_top10",
+    "dedup_embedding_lsh_top10",
+    "asof_join_nearest_order",
+    "multimodal_decode_jpeg_mp3",
 ]
 
 

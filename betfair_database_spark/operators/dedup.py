@@ -202,13 +202,39 @@ def minhash_near_dups(
     bands: int = 2,
     threshold: float = 0.8,
     shingle_k: int = 5,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Full MinHash-LSH near-duplicate pipeline over character-shingle sets:
     candidates via band join, then exact Jaccard verify ≥ threshold.
 
     shingle_k=0 switches to word tokens (saturates on small vocabularies —
-    see ``shingles``)."""
+    see ``shingles``).
+
+    ``collapse_exact=True`` is the production ordering at scale: identical
+    normalized texts collapse to their min-id representative BEFORE
+    shingling, and pairs are reported between representatives only. LSH
+    candidate generation is quadratic in duplicate-cluster size (a cluster
+    of m identical docs alone yields m(m-1)/2 candidates, each paying an
+    exact-Jaccard verify); the exact pass collapses those clusters for the
+    price of one hash shuffle, so the near-dup stage is bounded by UNIQUE
+    documents. The exact duplicates themselves come from the cheap
+    ``exact_dedup``/hash pass — reporting them here would re-discover
+    the same information at LSH prices. Measured at the 100x scale run:
+    without the collapse, 500k docs in 100-replica clusters generate
+    ~25M candidate pairs and the verify join explodes; with it, the
+    candidate set is that of the 5k unique texts."""
     df = spread(df, id_col)
+    if collapse_exact:
+        key = F.md5(normalized_text(F.col(text_col)))
+        df = (
+            df.select(key.alias("_k"), F.col(id_col), F.col(text_col))
+            .groupBy("_k")
+            .agg(
+                F.min(id_col).alias(id_col),
+                F.min_by(text_col, id_col).alias(text_col),
+            )
+            .drop("_k")
+        )
     tok = (
         shingles(df, id_col, text_col, shingle_k)
         if shingle_k

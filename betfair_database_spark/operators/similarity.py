@@ -413,6 +413,61 @@ def embedding_near_dup_pairs(
     ).where(F.col("cos_sim") >= threshold)
 
 
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.99,
+    bits: int = 4,
+    tables: int = 8,
+    seed: int = 42,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The scale path of embedding_near_dup_pairs: block on multi-table
+    hyperplane-LSH buckets instead of a label column, so the pair join is
+    bounded by bucket collisions — no label needed, no all-pairs blowup.
+
+    Near-identical vectors (cos >= 0.99, angle < ~8°) agree on every sign
+    bit of a table with probability ≈ (1 - θ/π)^bits ≈ 0.83 per 4-bit
+    table; across 8 independent tables the miss probability is ~(1-0.83)^8
+    ≈ 2e-7 — recall is effectively 1 at this threshold while the candidate
+    set stays O(collisions). Each table's bucket join is an equi-join
+    (shuffle on a short string key); a pair colliding in several tables is
+    deduplicated before scoring so cosine is evaluated once per candidate.
+
+    At 100 TB: write `tables` projections of (bucket_t, id, vec) each
+    partitioned by its bucket; every per-table self-join is then
+    co-partitioned and the union streams — the same layout hyperplane_topk
+    documents for point probes.
+    """
+    buckets = lsh_hyperplane_buckets(df, bits, tables, seed, dims, id_col, vec_col)
+    cand = None
+    for t in range(tables):
+        a = buckets.select(
+            F.col(f"bucket_{t}").alias("blk"),
+            F.col(id_col).alias("a"),
+        )
+        b = buckets.select(
+            F.col(f"bucket_{t}").alias("blk"),
+            F.col(id_col).alias("b"),
+        )
+        pairs_t = a.join(b, "blk").where(F.col("a") < F.col("b")).select("a", "b")
+        cand = pairs_t if cand is None else cand.unionByName(pairs_t)
+    cand = cand.dropDuplicates(["a", "b"])
+    va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def batch_cosine_topk(
     df: DataFrame,
     queries: DataFrame,

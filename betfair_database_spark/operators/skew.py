@@ -70,7 +70,15 @@ def salted_join(
     s = small.select(
         "*", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias(_SALT)
     )
-    joined = b.join(s, [on, _SALT], how)
+    # Force a sort-merge join. The operator's premise is a small side too
+    # big to broadcast; Catalyst's size ESTIMATE of the exploded side can
+    # still land under autoBroadcastJoinThreshold (explode carries the
+    # pre-explosion stats), and a mis-chosen broadcast then builds
+    # n_salts × |small| rows on the driver — found the hard way at the
+    # 100× scale run, where exactly that OOM'd the broadcast build. A
+    # merge join sorts on (key, salt) and spills to disk at any scale;
+    # when the small side genuinely fits, don't salt — broadcast directly.
+    joined = b.join(s.hint("merge"), [on, _SALT], how)
     return joined.drop(_SALT)
 
 

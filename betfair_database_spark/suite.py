@@ -1166,6 +1166,36 @@ def dedup_minhash_pairs(spark, sf):
     )
 
 
+# Same pipeline with the production exact-collapse pre-pass: the oracle is
+# the minhash oracle computed over one representative per normalized text
+# (min doc_id, that doc's text) instead of the raw table.
+_MINHASH_COLLAPSED_ORACLE = _MINHASH_ORACLE.replace(
+    "FROM documents", "FROM rep"
+).replace(
+    "WITH tok AS (",
+    """WITH rep AS (
+  SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+  FROM documents
+  GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+),
+tok AS (""",
+)
+
+
+@_q("dedup_minhash_collapsed", _MINHASH_COLLAPSED_ORACLE)
+def dedup_minhash_collapsed(spark, sf):
+    """Exact-collapse → MinHash-LSH: the scale ordering (near-dup stage
+    bounded by unique texts; identical-replica clusters never reach the
+    band join — see minhash_near_dups(collapse_exact=True))."""
+    return dedup.minhash_near_dups(
+        _t(spark, sf, "documents"),
+        num_hashes=16,
+        bands=2,
+        threshold=0.8,
+        collapse_exact=True,
+    )
+
+
 _SIMHASH_ORACLE = """
 WITH tok AS (
   SELECT DISTINCT doc_id,
@@ -1389,6 +1419,57 @@ def knn_hyperplane_top10(spark, sf):
         tables=_HYPER_TABLES,
         seed=_HYPER_SEED,
     )
+
+
+def _lsh_neardup_oracle() -> str:
+    vals = similarity.hyperplane_oracle_values(
+        _HYPER_SEED, _HYPER_TABLES * _HYPER_BITS, 64
+    )
+    return f"""
+WITH planes(j, i, w) AS (VALUES {vals}),
+bits AS (
+  SELECT e.vec_id, p.j,
+         CASE WHEN sum(p.w * CAST(e.embedding[p.i] AS DOUBLE)) >= 0
+              THEN '1' ELSE '0' END AS bit
+  FROM embeddings e, planes p GROUP BY e.vec_id, p.j
+),
+buckets AS (
+  SELECT vec_id, (j // {_HYPER_BITS}) AS t,
+         string_agg(bit, '' ORDER BY j) AS bucket
+  FROM bits GROUP BY vec_id, (j // {_HYPER_BITS})
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM buckets x
+  JOIN buckets y ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+),
+scored AS (
+  SELECT c.a, c.b,
+         round(sum(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))
+               / (sqrt(sum(CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)))
+                  * sqrt(sum(CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))), 4) AS cos_sim
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.a
+  JOIN embeddings eb ON eb.vec_id = c.b, range(1, 65) t(i)
+  GROUP BY c.a, c.b
+)
+SELECT a, b, cos_sim FROM scored ORDER BY cos_sim DESC, a, b LIMIT 10
+"""
+
+
+@_q("dedup_embedding_lsh_top10", _lsh_neardup_oracle())
+def dedup_embedding_lsh_top10(spark, sf):
+    """Label-free scale path of embedding near-dup: hyperplane-LSH buckets
+    as the blocking key (candidates bounded by bucket collisions), exact
+    cosine on the candidate set, global top-10."""
+    pairs = similarity.embedding_near_dup_pairs_lsh(
+        _t(spark, sf, "embeddings"),
+        threshold=-1.0,
+        bits=_HYPER_BITS,
+        tables=_HYPER_TABLES,
+        seed=_HYPER_SEED,
+    )
+    return pairs.orderBy(F.desc("cos_sim"), "a", "b").limit(10)
 
 
 _IVF_ORACLE = """

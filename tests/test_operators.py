@@ -398,9 +398,15 @@ def test_salted_join_matches_plain_join(spark):
         for r in salted_join(big, small, "k", n_salts=4, how="left").collect()
     }
     assert salted_l == plain_l
-    # the physical join keys really include the salt
+    # the physical join keys really include the salt, and the join must
+    # never be planned as broadcast: the operator's contract is a small side
+    # too big to broadcast, and a size-misestimated broadcast of the
+    # exploded side builds n_salts x |small| rows on the driver (OOM'd the
+    # 100x scale run before the merge hint pinned it)
     plan = salted_join(big, small, "k", n_salts=4)._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" in plan
     # replication-breaking join types and bad salt counts are rejected
     with pytest.raises(ValueError):
         salted_join(big, small, "k", how="full")

@@ -68,3 +68,66 @@ def token_budget_take(
         .where(F.col("_cum") <= budget)
         .drop("_cum")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 200,
+    overlap: int = 50,
+) -> DataFrame:
+    """Split each document into fixed-size character windows with overlap —
+    the standard pre-tokenization chunking for embedding/retrieval corpora.
+
+    Chunk c starts at 1 + c*(chunk_size - overlap); starts run while they
+    are <= max(len - overlap, 1), so every character lands in at least one
+    chunk, consecutive chunks share ``overlap`` characters, and an empty
+    document yields one empty chunk (never zero rows — a chunker that
+    silently drops documents corrupts joins downstream).
+
+    Output: (id, chunk_ix, chunk). Embarrassingly parallel: one projection
+    + posexplode, no shuffle, no Python. At 100 TB this is the map stage in
+    front of the tokenizer/embedder.
+    """
+    if overlap >= chunk_size:
+        raise ValueError(f"overlap {overlap} must be < chunk_size {chunk_size}")
+    stride = chunk_size - overlap
+    starts = F.expr(
+        f"sequence(1, greatest(length({text_col}) - {overlap}, 1), {stride})"
+    )
+    return df.select(
+        F.col(id_col), F.col(text_col), F.posexplode(starts).alias("chunk_ix", "_s")
+    ).select(
+        id_col,
+        F.col("chunk_ix").cast("int").alias("chunk_ix"),
+        F.expr(f"substring({text_col}, _s, {chunk_size})").alias("chunk"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame, group_col: str, key_col: str, tokens_col: str, budget: int
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget training bin (sequence
+    packing): within each group, documents are laid out in deterministic
+    hash order and a document belongs to the bin where its cumulative
+    window STARTS — bins fill to ~budget tokens, a boundary-spanning
+    document overflows its bin rather than splitting (the streaming-pack
+    convention; split with chunk_documents first if documents can exceed
+    the budget).
+
+    Deterministic at any parallelism (same hash order as
+    token_budget_take). One shuffle — the per-group window; bins never
+    cross groups, so there is no global sort to bottleneck at scale.
+    Output: input columns + ``bin`` (0-based within group).
+    """
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(h.asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(tokens_col).over(w) - F.col(tokens_col)
+    return df.withColumn("bin", (start / budget).cast("long"))

@@ -1421,9 +1421,16 @@ def knn_hyperplane_top10(spark, sf):
     )
 
 
+# Near-dup blocking wants finer buckets than the top-k probe: bits=8 keeps
+# recall ≈ 1 for cos >= 0.99 pairs while quartering candidates per halved
+# bucket population (see embedding_near_dup_pairs_lsh).
+_NEARDUP_BITS = 8
+_NEARDUP_TABLES = 8
+
+
 def _lsh_neardup_oracle() -> str:
     vals = similarity.hyperplane_oracle_values(
-        _HYPER_SEED, _HYPER_TABLES * _HYPER_BITS, 64
+        _HYPER_SEED, _NEARDUP_TABLES * _NEARDUP_BITS, 64
     )
     return f"""
 WITH planes(j, i, w) AS (VALUES {vals}),
@@ -1434,9 +1441,9 @@ bits AS (
   FROM embeddings e, planes p GROUP BY e.vec_id, p.j
 ),
 buckets AS (
-  SELECT vec_id, (j // {_HYPER_BITS}) AS t,
+  SELECT vec_id, (j // {_NEARDUP_BITS}) AS t,
          string_agg(bit, '' ORDER BY j) AS bucket
-  FROM bits GROUP BY vec_id, (j // {_HYPER_BITS})
+  FROM bits GROUP BY vec_id, (j // {_NEARDUP_BITS})
 ),
 cand AS (
   SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
@@ -1465,8 +1472,8 @@ def dedup_embedding_lsh_top10(spark, sf):
     pairs = similarity.embedding_near_dup_pairs_lsh(
         _t(spark, sf, "embeddings"),
         threshold=-1.0,
-        bits=_HYPER_BITS,
-        tables=_HYPER_TABLES,
+        bits=_NEARDUP_BITS,
+        tables=_NEARDUP_TABLES,
         seed=_HYPER_SEED,
     )
     return pairs.orderBy(F.desc("cos_sim"), "a", "b").limit(10)
@@ -1669,6 +1676,70 @@ def corpus_token_budget(spark, sf):
         kept.groupBy("source")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
         .orderBy("source")
+    )
+
+
+@_q(
+    "chunk_documents_windows",
+    """
+    WITH st AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text) - 50, 1), 150)) AS s
+      FROM documents
+    )
+    SELECT doc_id, CAST((s - 1) // 150 AS INT) AS chunk_ix,
+           substr(text, CAST(s AS INT), 200) AS chunk
+    FROM st
+    """,
+)
+def chunk_documents_windows(spark, sf):
+    """Overlapping character-window chunking (size 200, overlap 50) — the
+    map stage in front of a tokenizer/embedder; zero shuffle."""
+    from betfair_database_spark.operators import sampling
+
+    return sampling.chunk_documents(
+        _t(spark, sf, "documents"), chunk_size=200, overlap=50
+    )
+
+
+@_q(
+    "pack_sequences_bins",
+    """
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id)
+               - n_tokens AS strt
+      FROM t
+    )
+    SELECT source, CAST(strt // 500 AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+    FROM c GROUP BY source, bin
+    """,
+)
+def pack_sequences_bins(spark, sf):
+    """Sequence packing into 500-token training bins per source (documents
+    in deterministic hash order; a bin holds the docs whose cumulative
+    window starts inside it), summarized per bin."""
+    from betfair_database_spark.operators import sampling
+
+    d = _t(spark, sf, "documents").select(
+        "source",
+        "doc_id",
+        textstats.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    packed = sampling.pack_sequences(
+        d, group_col="source", key_col="doc_id", tokens_col="n_tokens", budget=500
+    )
+    return packed.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("bin_tokens")
     )
 
 

@@ -228,6 +228,52 @@ def test_asof_join_all_directions_vs_python(spark, direction):
     assert got == expected
 
 
+def test_chunk_documents_coverage_and_overlap(spark):
+    from betfair_database_spark.operators.sampling import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, ""), (3, "xy")], ["doc_id", "text"]
+    )
+    out = chunk_documents(df, chunk_size=4, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_ix, r.chunk))
+    # stride 2, starts while s <= max(10-2,1)=8 → 1,3,5,7 → 4 chunks
+    assert sorted(by_doc[1]) == [
+        (0, "abcd"), (1, "cdef"), (2, "efgh"), (3, "ghij"),
+    ]
+    # consecutive chunks share exactly `overlap` chars; concatenation of
+    # stride-prefixes + last chunk reconstructs the document
+    assert "".join(c[:2] for _, c in sorted(by_doc[1])[:-1]) + by_doc[1][-1][1] == "abcdefghij"
+    assert by_doc[2] == [(0, "")]  # empty doc → one empty chunk, never zero
+    assert by_doc[3] == [(0, "xy")]
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=4, overlap=4)
+
+
+def test_pack_sequences_budget_and_determinism(spark):
+    from betfair_database_spark.operators.sampling import pack_sequences
+
+    rows = [("s", i, 100) for i in range(10)]  # 1000 tokens, budget 300
+    df = spark.createDataFrame(rows, ["g", "k", "n"])
+    out = {r.k: r.bin for r in pack_sequences(df, "g", "k", "n", 300).collect()}
+    # bins partition the docs: every doc assigned, bins contiguous from 0
+    assert set(out) == set(range(10))
+    bins = sorted(set(out.values()))
+    assert bins == list(range(len(bins)))
+    # each bin's docs START inside its window: 3 full docs per 300-token bin
+    from collections import Counter
+
+    sizes = Counter(out.values())
+    assert all(v == 3 for b, v in sizes.items() if b < 3) and sizes[3] == 1
+    # repartitioning must not change the assignment (hash order, not input)
+    out2 = {
+        r.k: r.bin
+        for r in pack_sequences(df.repartition(7), "g", "k", "n", 300).collect()
+    }
+    assert out2 == out
+
+
 def test_asof_join_rejects_unknown_direction(spark):
     from betfair_database_spark.operators.asof import asof_join
 

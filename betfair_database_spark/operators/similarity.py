@@ -511,26 +511,30 @@ def embedding_near_dup_pairs_lsh(
     co-partitioned and the union streams — the same layout hyperplane_topk
     documents for point probes.
     """
-    # Materialize the bucket table once: it feeds 2 × tables join sides, and
-    # replaying the bucket computation (or re-analyzing its plan) per side
-    # multiplies the dominant cost. At 100 TB this is the bucket-partitioned
-    # WRITE the docstring describes; locally a checkpoint stands in for it.
+    # Unpivot the per-table buckets to (id, t, bucket) rows and self-join
+    # ONCE on (t, bucket) — same candidates as `tables` separate per-table
+    # joins, but one shuffle instead of 8 (the shape minhash's band join
+    # uses). The bucket table is materialized first: it feeds both join
+    # sides, and replaying the bucket computation per side doubles the
+    # dominant cost. At 100 TB this is the bucket-partitioned WRITE the
+    # docstring describes; locally a checkpoint stands in for it.
     buckets = lsh_hyperplane_buckets(
         df, bits, tables, seed, dims, id_col, vec_col
     ).localCheckpoint()
-    cand = None
-    for t in range(tables):
-        a = buckets.select(
-            F.col(f"bucket_{t}").alias("blk"),
-            F.col(id_col).alias("a"),
-        )
-        b = buckets.select(
-            F.col(f"bucket_{t}").alias("blk"),
-            F.col(id_col).alias("b"),
-        )
-        pairs_t = a.join(b, "blk").where(F.col("a") < F.col("b")).select("a", "b")
-        cand = pairs_t if cand is None else cand.unionByName(pairs_t)
-    cand = cand.dropDuplicates(["a", "b"])
+    unpiv = buckets.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"bucket_{t}") for t in range(tables)])).alias(
+            "t", "bh"
+        ),
+    )
+    a = unpiv.select(F.col(id_col).alias("a"), "t", "bh")
+    b = unpiv.select(F.col(id_col).alias("b"), "t", "bh")
+    cand = (
+        a.join(b, ["t", "bh"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
     va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     return (

@@ -1524,13 +1524,15 @@ SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
 @_q("knn_ivf_top10", _IVF_ORACLE)
 def knn_ivf_top10(spark, sf):
     emb = _t(spark, sf, "embeddings")
-    cent_rows = (
-        emb.where(F.col("vec_id").between(1, 8))
+    # one driver round-trip fetches query vector + centroids (vec_id 0..8)
+    rows = {
+        int(r.vec_id): [float(v) for v in r.embedding]
+        for r in emb.where(F.col("vec_id").between(0, 8))
         .select("vec_id", "embedding")
         .collect()
-    )
-    centroids = [(int(r.vec_id), [float(v) for v in r.embedding]) for r in cent_rows]
-    return similarity.ivf_topk(emb, centroids, _query_vec(spark, sf), k=10, nprobe=2)
+    }
+    centroids = [(cid, rows[cid]) for cid in sorted(rows) if cid >= 1]
+    return similarity.ivf_topk(emb, centroids, rows[0], k=10, nprobe=2)
 
 
 # =========================================================================

@@ -1,0 +1,128 @@
+"""Streaming incremental index maintenance: a landing directory of market
+metadata files becomes a continuously-updated index.
+
+The batch engine (``BetfairDatabase.insert``/``index``) re-lists and
+re-decides against the whole corpus per call; at a landing-zone scale
+(thousands of new market files per hour, millions indexed) the per-call
+relist dominates. This operator inverts it: Structured Streaming's file
+source tracks WHICH files are new (exactly-once, checkpointed), and each
+micro-batch runs the same parse → flatten → enrich lineage the batch
+indexer uses, then upserts via ``foreachBatch`` — the standard
+incremental-ETL shape (stream for discovery, batch semantics per
+micro-batch).
+
+At 100 TB: the file-source's new-file listing is the only per-batch
+overhead (bounded by maxFilesPerTrigger); parse/flatten/enrich are the
+batch engine's own distributed stages; the upsert is an anti-join +
+append, one shuffle keyed on the index's path key. State is the
+checkpoint's seen-file log — no custom state store.
+
+Reference parity: each micro-batch reproduces ``insert`` REPLACE semantics
+per MARKET (last write wins), the policy the batch ``index(force=True)``
+applies. The file source treats paths as immutable (a rewritten file is
+never re-read — Spark tracks seen paths in the checkpoint), so the
+landing-zone contract is the standard one: updates arrive as NEW files;
+within and across batches the lexicographically-last path for a marketId
+wins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from betfair_database_spark.const import SQL_TABLE_COLUMNS
+from betfair_database_spark.functions.flatten import catalogue_to_flat
+from betfair_database_spark.functions.racing import enrich_with_racing
+from betfair_database_spark.schema import CATALOGUE_SCHEMA
+
+
+def read_catalogue_stream(
+    spark: SparkSession, landing_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of whole catalogue JSON files from a landing dir.
+
+    ``wholetext`` keeps one row per file (a catalogue is one JSON object,
+    not NDJSON); the path rides along for the index's file-path columns.
+    """
+    reader = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .option("pathGlobFilter", "*.json")
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.load(landing_dir)
+    return lines.select(
+        F.regexp_replace(F.input_file_name(), "^file:/*", "/").alias("path"),
+        F.col("value").alias("content"),
+    )
+
+
+def catalogue_batch_to_index_rows(batch: DataFrame) -> DataFrame:
+    """The batch indexer's parse → flatten → enrich lineage over one
+    micro-batch of (path, content) catalogue files."""
+    parsed = batch.select(
+        "path", F.from_json("content", CATALOGUE_SCHEMA).alias("cat")
+    ).where(F.col("cat").isNotNull() & F.col("cat")["marketId"].isNotNull())
+    flat_in = parsed.select(
+        "cat.*",
+        F.col("path").alias("marketMetadataFilePath"),
+        F.expr("substring(path, 1, length(path) - 5)").alias("marketDataFilePath"),
+    )
+    return enrich_with_racing(catalogue_to_flat(flat_in)).select(*SQL_TABLE_COLUMNS)
+
+
+def start_index_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    trigger_once: bool = False,
+):
+    """Continuously fold newly-landed catalogue files into a parquet index.
+
+    foreachBatch upsert keyed on ``marketId``: delete-by-key is emulated
+    with an anti-join (parquet has no row deletes) — existing rows whose
+    market reappears in the batch are dropped, then the fresh rows append.
+    Within a batch the lexicographically-last metadata path wins (paths
+    are immutable, so a later delivery sorts after the original). Returns
+    the StreamingQuery.
+    """
+    from pyspark.sql import Window
+    from pyspark.errors import AnalysisException
+
+    def _upsert(batch: DataFrame, batch_id: int) -> None:
+        rows = catalogue_batch_to_index_rows(batch)
+        w = Window.partitionBy("marketId").orderBy(
+            F.col("marketMetadataFilePath").desc()
+        )
+        rows = (
+            rows.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint()
+        )
+        if not rows.head(1):
+            return
+        spark_ = rows.sparkSession
+        try:
+            existing = spark_.read.parquet(index_path)
+            kept = existing.join(
+                rows.select("marketId"), "marketId", "left_anti"
+            )
+            merged = kept.unionByName(rows).localCheckpoint()
+        except AnalysisException:  # first batch: no index yet
+            merged = rows
+        merged.write.mode("overwrite").parquet(index_path)
+
+    writer = (
+        read_catalogue_stream(spark, landing_dir, max_files_per_trigger)
+        .writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

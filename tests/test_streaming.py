@@ -191,3 +191,56 @@ def test_enrich_with_index_stream_static_join(spark, stream_dir):
     assert venues["1.1"] == "Ascot"
     assert venues["1.2"] is None
     assert len([r for r in rows if r.marketId == "1.1"]) == 5
+
+
+def test_streaming_index_ingest_upsert(spark, tmp_path):
+    """Landing-zone → index stream: first drain indexes the initial files,
+    second drain folds in a new market AND a re-delivered (changed) one —
+    last write wins, no duplicate rows (REPLACE parity)."""
+    import json
+
+    from tests.corpus import _cat
+
+    from betfair_database_spark.streaming.ingest import start_index_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    index_path = str(tmp_path / "index.parquet")
+    ckpt = str(tmp_path / "ckpt")
+
+    def put(mid, name, start, rev=""):
+        # paths are immutable to the file source: an update is a NEW file
+        # (revision suffix), last path per market wins
+        (landing / f"{mid}{rev}.json").write_text(
+            json.dumps(_cat(mid, name, start))
+        )
+
+    put("1.555000001", "Match Odds", "2023-08-02T14:30:00.000Z")
+    put("1.555000002", "Correct Score", "2023-08-02T15:00:00.000Z")
+
+    q = start_index_stream(spark, str(landing), index_path, ckpt, trigger_once=True)
+    q.awaitTermination(120)
+    idx = spark.read.parquet(index_path)
+    assert idx.count() == 2
+    assert set(idx.select("marketId").toPandas()["marketId"]) == {
+        "1.555000001",
+        "1.555000002",
+    }
+
+    # second drain: one new file, one re-delivered with a changed name
+    put("1.555000003", "Over/Under", "2023-08-02T16:00:00.000Z")
+    put("1.555000001", "Match Odds RENAMED", "2023-08-02T14:30:00.000Z", rev=".r2")
+    q2 = start_index_stream(spark, str(landing), index_path, ckpt, trigger_once=True)
+    q2.awaitTermination(120)
+
+    idx = spark.read.parquet(index_path)
+    rows = {r.marketId: r.marketName for r in idx.collect()}
+    assert len(rows) == 3  # upsert, not append-duplicate
+    assert rows["1.555000001"] == "Match Odds RENAMED"
+    assert rows["1.555000003"] == "Over/Under"
+    # the untouched market survives the second batch intact
+    assert rows["1.555000002"] == "Correct Score"
+    # index columns are the full 37-column contract
+    from betfair_database_spark.const import SQL_TABLE_COLUMNS
+
+    assert list(idx.columns) == list(SQL_TABLE_COLUMNS)

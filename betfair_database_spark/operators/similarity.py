@@ -452,6 +452,87 @@ def ivf_topk(
     return cosine_topk(inside, query_vec, k, id_col, vec_col)
 
 
+def kmeans_seeds(
+    df: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """Deterministic k-means init: the k vectors first in md5(id) order,
+    numbered 1..k in that order. Hash order is reproducible across engines,
+    runs and partitionings (the same property the sampling operators use) —
+    an external oracle derives the identical seed set."""
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    return [(i + 1, [float(v) for v in r[1]]) for i, r in enumerate(rows)]
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    max_iters: int = 10,
+    tol: float = 1e-4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: "list[tuple[int, list[float]]] | None" = None,
+) -> tuple[list[tuple[int, list[float]]], DataFrame]:
+    """Lloyd's k-means under cosine assignment, trained to convergence —
+    the producer of IVF centroids.
+
+    Per iteration: ONE assignment pass (ivf_assign — literal argmax under
+    64 centroids, broadcast join + map-side partial max above) and ONE
+    cell-keyed shuffle for the update (posexplode → per-(cell, dim) avg →
+    k × dims rows to the driver — bounded by the centroid table size, not
+    the data). No lineage growth across iterations: each plan is rebuilt
+    from the base frame + the new centroid literals, so there is nothing
+    to checkpoint. Cells that lose every member are dropped (k shrinks)
+    rather than carried — documented, oracle-matched semantics.
+
+    Convergence: max euclidean centroid shift <= tol (tol=0 → run exactly
+    ``max_iters`` unless a fixed point is reached, which is what the
+    unrolled SQL oracle replicates).
+
+    Returns (trained centroids, final assignment frame of (id, cell, vec)).
+    """
+    if centroids is None:
+        centroids = kmeans_seeds(df, k, id_col, vec_col)
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    for _ in range(max_iters):
+        mean_rows = (
+            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.avg(F.col("x").cast("double")).alias("w"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in mean_rows:
+            by_cell.setdefault(int(r.cell), {})[int(r.i)] = float(r.w)
+        new_centroids = [
+            (cid, [coords[i] for i in range(len(coords))])
+            for cid, coords in sorted(by_cell.items())
+        ]
+        prev = dict(centroids)
+        shift = max(
+            (
+                math.sqrt(
+                    reduce(
+                        add,
+                        ((a - b) * (a - b) for a, b in zip(vec, prev[cid])),
+                    )
+                )
+                for cid, vec in new_centroids
+                if cid in prev
+            ),
+            default=0.0,
+        )
+        centroids = new_centroids
+        assigned = ivf_assign(df, centroids, id_col, vec_col)
+        if shift <= tol:
+            break
+    return centroids, assigned
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.99,

@@ -412,6 +412,98 @@ FROM asg GROUP BY cell
 """
 
 
+def _kmeans_fit_oracle(k: int = 4, iters: int = 3, dims: int = 64) -> str:
+    """Unrolled Lloyd iterations as a CTE chain — the ITERATIVE algorithm is
+    still exactly oracle-checkable because the iteration count is fixed.
+    Centroids travel in long form (cid, i, w); c0 is the md5-hash-order
+    seed set (kmeans_seeds), a{n} assigns against c{n-1} by max cosine
+    (smallest cid on ties), c{n} is the member mean. Cells that lose every
+    member drop out (the documented kmeans_fit semantics)."""
+    parts = [
+        f"""
+c0 AS (
+  SELECT CAST(s.rn AS INT) AS cid, t.i, CAST(s.embedding[t.i] AS DOUBLE) AS w
+  FROM (
+    SELECT vec_id, embedding,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM embeddings
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
+  ) s, range(1, {dims + 1}) t(i)
+)"""
+    ]
+    for n in range(1, iters + 1):
+        parts.append(
+            f"""
+s{n} AS (
+  SELECT e.vec_id, c.cid,
+         sum(c.w * CAST(e.embedding[c.i] AS DOUBLE))
+           / (sqrt(sum(CAST(e.embedding[c.i] AS DOUBLE) * CAST(e.embedding[c.i] AS DOUBLE)))
+              * sqrt(sum(c.w * c.w))) AS sim
+  FROM embeddings e, c{n - 1} c
+  GROUP BY e.vec_id, c.cid
+),
+a{n} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM s{n}
+  ) WHERE rn = 1
+),
+c{n} AS (
+  SELECT a.cid, t.i, avg(CAST(e.embedding[t.i] AS DOUBLE)) AS w
+  FROM a{n} a JOIN embeddings e USING (vec_id), range(1, {dims + 1}) t(i)
+  GROUP BY a.cid, t.i
+)"""
+        )
+    # final assignment against the trained centroids, reported per cell
+    parts.append(
+        f"""
+sF AS (
+  SELECT e.vec_id, c.cid,
+         sum(c.w * CAST(e.embedding[c.i] AS DOUBLE))
+           / (sqrt(sum(CAST(e.embedding[c.i] AS DOUBLE) * CAST(e.embedding[c.i] AS DOUBLE)))
+              * sqrt(sum(c.w * c.w))) AS sim
+  FROM embeddings e, c{iters} c
+  GROUP BY e.vec_id, c.cid
+),
+aF AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM sF
+  ) WHERE rn = 1
+)"""
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT a.cid AS cell, CAST(count(*) AS BIGINT) AS n, round(c.w, 6) AS c1
+FROM aF a JOIN c{iters} c ON c.cid = a.cid AND c.i = 1
+GROUP BY a.cid, c.w
+"""
+    )
+
+
+@_q("kmeans_fit_3iter", _kmeans_fit_oracle())
+def kmeans_fit_3iter(spark, sf):
+    """Three full Lloyd iterations (seed → assign → mean, ×3) trained by
+    similarity.kmeans_fit, reported as per-cell population + first centroid
+    coordinate. The oracle unrolls the identical iterations as a CTE chain
+    — iterative ≠ unoracleable when the trip count is pinned."""
+    emb = _t(spark, sf, "embeddings")
+    centroids, assigned = similarity.kmeans_fit(
+        emb, k=4, max_iters=3, tol=0.0
+    )
+    c1 = {cid: vec[0] for cid, vec in centroids}
+    c1_col = F.create_map(
+        *[F.lit(x) for pair in c1.items() for x in pair]
+    )[F.col("cell")]
+    return assigned.groupBy("cell").agg(F.count("*").alias("n")).select(
+        "cell", "n", F.round(c1_col, 6).alias("c1")
+    )
+
+
 @_q("kmeans_update_step", _KMEANS_ORACLE)
 def kmeans_update_step(spark, sf):
     """One Lloyd iteration over the IVF layout: assign every vector to its

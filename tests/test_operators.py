@@ -664,6 +664,59 @@ def test_ivf_assign_broadcast_large_k(spark):
     assert got == expected
 
 
+def test_kmeans_fit_recovers_blobs_and_matches_numpy(spark):
+    """Lloyd loop vs a numpy reference with identical init/rules on three
+    well-separated blobs: same final assignment, centroids within 1e-9,
+    convergence before max_iters."""
+    import hashlib
+
+    import numpy as np
+
+    from betfair_database_spark.operators.similarity import kmeans_fit, kmeans_seeds
+
+    rng = np.random.default_rng(7)
+    blobs = [
+        rng.normal(loc, 0.05, size=(30, 8)) for loc in ([5, 0, 0, 0, 0, 0, 0, 0],
+                                                        [0, 5, 0, 0, 0, 0, 0, 0],
+                                                        [0, 0, 5, 0, 0, 0, 0, 0])
+    ]
+    vecs = np.vstack(blobs)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(len(vecs))],
+        ["vec_id", "embedding"],
+    )
+
+    centroids, assigned = kmeans_fit(df, k=3, max_iters=10, tol=1e-6)
+    got = {r.vec_id: r.cell for r in assigned.collect()}
+
+    # numpy reference: same md5-hash-order seeds, cosine argmax (smallest
+    # cid on ties), mean update, same stopping rule
+    order = sorted(range(len(vecs)), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cents = {c + 1: vecs[order[c]].astype(float) for c in range(3)}
+    for _ in range(10):
+        sims = {}
+        for cid, cv in cents.items():
+            sims[cid] = (vecs @ cv) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(cv))
+        cids = sorted(cents)
+        asg = [min(cids, key=lambda c: (-sims[c][i], c)) for i in range(len(vecs))]
+        new = {
+            c: vecs[[i for i, a in enumerate(asg) if a == c]].mean(axis=0)
+            for c in cids
+            if any(a == c for a in asg)
+        }
+        shift = max(np.linalg.norm(new[c] - cents[c]) for c in new if c in cents)
+        cents = new
+        if shift <= 1e-6:
+            break
+    expected = {i: asg[i] for i in range(len(vecs))}
+
+    assert got == expected
+    # each blob ends in exactly one cell
+    assert len({tuple(sorted({got[i] for i in range(b * 30, b * 30 + 30)})) for b in range(3)}) == 3
+    for cid, vec in centroids:
+        assert np.linalg.norm(np.array(vec) - cents[cid]) < 1e-9
+
+
 def test_hyperplane_recall_beats_sign_baseline(spark):
     """Seeded multi-table hyperplane LSH must recall strictly more of the
     exact cosine top-10 than the single-table sign-of-leading-dims bucket."""

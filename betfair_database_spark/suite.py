@@ -1961,21 +1961,17 @@ _CURATED_HEAD = [
     "q21_waiting_suppliers",
     # skew + aggregate variants
     "skew_salted_join_agg",
-    "agg_percentiles",
     "pivot_event_types",
     # reference passthrough / dialect shims
     "p1_projection",
     "p2_filter_eq_and",
     "p7_bool_literal_shim",
     "p8_strftime_time_shim",
-    "p9_limit_topk",
     # join + aggregate core
     "j1_inner_join",
     "j4_nonequi_join",
-    "j5_broadcast_dim_enrich",
     "a1_global_aggs",
     "a2_last_per_group",
-    "a5_array_length",
     # windows + set ops
     "w1_topk_per_group",
     "w3_lag_lead_ntile",
@@ -1984,33 +1980,37 @@ _CURATED_HEAD = [
     "f5_weekday_name",
     "f6_regex_extract",
     "f12_json_access",
-    "f_date_arithmetic",
-    # event-time windows + as-of
+    # event-time windows + as-of (backward + nearest directions)
     "ev_hourly_window",
     "ev_sessionize",
     "asof_join_last_order",
+    "asof_join_nearest_order",
     # deduplication (each algorithm is its own operator)
     "dedup_exact_stats",
     "dedup_minhash_pairs",
+    "dedup_minhash_collapsed",
     "dedup_simhash_fingerprints",
     "dedup_ngram_jaccard_top20",
     "dedup_cluster_components",
-    "fuzzy_levenshtein_pairs",
     "dedup_embedding_cosine_top10",
+    "dedup_embedding_lsh_top10",
     # similarity search / clustering
     "knn_cosine_top10",
     "knn_lsh_bucket_top10",
     "knn_hyperplane_top10",
     "knn_ivf_top10",
-    "kmeans_update_step",
-    # text analysis + curation + sampling + multimodal
+    "kmeans_fit_3iter",
+    # text analysis + curation + sampling + chunking/packing + multimodal
     "text_quality",
     "text_lang_id",
     "tfidf_top_terms",
     "text_pii_redaction",
     "curation_decontaminate",
     "sample_stratified_hash",
+    "chunk_documents_windows",
+    "pack_sequences_bins",
     "multimodal_decode_meta",
+    "multimodal_decode_jpeg_mp3",
 ]
 
 

@@ -115,3 +115,37 @@ def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         lang_id(t).alias("pred_lang"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def unigram_logprob_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean unigram log-probability — the CCNet-style
+    perplexity proxy for corpus quality filtering (documents whose tokens
+    are globally rare or garbled score low).
+
+    p(w) = (freq(w) + 1) / (N + V) with add-one smoothing, frequencies
+    from THIS corpus; score(doc) = mean over its (multiplicity-counted,
+    lowercased) tokens of ln p(w). Blank documents are excluded (no
+    tokens, no score).
+
+    Two aggregation passes + one token-keyed join: freq is vocab-sized, so
+    Catalyst broadcasts it when small and AQE handles the shuffle when it
+    is not; nothing here is driver-bound except the 2-value (N, V) fetch,
+    which is embedded as a literal so the oracle reproduces it exactly.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
+    ).where(F.col("w") != "")
+    freq = tok.groupBy("w").agg(F.count("*").alias("f"))
+    totals = freq.agg(
+        F.sum("f").alias("n"), F.count("*").alias("v")
+    ).first()
+    denom = float((totals["n"] or 0) + (totals["v"] or 0))
+    scored = tok.join(freq, "w").select(
+        F.col(id_col), F.log((F.col("f") + 1) / F.lit(denom)).alias("lp")
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("lp"), 4).alias("logprob")
+    )

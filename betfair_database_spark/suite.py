@@ -1682,6 +1682,26 @@ def corpus_token_budget(spark, sf):
 
 
 @_q(
+    "text_unigram_logprob",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM documents WHERE trim(text) <> ''
+    ),
+    freq AS (SELECT w, count(*) AS f FROM tok GROUP BY w),
+    tot AS (SELECT sum(f) AS n, count(*) AS v FROM freq)
+    SELECT t.doc_id, round(avg(ln((f.f + 1) / (tot.n + tot.v))), 4) AS logprob
+    FROM tok t JOIN freq f USING (w), tot
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_logprob(spark, sf):
+    """Corpus-frequency unigram log-probability per document (perplexity
+    proxy for quality filtering)."""
+    return textstats.unigram_logprob_scores(_t(spark, sf, "documents"))
+
+
+@_q(
     "chunk_documents_windows",
     """
     WITH st AS (

@@ -228,6 +228,22 @@ def test_asof_join_all_directions_vs_python(spark, direction):
     assert got == expected
 
 
+def test_unigram_logprob_known_values(spark):
+    """Hand-computed add-one-smoothed corpus: 'a a b' + 'b' + blank.
+    freq: a=2, b=2; N=4, V=2; p(a)=p(b)=3/6=0.5 → every doc scores
+    ln(0.5); blank docs are excluded."""
+    import math
+
+    from betfair_database_spark.operators.textstats import unigram_logprob_scores
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b"), (3, "   ")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.logprob for r in unigram_logprob_scores(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1] == got[2] == round(math.log(0.5), 4)
+
+
 def test_chunk_documents_coverage_and_overlap(spark):
     from betfair_database_spark.operators.sampling import chunk_documents
 
@@ -272,6 +288,29 @@ def test_pack_sequences_budget_and_determinism(spark):
         for r in pack_sequences(df.repartition(7), "g", "k", "n", 300).collect()
     }
     assert out2 == out
+
+
+def test_operator_plan_contracts(spark):
+    """Physical-plan contracts that must hold at ANY scale: chunking is a
+    pure map stage (no exchange), and as-of costs exactly one hash
+    exchange on plain inputs — including 'nearest', whose two window
+    frames must share the one partitioning."""
+    from betfair_database_spark.operators.asof import asof_join
+    from betfair_database_spark.operators.sampling import chunk_documents
+
+    def exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange hashpartitioning")
+
+    docs = spark.createDataFrame([(1, "abcdef" * 50)], ["doc_id", "text"])
+    assert exchanges(chunk_documents(docs)) == 0
+
+    left = spark.createDataFrame([(1, 1, 10)], ["id", "k", "lt"])
+    right = spark.createDataFrame([(1, 10, "v")], ["k", "rt", "v"])
+    for direction in ("backward", "forward", "nearest"):
+        out = asof_join(left, right, on="k", left_ts="lt", right_ts="rt",
+                        payload_cols=["v"], direction=direction)
+        assert exchanges(out) == 1, direction
 
 
 def test_asof_join_rejects_unknown_direction(spark):

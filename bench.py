@@ -26,7 +26,12 @@ HEADLINE = [
     "q4_exists_semijoin",
     "q16_notin_distinct_suppliers",
     "q22_scalar_subquery_anti",
+    "q2_min_cost_supplier",
     "pivot_event_types",
+    "ev_funnel_conversion",
+    "ev_cohort_retention",
+    "embed_random_projection",
+    "sample_weighted_topk",
     "p4_between",
     "j1_inner_join",
     "j4_nonequi_join",

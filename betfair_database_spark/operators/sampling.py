@@ -131,3 +131,34 @@ def pack_sequences(
     )
     start = F.sum(tokens_col).over(w) - F.col(tokens_col)
     return df.withColumn("bin", (start / budget).cast("long"))
+
+
+def weighted_priority_sample(
+    df: DataFrame, key_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Deterministic weighted sample of ``k`` rows: heavier rows are more
+    likely in, but membership is a pure function of the key — rerunnable on
+    any engine/partitioning (unlike rand()-keyed A-Res).
+
+    Priority = hash_uniform(key) / weight, keep the k SMALLEST. The uniform
+    comes from the first 8 md5 hex chars (a 32-bit int); the division of an
+    exact integer by an exact integer weight is correctly rounded IEEE-754,
+    so the priority — and therefore the sample — is bit-identical across
+    Spark and any SQL oracle. (A transcendental key like -ln(u)/w would be
+    the textbook A-ES priority but libm differences across engines can flip
+    orderings near the cutoff; the rational key keeps the same
+    heavier-more-likely monotonicity with exact cross-engine agreement.)
+
+    One scan + a k-row TakeOrderedAndProject — no shuffle of the data, no
+    driver participation; at 100 TB this is a map + top-k reduce.
+    Output: input columns + ``priority`` (rounded to 6).
+    """
+    u = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    pr = u.cast("double") / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("priority", F.round(pr, 6))
+        .orderBy(F.col("priority").asc(), F.col(key_col).asc())
+        .limit(k)
+    )

@@ -667,3 +667,54 @@ def batch_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def random_projection(
+    df: DataFrame,
+    seed: int = 7,
+    out_dims: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss-style dimensionality reduction: project each
+    vector onto ``out_dims`` seeded random hyperplanes (the dense-Gaussian
+    analogue of the sign-LSH planes, reused from :func:`hyperplanes`).
+
+    Each output component is a literal multiply-add chain (_dot_lit) —
+    whole-stage codegen, zero shuffle, zero Python: at 100 TB this is the
+    map stage in front of a cheaper ANN index or a plotting/clustering
+    pass. Components are rounded to 4 so the left-to-right fold (identical
+    in any IEEE-754 engine evaluating the same expression order) hashes
+    stably against a SQL oracle built from the same plane literals
+    (:func:`random_projection_oracle_exprs`).
+
+    Output: (id, p0..p{out_dims-1}).
+    """
+    planes = hyperplanes(seed, out_dims, dims)
+    cols = [
+        F.round(_dot_lit(vec_col, plane), 4).alias(f"p{j}")
+        for j, plane in enumerate(planes)
+    ]
+    return df.select(F.col(id_col), *cols)
+
+
+def random_projection_oracle_exprs(
+    seed: int = 7,
+    out_dims: int = 8,
+    dims: int = 64,
+    vec_col: str = "embedding",
+) -> list[str]:
+    """The SAME projection arithmetic as :func:`random_projection`, emitted
+    as DuckDB SQL select expressions (1-based list indexing, identical
+    left-to-right term order so every double is bit-identical)."""
+    planes = hyperplanes(seed, out_dims, dims)
+    return [
+        "round("
+        + " + ".join(
+            f"CAST({vec_col}[{i + 1}] AS DOUBLE) * {float(v)!r}"
+            for i, v in enumerate(plane)
+        )
+        + f", 4) AS p{j}"
+        for j, plane in enumerate(planes)
+    ]

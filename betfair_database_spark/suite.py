@@ -1960,6 +1960,7 @@ def text_lang_id(spark, sf):
 # needs _q/_t/_MINHASH_ORACLE, all defined above.
 from betfair_database_spark import suite_ext as _suite_ext  # noqa: E402,F401
 from betfair_database_spark import suite_ext2 as _suite_ext2  # noqa: E402,F401
+from betfair_database_spark import suite_ext3 as _suite_ext3  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registration order. External harnesses sample the FIRST 50 queries, so the
@@ -2000,15 +2001,15 @@ _CURATED_HEAD = [
     "f5_weekday_name",
     "f6_regex_extract",
     "f12_json_access",
-    # event-time windows + as-of (backward + nearest directions)
+    # event-time windows + as-of (backward + nearest directions) + funnel
     "ev_hourly_window",
     "ev_sessionize",
+    "ev_funnel_conversion",
     "asof_join_last_order",
     "asof_join_nearest_order",
     # deduplication (each algorithm is its own operator)
     "dedup_exact_stats",
     "dedup_minhash_pairs",
-    "dedup_minhash_collapsed",
     "dedup_simhash_fingerprints",
     "dedup_ngram_jaccard_top20",
     "dedup_cluster_components",

@@ -1,0 +1,292 @@
+"""Suite extension 3: the last TPC-H shape (Q2 — correlated-min over a
+derived part/supplier cost table, completing all 22 classic plan shapes),
+event-stream product analytics (staged funnel, cohort retention, fixed-bin
+histogram), and two training-pipeline additions (random-projection
+dimensionality reduction, deterministic weighted priority sampling).
+
+Registered into :data:`betfair_database_spark.suite.SUITE` via ``_q``; same
+hash-matching conventions as ``suite.py`` (identical rounding/aliases/casts
+both sides; total ORDER BY whenever there is a LIMIT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from betfair_database_spark.operators import sampling, similarity
+from betfair_database_spark.suite import _q, _t
+
+
+# =========================================================================
+# TPC-H Q2 (adapted: no partsupp table exists, so the supply cost of a
+# (part, supplier) pair is the minimum observed unit price in lineitem)
+# =========================================================================
+
+
+@_q(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    j AS (
+      SELECT p.p_partkey, p.p_name, e.s_name, e.s_acctbal, e.n_name,
+             ps.supplycost,
+             min(ps.supplycost) OVER (PARTITION BY p.p_partkey) AS mincost
+      FROM ps JOIN eu e ON ps.l_suppkey = e.s_suppkey
+      JOIN part p ON ps.l_partkey = p.p_partkey
+      WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'STANDARD'
+    )
+    SELECT round(s_acctbal, 2) AS acctbal, s_name, n_name, p_partkey, p_name,
+           round(supplycost, 4) AS supplycost
+    FROM j WHERE supplycost = mincost
+    ORDER BY acctbal DESC, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark, sf):
+    """TPC-H Q2 shape: correlated MIN subquery = window-min + equality
+    filter (one pass, no self-join re-scan of the derived cost table). The
+    region filter is a 1-row broadcast; supplier/nation stay un-hinted so
+    AQE broadcasts them at bench scale and they degrade to shuffle joins as
+    dims grow. The window partitions by part key — the same key the
+    part-side join shuffles on, so AQE can reuse the exchange.
+
+    The FP subtlety that makes `supplycost = mincost` hash-safe: both
+    engines derive each cost by the same correctly-rounded division and MIN
+    is a selection (not a sum), so the equality compares bit-identical
+    doubles.
+    """
+    li = _t(spark, sf, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+    r = _t(spark, sf, "region").where(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf, "nation")
+    eu = (
+        _t(spark, sf, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = (
+        _t(spark, sf, "part")
+        .where(F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_name")
+    )
+    j = ps.join(eu, ps["l_suppkey"] == eu["s_suppkey"]).join(
+        p, F.col("l_partkey") == p["p_partkey"]
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        j.withColumn("mincost", F.min("supplycost").over(w))
+        .where(F.col("supplycost") == F.col("mincost"))
+        .select(
+            F.round("s_acctbal", 2).alias("acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("supplycost", 4).alias("supplycost"),
+        )
+        .orderBy(F.desc("acctbal"), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# =========================================================================
+# Event-stream product analytics
+# =========================================================================
+
+
+@_q(
+    "ev_funnel_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS stage_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS stage_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS stage_purchase
+    """,
+)
+def ev_funnel_conversion(spark, sf):
+    """Ordered funnel view -> click -> purchase (each stage strictly after
+    the user's previous stage). The oracle's three joined CTEs collapse to
+    THREE WINDOW AGGREGATES over one user-hash partitioning: t1 = first
+    view, t2 = first click after t1, t3 = first purchase after t2 — each a
+    whole-partition conditional MIN, so Spark shuffles the events ONCE and
+    re-sorts nothing (unbounded frames need no ordering). At 100 TB this is
+    one exchange + a 1-row reduce; the naive 3-way self-join would re-scan
+    and re-shuffle the fact table per stage.
+    """
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    df = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    df = df.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    df = df.withColumn("t3", t3)
+    per_user = df.select("user_id", "t1", "t2", "t3").distinct()
+    return per_user.agg(
+        F.count("t1").alias("stage_view"),
+        F.count("t2").alias("stage_click"),
+        F.count("t3").alias("stage_purchase"),
+    )
+
+
+@_q(
+    "ev_cohort_retention",
+    """
+    WITH f AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT e.user_id,
+             strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+             CAST(floor(date_diff('day', f.cohort, CAST(e.ts AS DATE)) / 7)
+                  AS BIGINT) AS wk
+      FROM events e JOIN f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, wk, CAST(count(*) AS BIGINT) AS users
+    FROM act GROUP BY cohort_day, wk
+    ORDER BY cohort_day, wk
+    """,
+)
+def ev_cohort_retention(spark, sf):
+    """Cohort retention: users grouped by first-seen date, counted once per
+    week-offset they remain active. The oracle's first-seen CTE + join is
+    ONE window MIN over the user partitioning (no second scan of the fact
+    table); the distinct + count shuffles only (user, cohort, wk) triples.
+    """
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id")
+    cohort = F.min("ts").over(w).cast("date")
+    act = (
+        ev.withColumn("cohort", cohort)
+        .select(
+            "user_id",
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort")) / 7
+            ).alias("wk"),
+        )
+        .distinct()
+    )
+    return (
+        act.groupBy("cohort_day", "wk")
+        .agg(F.count("*").alias("users"))
+        .orderBy("cohort_day", "wk")
+    )
+
+
+@_q(
+    "ev_value_histogram",
+    """
+    SELECT event_type,
+           CAST(least(floor("value" / 50), 9) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum("value"), 2) AS sum_value
+    FROM events
+    GROUP BY event_type, bin
+    ORDER BY event_type, bin
+    """,
+)
+def ev_value_histogram(spark, sf):
+    """Fixed-bin histogram (width 50, clamped top bin) per event type — the
+    binning is a pure column expression so the whole query is one scan + one
+    hash aggregate on (type, bin); no per-bin passes, no driver-side
+    min/max pre-query."""
+    ev = _t(spark, sf, "events")
+    bin_ = F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("long")
+    return (
+        ev.groupBy("event_type", bin_.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
+# =========================================================================
+# Training-pipeline additions
+# =========================================================================
+
+
+def _rp_oracle() -> str:
+    exprs = ",\n           ".join(
+        similarity.random_projection_oracle_exprs(seed=7, out_dims=8, dims=64)
+    )
+    return f"SELECT vec_id, {exprs} FROM embeddings"
+
+
+@_q("embed_random_projection", _rp_oracle())
+def embed_random_projection(spark, sf):
+    """Random-projection dimensionality reduction 64 -> 8 (JL transform).
+    Both engines evaluate the SAME left-to-right multiply-add chain built
+    from the seeded plane literals, so every projected double is
+    bit-identical before rounding — see similarity.random_projection."""
+    return similarity.random_projection(
+        _t(spark, sf, "embeddings"), seed=7, out_dims=8, dims=64
+    )
+
+
+@_q(
+    "sample_weighted_topk",
+    """
+    WITH pr AS (
+      SELECT doc_id, n_chars,
+             round(
+               CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) AS DOUBLE)
+               / CAST(n_chars AS DOUBLE), 6) AS priority
+      FROM documents
+    )
+    SELECT doc_id, n_chars, priority
+    FROM pr ORDER BY priority ASC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def sample_weighted_topk(spark, sf):
+    """Deterministic weighted sample: 20 documents, selection probability
+    increasing in n_chars, membership a pure function of doc_id (see
+    sampling.weighted_priority_sample for why the rational hash/weight
+    priority is used instead of the transcendental A-ES key)."""
+    return sampling.weighted_priority_sample(
+        _t(spark, sf, "documents"), "doc_id", "n_chars", 20
+    ).select("doc_id", "n_chars", "priority")

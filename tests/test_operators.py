@@ -785,3 +785,68 @@ def test_hyperplane_recall_beats_sign_baseline(spark):
     hyper_recall = len(truth & hyper_hits) / 10
     assert hyper_recall > sign_recall
     assert hyper_recall >= 0.5
+
+
+def test_weighted_priority_sample_deterministic_and_biased(spark):
+    """Sample is a pure function of the key (same under repartition) and
+    heavier rows are over-represented vs their population share."""
+    from betfair_database_spark.operators.sampling import weighted_priority_sample
+
+    rows = [(i, 10 if i % 10 else 1000) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    a = weighted_priority_sample(df, "id", "w", 30).collect()
+    b = weighted_priority_sample(df.repartition(13), "id", "w", 30).collect()
+    assert sorted(r.id for r in a) == sorted(r.id for r in b)
+    # 10% of rows carry weight 1000 (100x the rest) — they should dominate
+    heavy = sum(1 for r in a if r.w == 1000)
+    assert heavy >= 15, f"heavy rows in sample: {heavy}/30"
+
+
+def test_random_projection_matches_numpy(spark):
+    import numpy as np
+
+    from betfair_database_spark.operators import similarity
+
+    dims, out = 16, 4
+    vecs = [(i, [float((i * 31 + j * 7) % 11) - 5.0 for j in range(dims)]) for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: [r.p0, r.p1, r.p2, r.p3]
+        for r in similarity.random_projection(
+            df, seed=3, out_dims=out, dims=dims
+        ).collect()
+    }
+    planes = np.array(similarity.hyperplanes(3, out, dims))
+    for vid, vec in vecs:
+        want = planes @ np.array(vec, dtype=np.float32).astype(np.float64)
+        assert got[vid] == [round(w, 4) for w in want], vid
+
+
+def test_funnel_requires_stage_order(spark):
+    """A purchase BEFORE the user's first click must not count as stage 3."""
+    from betfair_database_spark.suite import SUITE
+    import tempfile, os
+
+    rows = [
+        # user 1: proper view < click < purchase
+        (1, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 01:00:00", 1, "click", 1.0, "{}"),
+        (3, "2024-01-01 02:00:00", 1, "purchase", 1.0, "{}"),
+        # user 2: purchase precedes click — stops at stage 2
+        (4, "2024-01-01 00:00:00", 2, "view", 1.0, "{}"),
+        (5, "2024-01-01 02:00:00", 2, "click", 1.0, "{}"),
+        (6, "2024-01-01 01:00:00", 2, "purchase", 1.0, "{}"),
+        # user 3: no view at all — stage 0 even though click+purchase exist
+        (7, "2024-01-01 00:00:00", 3, "click", 1.0, "{}"),
+        (8, "2024-01-01 01:00:00", 3, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "user_id", "event_type",
+        "value", "props"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = SUITE["ev_funnel_conversion"].fn(spark, d).collect()[0]
+    assert (out.stage_view, out.stage_click, out.stage_purchase) == (2, 2, 1)

@@ -64,6 +64,20 @@ def _normsq_lit(col: str, dims: int) -> Column:
     return F.expr(terms)
 
 
+def _dot_cols_lit(a_col: str, b_col: str, dims: int) -> Column:
+    """Dot of two array COLUMNS, expanded to get()*get() multiply-adds over
+    the first ``dims`` elements — one parsed SQL string, whole-stage codegen,
+    same left-to-right fold as _dot's aggregate (bit-identical results).
+    Measured vs the zip_with/aggregate form on 70k candidate pairs x 64
+    dims: the interpreted lambdas were the dominant cost of the pair-scoring
+    stage."""
+    terms = " + ".join(
+        f"CAST(get(`{a_col}`, {i}) AS DOUBLE) * CAST(get(`{b_col}`, {i}) AS DOUBLE)"
+        for i in range(dims)
+    )
+    return F.expr(terms)
+
+
 def _py_norm(vec: list[float]) -> float:
     """Python-side norm with the same left-fold order as the Spark
     expressions, so literal norms embed bit-identical values."""
@@ -295,7 +309,14 @@ def hyperplane_topk(
 # analysis + codegen time on the DRIVER (measured: k=1024 × 64 dims is tens
 # of seconds of analysis), while the broadcast join scales to any k the
 # executors can hold in memory.
-IVF_BROADCAST_THRESHOLD = 64
+# Measured crossover (sf0.1, 64 dims): at k=8 the literal-expression
+# assignment already loses 5x to the broadcast join — not on data volume but
+# on CATALYST time, because the k x dims argmax tree gets duplicated into
+# every pushed-down filter and each optimizer rule re-walks it per query.
+# The literal path only stays ahead for a handful of centroids, so broadcast
+# is the default almost everywhere; the literal form remains for tiny-k
+# plans that must stay exchange-free.
+IVF_BROADCAST_THRESHOLD = 8
 
 
 def ivf_assign(
@@ -610,22 +631,41 @@ def embedding_near_dup_pairs_lsh(
     )
     a = unpiv.select(F.col(id_col).alias("a"), "t", "bh")
     b = unpiv.select(F.col(id_col).alias("b"), "t", "bh")
+    # AQE coalesces the tiny dedup exchange to ONE partition at test scale,
+    # which would serialize the whole scoring stage (measured 3.0s -> 0.8s
+    # at 71k candidates). An EXPLICIT numbered repartition is the one
+    # exchange AQE never coalesces, so scoring keeps every core; the extra
+    # shuffle moves only (a, b) id pairs — noise next to the vector joins
+    # it feeds at any scale.
     cand = (
         a.join(b, ["t", "bh"])
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
         .dropDuplicates(["a", "b"])
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col("a"))
     )
-    va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    # Score with precomputed PER-VECTOR norms (2 sqrt per vector instead of
+    # 2 per candidate pair) and a codegen'd literal dot chain — same fold
+    # order as the aggregate form, so cos_sim is bit-identical to
+    # cosine_similarity's.
+    va = df.select(
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("va"),
+        F.sqrt(_normsq_lit(vec_col, dims)).alias("na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("vb"),
+        F.sqrt(_normsq_lit(vec_col, dims)).alias("nb"),
+    )
+    cos = F.nanvl(
+        _dot_cols_lit("va", "vb", dims) / (F.col("na") * F.col("nb")),
+        F.lit(-1.0),
+    )
     return (
         cand.join(va, "a")
         .join(vb, "b")
-        .select(
-            "a",
-            "b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
-        )
+        .select("a", "b", F.round(cos, 4).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
 

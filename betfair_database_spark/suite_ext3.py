@@ -290,3 +290,120 @@ def sample_weighted_topk(spark, sf):
     return sampling.weighted_priority_sample(
         _t(spark, sf, "documents"), "doc_id", "n_chars", 20
     ).select("doc_id", "n_chars", "priority")
+
+
+@_q(
+    "text_bigram_lift",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ),
+    bi AS (
+      SELECT bg, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(list_transform(range(1, len(t)),
+                                         i -> t[i] || ' ' || t[i + 1])) AS bg
+            FROM toks)
+      GROUP BY bg
+    ),
+    n AS (
+      SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uni) AS n_uni,
+             (SELECT CAST(sum(c) AS DOUBLE) FROM bi) AS n_bi
+    )
+    SELECT bi.bg AS bigram, bi.c AS n_pair,
+           round((bi.c / n.n_bi)
+                 / ((u1.c / n.n_uni) * (u2.c / n.n_uni)), 4) AS lift
+    FROM bi
+    JOIN uni u1 ON u1.w = split_part(bi.bg, ' ', 1)
+    JOIN uni u2 ON u2.w = split_part(bi.bg, ' ', 2)
+    , n
+    WHERE bi.c >= 5
+    ORDER BY lift DESC, bigram
+    LIMIT 20
+    """,
+)
+def text_bigram_lift(spark, sf):
+    """Collocation mining: top bigrams by LIFT = p(ab) / (p(a)p(b)) — the
+    monotone core of PMI, kept rational (ratios of exact integer counts, so
+    every double is a correctly-rounded IEEE division and the ranking is
+    bit-identical across engines; log-based PMI would hang the hash on libm
+    agreement). One tokenize pass feeds both the unigram and bigram counts;
+    the totals ride along as a 1-row broadcast; top-20 is
+    TakeOrderedAndProject on the rounded score with a bigram tiebreak."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("t")
+    )
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = (
+        toks.select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= 5)
+    )
+    n_uni = uni.agg(F.sum("c").cast("double").alias("n_uni"))
+    n_bi_all = (
+        toks.select(F.explode(bigrams).alias("bg"))
+        .agg(F.count("*").cast("double").alias("n_bi"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bi.withColumn("w1", F.substring_index("bg", " ", 1))
+        .withColumn("w2", F.substring_index("bg", " ", -1))
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .join(F.broadcast(n_uni))
+        .join(F.broadcast(n_bi_all))
+        .select(
+            F.col("bg").alias("bigram"),
+            F.col("c").alias("n_pair"),
+            F.round(
+                (F.col("c") / F.col("n_bi"))
+                / ((F.col("c1") / F.col("n_uni")) * (F.col("c2") / F.col("n_uni"))),
+                4,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), "bigram").limit(20)
+
+
+@_q(
+    "sample_group_reservoir",
+    """
+    WITH r AS (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= 3 ORDER BY lang, rn
+    """,
+)
+def sample_group_reservoir(spark, sf):
+    """Per-group deterministic 'reservoir': the first 3 documents of each
+    language in md5(doc_id) order — the grouped counterpart of the
+    stratified/weighted samplers (same reproducible-hash-order principle,
+    one window shuffle on the group key, no rand())."""
+    d = _t(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).cast("long").alias("rn"))
+        .where(F.col("rn") <= 3)
+        .orderBy("lang", "rn")
+    )

@@ -758,3 +758,24 @@ def random_projection_oracle_exprs(
         + f", 4) AS p{j}"
         for j, plane in enumerate(planes)
     ]
+
+
+def collapse_exact_vectors(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """One representative row per DISTINCT vector (min id survives).
+
+    Run this BEFORE any LSH near-dup pass: exact-duplicate clusters defeat
+    every blocking scheme — replicas share ALL buckets, so candidates grow
+    as cluster^2 and the pair join explodes no matter how fine the buckets
+    are (measured on the 100x replica sweep: 200k vectors in 100-replica
+    groups -> ~800M candidate rows; collapsed first -> the 2k distinct
+    vectors produce the same near-dup structure in milliseconds). One hash
+    shuffle on the vector bytes — the same exact-dedup shape exact_dedup
+    uses for text.
+    """
+    return (
+        df.groupBy(vec_col)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, vec_col)
+    )

@@ -1428,17 +1428,17 @@ _NEARDUP_BITS = 8
 _NEARDUP_TABLES = 8
 
 
-def _lsh_neardup_oracle() -> str:
+def _lsh_neardup_oracle(src: str = "embeddings", prelude: str = "") -> str:
     vals = similarity.hyperplane_oracle_values(
         _HYPER_SEED, _NEARDUP_TABLES * _NEARDUP_BITS, 64
     )
     return f"""
-WITH planes(j, i, w) AS (VALUES {vals}),
+WITH {prelude}planes(j, i, w) AS (VALUES {vals}),
 bits AS (
   SELECT e.vec_id, p.j,
          CASE WHEN sum(p.w * CAST(e.embedding[p.i] AS DOUBLE)) >= 0
               THEN '1' ELSE '0' END AS bit
-  FROM embeddings e, planes p GROUP BY e.vec_id, p.j
+  FROM {src} e, planes p GROUP BY e.vec_id, p.j
 ),
 buckets AS (
   SELECT vec_id, (j // {_NEARDUP_BITS}) AS t,
@@ -1456,8 +1456,8 @@ scored AS (
                / (sqrt(sum(CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)))
                   * sqrt(sum(CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))), 4) AS cos_sim
   FROM cand c
-  JOIN embeddings ea ON ea.vec_id = c.a
-  JOIN embeddings eb ON eb.vec_id = c.b, range(1, 65) t(i)
+  JOIN {src} ea ON ea.vec_id = c.a
+  JOIN {src} eb ON eb.vec_id = c.b, range(1, 65) t(i)
   GROUP BY c.a, c.b
 )
 SELECT a, b, cos_sim FROM scored ORDER BY cos_sim DESC, a, b LIMIT 10
@@ -1471,6 +1471,38 @@ def dedup_embedding_lsh_top10(spark, sf):
     cosine on the candidate set, global top-10."""
     pairs = similarity.embedding_near_dup_pairs_lsh(
         _t(spark, sf, "embeddings"),
+        threshold=-1.0,
+        bits=_NEARDUP_BITS,
+        tables=_NEARDUP_TABLES,
+        seed=_HYPER_SEED,
+    )
+    return pairs.orderBy(F.desc("cos_sim"), "a", "b").limit(10)
+
+
+@_q(
+    "dedup_embedding_lsh_collapsed",
+    _lsh_neardup_oracle(
+        src="reps",
+        prelude=(
+            "reps AS (SELECT min(vec_id) AS vec_id, embedding "
+            "FROM embeddings GROUP BY embedding), "
+        ),
+    ),
+)
+def dedup_embedding_lsh_collapsed(spark, sf):
+    """The production composition of embedding near-dup: collapse EXACT
+    duplicate vectors first (min-id representative per distinct vector),
+    then hyperplane-LSH blocking + exact cosine on the distinct set.
+
+    This isn't an optimization nicety — it's the difference between bounded
+    and unbounded: exact-dup clusters share every LSH bucket, so the
+    uncollapsed pair join grows as cluster^2 (the 100x replica sweep hits
+    ~800M candidates); after the one-shuffle collapse the candidate set is
+    bounded by real bucket collisions again. Mirrors what
+    dedup_minhash_collapsed does for text."""
+    reps = similarity.collapse_exact_vectors(_t(spark, sf, "embeddings"))
+    pairs = similarity.embedding_near_dup_pairs_lsh(
+        reps,
         threshold=-1.0,
         bits=_NEARDUP_BITS,
         tables=_NEARDUP_TABLES,

@@ -67,9 +67,6 @@ def q2_min_cost_supplier(spark, sf):
     doubles.
     """
     li = _t(spark, sf, "lineitem")
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
-    )
     r = _t(spark, sf, "region").where(F.col("r_name") == "EUROPE")
     n = _t(spark, sf, "nation")
     eu = (
@@ -82,6 +79,22 @@ def q2_min_cost_supplier(spark, sf):
         _t(spark, sf, "part")
         .where(F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD"))
         .select("p_partkey", "p_name")
+    )
+    # Catalyst cannot push the part/region joins through the cost aggregate,
+    # so restrict lineitem BEFORE the big (partkey, suppkey) shuffle: two
+    # semi-joins on the qualifying key sets (both selective dims — AQE
+    # broadcasts them) cut the aggregate input to the ~1% of lineitems that
+    # can reach the output. Semantically identical: dropped pairs could
+    # never survive the later joins, and the window-min ranges over the
+    # post-join (EU-only) frame either way. Measured 18.9 s -> much smaller
+    # shuffle at the 100x point.
+    li_f = li.join(
+        p.select("p_partkey"), li["l_partkey"] == F.col("p_partkey"), "left_semi"
+    ).join(
+        eu.select("s_suppkey"), li["l_suppkey"] == F.col("s_suppkey"), "left_semi"
+    )
+    ps = li_f.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
     )
     j = ps.join(eu, ps["l_suppkey"] == eu["s_suppkey"]).join(
         p, F.col("l_partkey") == p["p_partkey"]

@@ -244,3 +244,52 @@ def test_streaming_index_ingest_upsert(spark, tmp_path):
     from betfair_database_spark.const import SQL_TABLE_COLUMNS
 
     assert list(idx.columns) == list(SQL_TABLE_COLUMNS)
+
+
+def test_funnel_stages_stream(spark, tmp_path):
+    """Stateful streaming funnel: stage advances only on in-order next-type
+    events; cross-batch state carries; disordered users stall."""
+    import json as _json
+
+    from betfair_database_spark.streaming import analytics, mcm
+
+    src = tmp_path / "events"
+    src.mkdir()
+
+    def ev(user, etype, second):
+        return _json.dumps(
+            {
+                "user_id": user,
+                "event_type": etype,
+                "ts": f"2024-01-01 00:00:{second:02d}",
+            }
+        )
+
+    # batch 1: user 1 views+clicks; user 2 views; user 3 clicks (no view)
+    (src / "b1.json").write_text(
+        "\n".join(
+            [ev(1, "view", 1), ev(1, "click", 2), ev(2, "view", 5), ev(3, "click", 1)]
+        )
+    )
+    # batch 2: user 1 purchases; user 2's purchase PRECEDES any click -> stalls
+    (src / "b2.json").write_text(
+        "\n".join([ev(1, "purchase", 9), ev(2, "purchase", 6), ev(2, "click", 7)])
+    )
+
+    schema = "user_id long, event_type string, ts string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    out = analytics.funnel_stages(stream)
+    mcm.run_to_memory(out, "funnel_out")
+    rows = spark.sql(
+        "SELECT user_id, max(stage) AS stage FROM funnel_out GROUP BY user_id"
+    ).collect()
+    stages = {r.user_id: r.stage for r in rows}
+    # user 1 completes; user 2's purchase at :06 precedes its click at :07 so
+    # only view->click lands; user 3 never views
+    assert stages[1] == 3
+    assert stages[2] == 2
+    assert 3 not in stages

@@ -52,11 +52,19 @@ def redact_pii(col: Column) -> Column:
     return F.regexp_replace(out, PHONE_RE, "[PHONE]")
 
 
-def word_ngrams(col: Column, n: int) -> Column:
-    """Array of space-joined word n-grams of ``col`` (whitespace tokens).
+def word_ngrams_of(words: Column, n: int) -> Column:
+    """Array of space-joined n-grams of a PRE-SPLIT token array column.
     Empty array when the doc has fewer than ``n`` tokens (guarded: Spark's
-    ``sequence(1, 0)`` would count DOWN and fabricate bogus indices)."""
-    words = F.split(col, r"\s+")
+    ``sequence(1, 0)`` would count DOWN and fabricate bogus indices).
+
+    Operators pre-materialize the token array in their own projection and
+    call this form: an outer expression referenced inside a higher-order
+    lambda is inlined into the lambda body and re-evaluated PER ELEMENT, so
+    passing ``split(text)`` directly re-tokenized the whole document once
+    per gram — O(tokens^2) per doc, a measured 10x on the corpus scan. A
+    separate projection boundary makes the split a per-row column that the
+    lambdas merely index (CollapseProject keeps it: the alias is referenced
+    more than once, so Catalyst declines to inline it back)."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(words) - (n - 1)),
         lambda i: F.concat_ws(
@@ -65,6 +73,19 @@ def word_ngrams(col: Column, n: int) -> Column:
     )
     return F.when(F.size(words) >= n, grams).otherwise(
         F.array().cast("array<string>")
+    )
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """n-grams straight from a text column. The tokenization is bound to a
+    lambda VARIABLE via a 1-element outer transform so the split happens
+    once per row even without a projection boundary (see word_ngrams_of;
+    pre-splitting in a projection is faster still — prefer it in scans)."""
+    return F.element_at(
+        F.transform(
+            F.array(F.split(col, r"\s+")), lambda w: word_ngrams_of(w, n)
+        ),
+        1,
     )
 
 
@@ -82,17 +103,15 @@ def contamination(
     distinct n-grams once. One aggregation shuffle on doc_id, corpus scanned
     once.
     """
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
     bench_grams = (
-        benchmark.select(
-            F.explode(word_ngrams(F.lower(F.col(text_col)), n)).alias("g")
-        )
+        benchmark.select(words.alias("_w"))
+        .select(F.explode(word_ngrams_of(F.col("_w"), n)).alias("g"))
         .distinct()
     )
-    doc_grams = docs.select(
+    doc_grams = docs.select(F.col(id_col), words.alias("_w")).select(
         F.col(id_col),
-        F.explode(
-            F.array_distinct(word_ngrams(F.lower(F.col(text_col)), n))
-        ).alias("g"),
+        F.explode(F.array_distinct(word_ngrams_of(F.col("_w"), n))).alias("g"),
     )
     return (
         doc_grams.join(F.broadcast(bench_grams), "g")
@@ -103,8 +122,9 @@ def contamination(
 
 def top_bigram_run(col: Column) -> Column:
     """Count of the most frequent word bigram, computed without a shuffle:
-    sort the bigram array, then fold once counting the longest equal-run."""
-    grams = F.array_sort(word_ngrams(col, 2))
+    sort the bigram array, then fold once counting the longest equal-run.
+    ``col`` is a PRE-SPLIT token array (see word_ngrams_of)."""
+    grams = F.array_sort(word_ngrams_of(col, 2))
     init = F.struct(
         F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
     )
@@ -126,15 +146,16 @@ def repetition_score(
     """Gopher-style repetition signal: fraction of all word bigrams taken by
     the single most frequent bigram. ``(id, n_bigrams, top_bigram_ratio)``;
     ratio is NULL for docs with <2 tokens. Map-only — no shuffle."""
-    grams = word_ngrams(F.lower(F.col(text_col)), 2)
-    n = F.size(grams)
-    return df.select(
+    pre = df.select(
+        F.col(id_col),
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("_w"),
+    )
+    n = F.size(word_ngrams_of(F.col("_w"), 2))
+    return pre.select(
         F.col(id_col),
         n.alias("n_bigrams"),
         F.when(
             n > 0,
-            F.round(
-                top_bigram_run(F.lower(F.col(text_col))).cast("double") / n, 4
-            ),
+            F.round(top_bigram_run(F.col("_w")).cast("double") / n, 4),
         ).alias("top_bigram_ratio"),
     )

@@ -850,3 +850,84 @@ def test_funnel_requires_stage_order(spark):
         df.write.parquet(os.path.join(d, "events.parquet"))
         out = SUITE["ev_funnel_conversion"].fn(spark, d).collect()[0]
     assert (out.stage_view, out.stage_click, out.stage_purchase) == (2, 2, 1)
+
+
+def test_cohort_retention_matches_python(spark):
+    """Independent semantics check (not just cross-engine agreement):
+    cohort = first-seen date, a user counts once per active week offset."""
+    import os
+    import tempfile
+    from collections import defaultdict
+    from datetime import date
+
+    from betfair_database_spark.suite import SUITE
+
+    rows, eid = [], 0
+    # user u first appears on day u % 3, then is active on a spread of days
+    for u in range(1, 8):
+        for d in sorted({u % 3, u % 3 + 1, u % 3 + 9, (u * 5) % 20}):
+            eid += 1
+            rows.append((eid, f"2024-01-{d + 1:02d} 12:00:00", u, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "user_id",
+        "event_type", "value", "props",
+    )
+
+    first = {}
+    active = defaultdict(set)
+    for _, ts, u, *_ in rows:
+        d = date.fromisoformat(ts[:10])
+        first[u] = min(first.get(u, d), d)
+    for _, ts, u, *_ in rows:
+        d = date.fromisoformat(ts[:10])
+        active[(first[u].isoformat(), (d - first[u]).days // 7)].add(u)
+    want = {k: len(v) for k, v in active.items()}
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "events.parquet"))
+        got = {
+            (r.cohort_day, r.wk): r.users
+            for r in SUITE["ev_cohort_retention"].fn(spark, tmp).collect()
+        }
+    assert got == want
+
+
+def test_bigram_lift_matches_python(spark):
+    """Lift of every reported bigram equals the Counter-derived value and
+    the count floor holds."""
+    import os
+    import tempfile
+    from collections import Counter
+
+    from betfair_database_spark.suite import SUITE
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox naps",
+        "a quick brown cat naps all day",
+        "the lazy dog naps",
+    ] * 5  # 5x so pairs clear the >= 5 floor
+    rows = [(i, t, "en", "t", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    uni, bi = Counter(), Counter()
+    for t in texts:
+        ws = t.lower().split(" ")
+        uni.update(ws)
+        bi.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+    n_uni, n_bi = sum(uni.values()), sum(bi.values())
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "documents.parquet"))
+        got = SUITE["text_bigram_lift"].fn(spark, tmp).collect()
+    assert got, "expected some bigrams over the floor"
+    for r in got:
+        assert bi[r.bigram] == r.n_pair and r.n_pair >= 5
+        a, b = r.bigram.split(" ")
+        want = (bi[r.bigram] / n_bi) / ((uni[a] / n_uni) * (uni[b] / n_uni))
+        assert abs(want - r.lift) < 1e-3, r.bigram

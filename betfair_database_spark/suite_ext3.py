@@ -15,6 +15,10 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from betfair_database_spark.operators import sampling, similarity
+from betfair_database_spark.operators.textstats import (
+    _ALPHA as textstats_ALPHA,
+    token_count as token_count_col,
+)
 from betfair_database_spark.suite import _q, _t
 
 
@@ -419,4 +423,58 @@ def sample_group_reservoir(spark, sf):
         d.select("lang", "doc_id", F.row_number().over(w).cast("long").alias("rn"))
         .where(F.col("rn") <= 3)
         .orderBy("lang", "rn")
+    )
+
+
+@_q(
+    "pipeline_curate_sample",
+    """
+    WITH q AS (
+      SELECT doc_id, lang, n_chars, text FROM documents
+      WHERE len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 10
+              >= 6 * length(text)
+        AND (CASE WHEN trim(text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) >= 5
+    ),
+    keep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM q GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+    ),
+    kept AS (
+      SELECT q.lang, q.n_chars FROM q JOIN keep USING (doc_id)
+      WHERE CAST('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 4) AS INT)
+              % 100 < 50
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+)
+def pipeline_curate_sample(spark, sf):
+    """End-to-end curation pipeline in ONE logical plan: quality gate ->
+    exact dedup -> deterministic 50% sample -> per-language stats. The
+    stages compose the existing operators (translate-count quality filter,
+    min-id exact_dedup, md5-bucket sample) without materializing between
+    steps — Catalyst fuses the filter+sample into the scan side of the
+    dedup semi-join, so the corpus is read once and shuffles only for the
+    dedup key and the final (tiny) language aggregate. The quality gate
+    compares INTEGER counts (alpha*10 >= 6*len) so the cut is exact on
+    both engines — no rounded-ratio boundary cases."""
+    from betfair_database_spark.operators import dedup as dd
+
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    n_alpha = F.length(t) - F.length(F.translate(t, textstats_ALPHA, ""))
+    q = d.where(
+        (n_alpha * 10 >= 6 * F.length(t)) & (token_count_col(t) >= 5)
+    )
+    deduped = dd.exact_dedup(q)
+    kept = deduped.where(sampling.hash_bucket(F.col("doc_id")) < 50)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
     )

@@ -71,8 +71,11 @@ HEADLINE = [
     "knn_hyperplane_top10",
     "knn_ivf_top10",
     "dedup_embedding_lsh_top10",
+    "dedup_embedding_lsh_collapsed",
     "asof_join_nearest_order",
     "multimodal_decode_jpeg_mp3",
+    "text_bigram_lift",
+    "pipeline_curate_sample",
 ]
 
 

@@ -478,3 +478,97 @@ def pipeline_curate_sample(spark, sf):
         )
         .orderBy("lang")
     )
+
+
+@_q(
+    "j6_full_outer",
+    """
+    SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
+                WHEN o_orderkey IS NULL THEN 'customer_only'
+                ELSE 'both' END AS side,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') c
+    FULL OUTER JOIN (SELECT o_orderkey, o_custkey FROM orders
+                     WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00') o
+      ON o.o_custkey = c.c_custkey
+    GROUP BY side ORDER BY side
+    """,
+)
+def j6_full_outer(spark, sf):
+    """FULL OUTER join shape (the one join type the suite lacked):
+    BUILDING customers without recent orders surface with a null order
+    side, recent orders of other-segment customers with a null customer
+    side — both null classes non-empty on the test data;
+    the summary collapses to presence-class counts so the result is stable
+    at any scale. One shuffle on the key; both null classes stream out of
+    the same sort-merge join."""
+    c = _t(spark, sf, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = _t(spark, sf, "orders").where(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    ).select("o_orderkey", "o_custkey")
+    j = c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer")
+    side = (
+        F.when(F.col("c_custkey").isNull(), "order_only")
+        .when(F.col("o_orderkey").isNull(), "customer_only")
+        .otherwise("both")
+    )
+    return (
+        j.groupBy(side.alias("side"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("side")
+    )
+
+
+@_q(
+    "w4_percent_rank_cume",
+    """
+    SELECT c_custkey,
+           round(percent_rank() OVER (
+             PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey), 6) AS pr,
+           round(cume_dist() OVER (
+             PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey), 6) AS cd
+    FROM customer
+    """,
+)
+def w4_percent_rank_cume(spark, sf):
+    """Relative-rank windows (percent_rank, cume_dist) per market segment —
+    the remaining window family beyond rank/lag/ntile. The total (acctbal,
+    custkey) ordering makes both fractions deterministic; exact (rank-1)/
+    (n-1) divisions hash identically across engines."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return _t(spark, sf, "customer").select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@_q(
+    "set_ops_except_all",
+    """
+    SELECT status, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT l_linestatus AS status FROM lineitem WHERE l_quantity < 10
+      EXCEPT ALL
+      SELECT l_linestatus AS status FROM lineitem WHERE l_quantity < 5
+    ) GROUP BY status ORDER BY status
+    """,
+)
+def set_ops_except_all(spark, sf):
+    """EXCEPT ALL (multiset difference — keeps surplus duplicate counts,
+    unlike the distinct EXCEPT already in the suite). Spark plans it as a
+    count-propagating aggregate, not a join per duplicate."""
+    li = _t(spark, sf, "lineitem")
+    a = li.where(F.col("l_quantity") < 10).select(
+        F.col("l_linestatus").alias("status")
+    )
+    b = li.where(F.col("l_quantity") < 5).select(
+        F.col("l_linestatus").alias("status")
+    )
+    return (
+        a.exceptAll(b)
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
+        .orderBy("status")
+    )

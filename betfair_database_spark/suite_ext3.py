@@ -572,3 +572,46 @@ def set_ops_except_all(spark, sf):
         .agg(F.count("*").alias("n"))
         .orderBy("status")
     )
+
+
+def _dedup_canonical_oracle() -> str:
+    from betfair_database_spark.suite_ext import _CC_ORACLE
+
+    return f"""
+    WITH comp AS ({_CC_ORACLE}),
+    dropped AS (SELECT doc_id FROM comp WHERE doc_id <> component)
+    SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+    GROUP BY d.lang ORDER BY d.lang
+    """
+
+
+@_q("pipeline_dedup_canonical", _dedup_canonical_oracle())
+def pipeline_dedup_canonical(spark, sf):
+    """The other end-to-end pipeline: near-dup CLUSTERS to a canonical
+    corpus. MinHash banding proposes pairs, connected components groups
+    them, the min-id member of each cluster survives, and everything
+    outside any cluster passes through — the keep-one decision a real
+    dedup pass feeds into training-data selection. Survivor removal is a
+    broadcast-able anti-join on the (tiny) dropped-id set; the stats
+    aggregate is the only other shuffle past the clustering itself."""
+    from betfair_database_spark.operators import dedup as dd
+    from betfair_database_spark.operators import graph
+
+    docs = _t(spark, sf, "documents")
+    pairs = dd.minhash_near_dups(docs, num_hashes=16, bands=2, threshold=0.8)
+    cc = graph.connected_components(pairs, "a", "b")
+    dropped = cc.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    surv = docs.join(dropped, "doc_id", "left_anti")
+    return (
+        surv.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -931,3 +931,32 @@ def test_bigram_lift_matches_python(spark):
         a, b = r.bigram.split(" ")
         want = (bi[r.bigram] / n_bi) / ((uni[a] / n_uni) * (uni[b] / n_uni))
         assert abs(want - r.lift) < 1e-3, r.bigram
+
+
+def test_round4_plan_contracts(spark):
+    """Plan contracts for the round-4 queries: the funnel costs ONE hash
+    exchange on the user key (three window aggs share it); random
+    projection is a pure map stage (no exchange, no Python UDF); q2 plans
+    no cartesian product and keeps its window on the part key."""
+    from betfair_database_spark.suite import SUITE
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        return (
+            SUITE[name].fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        )
+
+    funnel = plan("ev_funnel_conversion")
+    assert funnel.count("Exchange hashpartitioning(user_id") == 1
+    assert "PythonUDF" not in funnel
+
+    proj = plan("embed_random_projection")
+    # _t() spreads the tiny single-file table across cores; the projection
+    # itself must add nothing beyond that one explicit repartition
+    assert proj.count("Exchange") <= 1
+    assert "PythonUDF" not in proj and "BatchEvalPython" not in proj
+
+    q2 = plan("q2_min_cost_supplier")
+    assert "CartesianProduct" not in q2
+    assert "Window" in q2

@@ -1879,6 +1879,13 @@ def text_top_tokens(spark, sf):
     """,
 )
 def fuzzy_levenshtein_pairs(spark, sf):
+    """Brand-blocked edit-distance pairs. Measured A/B at 8M pairs: the
+    plain levenshtein beats both "optimizations" — the |len diff| <= 6
+    prefilter prunes nothing on fixed-format names yet costs 2 length()
+    evals per pair (+70%), and Spark's THRESHOLDED levenshtein is slower
+    than the full DP at ~25-char strings (banding overhead exceeds the
+    saved cells). Both would matter on long, variable-length strings;
+    neither does here."""
     p = _t(spark, sf, "part")
     a = p.select(F.col("p_partkey").alias("a"), F.col("p_brand").alias("brand"), F.col("p_name").alias("na"))
     b = p.select(F.col("p_partkey").alias("b"), F.col("p_brand").alias("brand"), F.col("p_name").alias("nb"))

@@ -615,3 +615,80 @@ def pipeline_dedup_canonical(spark, sf):
         )
         .orderBy("lang")
     )
+
+
+@_q(
+    "sketch_kmv_distinct",
+    """
+    WITH h AS (
+      SELECT DISTINCT
+        CAST(CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)
+             AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+      FROM orders
+    ),
+    mins AS (SELECT u FROM h ORDER BY u LIMIT 256),
+    agg AS (SELECT max(u) AS kth, count(*) AS n_kept FROM mins),
+    ex AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+           FROM orders)
+    SELECT CAST(CASE WHEN agg.n_kept < 256 THEN agg.n_kept
+                ELSE round(255.0 / agg.kth) END AS BIGINT) AS kmv_estimate,
+           CAST(agg.n_kept AS BIGINT) AS n_kept,
+           ex.exact_distinct
+    FROM agg, ex
+    """,
+)
+def sketch_kmv_distinct(spark, sf):
+    """Deterministic distinct-count sketch (K-Minimum-Values) next to the
+    exact answer — the oracle-checkable alternative to HLL: same O(k)
+    memory and associative merge (TakeOrderedAndProject = partial top-k
+    per partition + k-row driver merge), but any engine reproduces the
+    estimate exactly. See operators/sketches.py."""
+    from betfair_database_spark.operators import sketches
+
+    o = _t(spark, sf, "orders")
+    est = sketches.kmv_distinct(o, "o_custkey", k=256)
+    exact = o.agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    return est.join(F.broadcast(exact))
+
+
+@_q(
+    "sketch_kmv_jaccard",
+    """
+    WITH a AS (
+      SELECT DISTINCT
+        CAST(CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)
+             AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    ),
+    b AS (
+      SELECT DISTINCT
+        CAST(CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)
+             AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    ),
+    mins AS (SELECT u FROM (SELECT u FROM a UNION SELECT u FROM b)
+             ORDER BY u LIMIT 256),
+    tagged AS (
+      SELECT m.u,
+             CASE WHEN m.u IN (SELECT u FROM a)
+                   AND m.u IN (SELECT u FROM b) THEN 1 ELSE 0 END AS in_both
+      FROM mins m
+    )
+    SELECT round(sum(in_both) / CAST(count(*) AS DOUBLE), 4) AS jaccard_est,
+           CAST(count(*) AS BIGINT) AS n_union_kept
+    FROM tagged
+    """,
+)
+def sketch_kmv_jaccard(spark, sf):
+    """Set-similarity from merged KMV sketches: Jaccard of the early-vs-
+    late customer sets estimated from the union's k-min hash sample —
+    deterministic, so the DuckDB oracle lands on the identical fraction."""
+    from betfair_database_spark.operators import sketches
+
+    o = _t(spark, sf, "orders")
+    cut = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    early = o.where(F.col("o_orderdate") < cut)
+    late = o.where(F.col("o_orderdate") >= cut)
+    return sketches.kmv_jaccard(early, late, "o_custkey", k=256)

@@ -960,3 +960,25 @@ def test_round4_plan_contracts(spark):
     q2 = plan("q2_min_cost_supplier")
     assert "CartesianProduct" not in q2
     assert "Window" in q2
+
+
+def test_kmv_sketch_accuracy_and_determinism(spark):
+    """KMV estimate within theory's error band (~6% at k=256; assert 15%)
+    and identical under repartition; degenerates to exact below k."""
+    from betfair_database_spark.operators.sketches import kmv_distinct, kmv_jaccard
+
+    big = spark.range(0, 20000).select((F.col("id") % 7919).alias("key"))
+    est = kmv_distinct(big, "key").collect()[0]
+    assert abs(est.kmv_estimate - 7919) / 7919 < 0.15, est
+    est2 = kmv_distinct(big.repartition(17), "key").collect()[0]
+    assert est.kmv_estimate == est2.kmv_estimate
+
+    small = spark.range(0, 100).select(F.col("id").alias("key"))
+    exact = kmv_distinct(small, "key").collect()[0]
+    assert exact.kmv_estimate == 100
+
+    # half-overlapping sets: true Jaccard = 1/3
+    a = spark.range(0, 10000).select(F.col("id").alias("key"))
+    b = spark.range(5000, 15000).select(F.col("id").alias("key"))
+    j = kmv_jaccard(a, b, "key").collect()[0]
+    assert abs(j.jaccard_est - 1 / 3) < 0.1, j

@@ -76,3 +76,59 @@ def kmv_jaccard(
         ).alias("jaccard_est"),
         F.count("*").cast("long").alias("n_union_kept"),
     )
+
+
+def _cm_bucket(key: Column, j: int, width: int) -> Column:
+    """Row-j Count-Min bucket: md5-derived, engine-independent."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), key.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def countmin_table(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Count-Min sketch as a (j, bucket, c) frame: ``depth`` hash rows of
+    ``width`` counters; every key occurrence increments one counter per
+    row. Counters are SUMS, so the sketch is order- and partition-
+    independent (unlike Misra-Gries, whose state depends on arrival order)
+    and merges by addition — the groupBy here is map-side-combined, and at
+    100 TB per-partition sketches merge in one tiny shuffle of
+    depth*width rows. Point estimate = min over rows (see countmin_lookup);
+    overestimates only, by < N*e/width with prob 1 - 1/2^depth."""
+    key = F.col(key_col)
+    rows = df.select(
+        F.posexplode(
+            F.array(*[_cm_bucket(key, j, width) for j in range(depth)])
+        ).alias("j", "bucket")
+    )
+    return rows.groupBy("j", "bucket").agg(F.count("*").alias("c"))
+
+
+def countmin_lookup(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Estimated count per probe key: min over the key's ``depth`` sketch
+    counters (a missing counter means 0 occurrences). Probe frame stays
+    tiny -> broadcast side of the join."""
+    key = F.col(key_col)
+    pb = probes.select(
+        key.alias("probe_key"),
+        F.posexplode(
+            F.array(*[_cm_bucket(key, j, width) for j in range(depth)])
+        ).alias("j", "bucket"),
+    )
+    joined = pb.join(sketch, ["j", "bucket"], "left")
+    return (
+        joined.groupBy("probe_key")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cm_estimate"))
+    )

@@ -692,3 +692,74 @@ def sketch_kmv_jaccard(spark, sf):
     early = o.where(F.col("o_orderdate") < cut)
     late = o.where(F.col("o_orderdate") >= cut)
     return sketches.kmv_jaccard(early, late, "o_custkey", k=256)
+
+
+def _cm_bucket_sql(key_expr: str, j: int, width: int) -> str:
+    return (
+        f"CAST(CAST('0x' || substr(md5('{j}:' || CAST({key_expr} AS VARCHAR)),"
+        f" 1, 8) AS BIGINT) AS BIGINT) % {width}"
+    )
+
+
+def _countmin_oracle(depth: int = 4, width: int = 64) -> str:
+    sketch_rows = "\nUNION ALL\n".join(
+        f"SELECT {j} AS j, {_cm_bucket_sql('o_orderpriority', j, width)} AS bucket"
+        " FROM orders"
+        for j in range(depth)
+    )
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT p.probe_key, {j} AS j,"
+        f" {_cm_bucket_sql('p.probe_key', j, width)} AS bucket FROM probes p"
+        for j in range(depth)
+    )
+    return f"""
+    WITH sketch AS (
+      SELECT j, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM ({sketch_rows}) GROUP BY j, bucket
+    ),
+    probes(probe_key) AS (VALUES ('1-URGENT'), ('3-MEDIUM'), ('5-LOW'),
+                                 ('no-such-priority')),
+    pb AS ({probe_rows}),
+    est AS (
+      SELECT pb.probe_key,
+             CAST(min(coalesce(s.c, 0)) AS BIGINT) AS cm_estimate
+      FROM pb LEFT JOIN sketch s ON s.j = pb.j AND s.bucket = pb.bucket
+      GROUP BY pb.probe_key
+    ),
+    exact AS (
+      SELECT o_orderpriority AS probe_key, CAST(count(*) AS BIGINT) AS exact_n
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT est.probe_key, est.cm_estimate, coalesce(exact.exact_n, 0) AS exact_n
+    FROM est LEFT JOIN exact ON exact.probe_key = est.probe_key
+    ORDER BY est.probe_key
+    """
+
+
+@_q("sketch_countmin_counts", _countmin_oracle())
+def sketch_countmin_counts(spark, sf):
+    """Count-Min point estimates next to exact counts for 3 real keys and
+    one absent key. Counters are order/partition-independent sums, so the
+    whole sketch (and therefore the estimate) is reproducible on any
+    engine — see operators/sketches.py for the merge story at scale."""
+    from betfair_database_spark.operators import sketches
+
+    o = _t(spark, sf, "orders")
+    sk = sketches.countmin_table(o, "o_orderpriority")
+    probes = spark.createDataFrame(
+        [("1-URGENT",), ("3-MEDIUM",), ("5-LOW",), ("no-such-priority",)],
+        ["probe_key"],
+    )
+    est = sketches.countmin_lookup(sk, probes, "probe_key")
+    exact = o.groupBy(F.col("o_orderpriority").alias("probe_key")).agg(
+        F.count("*").alias("exact_n")
+    )
+    return (
+        est.join(exact, "probe_key", "left")
+        .select(
+            "probe_key",
+            F.col("cm_estimate").cast("long"),
+            F.coalesce("exact_n", F.lit(0)).cast("long").alias("exact_n"),
+        )
+        .orderBy("probe_key")
+    )

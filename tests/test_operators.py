@@ -982,3 +982,29 @@ def test_kmv_sketch_accuracy_and_determinism(spark):
     b = spark.range(5000, 15000).select(F.col("id").alias("key"))
     j = kmv_jaccard(a, b, "key").collect()[0]
     assert abs(j.jaccard_est - 1 / 3) < 0.1, j
+
+
+def test_countmin_overestimates_only_and_deterministic(spark):
+    """CM estimates are >= exact (monotone overestimate), exact for keys
+    whose counters saw no collisions, identical under repartition."""
+    from betfair_database_spark.operators.sketches import (
+        countmin_lookup,
+        countmin_table,
+    )
+
+    df = spark.range(0, 5000).select((F.col("id") % 50).alias("k"))
+    probes = spark.createDataFrame([(i,) for i in range(0, 60, 7)], ["k"])
+    sk = countmin_table(df, "k", depth=4, width=64)
+    got = {
+        r.probe_key: r.cm_estimate
+        for r in countmin_lookup(sk, probes, "k").collect()
+    }
+    for k, est in got.items():
+        exact = 100 if k < 50 else 0
+        assert est >= exact, (k, est)
+    sk2 = countmin_table(df.repartition(13), "k", depth=4, width=64)
+    got2 = {
+        r.probe_key: r.cm_estimate
+        for r in countmin_lookup(sk2, probes, "k").collect()
+    }
+    assert got == got2

@@ -132,3 +132,46 @@ def countmin_lookup(
         joined.groupBy("probe_key")
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cm_estimate"))
     )
+
+
+def bloom_positions(
+    df: DataFrame, key_col: str, hashes: int = 5, bits: int = 4096
+) -> DataFrame:
+    """Bloom filter as its SET-BIT POSITION set (1 column, distinct): the
+    relational form of the bit array — build with a distinct aggregate,
+    merge with UNION, ship to executors as a broadcast. md5-derived
+    positions make the filter engine-independent; at 100 TB the position
+    frame is at most ``bits`` rows regardless of input size."""
+    key = F.col(key_col)
+    return df.select(
+        F.explode(
+            F.array(*[_cm_bucket(key, j, bits) for j in range(hashes)])
+        ).alias("pos")
+    ).distinct()
+
+
+def bloom_maybe_contains(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    hashes: int = 5,
+    bits: int = 4096,
+) -> DataFrame:
+    """(key, maybe_present) per probe: present iff ALL ``hashes`` positions
+    are set — i.e. the probe's position count that hits the bloom equals
+    ``hashes``. No false negatives; false positives ~ (1 - e^(-kn/m))^k."""
+    key = F.col(key_col)
+    pb = probes.select(
+        key.alias("probe_key"),
+        F.explode(
+            F.array(*[_cm_bucket(key, j, bits) for j in range(hashes)])
+        ).alias("pos"),
+    )
+    hit = pb.join(bloom, "pos", "left_semi")
+    counts = hit.groupBy("probe_key").agg(F.count("*").alias("n_hit"))
+    return probes.select(key.alias("probe_key")).distinct().join(
+        counts, "probe_key", "left"
+    ).select(
+        "probe_key",
+        (F.coalesce("n_hit", F.lit(0)) == hashes).alias("maybe_present"),
+    )

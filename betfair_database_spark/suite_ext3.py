@@ -763,3 +763,73 @@ def sketch_countmin_counts(spark, sf):
         )
         .orderBy("probe_key")
     )
+
+
+def _bloom_oracle(hashes: int = 5, bits: int = 4096) -> str:
+    bloom_rows = "\nUNION ALL\n".join(
+        f"SELECT {_cm_bucket_sql('s_name', j, bits)} AS pos FROM supplier"
+        for j in range(hashes)
+    )
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT p.probe_key, {_cm_bucket_sql('p.probe_key', j, bits)} AS pos"
+        " FROM probes p"
+        for j in range(hashes)
+    )
+    return f"""
+    WITH bloom AS (SELECT DISTINCT pos FROM ({bloom_rows})),
+    probes(probe_key) AS (VALUES ('Supplier#000000001'),
+                                 ('Supplier#000000007'),
+                                 ('Supplier#000000042'),
+                                 ('Acme Rocket Skates'),
+                                 ('definitely-not-a-supplier')),
+    pb AS ({probe_rows}),
+    hits AS (
+      SELECT pb.probe_key, CAST(count(*) AS BIGINT) AS n_hit
+      FROM pb JOIN bloom ON bloom.pos = pb.pos
+      GROUP BY pb.probe_key
+    )
+    SELECT p.probe_key,
+           coalesce(h.n_hit, 0) = {hashes} AS maybe_present,
+           EXISTS (SELECT 1 FROM supplier s WHERE s.s_name = p.probe_key)
+             AS actually_present
+    FROM probes p LEFT JOIN hits h ON h.probe_key = p.probe_key
+    ORDER BY p.probe_key
+    """
+
+
+@_q("sketch_bloom_membership", _bloom_oracle())
+def sketch_bloom_membership(spark, sf):
+    """Bloom-filter membership probes next to ground truth (no false
+    negatives by construction; the two absent names exercise the negative
+    path). The filter is its distinct set-bit position set — built with one
+    distinct aggregate, broadcast to the probe side; md5-derived positions
+    make it engine-independent. See operators/sketches.py."""
+    from betfair_database_spark.operators import sketches
+
+    s = _t(spark, sf, "supplier")
+    bloom = sketches.bloom_positions(s, "s_name")
+    probes = spark.createDataFrame(
+        [
+            ("Supplier#000000001",),
+            ("Supplier#000000007",),
+            ("Supplier#000000042",),
+            ("Acme Rocket Skates",),
+            ("definitely-not-a-supplier",),
+        ],
+        ["probe_key"],
+    )
+    member = sketches.bloom_maybe_contains(F.broadcast(bloom), probes, "probe_key")
+    truth = s.select(F.col("s_name").alias("probe_key")).distinct().withColumn(
+        "actually_present", F.lit(True)
+    )
+    return (
+        member.join(truth, "probe_key", "left")
+        .select(
+            "probe_key",
+            "maybe_present",
+            F.coalesce("actually_present", F.lit(False)).alias(
+                "actually_present"
+            ),
+        )
+        .orderBy("probe_key")
+    )

@@ -646,7 +646,7 @@ def sketch_kmv_distinct(spark, sf):
     from betfair_database_spark.operators import sketches
 
     o = _t(spark, sf, "orders")
-    est = sketches.kmv_distinct(o, "o_custkey", k=256)
+    est = sketches.kmv_distinct(o, "o_custkey", k=256, hasher="md5")
     exact = o.agg(
         F.countDistinct("o_custkey").alias("exact_distinct")
     )
@@ -691,7 +691,7 @@ def sketch_kmv_jaccard(spark, sf):
     cut = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
     early = o.where(F.col("o_orderdate") < cut)
     late = o.where(F.col("o_orderdate") >= cut)
-    return sketches.kmv_jaccard(early, late, "o_custkey", k=256)
+    return sketches.kmv_jaccard(early, late, "o_custkey", k=256, hasher="md5")
 
 
 def _cm_bucket_sql(key_expr: str, j: int, width: int) -> str:
@@ -745,12 +745,12 @@ def sketch_countmin_counts(spark, sf):
     from betfair_database_spark.operators import sketches
 
     o = _t(spark, sf, "orders")
-    sk = sketches.countmin_table(o, "o_orderpriority")
+    sk = sketches.countmin_table(o, "o_orderpriority", hasher="md5")
     probes = spark.createDataFrame(
         [("1-URGENT",), ("3-MEDIUM",), ("5-LOW",), ("no-such-priority",)],
         ["probe_key"],
     )
-    est = sketches.countmin_lookup(sk, probes, "probe_key")
+    est = sketches.countmin_lookup(sk, probes, "probe_key", hasher="md5")
     exact = o.groupBy(F.col("o_orderpriority").alias("probe_key")).agg(
         F.count("*").alias("exact_n")
     )
@@ -807,7 +807,7 @@ def sketch_bloom_membership(spark, sf):
     from betfair_database_spark.operators import sketches
 
     s = _t(spark, sf, "supplier")
-    bloom = sketches.bloom_positions(s, "s_name")
+    bloom = sketches.bloom_positions(s, "s_name", hasher="md5")
     probes = spark.createDataFrame(
         [
             ("Supplier#000000001",),
@@ -818,7 +818,9 @@ def sketch_bloom_membership(spark, sf):
         ],
         ["probe_key"],
     )
-    member = sketches.bloom_maybe_contains(F.broadcast(bloom), probes, "probe_key")
+    member = sketches.bloom_maybe_contains(
+        F.broadcast(bloom), probes, "probe_key", hasher="md5"
+    )
     truth = s.select(F.col("s_name").alias("probe_key")).distinct().withColumn(
         "actually_present", F.lit(True)
     )

@@ -835,3 +835,33 @@ def sketch_bloom_membership(spark, sf):
         )
         .orderBy("probe_key")
     )
+
+
+@_q(
+    "w5_range_interval_sum",
+    """
+    SELECT event_id,
+           round(sum("value") OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(epoch_us(ts) AS BIGINT)
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+           ), 2) AS rolling_7d
+    FROM events
+    """,
+)
+def w5_range_interval_sum(spark, sf):
+    """RANGE-frame window (the remaining frame kind beyond the suite's ROWS
+    frames): per user, the trailing-7-day sum of value at each event. Both
+    engines order by epoch MICROSECONDS and bound the frame numerically
+    (604800000000 us), sidestepping engine-specific interval-frame
+    semantics; ties in ts share a frame, so the sum is well-defined without
+    a tiebreak. One hash exchange on user_id + one in-partition sort."""
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-604800000000, 0)
+    )
+    return ev.select(
+        "event_id", F.round(F.sum("value").over(w), 2).alias("rolling_7d")
+    )

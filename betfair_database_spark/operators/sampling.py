@@ -157,8 +157,14 @@ def weighted_priority_sample(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
     ).cast("long")
     pr = u.cast("double") / F.col(weight_col).cast("double")
+    # Rows with NULL or non-positive weight are NEVER sampled. Without the
+    # guard they'd win every slot: u/0 is NULL in Spark SQL (not IEEE inf)
+    # and ascending sort puts NULLS FIRST, inverting the contract — and
+    # disagreeing with any IEEE-arithmetic oracle, which gets +inf and
+    # sorts them last.
     return (
-        df.withColumn("priority", F.round(pr, 6))
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("priority", F.round(pr, 6))
         .orderBy(F.col("priority").asc(), F.col(key_col).asc())
         .limit(k)
     )

@@ -94,11 +94,18 @@ def _norm(a: Column) -> Column:
     )
 
 
+def _degenerate_guard(cos: Column) -> Column:
+    """Map a degenerate cosine to -1.0 (strictly worse than any real one).
+    Spark's Divide yields NULL on a zero divisor (NOT IEEE NaN — nanvl
+    alone is a dead guard), and NaN can still arrive via inf/inf from
+    overflowing inputs; coalesce+nanvl covers both, so a zero-norm vector
+    can never win an argmax/top-k nor silently vanish through a
+    cos >= threshold filter (NULL fails every predicate)."""
+    return F.coalesce(F.nanvl(cos, F.lit(-1.0)), F.lit(-1.0))
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
-    # A zero-norm vector yields 0/0 = NaN, and NaN sorts ABOVE every double
-    # in Spark — a degenerate vector would win every argmax/top-k. Map it to
-    # -1.0 (strictly worse than any real cosine) instead.
-    return F.nanvl(_dot(a, b) / (_norm(a) * _norm(b)), F.lit(-1.0))
+    return _degenerate_guard(_dot(a, b) / (_norm(a) * _norm(b)))
 
 
 def cosine_topk(
@@ -119,7 +126,7 @@ def cosine_topk(
     )
     scored = df.select(
         F.col(id_col),
-        F.round(F.nanvl(cos, F.lit(-1.0)), 4).alias("cos_sim"),
+        F.round(_degenerate_guard(cos), 4).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
@@ -244,8 +251,16 @@ def lsh_hyperplane_buckets(
         for batch in batches:
             vecs = np.zeros((len(batch), dims), dtype=np.float64)
             for r, v in enumerate(batch[vec_col]):
+                if v is None:  # a poison row must not kill the job: a NULL
+                    continue  # vector buckets as all-zeros (dot 0 -> '1's)
                 a = np.asarray(v[:dims], dtype=np.float64)
                 vecs[r, : len(a)] = a
+            # NOTE on fold order: the matmul uses BLAS pairwise summation
+            # while the Python qbucket / SQL oracles fold left-to-right. A
+            # sign bit can only differ when |dot| is within accumulated
+            # rounding (~1e-15 of 0) — measure-zero for real embeddings,
+            # and for an approximate index a flipped boundary bit perturbs
+            # candidate recall by at most that one vector.
             signs = (vecs @ pmat) >= 0  # n × (tables*bits)
             out = {id_col: batch[id_col]}
             for t in range(tables):
@@ -361,9 +376,8 @@ def ivf_assign(
     cands = F.array(
         *[
             F.struct(
-                F.nanvl(
-                    _dot_lit(vec_col, vec) / (vn * F.lit(_py_norm(vec))),
-                    F.lit(-1.0),
+                _degenerate_guard(
+                    _dot_lit(vec_col, vec) / (vn * F.lit(_py_norm(vec)))
                 ).alias("sim"),
                 F.lit(-cid).alias("ncid"),
             )
@@ -658,9 +672,8 @@ def embedding_near_dup_pairs_lsh(
         F.col(vec_col).alias("vb"),
         F.sqrt(_normsq_lit(vec_col, dims)).alias("nb"),
     )
-    cos = F.nanvl(
-        _dot_cols_lit("va", "vb", dims) / (F.col("na") * F.col("nb")),
-        F.lit(-1.0),
+    cos = _degenerate_guard(
+        _dot_cols_lit("va", "vb", dims) / (F.col("na") * F.col("nb"))
     )
     return (
         cand.join(va, "a")

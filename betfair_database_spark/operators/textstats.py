@@ -142,22 +142,24 @@ def unigram_logprob_scores(
     lowercased) tokens of ln p(w). Blank documents are excluded (no
     tokens, no score).
 
-    Two aggregation passes + one token-keyed join: freq is vocab-sized, so
-    Catalyst broadcasts it when small and AQE handles the shuffle when it
-    is not; nothing here is driver-bound except the 2-value (N, V) fetch,
-    which is embedded as a literal so the oracle reproduces it exactly.
+    One tokenize pass feeds the frequency table, which is lazily
+    checkpointed (vocab-sized) so BOTH its consumers — the (N + V)
+    denominator and the token join — reuse one materialization instead of
+    re-tokenizing the corpus per branch; the denominator rides along as a
+    1-row broadcast rather than an eager driver fetch (a .first() at
+    plan-BUILD time runs a full job before the caller even executes the
+    returned frame).
     """
     tok = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
     ).where(F.col("w") != "")
-    freq = tok.groupBy("w").agg(F.count("*").alias("f"))
+    freq = tok.groupBy("w").agg(F.count("*").alias("f")).localCheckpoint(eager=False)
     totals = freq.agg(
-        F.sum("f").alias("n"), F.count("*").alias("v")
-    ).first()
-    denom = float((totals["n"] or 0) + (totals["v"] or 0))
-    scored = tok.join(freq, "w").select(
-        F.col(id_col), F.log((F.col("f") + 1) / F.lit(denom)).alias("lp")
+        (F.sum("f") + F.count("*")).cast("double").alias("denom")
+    )
+    scored = tok.join(freq, "w").join(F.broadcast(totals)).select(
+        F.col(id_col), F.log((F.col("f") + 1) / F.col("denom")).alias("lp")
     )
     return scored.groupBy(id_col).agg(
         F.round(F.avg("lp"), 4).alias("logprob")

@@ -31,6 +31,13 @@ _ID_COLS = {"documents": "doc_id", "embeddings": "vec_id"}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Set the parquet-reader confs BEFORE ANY table read, not lazily inside
+    # the events loader: inferTimestampNTZ changes how every tz-naive
+    # timestamp column in the suite is surfaced, so setting it mid-session
+    # would make results depend on whether an events query ran first
+    # (order-dependent reads under a non-UTC driver session).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     if name == "events":
         return _events(spark, sf_dir)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -53,10 +60,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout, so a silent testdata change degrades to a no-op instead of a
     DATATYPE_MISMATCH across the whole event-query family.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # tz-naive parquet timestamps must surface as NTZ, not as UTC instants
-    # reinterpreted through the session timezone
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    # reader confs are applied by _t before any read (see _t)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = df.schema["ts"].dataType
     if not isinstance(ts_type, LongType):

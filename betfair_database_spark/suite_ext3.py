@@ -363,17 +363,15 @@ def text_bigram_lift(spark, sf):
         F.size("t") >= 2,
         F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))"),
     ).otherwise(F.array().cast("array<string>"))
-    bi = (
+    bi_all = (
         toks.select(F.explode(bigrams).alias("bg"))
         .groupBy("bg")
         .agg(F.count("*").alias("c"))
-        .where(F.col("c") >= 5)
+        .localCheckpoint(eager=False)  # both consumers reuse ONE explode
     )
+    bi = bi_all.where(F.col("c") >= 5)
     n_uni = uni.agg(F.sum("c").cast("double").alias("n_uni"))
-    n_bi_all = (
-        toks.select(F.explode(bigrams).alias("bg"))
-        .agg(F.count("*").cast("double").alias("n_bi"))
-    )
+    n_bi_all = bi_all.agg(F.sum("c").cast("double").alias("n_bi"))
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
     scored = (
@@ -852,14 +850,20 @@ def sketch_bloom_membership(spark, sf):
 def w5_range_interval_sum(spark, sf):
     """RANGE-frame window (the remaining frame kind beyond the suite's ROWS
     frames): per user, the trailing-7-day sum of value at each event. Both
-    engines order by epoch MICROSECONDS and bound the frame numerically
-    (604800000000 us), sidestepping engine-specific interval-frame
-    semantics; ties in ts share a frame, so the sum is well-defined without
-    a tiebreak. One hash exchange on user_id + one in-partition sort."""
+    engines order by epoch MICROSECONDS derived with timezone-free
+    arithmetic and bound the frame numerically (604800000000 us); ties in
+    ts share a frame, so the sum is well-defined without a tiebreak. One hash exchange on user_id + one in-partition sort."""
     ev = _t(spark, sf, "events")
+    # epoch micros via pure NTZ wall-clock arithmetic — unix_micros would
+    # need an NTZ->LTZ cast, which shifts by the session offset and (worse)
+    # NON-uniformly across DST transitions, silently moving frame bounds
+    # relative to the oracle's naive epoch_us.
+    epoch_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .orderBy(epoch_us)
         .rangeBetween(-604800000000, 0)
     )
     return ev.select(

@@ -1008,3 +1008,14 @@ def test_countmin_overestimates_only_and_deterministic(spark):
         for r in countmin_lookup(sk2, probes, "k").collect()
     }
     assert got == got2
+
+
+def test_weighted_priority_sample_excludes_degenerate_weights(spark):
+    """NULL/zero/negative weights must never be sampled (u/0 is NULL in
+    Spark and would otherwise sort NULLS FIRST into every slot)."""
+    from betfair_database_spark.operators.sampling import weighted_priority_sample
+
+    rows = [(1, None), (2, 0), (3, -5)] + [(i, 100) for i in range(10, 40)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = {r.id for r in weighted_priority_sample(df, "id", "w", 10).collect()}
+    assert got.isdisjoint({1, 2, 3}) and len(got) == 10

@@ -18,6 +18,16 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def md5_uniform_long(key: Column) -> Column:
+    """The engine-independent 32-bit uniform: first 8 md5 hex chars as a
+    long. ONE definition — the DuckDB oracles reproduce this exact
+    expression, so every consumer (budget take, packing, weighted
+    priority) must stay in lockstep."""
+    return F.conv(
+        F.substring(F.md5(key.cast("string")), 1, 8), 16, 10
+    ).cast("long")
+
+
 def hash_bucket(key: Column, buckets: int = 100) -> Column:
     """Deterministic bucket in [0, buckets): first 4 hex chars of
     md5(string(key)) as an int, mod buckets. Uniform enough for sampling
@@ -55,9 +65,7 @@ def token_budget_take(
     w.r.t. any ordering of the source data. One shuffle (the per-group
     window); the window partitions by group, so no global sort.
     """
-    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    )
+    h = md5_uniform_long(F.col(key_col))
     w = (
         Window.partitionBy(group_col)
         .orderBy(h.asc(), F.col(key_col).asc())
@@ -121,9 +129,7 @@ def pack_sequences(
     cross groups, so there is no global sort to bottleneck at scale.
     Output: input columns + ``bin`` (0-based within group).
     """
-    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    )
+    h = md5_uniform_long(F.col(key_col))
     w = (
         Window.partitionBy(group_col)
         .orderBy(h.asc(), F.col(key_col).asc())
@@ -153,10 +159,10 @@ def weighted_priority_sample(
     driver participation; at 100 TB this is a map + top-k reduce.
     Output: input columns + ``priority`` (rounded to 6).
     """
-    u = F.conv(
-        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
-    ).cast("long")
-    pr = u.cast("double") / F.col(weight_col).cast("double")
+    pr = (
+        md5_uniform_long(F.col(key_col)).cast("double")
+        / F.col(weight_col).cast("double")
+    )
     # Rows with NULL or non-positive weight are NEVER sampled. Without the
     # guard they'd win every slot: u/0 is NULL in Spark SQL (not IEEE inf)
     # and ascending sort puts NULLS FIRST, inverting the contract — and

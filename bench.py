@@ -76,6 +76,10 @@ HEADLINE = [
     "multimodal_decode_jpeg_mp3",
     "text_bigram_lift",
     "pipeline_curate_sample",
+    "w5_range_interval_sum",
+    "sample_group_reservoir",
+    "sketch_kmv_distinct",
+    "sketch_countmin_counts",
 ]
 
 

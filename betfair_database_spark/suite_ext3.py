@@ -869,3 +869,43 @@ def w5_range_interval_sum(spark, sf):
     return ev.select(
         "event_id", F.round(F.sum("value").over(w), 2).alias("rolling_7d")
     )
+
+
+@_q(
+    "agg_filtered_conditional",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT)
+             AS n_big,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                        FILTER (WHERE o_orderpriority = '1-URGENT')
+                      AS DOUBLE)
+                 / nullif(count(*) FILTER (WHERE o_orderpriority = '1-URGENT'),
+                          0), 2) AS avg_urgent
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_filtered_conditional(spark, sf):
+    """FILTER-clause aggregates (SQL:2003) in one grouped pass: Spark
+    expresses them as count_if / conditional sums over the SAME hash
+    aggregate — no per-condition scans. The filtered mean sums in
+    DECIMAL(38,6) (exact, associative) before dividing, so partial-agg
+    order can't flip the rounded cent on either engine."""
+    o = _t(spark, sf, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    usum = F.sum(
+        F.when(urgent, F.col("o_totalprice").cast("decimal(38,6)"))
+    )
+    ucnt = F.count(F.when(urgent, F.lit(1)))
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.round(
+                usum.cast("double") / F.nullif(ucnt, F.lit(0)), 2
+            ).alias("avg_urgent"),
+        )
+        .orderBy("o_orderstatus")
+    )

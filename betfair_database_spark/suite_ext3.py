@@ -909,3 +909,33 @@ def agg_filtered_conditional(spark, sf):
         )
         .orderBy("o_orderstatus")
     )
+
+
+@_q(
+    "agg_ordered_listagg",
+    """
+    SELECT n_name,
+           string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+           CAST(count(*) AS BIGINT) AS n
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def agg_ordered_listagg(spark, sf):
+    """Ordered string aggregation (LISTAGG / string_agg): collect_list is
+    partition-order-dependent, so the list is array_sort()ed before joining
+    — the only way the concatenated string is deterministic at any
+    parallelism (and matches the oracle's ORDER BY clause)."""
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    return (
+        s.join(n, s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias(
+                "suppliers"
+            ),
+            F.count("*").alias("n"),
+        )
+        .orderBy("n_name")
+    )

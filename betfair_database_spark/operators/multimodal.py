@@ -179,6 +179,67 @@ def _mp3_duration_ms(payload: bytes) -> int:
 # --------------------------------------------------------------------------
 
 
+def encode_mp4(duration_ms: int) -> bytes:
+    """Minimal ISO-BMFF (MP4): ftyp + moov/mvhd v0 with timescale 1000 and
+    duration == duration_ms. 132 bytes, codec-less but structurally real —
+    any box-walking parser recovers the duration."""
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0)
+    mvhd_payload = (
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # ctime, mtime
+        + struct.pack(">II", 1000, duration_ms)  # timescale, duration
+        + b"\x00" * 80  # rate/volume/matrix/next_track (fixed tail)
+    )
+    mvhd = struct.pack(">I", 8 + len(mvhd_payload)) + b"mvhd" + mvhd_payload
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    return ftyp + moov
+
+
+def encode_avi(n_frames: int) -> bytes:
+    """Minimal RIFF-AVI: hdrl LIST with an avih chunk at 25 fps
+    (dwMicroSecPerFrame = 40000) and dwTotalFrames == n_frames. 88 bytes."""
+    avih_payload = struct.pack("<IIII", 40000, 0, 0, 0) + struct.pack(
+        "<I", n_frames
+    ) + b"\x00" * 36  # remaining avih fields zeroed (56-byte struct)
+    avih = b"avih" + struct.pack("<I", len(avih_payload)) + avih_payload
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih)) + b"hdrl" + avih
+    return b"RIFF" + struct.pack("<I", 4 + len(hdrl)) + b"AVI " + hdrl
+
+
+def decode_video(payload: bytes) -> tuple[str, int]:
+    """(mime, duration_ms) for ISO-BMFF (moov/mvhd box walk, v0 and v1) and
+    RIFF-AVI (avih chunk: usec-per-frame x total frames). Header walks
+    only — no codec, same contract as the JPEG-SOF / MP3-frame decoders."""
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        pos, n = 0, len(payload)
+        while pos + 8 <= n:
+            size = struct.unpack_from(">I", payload, pos)[0]
+            box = payload[pos + 4 : pos + 8]
+            if box == b"moov":
+                inner, end = pos + 8, pos + size
+                while inner + 8 <= min(end, n):
+                    isize = struct.unpack_from(">I", payload, inner)[0]
+                    if payload[inner + 4 : inner + 8] == b"mvhd":
+                        ver = payload[inner + 8]
+                        if ver == 0:
+                            ts, dur = struct.unpack_from(">II", payload, inner + 20)
+                        else:
+                            ts = struct.unpack_from(">I", payload, inner + 28)[0]
+                            dur = struct.unpack_from(">Q", payload, inner + 32)[0]
+                        return ("video/mp4", int(dur) * 1000 // int(ts))
+                    inner += max(isize, 8)
+            pos += max(size, 8)
+        raise ValueError("no mvhd box found in ISO-BMFF stream")
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        at = payload.find(b"avih")
+        if at < 0 or at + 28 > len(payload):
+            raise ValueError("no avih chunk found in AVI stream")
+        usec = struct.unpack_from("<I", payload, at + 8)[0]
+        frames = struct.unpack_from("<I", payload, at + 8 + 16)[0]
+        return ("video/x-msvideo", usec * frames // 1000)
+    raise NotImplementedError("unsupported video container (codec required)")
+
+
 def decode_image(payload: bytes) -> tuple[str, int, int]:
     """(mime, width, height) from the container header.
 
@@ -304,6 +365,31 @@ def synthesize_media_jpeg_mp3(
     )
 
 
+def synthesize_media_video(
+    df: DataFrame, id_col: str = "doc_id", size_col: str = "n_chars"
+) -> DataFrame:
+    """MP4/AVI sibling of synthesize_media, closed-form for the oracle:
+
+      id % 2 == 0 → MP4, duration_ms = (size % 90 + 1) * 100, n_bytes = 132
+      otherwise   → AVI, n_frames = size % 50 + 1
+                    (duration_ms = (size % 50 + 1) * 40, n_bytes = 88)
+    """
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = [
+                encode_mp4((int(size) % 90 + 1) * 100)
+                if int(i) % 2 == 0
+                else encode_avi(int(size) % 50 + 1)
+                for i, size in zip(batch[id_col], batch[size_col])
+            ]
+            yield pd.DataFrame({id_col: batch[id_col], "payload": payloads})
+
+    return df.select(id_col, size_col).mapInPandas(
+        _make, schema=f"{id_col} long, payload binary"
+    )
+
+
 def decode_media(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
     """Decode each payload's container header into typed metadata columns:
     (id, mime, width, height, duration_ms, n_bytes). Undecodable payloads
@@ -316,13 +402,22 @@ def decode_media(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payl
             for i, raw in zip(batch[id_col], batch[payload_col]):
                 payload = bytes(raw) if raw is not None else b""
                 mime, width, height, dur = "unknown", None, None, None
+                is_video = (
+                    len(payload) >= 12
+                    and (
+                        payload[4:8] == b"ftyp"
+                        or (payload[:4] == b"RIFF" and payload[8:12] == b"AVI ")
+                    )
+                )
                 is_audio = (
-                    payload[:4] == b"RIFF"
+                    (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE")
                     or payload[:3] == b"ID3"
                     or (len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0)
                 )
                 try:
-                    if is_audio:
+                    if is_video:
+                        mime, dur = decode_video(payload)
+                    elif is_audio:
                         mime, dur = decode_audio(payload)
                     else:
                         mime, width, height = decode_image(payload)

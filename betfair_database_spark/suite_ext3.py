@@ -939,3 +939,29 @@ def agg_ordered_listagg(spark, sf):
         )
         .orderBy("n_name")
     )
+
+
+@_q(
+    "multimodal_decode_mp4_avi",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'video/mp4'
+                ELSE 'video/x-msvideo' END AS mime,
+           CAST(NULL AS BIGINT) AS width,
+           CAST(NULL AS BIGINT) AS height,
+           CASE WHEN doc_id % 2 = 0 THEN (n_chars % 90 + 1) * 100
+                ELSE (n_chars % 50 + 1) * 40 END AS duration_ms,
+           CASE WHEN doc_id % 2 = 0 THEN 132 ELSE 88 END AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_decode_mp4_avi(spark, sf):
+    """Video-container round trip (closes the image/audio/VIDEO triple):
+    synthesize structurally-real MP4 (ftyp + moov/mvhd) and RIFF-AVI (avih)
+    payloads, walk the boxes/chunks back to duration, verify against the
+    closed form. Header walks only — the same codec-less contract as the
+    JPEG-SOF and MP3-frame decoders."""
+    from betfair_database_spark.operators import multimodal
+
+    media = multimodal.synthesize_media_video(_t(spark, sf, "documents"))
+    return multimodal.decode_media(media)

@@ -1019,3 +1019,24 @@ def test_weighted_priority_sample_excludes_degenerate_weights(spark):
     df = spark.createDataFrame(rows, "id long, w long")
     got = {r.id for r in weighted_priority_sample(df, "id", "w", 10).collect()}
     assert got.isdisjoint({1, 2, 3}) and len(got) == 10
+
+
+def test_mp4_avi_header_roundtrip():
+    """Video duration survives the encode -> box/chunk-walk decode, v0 and
+    the AVI path; truncated/foreign payloads raise instead of garbage."""
+    import pytest as _pytest
+
+    from betfair_database_spark.operators.multimodal import (
+        decode_video,
+        encode_avi,
+        encode_mp4,
+    )
+
+    for ms in (0, 1, 999, 123456):
+        assert decode_video(encode_mp4(ms)) == ("video/mp4", ms)
+    for frames in (1, 25, 1000):
+        assert decode_video(encode_avi(frames)) == ("video/x-msvideo", frames * 40)
+    with _pytest.raises(ValueError):
+        decode_video(encode_mp4(10)[:20])  # ftyp only, no moov
+    with _pytest.raises(NotImplementedError):
+        decode_video(b"\x1aE\xdf\xa3 not an iso-bmff or avi stream")

@@ -80,6 +80,9 @@ HEADLINE = [
     "sample_group_reservoir",
     "sketch_kmv_distinct",
     "sketch_countmin_counts",
+    "agg_filtered_conditional",
+    "agg_ordered_listagg",
+    "multimodal_decode_mp4_avi",
 ]
 
 

@@ -108,3 +108,87 @@ def funnel_stages(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cohort_activity(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of the batch cohort-retention query: per-user keyed
+    state tracks the first-seen date (the cohort) and the set of week
+    offsets already credited; each micro-batch emits one row per NEWLY
+    seen (user, week) so a downstream aggregate can maintain live
+    (cohort_day, wk) -> distinct-user counts without reprocessing history.
+
+    Monotonicity contract (same as funnel_stages): the cohort is fixed by
+    the earliest event seen SO FAR — an event arriving in a later batch
+    with an earlier timestamp cannot re-base the cohort (its week is
+    credited as offset 0). On a bounded in-order source the emitted set
+    equals the batch query's (user, cohort, wk) triples.
+
+    Output (update mode): (user_id, cohort_day, wk).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    ev = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col(ts_col).cast("timestamp_ntz").alias("ts"),
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("cohort_day", StringType()),
+            StructField("wk", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("cohort_day", StringType()),  # ISO date
+            StructField("weeks_csv", StringType()),  # credited offsets
+        ]
+    )
+
+    def update(key, pdfs, state: "GroupState"):
+        from datetime import date
+
+        (user_id,) = key
+        if state.exists:
+            cohort_day, weeks_csv = state.get
+            cohort = date.fromisoformat(cohort_day)
+            seen = {int(x) for x in weeks_csv.split(",") if x}
+        else:
+            cohort, seen = None, set()
+        days = sorted(
+            pd.Timestamp(r.ts).date() for pdf in pdfs for r in pdf.itertuples(index=False)
+        )
+        fresh = []
+        for d in days:
+            if cohort is None:
+                cohort = d
+            wk = max((d - cohort).days, 0) // 7
+            if wk not in seen:
+                seen.add(wk)
+                fresh.append(wk)
+        if cohort is not None:
+            state.update(
+                (cohort.isoformat(), ",".join(str(w) for w in sorted(seen)))
+            )
+        if fresh:
+            yield pd.DataFrame(
+                [
+                    {"user_id": user_id, "cohort_day": cohort.isoformat(), "wk": w}
+                    for w in fresh
+                ]
+            )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -293,3 +293,63 @@ def test_funnel_stages_stream(spark, tmp_path):
     assert stages[1] == 3
     assert stages[2] == 2
     assert 3 not in stages
+
+
+def test_cohort_activity_stream_matches_batch(spark, tmp_path):
+    """Streamed (user, cohort, wk) triples over two micro-batches equal the
+    batch cohort query's distinct activity set on the same events."""
+    import json as _json
+    import os
+
+    from betfair_database_spark.streaming import analytics, mcm
+    from betfair_database_spark.suite import SUITE
+
+    src = tmp_path / "ev"
+    src.mkdir()
+
+    def ev(eid, user, day, hour=12):
+        return _json.dumps(
+            {
+                "event_id": eid,
+                "user_id": user,
+                "event_type": "view",
+                "value": 1.0,
+                "props": "{}",
+                "ts": f"2024-01-{day:02d} {hour:02d}:00:00",
+            }
+        )
+
+    b1 = [ev(1, 1, 1), ev(2, 1, 3), ev(3, 2, 2)]
+    b2 = [ev(4, 1, 9), ev(5, 1, 16), ev(6, 2, 2, hour=18), ev(7, 2, 23)]
+    (src / "b1.json").write_text("\n".join(b1))
+    (src / "b2.json").write_text("\n".join(b2))
+
+    schema = (
+        "event_id long, user_id long, event_type string, value double,"
+        " props string, ts string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    mcm.run_to_memory(analytics.cohort_activity(stream), "cohort_out")
+    got = {
+        (r.user_id, r.cohort_day, r.wk)
+        for r in spark.sql("SELECT DISTINCT * FROM cohort_out").collect()
+    }
+
+    # batch reference over the same rows written as parquet
+    batch_dir = tmp_path / "batch"
+    df = spark.read.schema(schema).json(str(src)).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "user_id",
+        "event_type", "value", "props",
+    )
+    df.write.parquet(os.path.join(str(batch_dir), "events.parquet"))
+    batch = SUITE["ev_cohort_retention"].fn(spark, str(batch_dir)).collect()
+    # expand batch (cohort_day, wk, users) against streamed per-user rows
+    from collections import Counter
+
+    want_counts = {(r.cohort_day, r.wk): r.users for r in batch}
+    got_counts = Counter((c, w) for _, c, w in got)
+    assert dict(got_counts) == want_counts

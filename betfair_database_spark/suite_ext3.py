@@ -965,3 +965,64 @@ def multimodal_decode_mp4_avi(spark, sf):
 
     media = multimodal.synthesize_media_video(_t(spark, sf, "documents"))
     return multimodal.decode_media(media)
+
+
+@_q(
+    "sketch_kmv_union",
+    """
+    WITH a AS (
+      SELECT DISTINCT
+        CAST(CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)
+             AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    ),
+    b AS (
+      SELECT DISTINCT
+        CAST(CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)
+             AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    ),
+    ka AS (SELECT u FROM a ORDER BY u LIMIT 256),
+    kb AS (SELECT u FROM b ORDER BY u LIMIT 256),
+    merged AS (SELECT u FROM (SELECT u FROM ka UNION SELECT u FROM kb)
+               ORDER BY u LIMIT 256),
+    agg AS (SELECT max(u) AS kth, count(*) AS n_kept FROM merged),
+    ex AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+           FROM orders)
+    SELECT CAST(CASE WHEN agg.n_kept < 256 THEN agg.n_kept
+                ELSE round(255.0 / agg.kth) END AS BIGINT) AS kmv_union_estimate,
+           ex.exact_distinct
+    FROM agg, ex
+    """,
+)
+def sketch_kmv_union(spark, sf):
+    """KMV sketch MERGE: the union of two per-partition sketches (k-min of
+    the combined k-min sets) estimates the distinct count of the combined
+    input — the associativity that makes the sketch a one-pass distributed
+    aggregate (each partition keeps k values, merges are k-row unions).
+    Demonstrated by sketching the early/late order halves separately and
+    merging, next to the exact answer."""
+    from betfair_database_spark.operators.sketches import uniform_hash
+
+    o = _t(spark, sf, "orders")
+    cut = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+
+    def kmin(side):
+        return (
+            side.select(uniform_hash(F.col("o_custkey"), "md5").alias("u"))
+            .distinct()
+            .orderBy("u")
+            .limit(256)
+        )
+
+    ka = kmin(o.where(F.col("o_orderdate") < cut))
+    kb = kmin(o.where(F.col("o_orderdate") >= cut))
+    merged = ka.union(kb).distinct().orderBy("u").limit(256)
+    agg = merged.agg(F.max("u").alias("kth"), F.count("*").alias("n_kept"))
+    est = F.when(
+        F.col("n_kept") < 256, F.col("n_kept").cast("double")
+    ).otherwise(F.round(F.lit(255.0) / F.col("kth")))
+    exact = o.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    return agg.select(
+        est.cast("long").alias("kmv_union_estimate")
+    ).join(F.broadcast(exact))

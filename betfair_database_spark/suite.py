@@ -2004,6 +2004,7 @@ def text_lang_id(spark, sf):
 from betfair_database_spark import suite_ext as _suite_ext  # noqa: E402,F401
 from betfair_database_spark import suite_ext2 as _suite_ext2  # noqa: E402,F401
 from betfair_database_spark import suite_ext3 as _suite_ext3  # noqa: E402,F401
+from betfair_database_spark import suite_ext4 as _suite_ext4  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registration order. External harnesses sample the FIRST 50 queries, so the

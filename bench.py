@@ -83,6 +83,15 @@ HEADLINE = [
     "agg_filtered_conditional",
     "agg_ordered_listagg",
     "multimodal_decode_mp4_avi",
+    # round-4 batch 2: bucketized range joins, gap-fill, heavy hitters,
+    # int8-quantized ANN
+    "range_events_in_windows",
+    "range_window_overlap_pairs",
+    "ts_gapfill_hourly_ffill",
+    "heavy_hitters_tokens",
+    "knn_quantized_top10",
+    "graph_triangle_count",
+    "scd2_event_type_intervals",
 ]
 
 

@@ -106,3 +106,65 @@ def connected_components(
         )
 
     return labels.select(F.col("node"), F.col("lbl").alias("component"))
+
+
+def canonical_edges(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Undirected edge set canonicalized to (u < v), self-loops dropped,
+    deduplicated. One shuffle (the distinct)."""
+    return (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Global triangle count via DEGREE-ORDERED edge orientation (the
+    compact-forward algorithm): orient every undirected edge from its
+    lower-(degree, id) endpoint to the higher one, build wedges by joining
+    out-edges on their source, close wedges against the oriented edge set.
+
+    Why not the naive 3-way self-join on canonical (u < v) edges (the
+    oracle's formulation): its wedge step fans out by the square of the
+    MAX degree — one celebrity node with 1M neighbours yields 10^12 wedge
+    rows. Degree ordering bounds every node's OUT-degree by O(sqrt(m))
+    regardless of skew (a node of degree d only points to >=d-degree
+    neighbours, and there are at most 2m/d of those), so the wedge fanout
+    is O(m^1.5) worst case and the hot key disappears. Three shuffles
+    total: degree agg, wedge join, closure join — each a plain hash
+    exchange that AQE can further split.
+
+    Returns a 1-row frame: (n_edges, n_triangles).
+    """
+    e = canonical_edges(edges, a, b).localCheckpoint()  # reused 4x below
+    deg = (
+        e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orientation key: (degree, id) totally orders nodes deterministically
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+    ranked = e.join(du, "u").join(dv, "v")
+    fwd = ranked.select(
+        F.when(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+            F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+        )
+        .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+        .alias("e")
+    ).select("e.s", "e.t")
+    w1 = fwd.select(F.col("s"), F.col("t").alias("x"))
+    w2 = fwd.select(F.col("s"), F.col("t").alias("y"))
+    wedges = w1.join(w2, "s").where(F.col("x") < F.col("y"))
+    # a wedge (x, y) closes iff the oriented edge x->y or y->x exists; the
+    # canonical frame already stores it exactly once as unordered (min, max)
+    closure = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closure, ["x", "y"], "left_semi")
+    return tri.agg(F.count("*").alias("n_triangles")).join(
+        F.broadcast(e.agg(F.count("*").alias("n_edges")))
+    ).select("n_edges", "n_triangles")

@@ -208,3 +208,100 @@ def bloom_maybe_contains(
         "probe_key",
         (F.coalesce("n_hit", F.lit(0)) == hashes).alias("maybe_present"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries candidate generation + exact verification
+# ---------------------------------------------------------------------------
+
+
+def misra_gries_partition_summaries(
+    df: DataFrame, item_col: str, counters: int = 256
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries: at most ``counters`` (item,
+    weight) rows per input partition, built in ONE streaming pass with O(counters)
+    memory per task (mapInPandas over Arrow batches; each batch folds in via
+    its value_counts, so the Python work is per-DISTINCT-item, not per-row).
+
+    Guarantee (the reason two cheap passes beat one full groupBy at 100 TB):
+    within a partition, an item's summary weight undercounts its true
+    partition frequency by at most n_p/(counters+1). So any item with
+    GLOBAL frequency > N/(counters+1) exceeds that bound in at least one
+    partition (pigeonhole) and MUST survive into some summary. The union of
+    summaries — at most counters x num_partitions rows, broadcastable — is
+    therefore a guaranteed superset of every phi-heavy hitter for
+    phi >= 1/(counters+1). Which candidates survive beyond the guarantee
+    depends on arrival order; callers MUST verify with an exact second pass
+    (:func:`heavy_hitters_exact`) rather than trust summary weights.
+    """
+    import pandas as pd
+
+    field = df.schema[item_col]
+    out_schema = f"`{item_col}` {field.dataType.simpleString()}, wt long"
+
+    def summarize(batches):
+        counts: dict = {}
+        for pdf in batches:
+            for item, w in pdf[item_col].value_counts().items():
+                w = int(w)
+                if item in counts:
+                    counts[item] += w
+                elif len(counts) < counters:
+                    counts[item] = w
+                else:
+                    # weighted MG eviction: absorb min(w, current minimum)
+                    # from EVERY counter and the incoming weight; repeat
+                    # until the newcomer fits or is exhausted
+                    while w > 0 and item not in counts and len(counts) >= counters:
+                        d = min(w, min(counts.values()))
+                        counts = {k: v - d for k, v in counts.items() if v > d}
+                        w -= d
+                    if w > 0:
+                        counts[item] = counts.get(item, 0) + w
+        if counts:
+            yield pd.DataFrame(
+                {item_col: list(counts.keys()), "wt": list(counts.values())}
+            )
+
+    return df.select(item_col).mapInPandas(summarize, schema=out_schema)
+
+
+def heavy_hitters_exact(
+    df: DataFrame, item_col: str, phi_denominator: int, counters: int = 256
+) -> DataFrame:
+    """Items with exact frequency strictly greater than N/``phi_denominator``,
+    found WITHOUT a full-cardinality groupBy:
+
+      pass 1  Misra-Gries summaries shrink the candidate space to
+              <= counters x partitions rows (needs
+              counters + 1 >= phi_denominator for the superset guarantee);
+      pass 2  a broadcast semi-join + groupBy over candidates only computes
+              EXACT counts — the aggregate's key space is the candidate set,
+              not the full item domain (the win when the domain is huge:
+              tokens, URLs, user agents).
+
+    Returns (item_col, cnt, share) — exact, deterministic, independent of
+    partitioning. N counts every input row of ``item_col`` (nulls excluded).
+    """
+    if counters + 1 < phi_denominator:
+        raise ValueError(
+            f"counters={counters} cannot guarantee phi=1/{phi_denominator}; "
+            f"need counters >= {phi_denominator - 1}"
+        )
+    items = df.select(item_col).where(F.col(item_col).isNotNull())
+    cands = misra_gries_partition_summaries(items, item_col, counters).select(
+        item_col
+    ).distinct()
+    total = items.agg(F.count("*").alias("n_total"))
+    return (
+        items.join(F.broadcast(cands), item_col, "left_semi")
+        .groupBy(item_col)
+        .agg(F.count("*").alias("cnt"))
+        .join(F.broadcast(total))
+        .where(F.col("cnt") * phi_denominator > F.col("n_total"))
+        .select(
+            item_col,
+            "cnt",
+            F.round(F.col("cnt") / F.col("n_total"), 4).alias("share"),
+        )
+    )

@@ -248,3 +248,210 @@ def ts_gapfill_hourly_ffill(spark, sf):
             F.sum(F.col("fv").cast("decimal(38,6)")).cast("double"), 2
         ).alias("sum_filled"),
     )
+
+
+# =========================================================================
+# Heavy hitters: Misra-Gries candidates + exact verification
+# =========================================================================
+
+
+@_q(
+    "heavy_hitters_tokens",
+    """
+    WITH tok AS (
+      SELECT t FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents
+      ) WHERE t <> ''
+    ),
+    n AS (SELECT count(*) AS n_total FROM tok)
+    SELECT t AS token, count(*) AS cnt,
+           round(count(*) / any_value(n.n_total), 4) AS share
+    FROM tok, n
+    GROUP BY t
+    HAVING count(*) * 64 > any_value(n.n_total)
+    """,
+)
+def heavy_hitters_tokens(spark, sf):
+    """Vocabulary heavy hitters (tokens with frequency > N/64) via
+    Misra-Gries: pass 1 builds O(counters) per-partition summaries whose
+    union is a GUARANTEED superset of every 1/65-heavy item, pass 2
+    exact-counts only that broadcastable candidate set — so the aggregation
+    key space is ~256 x partitions rows instead of the full vocabulary (the
+    difference between a bounded hash map and an OOM when the domain is
+    web-scale URLs/n-grams). Output is exact and partition-independent;
+    the oracle is the direct GROUP BY ... HAVING."""
+    from betfair_database_spark.operators.sketches import heavy_hitters_exact
+
+    d = _t(spark, sf, "documents")
+    tok = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).where(F.col("token") != "")
+    return heavy_hitters_exact(tok, "token", phi_denominator=64, counters=256)
+
+
+# =========================================================================
+# Int8-quantized ANN
+# =========================================================================
+
+_KNN_Q8_ORACLE = """
+WITH m AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+  FROM embeddings
+),
+qv AS (
+  SELECT e.vec_id,
+         CASE WHEN m.ma = 0 THEN list_transform(e.embedding, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(e.embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / m.ma) AS BIGINT))
+         END AS q
+  FROM embeddings e JOIN m USING (vec_id)
+),
+q0 AS (SELECT q AS qq FROM qv WHERE vec_id = 0),
+scored AS (
+  SELECT qv.vec_id,
+         sum(qv.q[i] * q0.qq[i]) AS dot,
+         sum(qv.q[i] * qv.q[i]) AS na,
+         sum(q0.qq[i] * q0.qq[i]) AS nq
+  FROM qv, q0, range(1, 65) t(i)
+  GROUP BY qv.vec_id
+)
+SELECT vec_id,
+       round(CASE WHEN na = 0 OR nq = 0 THEN -1.0
+             ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE)))
+             END, 4) AS cos_sim_q
+FROM scored ORDER BY cos_sim_q DESC, vec_id LIMIT 10
+"""
+
+
+@_q("knn_quantized_top10", _KNN_Q8_ORACLE)
+def knn_quantized_top10(spark, sf):
+    """Top-10 by cosine over INT8-QUANTIZED embeddings (symmetric per-vector
+    max-abs scaling): the scan reads 1/4 the bytes of the float path and the
+    scoring loop is an integer multiply-accumulate — the standard bandwidth
+    lever for billion-vector retrieval. Per-vector scales cancel in cosine,
+    so only the int8 arrays are touched. Still one shuffle-free
+    TakeOrderedAndProject; exactly reproducible cross-engine because the
+    only float steps are the quantization round and two final sqrts."""
+    from betfair_database_spark.operators import quantize
+
+    e = _t(spark, sf, "embeddings")
+    row = e.where(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(v) for v in row[0]]
+    return quantize.quantized_topk(e, qvec, k=10)
+
+
+# =========================================================================
+# Graph analytics: triangle count over a co-activity graph
+# =========================================================================
+
+
+@_q(
+    "graph_triangle_count",
+    """
+    WITH slots AS (
+      SELECT DISTINCT user_id AS u, date_trunc('hour', ts) AS slot
+      FROM events
+    ),
+    e AS (
+      SELECT a.u AS u, b.u AS v
+      FROM slots a JOIN slots b ON a.slot = b.slot AND a.u < b.u
+      GROUP BY 1, 2 HAVING count(*) >= 8
+    )
+    SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*)
+                 FROM e e1 JOIN e e2 ON e2.u = e1.v
+                           JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+                AS BIGINT) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark, sf):
+    """Triangle count over the user co-activity graph (edge = two users
+    sharing >= 8 active hours). The oracle is the textbook 3-way self-join
+    on canonical u<v edges; the Spark operator is the degree-ordered
+    compact-forward form whose wedge fanout is bounded by O(sqrt(m)) per
+    node — the difference between a celebrity node costing deg^2 wedge rows
+    and costing ~m. Edge construction itself is slot-blocked (self-join on
+    the hour slot), never all-pairs over users."""
+    from betfair_database_spark.operators.graph import triangle_count
+
+    ev = _t(spark, sf, "events")
+    slots = ev.select(
+        F.col("user_id").alias("u"), F.date_trunc("hour", F.col("ts")).alias("slot")
+    ).distinct()
+    a = slots.select(F.col("u").alias("a"), "slot")
+    b = slots.select(F.col("u").alias("b"), "slot")
+    edges = (
+        a.join(b, "slot")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= 8)
+    )
+    return triangle_count(edges)
+
+
+# =========================================================================
+# SCD2 / gaps-and-islands: collapse consecutive equal values into validity
+# intervals
+# =========================================================================
+
+
+@_q(
+    "scd2_event_type_intervals",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run_id
+      FROM flagged
+    ),
+    intervals AS (
+      SELECT user_id, event_type, run_id,
+             min(ts) AS valid_from, max(ts) AS valid_to, count(*) AS n_rows
+      FROM runs GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           count(*) AS n_intervals,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           round(avg(epoch_us(valid_to) - epoch_us(valid_from)) / 1000000.0, 1)
+             AS avg_run_s
+    FROM intervals GROUP BY 1
+    """,
+)
+def scd2_event_type_intervals(spark, sf):
+    """Gaps-and-islands — the SCD2 dimension-build core: collapse each
+    user's CONSECUTIVE runs of the same event_type into validity intervals
+    (change flag via lag, run id via running sum of flags, one group per
+    run), then summarize per type. Two window passes + one aggregate over a
+    single hash partitioning on user_id — the exact shape that builds
+    slowly-changing dimensions from a 100 TB change log without any
+    self-join. Ordering ties broken by event_id on both engines."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 1
+    ).otherwise(0)
+    runs = ev.select(
+        "user_id", "event_type", "ts", F.sum(chg).over(w).alias("run_id")
+    )
+    iv = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.min("ts").alias("valid_from"),
+        F.max("ts").alias("valid_to"),
+        F.count("*").alias("n_rows"),
+    )
+    dur_s = (
+        F.expr(_EPOCH_US.format(c="valid_to"))
+        - F.expr(_EPOCH_US.format(c="valid_from"))
+    ) / F.lit(1_000_000.0)
+    return iv.groupBy("event_type").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum("n_rows").alias("n_rows"),
+        F.round(F.avg(dur_s), 1).alias("avg_run_s"),
+    )

@@ -50,6 +50,7 @@ def point_in_interval_join(
     end_col: str,
     width: int,
     extra_cond: Column | None = None,
+    broadcast_intervals: bool = False,
 ) -> DataFrame:
     """Inner join of ``points`` rows to every ``intervals`` row whose
     ``[start_col, end_col]`` (inclusive both ends) contains ``point_col``.
@@ -59,6 +60,13 @@ def point_in_interval_join(
     same unit. Column names must be disjoint between the two inputs.
     ``extra_cond`` (over the joined columns) is AND-ed into the refinement,
     NOT the bucket key — use it for non-equi residuals like ``u != v``.
+
+    ``broadcast_intervals=True`` hints the (exploded) interval side as the
+    broadcast build. Do this whenever the interval set is known-small (a
+    watchlist, a calendar): Catalyst sizes the two sides from raw scan
+    stats, and an aggregation-derived interval frame can look BIGGER than
+    the point stream it came from — observed at 100x, where the optimizer
+    broadcast a 1M-row point side over a 4.5k-row interval side.
     """
     pts = points.withColumn("_rj_bucket_p", F.expr(
         f"CAST(floor(({point_col}) / ({width})) AS BIGINT)"
@@ -66,6 +74,8 @@ def point_in_interval_join(
     ivs = intervals.withColumn(
         "_rj_bucket_i", F.explode(_buckets_covered(start_col, end_col, str(width)))
     )
+    if broadcast_intervals:
+        ivs = F.broadcast(ivs)
     cond = (
         (F.col("_rj_bucket_p") == F.col("_rj_bucket_i"))
         & (F.col(point_col) >= F.col(start_col))
@@ -85,6 +95,7 @@ def interval_overlap_join(
     right_end: str,
     width: int,
     extra_cond: Column | None = None,
+    broadcast_left: bool = False,
 ) -> DataFrame:
     """Inner join of interval pairs that overlap:
     ``left_start <= right_end AND right_start <= left_end`` (closed
@@ -98,6 +109,9 @@ def interval_overlap_join(
     lhs = left.withColumn(
         "_rj_bucket_l", F.explode(_buckets_covered(left_start, left_end, str(width)))
     )
+    if broadcast_left:
+        # see point_in_interval_join: hint the known-small side explicitly
+        lhs = F.broadcast(lhs)
     rhs = right.withColumn(
         "_rj_bucket_r", F.explode(_buckets_covered(right_start, right_end, str(width)))
     )

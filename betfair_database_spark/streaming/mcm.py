@@ -278,6 +278,71 @@ def market_tick_state(changes: DataFrame) -> DataFrame:
     )
 
 
+def join_ticks_to_definitions(
+    changes: DataFrame,
+    tolerance: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """STREAM-STREAM interval join: every price tick inner-joins the
+    definition changes of the same market that occurred AT OR BEFORE the
+    tick, no older than ``tolerance`` — "which ruleset was live when this
+    price traded", computed online.
+
+    Both sides derive from the one mcm stream (Spark plans them as two
+    independent stateful inputs). The join condition is the canonical
+    watermarked-interval form — equi key (marketId) PLUS a bounded
+    event-time range — which is exactly what lets Spark garbage-collect
+    join state: each side buffers only ``watermark + tolerance`` of rows
+    per market instead of the whole stream. An unbounded-condition
+    stream-stream join would be rejected (inner) or accumulate state
+    forever (outer); the time bound is not an optimization, it is the
+    thing that makes the operator runnable at all on an infinite stream.
+
+    Emits one row per (tick, qualifying definition); downstream can keep
+    the max defn_ts per tick for an exact streaming as-of. Columns:
+    marketId, event_ts, runnerId, ltp, defn_ts, defn_status, defn_version.
+    """
+    ticks = (
+        changes.where(F.col("rc").isNotNull())
+        .select(
+            "marketId",
+            "event_ts",
+            F.explode("rc").alias("tick"),
+        )
+        .select(
+            "marketId",
+            "event_ts",
+            F.col("tick")["id"].alias("runnerId"),
+            F.col("tick")["ltp"].alias("ltp"),
+        )
+        .withWatermark("event_ts", watermark)
+    )
+    defs = (
+        changes.where(F.col("defn").isNotNull())
+        .select(
+            F.col("marketId").alias("d_marketId"),
+            F.col("event_ts").alias("defn_ts"),
+            F.col("defn")["status"].alias("defn_status"),
+            F.col("defn")["version"].alias("defn_version"),
+        )
+        .withWatermark("defn_ts", watermark)
+    )
+    cond = (
+        (F.col("marketId") == F.col("d_marketId"))
+        & (F.col("defn_ts") <= F.col("event_ts"))
+        & (F.col("defn_ts") >= F.expr(f"event_ts - INTERVAL {tolerance}"))
+    )
+    return ticks.join(defs, cond, "inner").select(
+        "marketId",
+        "event_ts",
+        "runnerId",
+        "ltp",
+        "defn_ts",
+        "defn_status",
+        "defn_version",
+    )
+
+
 def enrich_with_index(
     changes: DataFrame,
     static_index: DataFrame,

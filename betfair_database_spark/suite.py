@@ -2020,7 +2020,6 @@ _CURATED_HEAD = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_exists_semijoin",
-    "q16_notin_distinct_suppliers",
     "q9_profit_by_nation",
     "q13_customer_distribution",
     "q21_waiting_suppliers",
@@ -2048,27 +2047,22 @@ _CURATED_HEAD = [
     # event-time windows + as-of (backward + nearest directions) + funnel
     "ev_hourly_window",
     "ev_sessionize",
-    "ev_funnel_conversion",
     "asof_join_last_order",
-    "asof_join_nearest_order",
     # deduplication (each algorithm is its own operator)
     "dedup_exact_stats",
     "dedup_minhash_pairs",
     "dedup_simhash_fingerprints",
-    "dedup_ngram_jaccard_top20",
     "dedup_cluster_components",
     "dedup_embedding_cosine_top10",
     "dedup_embedding_lsh_top10",
     # similarity search / clustering
     "knn_cosine_top10",
-    "knn_lsh_bucket_top10",
     "knn_hyperplane_top10",
     "knn_ivf_top10",
     "kmeans_fit_3iter",
     # text analysis + curation + sampling + chunking/packing + multimodal
     "text_quality",
     "text_lang_id",
-    "tfidf_top_terms",
     "text_pii_redaction",
     "curation_decontaminate",
     "sample_stratified_hash",
@@ -2076,6 +2070,16 @@ _CURATED_HEAD = [
     "pack_sequences_bins",
     "multimodal_decode_meta",
     "multimodal_decode_jpeg_mp3",
+    # round-4 batch 2: range joins, gap-fill, heavy hitters, quantized ANN,
+    # graph, per-key EWMA fold — one per new operator family; the dropped
+    # within-family variants (ngram verify, sign-LSH, nearest as-of, tfidf,
+    # funnel, q16) remain registered + locally oracle-checked in the tail
+    "range_events_in_windows",
+    "ts_gapfill_hourly_ffill",
+    "heavy_hitters_tokens",
+    "knn_quantized_top10",
+    "graph_triangle_count",
+    "ts_ewma_user_value",
 ]
 
 

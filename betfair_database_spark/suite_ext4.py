@@ -38,8 +38,9 @@ _DAY_US = 24 * _HOUR_US
     """
     WITH iv AS (
       SELECT user_id AS i_user, CAST(ts AS DATE) AS i_day,
-             min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
-      FROM events WHERE user_id % 10 = 0
+             min(epoch_us(ts)) AS s_us,
+             min(epoch_us(ts)) + 3600000000 AS e_us
+      FROM events WHERE user_id < 150
       GROUP BY 1, 2
     )
     SELECT iv.i_user, strftime(iv.i_day, '%Y-%m-%d') AS i_day,
@@ -52,23 +53,31 @@ _DAY_US = 24 * _HOUR_US
     """,
 )
 def range_events_in_windows(spark, sf):
-    """Point-in-interval range join: per observed (user, day) activity
-    window of every 10th user, how many OTHER-user events fall inside it.
-    There is deliberately no equi key — the operator bins both sides to
-    hour buckets (width == 1h, the right scale for day-bounded windows) so
-    the plan is explode + one hash join + refine, never a nested loop.
-    One extra shuffle for the final re-aggregation; candidate fanout is
-    (events/hour) x (windows alive that hour) per bucket."""
+    """Point-in-interval range join: for each WATCHLIST user (a fixed
+    ~150-user set, the "monitor these accounts" shape), count other-user
+    events inside the first hour of the user's daily activity. There is
+    deliberately no equi key — the operator bins both sides to hour buckets
+    so the plan is explode + one hash join + refine, never a nested loop.
+
+    Scale sanity (learned the hard way): both the interval COUNT (fixed
+    watchlist) and the interval LENGTH (1 h, not the whole day) are bounded,
+    so joined rows grow linearly with events — the first cut used all-day
+    windows for 10% of users and its output was quadratic in SF (~1.5B rows
+    at the 100x point). A time-overlap join's cost IS its selectivity;
+    bounded windows are what make it a join, not a cross product."""
     ev = _t(spark, sf, "events")
     epoch = F.expr(_EPOCH_US.format(c="ts"))
     pts = ev.select(F.col("user_id").alias("p_user"), epoch.alias("p_us"))
     ivs = (
-        ev.where(F.col("user_id") % 10 == 0)
+        ev.where(F.col("user_id") < 150)
         .groupBy(
             F.col("user_id").alias("i_user"),
             F.to_date("ts").alias("_day"),
         )
-        .agg(F.min(epoch).alias("s_us"), F.max(epoch).alias("e_us"))
+        .agg(
+            F.min(epoch).alias("s_us"),
+            (F.min(epoch) + F.lit(_HOUR_US)).alias("e_us"),
+        )
     )
     joined = rangejoin.point_in_interval_join(
         pts,
@@ -78,6 +87,7 @@ def range_events_in_windows(spark, sf):
         end_col="e_us",
         width=_HOUR_US,
         extra_cond=F.col("p_user") != F.col("i_user"),
+        broadcast_intervals=True,  # watchlist windows: thousands, not millions
     )
     return joined.groupBy(
         "i_user", F.date_format("_day", "yyyy-MM-dd").alias("i_day")
@@ -98,7 +108,8 @@ def range_events_in_windows(spark, sf):
     """
     WITH iv AS (
       SELECT user_id AS u, CAST(ts AS DATE) AS d,
-             min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
+             min(epoch_us(ts)) AS s_us,
+             min(epoch_us(ts)) + 3600000000 AS e_us
       FROM events GROUP BY 1, 2
     )
     SELECT strftime(a.d, '%Y-%m-%d') AS day,
@@ -106,26 +117,31 @@ def range_events_in_windows(spark, sf):
            round(avg((least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us))
                      / 1000000.0), 1) AS avg_overlap_s
     FROM iv a JOIN iv b
-      ON a.s_us <= b.e_us AND b.s_us <= a.e_us AND a.u < b.u
+      ON a.s_us <= b.e_us AND b.s_us <= a.e_us AND a.u <> b.u
+    WHERE a.u < 150
     GROUP BY 1
     """,
 )
 def range_window_overlap_pairs(spark, sf):
-    """Interval-overlap self join over every (user, day) activity window:
-    pairs of users whose windows overlap in time, with the mean overlap
-    duration, grouped by the left window's day. Bucket width is one DAY —
-    intervals are day-bounded, so each replicates to at most 2 buckets and
-    a pair is tested in ~1 bucket instead of 24 (hour buckets would re-find
-    every dense pair 24x before the canonical-bucket filter drops the
-    copies). The day attribution key (a.d) rides along outside the join
-    condition; avg overlap is exact integer micros divided once at the end.
-    """
+    """Interval-overlap join: WATCHLIST users' (fixed ~150-user set) daily
+    first-hour windows vs EVERY user's daily first-hour window — which
+    accounts came online while a monitored account was in its opening hour,
+    with the mean overlap duration, grouped by day. Bucket width is one
+    HOUR (≈ the interval length, the cost-model sweet spot: ~2 bucket rows
+    per interval, pairs re-tested in ~1 bucket). The left side is bounded
+    and the windows are 1 h, so pair count grows linearly with users —
+    the first cut (all users x all-day windows, both sides) was quadratic
+    in SF and unrunnable at the 100x point. avg overlap is exact integer
+    micros divided once at the end."""
     ev = _t(spark, sf, "events")
     epoch = F.expr(_EPOCH_US.format(c="ts"))
     iv = ev.groupBy(
         F.col("user_id").alias("u"), F.to_date("ts").alias("d")
-    ).agg(F.min(epoch).alias("s_us"), F.max(epoch).alias("e_us"))
-    left = iv.select(
+    ).agg(
+        F.min(epoch).alias("s_us"),
+        (F.min(epoch) + F.lit(_HOUR_US)).alias("e_us"),
+    )
+    left = iv.where(F.col("u") < 150).select(
         F.col("u").alias("a_u"),
         F.col("d").alias("a_d"),
         F.col("s_us").alias("a_s"),
@@ -143,8 +159,9 @@ def range_window_overlap_pairs(spark, sf):
         left_end="a_e",
         right_start="b_s",
         right_end="b_e",
-        width=_DAY_US,
-        extra_cond=F.col("a_u") < F.col("b_u"),
+        width=_HOUR_US,
+        extra_cond=F.col("a_u") != F.col("b_u"),
+        broadcast_left=True,  # watchlist side is bounded
     )
     overlap_s = (
         F.least("a_e", "b_e") - F.greatest("a_s", "b_s")
@@ -351,7 +368,7 @@ def knn_quantized_top10(spark, sf):
     """
     WITH slots AS (
       SELECT DISTINCT user_id AS u, date_trunc('hour', ts) AS slot
-      FROM events
+      FROM events WHERE user_id < 1000
     ),
     e AS (
       SELECT a.u AS u, b.u AS v
@@ -366,16 +383,24 @@ def knn_quantized_top10(spark, sf):
     """,
 )
 def graph_triangle_count(spark, sf):
-    """Triangle count over the user co-activity graph (edge = two users
-    sharing >= 8 active hours). The oracle is the textbook 3-way self-join
-    on canonical u<v edges; the Spark operator is the degree-ordered
-    compact-forward form whose wedge fanout is bounded by O(sqrt(m)) per
-    node — the difference between a celebrity node costing deg^2 wedge rows
-    and costing ~m. Edge construction itself is slot-blocked (self-join on
-    the hour slot), never all-pairs over users."""
+    """Triangle count over the co-activity graph of a BOUNDED cohort
+    (users < 1000; edge = two cohort users sharing >= 8 active hours). The
+    oracle is the textbook 3-way self-join on canonical u<v edges; the
+    Spark operator is the degree-ordered compact-forward form whose wedge
+    fanout is bounded by O(sqrt(m)) per node — the difference between a
+    celebrity node costing deg^2 wedge rows and costing ~m. Edge
+    construction is slot-blocked (self-join on the hour slot), never
+    all-pairs over users.
+
+    The cohort bound is a scale lesson, not a convenience: with a FIXED
+    time span and a GROWING population, any co-occurrence graph densifies
+    (expected shared hours per pair grows with SF) until an absolute edge
+    threshold admits O(users^2) edges — the unbounded first cut OOMed the
+    100x run. Either the threshold must scale with density or the node set
+    must be bounded; a fixed analysis cohort is the honest framing here."""
     from betfair_database_spark.operators.graph import triangle_count
 
-    ev = _t(spark, sf, "events")
+    ev = _t(spark, sf, "events").where(F.col("user_id") < 1000)
     slots = ev.select(
         F.col("user_id").alias("u"), F.date_trunc("hour", F.col("ts")).alias("slot")
     ).distinct()
@@ -455,3 +480,131 @@ def scd2_event_type_intervals(spark, sf):
         F.sum("n_rows").alias("n_rows"),
         F.round(F.avg(dur_s), 1).alias("avg_run_s"),
     )
+
+
+# =========================================================================
+# EWMA: per-key sequential fold (applyInPandas — not window-expressible)
+# =========================================================================
+
+
+@_q(
+    "ts_ewma_user_value",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           round(list_reduce(list("value" ORDER BY ts, event_id),
+                             (acc, x) -> 0.25*x + 0.75*acc), 6) AS ewma
+    FROM events GROUP BY user_id
+    """,
+)
+def ts_ewma_user_value(spark, sf):
+    """Exponentially weighted moving average per user (alpha=0.25, seeded
+    with the first observation — pandas ewm(adjust=False) semantics). The
+    recurrence s_i = a*x_i + (1-a)*s_{i-1} is a SEQUENTIAL left fold no SQL
+    window frame expresses, so this is the repo's canonical
+    applyInPandas custom aggregate: one hash shuffle on user_id, each
+    key's history folded in (ts, event_id) order inside the Arrow batch.
+    Bit-reproducible cross-engine because a pinned-order IEEE double fold
+    is deterministic (the oracle's ordered list_reduce runs the identical
+    expression)."""
+    from betfair_database_spark.operators.timeseries import ewma_last_per_key
+
+    ev = _t(spark, sf, "events")
+    out = ewma_last_per_key(
+        ev, "user_id", "ts", "value", alpha=0.25, tiebreak_col="event_id"
+    )
+    return out.select("user_id", "n", F.round("ewma", 6).alias("ewma"))
+
+
+# =========================================================================
+# Histogram-based approximate quantiles: 2 scans + O(bins) memory, no sort
+# =========================================================================
+
+
+@_q(
+    "quantile_histogram_price",
+    """
+    WITH ext AS (
+      SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+             count(*) AS n
+      FROM lineitem
+    ),
+    bins AS (
+      SELECT CAST(least(99, floor((l_extendedprice - ext.lo)
+                                  / (ext.hi - ext.lo) * 100)) AS BIGINT) AS b,
+             count(*) AS cnt
+      FROM lineitem, ext GROUP BY 1
+    ),
+    cum AS (
+      SELECT b, cnt, sum(cnt) OVER (ORDER BY b) AS cum,
+             sum(cnt) OVER (ORDER BY b) - cnt AS cum_prev
+      FROM bins
+    ),
+    est AS (
+      SELECT q.q AS q,
+             min_by(ext.lo + (ext.hi - ext.lo) / 100.0
+                      * (cum.b + (q.q * ext.n - cum.cum_prev) / cum.cnt),
+                    cum.b) AS est
+      FROM cum, ext, (SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS q) q
+      WHERE cum.cum >= q.q * ext.n
+      GROUP BY q.q
+    )
+    SELECT q, round(est, 2) AS est_price FROM est
+    """,
+)
+def quantile_histogram_price(spark, sf):
+    """Approximate quantiles via a fixed-width histogram: pass 1 takes
+    (min, max, n), pass 2 one 100-bin grouped count, then the quantile is
+    linear interpolation inside the first bin whose running count crosses
+    q*n. Two scans + O(bins) state — the quantile shape that works at
+    100 TB where a true percentile would global-sort; error is bounded by
+    one bin width. Identical arithmetic both engines (min_by picks the
+    crossing bin), so the estimates hash-match exactly."""
+    li = _t(spark, sf, "lineitem")
+    ext = li.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    bins = (
+        li.join(F.broadcast(ext))
+        .select(
+            F.least(
+                F.lit(99),
+                F.floor(
+                    (F.col("l_extendedprice") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * 100
+                ),
+            ).cast("long").alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "b",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_prev"),
+    )
+    qs = F.explode(F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))).alias("q")
+    est = (
+        cum.join(F.broadcast(ext))
+        .join(F.broadcast(ext.sparkSession.range(1).select(qs)))
+        .where(F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(
+            F.min_by(
+                F.col("lo")
+                + (F.col("hi") - F.col("lo"))
+                / F.lit(100.0)
+                * (
+                    F.col("b")
+                    + (F.col("q") * F.col("n") - F.col("cum_prev")) / F.col("cnt")
+                ),
+                F.col("b"),
+            ).alias("est")
+        )
+    )
+    return est.select("q", F.round("est", 2).alias("est_price"))

@@ -353,3 +353,30 @@ def test_cohort_activity_stream_matches_batch(spark, tmp_path):
     want_counts = {(r.cohort_day, r.wk): r.users for r in batch}
     got_counts = Counter((c, w) for _, c, w in got)
     assert dict(got_counts) == want_counts
+
+
+def test_stream_stream_interval_join(spark, stream_dir):
+    """Each tick picks up every definition change of its market at-or-before
+    the tick within the tolerance — both sides of the join are the SAME
+    live stream, split and re-joined with the watermarked-interval
+    condition that keeps join state bounded."""
+    from betfair_database_spark.streaming.mcm import (
+        join_ticks_to_definitions,
+        read_mcm_stream,
+        run_to_memory,
+    )
+
+    changes = read_mcm_stream(spark, str(stream_dir))
+    joined = join_ticks_to_definitions(changes, tolerance="2 minutes")
+    assert joined.isStreaming
+    run_to_memory(joined, "tick_defs", "append")
+    rows = spark.sql("SELECT * FROM tick_defs").collect()
+    # market 1.1: defn v1 at base, v3 at base+80s; ticks at +10s,+20s(x2),+70s
+    # → all 4 tick rows join ONLY v1 (v3 is after every tick)
+    m11 = [r for r in rows if r.marketId == "1.1"]
+    assert len(m11) == 4
+    assert all(r.defn_version == 1 and r.defn_status == "OPEN" for r in m11)
+    # market 1.2: tick at +5s joins v1 (before it); v2 arrives +6s (after)
+    m12 = [r for r in rows if r.marketId == "1.2"]
+    assert len(m12) == 1
+    assert m12[0].defn_version == 1 and m12[0].ltp == 10.0

@@ -92,6 +92,9 @@ HEADLINE = [
     "knn_quantized_top10",
     "graph_triangle_count",
     "scd2_event_type_intervals",
+    "ts_ewma_user_value",
+    "quantile_histogram_price",
+    "layout_zorder_key_top20",
 ]
 
 

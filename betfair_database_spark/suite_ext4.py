@@ -608,3 +608,55 @@ def quantile_histogram_price(spark, sf):
         )
     )
     return est.select("q", F.round("est", 2).alias("est_price"))
+
+
+# =========================================================================
+# Z-order (Morton) clustering key — the data-layout operator, oracle-checked
+# =========================================================================
+
+
+def _z_oracle(bits: int = 10) -> str:
+    """DuckDB twin of layout.zorder_key for dims [(user_id, 0, 2048),
+    (value, 0, 100)] — the same unrolled shift/or interleave, generated
+    from one loop so the two engines cannot drift."""
+    def cell(expr, lo, hi):
+        cells = 1 << bits
+        return (
+            f"coalesce(greatest(0, least({cells - 1}, "
+            f"CAST(floor((CAST({expr} AS DOUBLE) - {float(lo)}) / {float(hi - lo)} * {cells}) AS BIGINT))), 0)"
+        )
+
+    cx = cell("user_id", 0, 2048)
+    cy = cell('"value"', 0, 100)
+    terms = []
+    for j in range(bits):
+        terms.append(f"((({cx} >> {j}) & 1) << {2 * j})")
+        terms.append(f"((({cy} >> {j}) & 1) << {2 * j + 1})")
+    z = " | ".join(terms)
+    return f"""
+    SELECT event_id, ({z}) AS z
+    FROM events ORDER BY z DESC, event_id LIMIT 20
+    """
+
+
+@_q("layout_zorder_key_top20", _z_oracle())
+def layout_zorder_key_top20(spark, sf):
+    """Morton (z-order) clustering key over (user_id, value) — the key
+    :func:`operators.layout.write_zordered` range-partitions and sorts by
+    so every parquet row group gets tight min/max stats on BOTH dims (the
+    write-side pruning lever; measured in tests/test_layout.py). Bounds are
+    fixed domain constants, the at-scale practice (a recluster must not
+    depend on a min/max pass); out-of-range values clamp to edge cells
+    identically on both engines. Top-20 by key is just a deterministic
+    window into the interleave for the hash gate."""
+    from betfair_database_spark.operators.layout import zorder_key
+
+    ev = _t(spark, sf, "events")
+    return (
+        ev.select(
+            "event_id",
+            zorder_key([("user_id", 0, 2048), ("value", 0, 100)], bits=10).alias("z"),
+        )
+        .orderBy(F.desc("z"), F.asc("event_id"))
+        .limit(20)
+    )

@@ -95,6 +95,8 @@ HEADLINE = [
     "ts_ewma_user_value",
     "quantile_histogram_price",
     "layout_zorder_key_top20",
+    "pipeline_semdedup_cells",
+    "sketch_kmv_by_group",
 ]
 
 

@@ -305,3 +305,43 @@ def heavy_hitters_exact(
             F.round(F.col("cnt") / F.col("n_total"), 4).alias("share"),
         )
     )
+
+
+def kmv_distinct_by_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 256,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Per-group KMV distinct estimate: (group, kmv_estimate, n_kept).
+
+    The grouped form of :func:`kmv_distinct`: distinct (group, hash) pairs,
+    then a per-group window keeps each group's k smallest hashes. One hash
+    shuffle on (group, u) for the distinct + one on group for the window —
+    and the window is a TOP-K-per-group, which Spark runs with a partial
+    per-partition group-limit before the exchange (rank pushdown), so the
+    shuffled volume is min(k, |group|) rows per group per partition, not
+    the full distinct set. Exact when a group has < k distinct keys."""
+    from pyspark.sql import Window
+
+    hashed = (
+        df.select(F.col(group_col), uniform_hash(F.col(key_col), hasher).alias("u"))
+        .distinct()
+    )
+    w = Window.partitionBy(group_col).orderBy("u")
+    mins = hashed.select(
+        group_col, "u", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= k)
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(F.round(F.lit(float(k - 1)) / F.col("kth")))
+    return (
+        mins.groupBy(group_col)
+        .agg(F.max("u").alias("kth"), F.count("*").alias("n_kept"))
+        .select(
+            group_col,
+            est.cast("long").alias("kmv_estimate"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+        )
+    )

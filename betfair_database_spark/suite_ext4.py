@@ -660,3 +660,140 @@ def layout_zorder_key_top20(spark, sf):
         .orderBy(F.desc("z"), F.asc("event_id"))
         .limit(20)
     )
+
+
+# =========================================================================
+# SemDeDup-style semantic dedup: cluster-scoped cosine pruning
+# =========================================================================
+
+_SEMDEDUP_ORACLE = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+),
+sims AS (
+  SELECT e.vec_id, c.cid, e.embedding,
+         sum(CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE))
+           / (sqrt(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+              * sqrt(sum(CAST(c.ce[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))) AS sim
+  FROM embeddings e, cents c, range(1, 65) t(i)
+  GROUP BY e.vec_id, c.cid, e.embedding
+),
+assign AS (
+  SELECT vec_id, embedding, cid AS cell FROM (
+    SELECT vec_id, cid, embedding,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.cell, a.vec_id AS pa, b.vec_id AS pb,
+         round(sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+           / (sqrt(sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
+              * sqrt(sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))), 4) AS cs
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id,
+       range(1, 65) t(i)
+  GROUP BY 1, 2, 3
+),
+dropped AS (SELECT DISTINCT pb FROM pairs WHERE cs >= 0.4)
+SELECT assign.cell,
+       count(*) AS n_vectors,
+       CAST(count(dropped.pb) AS BIGINT) AS n_dropped
+FROM assign LEFT JOIN dropped ON assign.vec_id = dropped.pb
+GROUP BY 1
+"""
+
+
+@_q("pipeline_semdedup_cells", _SEMDEDUP_ORACLE)
+def pipeline_semdedup_cells(spark, sf):
+    """SemDeDup-shaped semantic dedup: assign every embedding to its
+    nearest seed centroid (the IVF assignment operator — broadcast argmax,
+    no shuffle), find within-CELL cosine pairs >= tau, and drop the
+    higher-id member of each pair. Clustering first is what makes semantic
+    dedup tractable at corpus scale: the pair join is cell-blocked
+    (sum over cells of n_c^2, not N^2), and cells are the partition key so
+    each task prunes one cell. tau = 0.4 fits this synthetic corpus (random
+    embeddings; max observed cos ~0.51) — real corpora use ~0.95+. Output:
+    per cell, vectors seen and vectors a curator would drop."""
+    from betfair_database_spark.operators import similarity
+
+    emb = _t(spark, sf, "embeddings")
+    cents = [
+        (int(r.vec_id), [float(v) for v in r.embedding])
+        for r in emb.where(F.col("vec_id").between(1, 8))
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    # assign feeds three DAG branches (both pair sides + the survivor
+    # accounting); checkpoint the 1-pass assignment so it runs once
+    assign = similarity.ivf_assign(emb, cents).localCheckpoint()
+    pairs = similarity.embedding_near_dup_pairs(
+        assign, threshold=0.4, block_col="cell"
+    )
+    dropped = pairs.select(F.col("b").alias("vec_id")).distinct()
+    flagged = assign.join(
+        dropped.withColumn("_drop", F.lit(1)), "vec_id", "left"
+    )
+    return flagged.groupBy("cell").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.coalesce("_drop", F.lit(0))).alias("n_dropped"),
+    )
+
+
+# =========================================================================
+# Per-group KMV distinct sketch
+# =========================================================================
+
+
+@_q(
+    "sketch_kmv_by_group",
+    """
+    WITH hashed AS (
+      SELECT DISTINCT o_orderpriority AS grp,
+        CAST(CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)
+             AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+      FROM orders
+    ),
+    mins AS (
+      SELECT grp, u,
+             row_number() OVER (PARTITION BY grp ORDER BY u) AS rn
+      FROM hashed
+    ),
+    agg AS (
+      SELECT grp, max(u) AS kth, count(*) AS n_kept
+      FROM mins WHERE rn <= 128 GROUP BY grp
+    ),
+    ex AS (
+      SELECT o_orderpriority AS grp,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+      FROM orders GROUP BY 1
+    )
+    SELECT agg.grp,
+           CAST(CASE WHEN agg.n_kept < 128 THEN agg.n_kept
+                ELSE round(127.0 / agg.kth) END AS BIGINT) AS kmv_estimate,
+           CAST(agg.n_kept AS BIGINT) AS n_kept,
+           ex.exact_distinct
+    FROM agg JOIN ex ON agg.grp = ex.grp
+    """,
+)
+def sketch_kmv_by_group(spark, sf):
+    """KMV distinct-count sketch AS A GROUPED AGGREGATE (customers per
+    order priority, k=128, next to the exact answer): the per-group top-k
+    window gets Spark's rank-pushdown group-limit, so each partition ships
+    at most k hashes per group — the sketch stays O(groups x k) end to end
+    no matter how many distinct keys exist. md5-hash path pinned so the
+    oracle reproduces every estimate bit-for-bit (xxhash64 is the
+    production default)."""
+    from betfair_database_spark.operators.sketches import kmv_distinct_by_group
+
+    o = _t(spark, sf, "orders")
+    sk = kmv_distinct_by_group(
+        o.select(F.col("o_orderpriority").alias("grp"), "o_custkey"),
+        "grp",
+        "o_custkey",
+        k=128,
+        hasher="md5",
+    )
+    exact = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    return sk.join(exact, "grp")

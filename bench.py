@@ -97,6 +97,7 @@ HEADLINE = [
     "layout_zorder_key_top20",
     "pipeline_semdedup_cells",
     "sketch_kmv_by_group",
+    "multimodal_frame_sample",
 ]
 
 

@@ -26,6 +26,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -472,3 +473,169 @@ def attach_fake_image_features(
             yield out
 
     return df.mapInPandas(_extract, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Resize (real pixel work on the codec-less format) and video frame sampling
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp_pattern(width: int, height: int) -> bytes:
+    """A 24-bit BMP with DETERMINISTIC pixels — BGR(x, y) =
+    (x % 256, y % 256, (x + y) % 256) — so resizes can be verified
+    pixel-exactly without any image library."""
+    base = encode_bmp(width, height)
+    row = ((3 * width + 3) // 4) * 4
+    pix = bytearray(base[54:])
+    for y in range(height):
+        off = y * row
+        for x in range(width):
+            pix[off + 3 * x + 0] = x % 256
+            pix[off + 3 * x + 1] = y % 256
+            pix[off + 3 * x + 2] = (x + y) % 256
+    return base[:54] + bytes(pix)
+
+
+def resize_bmp(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of a 24-bit BMP, pure byte arithmetic:
+    source pixel of output (x, y) is (x*in_w//out_w, y*in_h//out_h), rows
+    processed in stored (bottom-up) order so no flip is needed. Raises
+    ValueError on non-BMP / non-24-bit payloads — compressed formats need
+    a codec and follow the repo's honest-NotImplementedError contract at
+    the call site."""
+    if payload[:2] != b"BM":
+        raise NotImplementedError("resize requires a decodable raster (BMP); "
+                                  "compressed formats need a codec")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    in_w, in_h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    if bpp != 24 or in_h <= 0:
+        raise ValueError(f"only bottom-up 24-bit BMPs supported, got bpp={bpp}")
+    in_row = ((3 * in_w + 3) // 4) * 4
+    out_row = ((3 * out_w + 3) // 4) * 4
+    out = bytearray(encode_bmp(out_w, out_h))
+    for y in range(out_h):
+        sy = y * in_h // out_h
+        src = data_off + sy * in_row
+        dst = 54 + y * out_row
+        for x in range(out_w):
+            sx = x * in_w // out_w
+            out[dst + 3 * x : dst + 3 * x + 3] = payload[
+                src + 3 * sx : src + 3 * sx + 3
+            ]
+    return bytes(out)
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Batch resize over a binary column (Arrow-batched mapInPandas — the
+    real plumbing a pixel pipeline needs: schema, batching, poison-safety).
+    Output: (id, ok, width, height, n_bytes, payload). Unsupported or
+    corrupt payloads yield ok=false rows instead of killing the task."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for i, raw in zip(batch[id_col], batch[payload_col]):
+                try:
+                    out = resize_bmp(bytes(raw), out_w, out_h)
+                    rows.append((int(i), True, out_w, out_h, len(out), out))
+                except Exception:
+                    rows.append((int(i), False, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "ok", "width", "height", "n_bytes", "payload"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _resize,
+        schema=(
+            f"{id_col} long, ok boolean, width long, height long,"
+            " n_bytes long, payload binary"
+        ),
+    )
+
+
+def encode_avi_frames(n_frames: int, frame_size: int = 32) -> bytes:
+    """RIFF-AVI with an actual movi LIST: ``n_frames`` '00db' chunks whose
+    data bytes are all ``idx % 256`` — a frame payload a sampler can
+    verify by value."""
+    header = encode_avi(n_frames)
+    chunks = b""
+    for idx in range(n_frames):
+        chunks += b"00db" + struct.pack("<I", frame_size) + bytes(
+            [idx % 256] * frame_size
+        )
+    movi = b"LIST" + struct.pack("<I", 4 + len(chunks)) + b"movi" + chunks
+    # header = RIFF(size)(AVI + hdrl); append movi and patch the RIFF size
+    return b"RIFF" + struct.pack("<I", len(header) - 8 + len(movi)) + header[8:] + movi
+
+
+def avi_frame_index(payload: bytes) -> list[tuple[int, int, int]]:
+    """(frame_idx, absolute data offset, size) per '00db'/'00dc' chunk in
+    the movi LIST — a container walk, no codec."""
+    at = payload.find(b"LIST")
+    frames = []
+    while at >= 0:
+        lsize = struct.unpack_from("<I", payload, at + 4)[0]
+        if payload[at + 8 : at + 12] == b"movi":
+            pos = at + 12
+            end = at + 8 + lsize
+            idx = 0
+            while pos + 8 <= min(end, len(payload)):
+                fourcc = payload[pos : pos + 4]
+                csize = struct.unpack_from("<I", payload, pos + 4)[0]
+                if fourcc in (b"00db", b"00dc"):
+                    frames.append((idx, pos + 8, csize))
+                    idx += 1
+                pos += 8 + csize + (csize & 1)  # RIFF chunks pad to even
+            break
+        at = payload.find(b"LIST", at + 4)
+    return frames
+
+
+def video_frame_table(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Explode each AVI payload into its frame index: (id, frame_idx,
+    offset, size). The WALK is Python (bounded per payload); the frame
+    BYTES never cross into Python — extraction composes JVM-side as
+    ``substring(payload, offset + 1, size)`` on the binary column, so a
+    sampler moves only the frames it keeps."""
+
+    def _index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for i, raw in zip(batch[id_col], batch[payload_col]):
+                for idx, off, size in avi_frame_index(bytes(raw)):
+                    rows.append((int(i), idx, off, size))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_idx", "offset", "size"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _index, schema=f"{id_col} long, frame_idx long, offset long, size long"
+    )
+
+
+def sample_frames(
+    media: DataFrame,
+    every_n: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Every ``every_n``-th frame of each video, with the frame bytes cut
+    JVM-side: frame table (Python walk) -> filter on frame_idx -> join back
+    to the payload -> binary substring. Output: (id, frame_idx, frame)."""
+    idx = video_frame_table(media, id_col, payload_col)
+    kept = idx.where(F.col("frame_idx") % every_n == 0)
+    return kept.join(media.select(id_col, payload_col), id_col).select(
+        id_col,
+        "frame_idx",
+        F.expr(f"substring({payload_col}, offset + 1, size)").alias("frame"),
+    )

@@ -797,3 +797,66 @@ def sketch_kmv_by_group(spark, sf):
         F.countDistinct("o_custkey").alias("exact_distinct")
     )
     return sk.join(exact, "grp")
+
+
+# =========================================================================
+# Video frame sampling: container walk -> JVM-side byte extraction
+# =========================================================================
+
+
+@_q(
+    "multimodal_frame_sample",
+    """
+    WITH base AS (
+      SELECT doc_id, n_chars % 50 + 1 AS n,
+             CAST(ceil((n_chars % 50 + 1) / 4.0) AS BIGINT) AS m
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_frames,
+           m AS n_sampled,
+           m * 32 AS bytes_sampled,
+           2 * m * (m - 1) AS sum_first_bytes
+    FROM base
+    """,
+)
+def multimodal_frame_sample(spark, sf):
+    """Video frame sampling, the container-level kind a training pipeline
+    runs before any codec: synthesize AVIs with real movi frame chunks
+    (frame idx byte-stamped into its data), walk the chunk index in Python
+    (bounded, no frame bytes cross the boundary), keep every 4th frame, and
+    cut the kept frames JVM-side with substring on the binary column.
+    Verified against the closed form: n_frames = n_chars%50+1, sampled =
+    ceil(n/4), each frame 32 bytes, first bytes sum to 2m(m-1)."""
+    from betfair_database_spark.operators import multimodal
+
+    d = _t(spark, sf, "documents")
+
+    def _make(batches):
+        import pandas as pd
+
+        for batch in batches:
+            payloads = [
+                multimodal.encode_avi_frames(int(s) % 50 + 1, 32)
+                for s in batch["n_chars"]
+            ]
+            yield pd.DataFrame({"doc_id": batch["doc_id"], "payload": payloads})
+
+    media = d.select("doc_id", "n_chars").mapInPandas(
+        _make, schema="doc_id long, payload binary"
+    ).localCheckpoint()  # synthesized once; feeds the index AND the cut
+
+    totals = (
+        multimodal.video_frame_table(media)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_frames"))
+    )
+    fr = multimodal.sample_frames(media, every_n=4)
+    sampled = fr.groupBy("doc_id").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum(F.length("frame")).alias("bytes_sampled"),
+        F.sum(
+            F.conv(F.hex(F.expr("substring(frame, 1, 1)")), 16, 10).cast("long")
+        ).alias("sum_first_bytes"),
+    )
+    return totals.join(sampled, "doc_id")

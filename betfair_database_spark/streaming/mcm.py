@@ -28,13 +28,21 @@ from pyspark.sql import functions as F
 from betfair_database_spark.schema import MCM_SCHEMA
 
 
-def read_mcm_stream(spark: SparkSession, source_dir: str) -> DataFrame:
-    """File-source stream of parsed mcm messages, one row per market change."""
-    lines = (
+def read_mcm_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of parsed mcm messages, one row per market change.
+
+    ``max_files_per_trigger`` bounds each micro-batch (availableNow honors
+    it too) — multi-batch drains are what let watermarks advance BETWEEN
+    batches, which the event-time-timeout tests rely on."""
+    reader = (
         spark.readStream.format("text")
         .option("recursiveFileLookup", "true")
-        .load(source_dir)
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.load(source_dir)
     parsed = lines.select(F.from_json("value", MCM_SCHEMA).alias("msg")).where(
         F.col("msg")["op"] == "mcm"
     )
@@ -275,6 +283,77 @@ def market_tick_state(changes: DataFrame) -> DataFrame:
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def market_inactivity_sessions(
+    changes: DataFrame,
+    gap_ms: int = 120_000,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Inactivity-closed market sessions via EVENT-TIME TIMEOUT — the state
+    dimension market_tick_state doesn't use: a market's session stays open
+    in the state store while ticks keep arriving; when the WATERMARK passes
+    last_tick + gap_ms the group times out, the finalized session row
+    (start/end pt, tick count) is emitted, and the state is REMOVED. That
+    removal is the point at 100 TB: without a timeout, one state row per
+    ever-seen market accumulates forever; with it, state size tracks only
+    markets active inside the gap horizon. Append output mode — only
+    finalized sessions are emitted, like a batch gaps-and-islands.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    ticks = (
+        changes.withWatermark("event_ts", watermark)
+        .where(F.col("rc").isNotNull())
+        .select("marketId", "pt", "event_ts")
+    )
+    out_schema = StructType(
+        [
+            StructField("marketId", StringType()),
+            StructField("start_pt", LongType()),
+            StructField("end_pt", LongType()),
+            StructField("n_ticks", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_pt", LongType()),
+            StructField("end_pt", LongType()),
+            StructField("n_ticks", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: "GroupState"):
+        (market_id,) = key
+        if state.hasTimedOut:
+            start_pt, end_pt, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"marketId": market_id, "start_pt": start_pt,
+                  "end_pt": end_pt, "n_ticks": n}]
+            )
+            return
+        start_pt, end_pt, n = state.get if state.exists else (None, None, 0)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            lo, hi = int(pdf["pt"].min()), int(pdf["pt"].max())
+            start_pt = lo if start_pt is None else min(start_pt, lo)
+            end_pt = hi if end_pt is None else max(end_pt, hi)
+            n += len(pdf)
+        state.update((start_pt, end_pt, n))
+        # close the session when the event-time watermark passes this
+        state.setTimeoutTimestamp(end_pt + gap_ms)
+        yield from ()  # open sessions emit nothing (append mode)
+
+    return ticks.groupBy("marketId").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 

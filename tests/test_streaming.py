@@ -380,3 +380,43 @@ def test_stream_stream_interval_join(spark, stream_dir):
     m12 = [r for r in rows if r.marketId == "1.2"]
     assert len(m12) == 1
     assert m12[0].defn_version == 1 and m12[0].ltp == 10.0
+
+
+def test_inactivity_timeout_closes_session(spark, tmp_path):
+    """Event-time timeout end to end: market 1.1's ticks stop, a later file
+    advances the watermark past last_tick + gap, the state times out, and
+    the FINALIZED session row is emitted (and only that one — 1.2's session
+    is still open when input ends)."""
+    import json
+
+    from betfair_database_spark.streaming.mcm import (
+        market_inactivity_sessions,
+        read_mcm_stream,
+        run_to_memory,
+    )
+
+    def line(market, pt):
+        return json.dumps(
+            {"op": "mcm", "clk": str(pt), "pt": pt,
+             "mc": [{"id": market, "rc": [{"ltp": 2.0, "id": 1}]}]}
+        )
+
+    base = 1_690_000_000_000
+    d = tmp_path / "stream"
+    d.mkdir()
+    # file a: market 1.1 ticks over 10 s
+    (d / "a").write_text("\n".join(
+        [line("1.1", base), line("1.1", base + 10_000)]
+    ))
+    # file b: a much later tick on another market -> batch 2 advances the
+    # watermark to (base + 10min - 1min), far past 1.1's last tick + 2min
+    (d / "b").write_text(line("1.2", base + 600_000))
+
+    changes = read_mcm_stream(spark, str(d), max_files_per_trigger=1)
+    run_to_memory(
+        market_inactivity_sessions(changes, gap_ms=120_000), "inact", "append"
+    )
+    rows = spark.sql("SELECT * FROM inact").collect()
+    assert [(r.marketId, r.start_pt, r.end_pt, r.n_ticks) for r in rows] == [
+        ("1.1", base, base + 10_000, 2)
+    ]

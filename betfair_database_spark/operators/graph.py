@@ -121,7 +121,10 @@ def canonical_edges(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     )
 
 
-def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+def triangle_count(
+    edges: DataFrame, a: str = "a", b: str = "b",
+    broadcast_closure: bool = False,
+) -> DataFrame:
     """Global triangle count via DEGREE-ORDERED edge orientation (the
     compact-forward algorithm): orient every undirected edge from its
     lower-(degree, id) endpoint to the higher one, build wedges by joining
@@ -149,6 +152,8 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
     ranked = e.join(du, "u").join(dv, "v")
+    # checkpoint: BOTH wedge branches (w1, w2) read fwd — without the cut
+    # the whole degree-join subtree executes twice (seen in the plan)
     fwd = ranked.select(
         F.when(
             (F.col("du") < F.col("dv"))
@@ -157,13 +162,19 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         )
         .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
         .alias("e")
-    ).select("e.s", "e.t")
+    ).select("e.s", "e.t").localCheckpoint()
     w1 = fwd.select(F.col("s"), F.col("t").alias("x"))
     w2 = fwd.select(F.col("s"), F.col("t").alias("y"))
     wedges = w1.join(w2, "s").where(F.col("x") < F.col("y"))
     # a wedge (x, y) closes iff the oriented edge x->y or y->x exists; the
     # canonical frame already stores it exactly once as unordered (min, max)
     closure = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    if broadcast_closure:
+        # wedges are O(m^1.5) rows vs m closure edges — when the EDGE set
+        # fits in a broadcast, shipping it beats shuffling the wedge set by
+        # the same m^0.5 factor. Caller's call: at true scale edges may not
+        # fit, and the default shuffled semi join stays correct.
+        closure = F.broadcast(closure)
     tri = wedges.join(closure, ["x", "y"], "left_semi")
     return tri.agg(F.count("*").alias("n_triangles")).join(
         F.broadcast(e.agg(F.count("*").alias("n_edges")))

@@ -413,7 +413,9 @@ def graph_triangle_count(spark, sf):
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= 8)
     )
-    return triangle_count(edges)
+    # the cohort bound caps edges at ~C(1000,2): always broadcastable,
+    # and it removes the only large exchange (the wedge-set shuffle)
+    return triangle_count(edges, broadcast_closure=True)
 
 
 # =========================================================================

@@ -105,3 +105,72 @@ def test_overlap_join_negative_domain(spark):
         a, b, "a_s", "a_e", "b_s", "b_e", width=10
     )
     assert _rows(got, ["a_id", "b_id"]) == [(0, 1)]
+
+
+# ---------------------------------------------------------------------------
+# Property tests: random intervals/points vs the brute-force theta join
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_iv = st.tuples(st.integers(-50, 120), st.integers(0, 40)).map(
+    lambda t: (t[0], t[0] + t[1])
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(-60, 140), min_size=0, max_size=25),
+    st.lists(_iv, min_size=0, max_size=15),
+    st.sampled_from([1, 7, 10, 64]),
+)
+def test_point_in_interval_property(spark, pts, ivs, width):
+    points = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pts)] or [(None, None)], "p_id long, p long"
+    ).where(F.col("p_id").isNotNull())
+    intervals = spark.createDataFrame(
+        [(i, s, e) for i, (s, e) in enumerate(ivs)] or [(None, None, None)],
+        "i_id long, s long, e long",
+    ).where(F.col("i_id").isNotNull())
+    got = _rows(
+        rangejoin.point_in_interval_join(points, intervals, "p", "s", "e", width),
+        ["p_id", "i_id"],
+    )
+    want = sorted(
+        (pi, ii)
+        for pi, p in enumerate(pts)
+        for ii, (s, e) in enumerate(ivs)
+        if s <= p <= e
+    )
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(_iv, min_size=0, max_size=12),
+    st.lists(_iv, min_size=0, max_size=12),
+    st.sampled_from([1, 9, 33]),
+)
+def test_overlap_property(spark, livs, rivs, width):
+    left = spark.createDataFrame(
+        [(i, s, e) for i, (s, e) in enumerate(livs)] or [(None, None, None)],
+        "a_id long, a_s long, a_e long",
+    ).where(F.col("a_id").isNotNull())
+    right = spark.createDataFrame(
+        [(i, s, e) for i, (s, e) in enumerate(rivs)] or [(None, None, None)],
+        "b_id long, b_s long, b_e long",
+    ).where(F.col("b_id").isNotNull())
+    got = _rows(
+        rangejoin.interval_overlap_join(
+            left, right, "a_s", "a_e", "b_s", "b_e", width
+        ),
+        ["a_id", "b_id"],
+    )
+    want = sorted(
+        (ai, bi)
+        for ai, (s1, e1) in enumerate(livs)
+        for bi, (s2, e2) in enumerate(rivs)
+        if s1 <= e2 and s2 <= e1
+    )
+    assert got == want

@@ -98,6 +98,7 @@ HEADLINE = [
     "pipeline_semdedup_cells",
     "sketch_kmv_by_group",
     "multimodal_frame_sample",
+    "dedup_jaccard_ssjoin",
 ]
 
 

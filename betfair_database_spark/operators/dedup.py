@@ -18,7 +18,7 @@ computes the identical signatures — no engine-private hash functions).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -337,3 +337,80 @@ def simhash_near_dups(
     return cand.select(
         "a", "b", hamming.alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+def jaccard_ssjoin(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """EXACT set-similarity self-join with prefix filtering (the PPJoin
+    family): every document pair whose shingle-set Jaccard >= threshold,
+    with no false negatives and no all-pairs comparison.
+
+    Where MinHash-LSH gives probabilistic recall, this gives a proof: order
+    each document's shingles by GLOBAL rarity (ascending frequency — rare
+    first), and keep only the first ``n - ceil(t*n) + 1`` as its PREFIX. Two
+    sets with Jaccard >= t must share at least one prefix token (if they
+    shared none, the overlap is bounded below ceil(t*n) and the Jaccard
+    below t — the standard prefix-filter lemma), so an equi-join on prefix
+    tokens finds every qualifying pair. Rare-first ordering is what makes
+    the candidate set small: a token shared by f documents contributes
+    O(f^2) candidates, so prefixes built from the rarest tokens minimize
+    the join fanout.
+
+    Shuffles: shingle distinct, frequency agg (broadcast back), per-doc
+    rank window, prefix equi-join, and a pairs-scoped intersection count —
+    all hash exchanges on bounded keys; nothing all-pairs. Returns
+    (a, b, jac) with jac rounded to 4.
+    """
+    import math
+
+    sh = shingles(df, id_col, text_col, k).localCheckpoint()  # reused 4x
+    freq = sh.groupBy("w").agg(F.count("*").alias("df"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    ranked = (
+        sh.join(freq, "w")
+        .select(
+            id_col,
+            "w",
+            F.row_number()
+            .over(
+                Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("w"))
+            )
+            .alias("rnk"),
+        )
+        .join(sizes, id_col)
+    )
+    # prefix length n - ceil(t*n) + 1
+    plen = F.col("n") - F.ceil(F.col("n") * F.lit(float(threshold))) + 1
+    prefix = ranked.where(F.col("rnk") <= plen).select(id_col, "w")
+    pa = prefix.select(F.col(id_col).alias("a"), "w")
+    pb = prefix.select(F.col(id_col).alias("b"), "w")
+    cand = (
+        pa.join(pb, "w")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    # exact verification: |intersection| via a pairs-scoped token join —
+    # (a, b, w) survives iff w is in BOTH documents' shingle sets
+    ta = sh.select(F.col(id_col).alias("a"), "w")
+    tb = sh.select(F.col(id_col).alias("b"), "w")
+    inter = (
+        cand.join(ta, "a")
+        .join(tb, ["b", "w"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", F.round(jac, 4).alias("jac"))
+        .where(F.col("jac") >= threshold)
+    )

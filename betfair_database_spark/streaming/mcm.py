@@ -344,8 +344,16 @@ def market_inactivity_sessions(
             end_pt = hi if end_pt is None else max(end_pt, hi)
             n += len(pdf)
         state.update((start_pt, end_pt, n))
-        # close the session when the event-time watermark passes this
-        state.setTimeoutTimestamp(end_pt + gap_ms)
+        # close the session when the event-time watermark passes this.
+        # Clamp to just past the CURRENT watermark: if this group's data
+        # arrived after other partitions already advanced the watermark
+        # beyond end_pt + gap (out-of-order files, a straggling backfill),
+        # an unclamped timestamp throws INVALID_TIMEOUT_TIMESTAMP and kills
+        # the query — the session should instead close at the next
+        # opportunity.
+        state.setTimeoutTimestamp(
+            max(end_pt + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
         yield from ()  # open sessions emit nothing (append mode)
 
     return ticks.groupBy("marketId").applyInPandasWithState(

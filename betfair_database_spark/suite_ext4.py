@@ -862,3 +862,41 @@ def multimodal_frame_sample(spark, sf):
         ).alias("sum_first_bytes"),
     )
     return totals.join(sampled, "doc_id")
+
+
+# =========================================================================
+# Exact set-similarity join with prefix filtering (PPJoin family)
+# =========================================================================
+
+
+@_q(
+    "dedup_jaccard_ssjoin",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(length(text) - 4, 0) + 1),
+                                   i -> substr(lower(text), CAST(i AS INT), 5))) AS w
+      FROM documents
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+      FROM sh x JOIN sh y ON x.w = y.w AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jac
+    FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6
+    """,
+)
+def dedup_jaccard_ssjoin(spark, sf):
+    """EXACT near-dup pairs (shingle Jaccard >= 0.6) via the prefix-filter
+    set-similarity join — the deterministic complement to MinHash-LSH: no
+    false negatives by the prefix lemma, candidates bounded by rare-token
+    fanout instead of all-pairs. The oracle is the brute-force exact join;
+    on this corpus both return exactly the planted near-dup pairs
+    (threshold sits in the empty 0.4-0.8 similarity gap)."""
+    from betfair_database_spark.operators.dedup import jaccard_ssjoin
+
+    d = _t(spark, sf, "documents")
+    return jaccard_ssjoin(d, threshold=0.6)

@@ -1,0 +1,61 @@
+"""Prefix-filtered exact set-similarity join: agreement with the
+brute-force Jaccard join on randomized corpora (the no-false-negatives
+lemma, empirically), across thresholds."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from betfair_database_spark.operators.dedup import jaccard_ssjoin
+
+
+def _shingles(text: str, k: int = 5) -> set:
+    t = text.lower()
+    return {t[i : i + k] for i in range(max(len(t) - k + 1, 0))}
+
+
+def _brute(docs, t):
+    out = []
+    for i, a in docs:
+        for j, b in docs:
+            if i >= j:
+                continue
+            sa, sb = _shingles(a), _shingles(b)
+            if not sa or not sb:
+                continue
+            jac = len(sa & sb) / len(sa | sb)
+            if jac >= t:
+                out.append((i, j, round(jac, 4)))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.6, 0.9])
+def test_matches_bruteforce(spark, threshold):
+    rng = random.Random(threshold)
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "spark shuffles hash partitions across the executor fleet tonight",
+        "completely unrelated text about cooking pasta with fresh basil",
+    ]
+    docs = []
+    for i in range(24):
+        src = base[i % 3]
+        # mutate a few characters to create a near-dup spectrum
+        chars = list(src)
+        for _ in range(rng.randrange(0, 12)):
+            chars[rng.randrange(len(chars))] = rng.choice("abcdefgh ")
+        docs.append((i, "".join(chars)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r.a, r.b, r.jac) for r in jaccard_ssjoin(df, threshold).collect()
+    )
+    assert got == _brute(docs, threshold)
+
+
+def test_identical_docs_and_empty(spark):
+    docs = [(0, "aaaaa bbbbb ccccc"), (1, "aaaaa bbbbb ccccc"), (2, ""), (3, "zz")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [(r.a, r.b, r.jac) for r in jaccard_ssjoin(df, 0.9).collect()]
+    assert got == [(0, 1, 1.0)]  # empty/short docs produce no shingles, no pairs

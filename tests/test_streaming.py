@@ -401,6 +401,8 @@ def test_inactivity_timeout_closes_session(spark, tmp_path):
              "mc": [{"id": market, "rc": [{"ltp": 2.0, "id": 1}]}]}
         )
 
+    import os
+
     base = 1_690_000_000_000
     d = tmp_path / "stream"
     d.mkdir()
@@ -411,6 +413,12 @@ def test_inactivity_timeout_closes_session(spark, tmp_path):
     # file b: a much later tick on another market -> batch 2 advances the
     # watermark to (base + 10min - 1min), far past 1.1's last tick + 2min
     (d / "b").write_text(line("1.2", base + 600_000))
+    # the file source orders batches by modification time — pin it so batch
+    # 1 is file a (the operator survives the reverse order too, via the
+    # watermark clamp, but then no state would ever time out here and the
+    # assertion below is about the timeout actually firing)
+    os.utime(d / "a", (1_000_000, 1_000_000))
+    os.utime(d / "b", (2_000_000, 2_000_000))
 
     changes = read_mcm_stream(spark, str(d), max_files_per_trigger=1)
     run_to_memory(

@@ -99,6 +99,8 @@ HEADLINE = [
     "sketch_kmv_by_group",
     "multimodal_frame_sample",
     "dedup_jaccard_ssjoin",
+    "ev_value_outliers",
+    "agg_corr_exact_moments",
 ]
 
 

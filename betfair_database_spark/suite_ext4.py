@@ -714,8 +714,13 @@ def pipeline_semdedup_cells(spark, sf):
     dedup tractable at corpus scale: the pair join is cell-blocked
     (sum over cells of n_c^2, not N^2), and cells are the partition key so
     each task prunes one cell. tau = 0.4 fits this synthetic corpus (random
-    embeddings; max observed cos ~0.51) — real corpora use ~0.95+. Output:
-    per cell, vectors seen and vectors a curator would drop."""
+    embeddings; max observed cos ~0.51) — real corpora use ~0.95+. On a
+    replica-heavy corpus, compose with collapse_exact_vectors FIRST (the
+    dedup_embedding_lsh_collapsed ordering) — identical vectors share a
+    cell and pair quadratically, the same failure every near-dup stage in
+    this repo collapses away; kept uncollapsed here so the oracle counts
+    the full corpus. Output: per cell, vectors seen and vectors a curator
+    would drop."""
     from betfair_database_spark.operators import similarity
 
     emb = _t(spark, sf, "embeddings")
@@ -874,8 +879,8 @@ def multimodal_frame_sample(spark, sf):
     """
     WITH sh AS (
       SELECT DISTINCT doc_id,
-             unnest(list_transform(range(1, greatest(length(text) - 4, 0) + 1),
-                                   i -> substr(lower(text), CAST(i AS INT), 5))) AS w
+             unnest(list_transform(range(1, greatest(length(text) - 8, 0) + 1),
+                                   i -> substr(lower(text), CAST(i AS INT), 9))) AS w
       FROM documents
     ),
     sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -899,4 +904,107 @@ def dedup_jaccard_ssjoin(spark, sf):
     from betfair_database_spark.operators.dedup import jaccard_ssjoin
 
     d = _t(spark, sf, "documents")
-    return jaccard_ssjoin(d, threshold=0.6)
+    # 9-gram shingles, not the dedup-default 5: this corpus's ~200-word
+    # vocabulary yields only ~2k distinct 5-grams (median one appears in
+    # 291 of 5000 docs), which defeats ANY prefix filter — "rare" tokens
+    # aren't. 9-grams span ~1.5 words: 27k distinct, median frequency 51,
+    # and the similarity gap widens (non-dup pairs fall below 0.15).
+    # Shingle width is the first knob to turn when prefix filtering
+    # degenerates; the positional/length filters are the second.
+    return jaccard_ssjoin(d, threshold=0.6, k=9)
+
+
+# =========================================================================
+# Robust stats: z-score outliers and exact-moment correlation
+# =========================================================================
+
+
+@_q(
+    "ev_value_outliers",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             avg("value") AS mu,
+             stddev_samp("value") AS sigma
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_outliers,
+           round(min(e."value"), 2) AS min_outlier,
+           round(max(e."value"), 2) AS max_outlier
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE abs(e."value" - s.mu) > 2.5 * s.sigma
+    GROUP BY 1
+    """,
+)
+def ev_value_outliers(spark, sf):
+    """Z-score outlier detection per event type (|x - mu| > 2.5 sigma):
+    one grouped-stats pass broadcast back onto the stream — the standard
+    monitoring primitive. mu/sigma are double aggregates, but the
+    comparison has ~unit-scale slack, so partial-agg order can't flip a
+    row's outlier status on this data; min/max of the flagged values are
+    order-independent. Broadcast the 5-row stats side, no second shuffle
+    of the events."""
+    ev = _t(spark, sf, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    flagged = ev.join(F.broadcast(stats), "event_type").where(
+        F.abs(F.col("value") - F.col("mu")) > 2.5 * F.col("sigma")
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n_outliers"),
+        F.round(F.min("value"), 2).alias("min_outlier"),
+        F.round(F.max("value"), 2).alias("max_outlier"),
+    )
+
+
+@_q(
+    "agg_corr_exact_moments",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(38,6))
+                      * CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))
+                      * CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(38,6))
+                      * CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS corr_qty_price
+    FROM m
+    """,
+)
+def agg_corr_exact_moments(spark, sf):
+    """Pearson correlation from EXACT moments: built-in corr() is a
+    running double aggregate whose partial-merge order changes the last
+    bits run to run (unhashable cross-engine). Accumulating the five
+    moments in DECIMAL(38,6) makes the sums exact (addition associative),
+    so the final double formula is bit-deterministic on both engines —
+    the same decimal trick the suite uses for money sums, extended to
+    second moments. One grouped pass, map-side partials intact."""
+    li = _t(spark, sf, "lineitem")
+    dx = F.col("l_quantity").cast("decimal(38,6)")
+    dy = F.col("l_extendedprice").cast("decimal(38,6)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dy * dy).cast("double").alias("syy"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price")
+    )

@@ -49,7 +49,8 @@ def test_matches_bruteforce(spark, threshold):
         docs.append((i, "".join(chars)))
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = sorted(
-        (r.a, r.b, r.jac) for r in jaccard_ssjoin(df, threshold).collect()
+        (r.a, r.b, r.jac)
+        for r in jaccard_ssjoin(df, threshold, collapse_exact=False).collect()
     )
     assert got == _brute(docs, threshold)
 
@@ -57,5 +58,14 @@ def test_matches_bruteforce(spark, threshold):
 def test_identical_docs_and_empty(spark):
     docs = [(0, "aaaaa bbbbb ccccc"), (1, "aaaaa bbbbb ccccc"), (2, ""), (3, "zz")]
     df = spark.createDataFrame(docs, "doc_id long, text string")
+    # default collapse: byte-identical copies are exact_dedup's job and are
+    # collapsed to one representative BEFORE the join — no pair reported
     got = [(r.a, r.b, r.jac) for r in jaccard_ssjoin(df, 0.9).collect()]
-    assert got == [(0, 1, 1.0)]  # empty/short docs produce no shingles, no pairs
+    assert got == []
+    # opting out reports the identical pair at jac=1.0; empty/short docs
+    # produce no shingles hence no pairs either way
+    got = [
+        (r.a, r.b, r.jac)
+        for r in jaccard_ssjoin(df, 0.9, collapse_exact=False).collect()
+    ]
+    assert got == [(0, 1, 1.0)]

@@ -770,8 +770,11 @@ def random_projection(
     Output: (id, p0..p{out_dims-1}).
     """
     planes = hyperplanes(seed, out_dims, dims)
+    # "+ 0.0" normalizes IEEE negative zero (-0.0 + 0.0 == +0.0): a
+    # projection that rounds to zero can carry either sign depending on the
+    # engine's rounding path, and "-0" != "0" once rendered for hashing.
     cols = [
-        F.round(_dot_lit(vec_col, plane), 4).alias(f"p{j}")
+        (F.round(_dot_lit(vec_col, plane), 4) + F.lit(0.0)).alias(f"p{j}")
         for j, plane in enumerate(planes)
     ]
     return df.select(F.col(id_col), *cols)
@@ -793,7 +796,7 @@ def random_projection_oracle_exprs(
             f"CAST({vec_col}[{i + 1}] AS DOUBLE) * {float(v)!r}"
             for i, v in enumerate(plane)
         )
-        + f", 4) AS p{j}"
+        + f", 4) + 0.0 AS p{j}"  # negative-zero normalization, both engines
         for j, plane in enumerate(planes)
     ]
 

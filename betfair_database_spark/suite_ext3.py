@@ -51,7 +51,7 @@ from betfair_database_spark.suite import _q, _t
       WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'STANDARD'
     )
     SELECT round(s_acctbal, 2) AS acctbal, s_name, n_name, p_partkey, p_name,
-           round(supplycost, 4) AS supplycost
+           floor(supplycost * 10000 + 0.5) / 10000 AS supplycost
     FROM j WHERE supplycost = mincost
     ORDER BY acctbal DESC, s_name, p_partkey
     LIMIT 100
@@ -68,7 +68,11 @@ def q2_min_cost_supplier(spark, sf):
     The FP subtlety that makes `supplycost = mincost` hash-safe: both
     engines derive each cost by the same correctly-rounded division and MIN
     is a selection (not a sum), so the equality compares bit-identical
-    doubles.
+    doubles.  The output rounding is the floor(x*1e4+0.5)/1e4 quantization
+    rather than round(x, 4): a quotient can land exactly on a half boundary
+    (seen at sf0.001: 26.24125), where Spark's BigDecimal HALF_UP and
+    DuckDB's FP-multiply round() disagree in the last digit — the floor
+    form is the same IEEE op sequence on both engines, so it cannot.
     """
     li = _t(spark, sf, "lineitem")
     r = _t(spark, sf, "region").where(F.col("r_name") == "EUROPE")
@@ -113,7 +117,8 @@ def q2_min_cost_supplier(spark, sf):
             "n_name",
             "p_partkey",
             "p_name",
-            F.round("supplycost", 4).alias("supplycost"),
+            # floor-quantize, not F.round — see docstring (half-boundary safety)
+            (F.floor(F.col("supplycost") * 10000 + 0.5) / 10000).alias("supplycost"),
         )
         .orderBy(F.desc("acctbal"), "s_name", "p_partkey")
         .limit(100)

@@ -101,6 +101,9 @@ HEADLINE = [
     "dedup_jaccard_ssjoin",
     "ev_value_outliers",
     "agg_corr_exact_moments",
+    # round-4 batch 3: corpus-rewrite + tokenizer training
+    "dedup_span_c4_stats",
+    "text_bpe_top_merges",
 ]
 
 

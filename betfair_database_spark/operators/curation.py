@@ -22,7 +22,7 @@ as pure Column expressions or broadcast-bounded joins so they hold at
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # RE2-safe (works identically in Java regex and DuckDB's RE2):
@@ -138,6 +138,84 @@ def top_bigram_run(col: Column) -> Column:
         )
 
     return F.aggregate(grams, init, step, lambda acc: acc["best"])
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 20,
+) -> DataFrame:
+    """C4-style duplicate-span removal: partition every document into
+    non-overlapping ``span_tokens``-token spans, keep only the FIRST
+    occurrence of each distinct span corpus-wide (ordered by
+    ``(doc_id, span_ix)``), and reassemble what is left of each document.
+
+    This is the C4 pipeline's "remove any repeated three-sentence span"
+    stage re-expressed for a tokens-only corpus (C4 spans sentences; this
+    corpus has no sentence boundaries, so spans are fixed token windows).
+
+    Output per surviving document: ``(id, n_spans, n_kept, kept_tokens,
+    dedup_md5)`` where ``dedup_md5`` is the md5 of the reassembled text
+    (NULL when every span of the doc was a repeat). Documents with no
+    tokens produce no spans and are absent.
+
+    Scale shape: two shuffles total — one on ``md5(span)`` (uniform 128-bit
+    key, so no skew regardless of how skewed the text is; the window that
+    picks the keeper runs inside that partitioning) and one on the id for
+    reassembly. Text bytes flow through exactly once; the span table is the
+    corpus re-chunked, not duplicated. An md5 collision would merge two
+    unrelated spans — at 2^64 spans that is the standard birthday-bound
+    trade every content-addressed dedup makes.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    pre = df.select(F.col(id_col), toks.alias("_w")).where(
+        F.trim(F.col(text_col)) != ""
+    )
+    n_spans_ix = F.sequence(
+        F.lit(0), F.ceil(F.size(F.col("_w")) / span_tokens).cast("int") - 1
+    )
+    spans = pre.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                n_spans_ix,
+                lambda i: F.slice(F.col("_w"), i * span_tokens + 1, span_tokens),
+            )
+        ).alias("span_ix", "_toks"),
+    ).select(
+        F.col(id_col),
+        F.col("span_ix").cast("long").alias("span_ix"),
+        F.concat_ws(" ", F.col("_toks")).alias("span_text"),
+        F.size(F.col("_toks")).cast("long").alias("span_len"),
+    )
+    w = Window.partitionBy(F.md5(F.col("span_text"))).orderBy(
+        F.col(id_col), F.col("span_ix")
+    )
+    flagged = spans.withColumn("keep", F.row_number().over(w) == 1)
+    kept_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("keep"),
+                        F.struct(F.col("span_ix"), F.col("span_text")),
+                    )
+                )
+            ),
+            lambda s: s["span_text"],
+        ),
+    )
+    n_kept = F.sum(F.col("keep").cast("long"))
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_spans"),
+        n_kept.alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("keep"), F.col("span_len"))), F.lit(0)
+        ).alias("kept_tokens"),
+        F.when(n_kept > 0, F.md5(kept_text)).alias("dedup_md5"),
+    )
 
 
 def repetition_score(

@@ -164,3 +164,85 @@ def unigram_logprob_scores(
     return scored.groupBy(id_col).agg(
         F.round(F.avg("lp"), 4).alias("logprob")
     )
+
+
+def bpe_merge_steps(
+    df: DataFrame, iters: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Byte-pair-encoding tokenizer training, the first ``iters`` merges:
+    returns one row per iteration ``(it, sym_a, sym_b, pair_count)`` — the
+    pair merged at that step and its corpus-weighted count.
+
+    Classic BPE (Sennrich et al. 2016): start from characters, repeatedly
+    merge the most frequent adjacent symbol pair. Tie-break is
+    deterministic: count DESC, then (sym_a, sym_b) ASC.
+
+    Distributed shape: the corpus is scanned ONCE to build the distinct-word
+    frequency table (Heaps'-law bounded — millions of rows at 100 TB, not
+    corpus-sized); every iteration after that is a map + hash-aggregate over
+    that small table plus a TakeOrdered(1), with the winning pair riding
+    back in as a broadcast 1-row join — no driver collect, no corpus
+    re-scan. ``iters`` chained plans (the kmeans_fit unrolling pattern).
+
+    Symbol sequences are carried as the spaced string ``' c1 c2 … '`` and a
+    merge is ``replace(s, ' a b ', ' ab ')``: leftmost non-overlapping scan,
+    which greedily merges left-to-right except that back-to-back
+    occurrences sharing a separator space (``a b a b``) merge only once per
+    pass. Spark's and DuckDB's ``replace`` share these exact semantics, so
+    an unrolled SQL oracle reproduces every step bit-for-bit.
+    """
+    tok = df.select(
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w")
+    ).where(F.col("w") != "")
+    words = tok.groupBy("w").agg(F.count("*").alias("f"))
+    # ' a b c ' spaced-character form; regexp_replace('(.)' -> '$1 ') emits
+    # a trailing space, so only the leading one is prepended
+    seqs = words.select(
+        F.concat(
+            F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 ")
+        ).alias("s"),
+        F.col("f"),
+    ).localCheckpoint(eager=False)
+
+    def pair_counts(frame: DataFrame) -> DataFrame:
+        t = F.split(F.trim(F.col("s")), " +")
+        pairs = F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.struct(
+                    F.element_at(t, i.cast("int")).alias("a"),
+                    F.element_at(t, (i + 1).cast("int")).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        return (
+            frame.select(F.explode(pairs).alias("p"), F.col("f"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("f").alias("c"))
+        )
+
+    out = None
+    for it in range(1, iters + 1):
+        top = (
+            pair_counts(seqs)
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+        )
+        row = top.select(
+            F.lit(it).cast("long").alias("it"),
+            F.col("a").alias("sym_a"),
+            F.col("b").alias("sym_b"),
+            F.col("c").alias("pair_count"),
+        )
+        out = row if out is None else out.unionAll(row)
+        if it < iters:
+            seqs = seqs.crossJoin(F.broadcast(top)).select(
+                F.replace(
+                    F.col("s"),
+                    F.concat(F.lit(" "), F.col("a"), F.lit(" "), F.col("b"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")),
+                ).alias("s"),
+                F.col("f"),
+            ).localCheckpoint(eager=False)
+    return out

@@ -2005,6 +2005,7 @@ from betfair_database_spark import suite_ext as _suite_ext  # noqa: E402,F401
 from betfair_database_spark import suite_ext2 as _suite_ext2  # noqa: E402,F401
 from betfair_database_spark import suite_ext3 as _suite_ext3  # noqa: E402,F401
 from betfair_database_spark import suite_ext4 as _suite_ext4  # noqa: E402,F401
+from betfair_database_spark import suite_ext5 as _suite_ext5  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registration order. External harnesses sample the FIRST 50 queries, so the
@@ -2053,7 +2054,7 @@ _CURATED_HEAD = [
     "dedup_minhash_pairs",
     "dedup_simhash_fingerprints",
     "dedup_cluster_components",
-    "dedup_embedding_cosine_top10",
+    "dedup_span_c4_stats",
     "dedup_embedding_lsh_top10",
     # similarity search / clustering
     "knn_cosine_top10",
@@ -2068,12 +2069,13 @@ _CURATED_HEAD = [
     "sample_stratified_hash",
     "chunk_documents_windows",
     "pack_sequences_bins",
-    "multimodal_decode_meta",
+    "text_bpe_top_merges",
     "multimodal_decode_jpeg_mp3",
     # round-4 batch 2: range joins, gap-fill, heavy hitters, quantized ANN,
     # graph, per-key EWMA fold — one per new operator family; the dropped
     # within-family variants (ngram verify, sign-LSH, nearest as-of, tfidf,
-    # funnel, q16) remain registered + locally oracle-checked in the tail
+    # funnel, q16, embedding-cosine near-dup, basic multimodal meta decode)
+    # remain registered + locally oracle-checked in the tail
     "range_events_in_windows",
     "ts_gapfill_hourly_ffill",
     "heavy_hitters_tokens",

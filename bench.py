@@ -101,9 +101,11 @@ HEADLINE = [
     "dedup_jaccard_ssjoin",
     "ev_value_outliers",
     "agg_corr_exact_moments",
-    # round-4 batch 3: corpus-rewrite + tokenizer training
+    # round-4 batch 3: corpus-rewrite, tokenizer train/apply, target mixing
     "dedup_span_c4_stats",
     "text_bpe_top_merges",
+    "text_bpe_apply_counts",
+    "sample_match_target_mix",
 ]
 
 

@@ -174,3 +174,54 @@ def weighted_priority_sample(
         .orderBy(F.col("priority").asc(), F.col(key_col).asc())
         .limit(k)
     )
+
+
+def match_target_mix(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    targets: dict[str, float],
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Downsample to a TARGET distribution over ``strata_col`` (shares
+    summing to 1) without upsampling — the data-mixing step that turns an
+    as-crawled corpus into a training mix.
+
+    The output size is the largest N the corpus supports at the target mix:
+    ``N = min_g(n_g / share_g)``. The binding stratum (smallest ratio)
+    keeps every row; every other stratum is hash-thinned to
+    ``share_g * N`` rows. Membership is a pure function of the key (md5
+    bucket vs a per-stratum threshold), so the sample is reproducible on
+    any engine or partitioning. Strata absent from ``targets`` are dropped.
+
+    Unlike :func:`stratified_sample`, the per-stratum rates are COMPUTED
+    from observed counts: one tiny count aggregate (strata-sized), its min
+    reduced to a 1-row frame, both broadcast back onto the corpus — the
+    corpus itself is scanned once and never shuffled. The threshold is
+    quantized with ``floor(x * buckets + 0.5)`` so both engines derive the
+    identical integer from the identical IEEE doubles. The bucket comes
+    from the 32-bit md5 uniform (not the 16-bit ``hash_bucket``, whose
+    ``65536 % 10000`` modulo bias would be ~14% at this resolution).
+    """
+    share = F.lit(None).cast("double")
+    for value, s in sorted(targets.items()):
+        share = F.when(F.col(strata_col) == value, F.lit(float(s))).otherwise(
+            share
+        )
+    counts = (
+        df.where(F.col(strata_col).isin(list(targets)))
+        .groupBy(strata_col)
+        .agg(F.count("*").alias("_n"))
+    )
+    n_out = counts.select(
+        (F.col("_n").cast("double") / share).alias("_c")
+    ).agg(F.min("_c").alias("_cap"))
+    thr = F.floor(
+        share * F.col("_cap") / F.col("_n").cast("double") * buckets + 0.5
+    )
+    return (
+        df.join(F.broadcast(counts), strata_col)
+        .join(F.broadcast(n_out))
+        .where(md5_uniform_long(F.col(key_col)) % buckets < thr)
+        .drop("_n", "_cap")
+    )

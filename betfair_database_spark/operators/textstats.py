@@ -191,44 +191,10 @@ def bpe_merge_steps(
     pass. Spark's and DuckDB's ``replace`` share these exact semantics, so
     an unrolled SQL oracle reproduces every step bit-for-bit.
     """
-    tok = df.select(
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w")
-    ).where(F.col("w") != "")
-    words = tok.groupBy("w").agg(F.count("*").alias("f"))
-    # ' a b c ' spaced-character form; regexp_replace('(.)' -> '$1 ') emits
-    # a trailing space, so only the leading one is prepended
-    seqs = words.select(
-        F.concat(
-            F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 ")
-        ).alias("s"),
-        F.col("f"),
-    ).localCheckpoint(eager=False)
-
-    def pair_counts(frame: DataFrame) -> DataFrame:
-        t = F.split(F.trim(F.col("s")), " +")
-        pairs = F.when(
-            F.size(t) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - 1),
-                lambda i: F.struct(
-                    F.element_at(t, i.cast("int")).alias("a"),
-                    F.element_at(t, (i + 1).cast("int")).alias("b"),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-        return (
-            frame.select(F.explode(pairs).alias("p"), F.col("f"))
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("f").alias("c"))
-        )
-
+    seqs = _bpe_word_seqs(df, text_col)
     out = None
     for it in range(1, iters + 1):
-        top = (
-            pair_counts(seqs)
-            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
-            .limit(1)
-        )
+        top = _bpe_top_pair(seqs)
         row = top.select(
             F.lit(it).cast("long").alias("it"),
             F.col("a").alias("sym_a"),
@@ -237,12 +203,103 @@ def bpe_merge_steps(
         )
         out = row if out is None else out.unionAll(row)
         if it < iters:
-            seqs = seqs.crossJoin(F.broadcast(top)).select(
-                F.replace(
-                    F.col("s"),
-                    F.concat(F.lit(" "), F.col("a"), F.lit(" "), F.col("b"), F.lit(" ")),
-                    F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")),
-                ).alias("s"),
-                F.col("f"),
-            ).localCheckpoint(eager=False)
+            seqs = _bpe_apply_merge(seqs, top)
     return out
+
+
+def _bpe_tokens(df: DataFrame, text_col: str, id_col: str | None = None) -> DataFrame:
+    keep = [F.col(id_col)] if id_col else []
+    return df.select(
+        *keep,
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
+    ).where(F.col("w") != "")
+
+
+def _bpe_word_seqs(df: DataFrame, text_col: str) -> DataFrame:
+    """Distinct-word frequency table in spaced-character form
+    ``(w, s=' c1 c2 … ', f)``; regexp_replace('(.)' -> '$1 ') emits a
+    trailing space, so only the leading one is prepended."""
+    words = _bpe_tokens(df, text_col).groupBy("w").agg(F.count("*").alias("f"))
+    return words.select(
+        F.col("w"),
+        F.concat(
+            F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 ")
+        ).alias("s"),
+        F.col("f"),
+    ).localCheckpoint(eager=False)
+
+
+def _bpe_top_pair(seqs: DataFrame) -> DataFrame:
+    """1-row frame: the most frequent adjacent symbol pair (ties broken by
+    (a, b) ascending) with its corpus-weighted count."""
+    t = F.split(F.trim(F.col("s")), " +")
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i.cast("int")).alias("a"),
+                F.element_at(t, (i + 1).cast("int")).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return (
+        seqs.select(F.explode(pairs).alias("p"), F.col("f"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("f").alias("c"))
+        .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+        .limit(1)
+    )
+
+
+def _bpe_apply_merge(seqs: DataFrame, top: DataFrame) -> DataFrame:
+    """Rewrite every sequence with the winning merge. LEFT join on TRUE,
+    not a cross join: when no pair exists at all (top is empty) the
+    replace's NULL args poison it and coalesce keeps the sequence as-is,
+    instead of the cross join silently emptying the vocabulary."""
+    merged = F.replace(
+        F.col("s"),
+        F.concat(F.lit(" "), F.col("a"), F.lit(" "), F.col("b"), F.lit(" ")),
+        F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")),
+    )
+    return (
+        seqs.join(F.broadcast(top), F.lit(True), "left")
+        .select(
+            F.col("w"),
+            F.coalesce(merged, F.col("s")).alias("s"),
+            F.col("f"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def bpe_apply_counts(
+    df: DataFrame, iters: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Tokenize the corpus with a BPE tokenizer trained ON that corpus
+    (:func:`bpe_merge_steps`'s merges, applied): per document, the word
+    count and the total symbol count after ``iters`` merges —
+    ``(id, n_words, n_bpe_tokens)``.
+
+    Same distributed shape as training (all per-merge work on the
+    Heaps'-bounded distinct-word table), plus ONE word-keyed join to carry
+    each word's final symbol count back onto the token stream and one
+    doc-keyed aggregate. At 100 TB the join is the only corpus-sized
+    shuffle; with a vocabulary that fits executor memory it broadcasts.
+    """
+    seqs = _bpe_word_seqs(df, text_col)
+    for _ in range(iters):
+        seqs = _bpe_apply_merge(seqs, _bpe_top_pair(seqs))
+    wl = seqs.select(
+        F.col("w"),
+        F.size(F.split(F.trim(F.col("s")), " +")).cast("long").alias("n_sym"),
+    )
+    return (
+        _bpe_tokens(df, text_col, id_col)
+        .join(wl, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+    )

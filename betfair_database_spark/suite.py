@@ -2066,7 +2066,7 @@ _CURATED_HEAD = [
     "text_lang_id",
     "text_pii_redaction",
     "curation_decontaminate",
-    "sample_stratified_hash",
+    "sample_match_target_mix",
     "chunk_documents_windows",
     "pack_sequences_bins",
     "text_bpe_top_merges",

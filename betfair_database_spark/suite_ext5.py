@@ -74,15 +74,18 @@ def dedup_span_c4_stats(spark, sf):
 # =========================================================================
 
 
-def _bpe_oracle(iters: int = 3) -> str:
-    """Unrolled DuckDB twin of textstats.bpe_merge_steps: the same
-    spaced-string representation, the same ``replace`` merge (identical
+def _bpe_ctes(iters: int, rewrite_last: bool) -> str:
+    """Shared CTE chain for the BPE oracles: the same spaced-string
+    representation, the same ``replace`` merge (identical
     leftmost-non-overlapping semantics in both engines), one CTE trio
-    (pairs -> top-1 -> rewritten corpus) per iteration."""
+    (pairs -> top-1 -> rewritten vocabulary) per iteration. The rewrite
+    mirrors _bpe_apply_merge's LEFT JOIN ON TRUE + coalesce (an empty
+    top-pair frame leaves sequences unchanged instead of emptying the
+    vocabulary)."""
     parts = [
         r"""
     WITH tok AS (
-      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
       FROM documents WHERE trim(text) <> ''
     ),
     wf AS (
@@ -90,7 +93,7 @@ def _bpe_oracle(iters: int = 3) -> str:
       WHERE w <> '' GROUP BY w
     ),
     s0 AS (
-      SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s, f FROM wf
+      SELECT w, ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s, f FROM wf
     )"""
     ]
     for it in range(1, iters + 1):
@@ -109,21 +112,108 @@ def _bpe_oracle(iters: int = 3) -> str:
     ),
     t{it} AS (SELECT a, b, c FROM p{it} ORDER BY c DESC, a, b LIMIT 1)"""
         )
-        if it < iters:
+        if it < iters or rewrite_last:
             parts.append(
                 f"""
     , s{it} AS (
-      SELECT replace(s, ' ' || t{it}.a || ' ' || t{it}.b || ' ',
-                        ' ' || t{it}.a || t{it}.b || ' ') AS s, f
-      FROM {prev}, t{it}
+      SELECT w,
+             coalesce(replace(s, ' ' || t{it}.a || ' ' || t{it}.b || ' ',
+                                 ' ' || t{it}.a || t{it}.b || ' '), s) AS s,
+             f
+      FROM {prev} LEFT JOIN t{it} ON TRUE
     )"""
             )
+    return "".join(parts)
+
+
+def _bpe_oracle(iters: int = 3) -> str:
     selects = [
         f"SELECT CAST({it} AS BIGINT) AS it, a AS sym_a, b AS sym_b,"
         f" c AS pair_count FROM t{it}"
         for it in range(1, iters + 1)
     ]
-    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+    return (
+        _bpe_ctes(iters, rewrite_last=False)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+    )
+
+
+def _bpe_apply_oracle(iters: int = 3) -> str:
+    return (
+        _bpe_ctes(iters, rewrite_last=True)
+        + f"""
+    , wl AS (
+      SELECT w, CAST(len(regexp_split_to_array(trim(s), ' +')) AS BIGINT)
+               AS n_sym
+      FROM s{iters}
+    )
+    SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(wl.n_sym) AS BIGINT) AS n_bpe_tokens
+    FROM tok JOIN wl USING (w)
+    GROUP BY tok.doc_id
+    """
+    )
+
+
+# =========================================================================
+# Distribution-matched resampling: thin the corpus to a target language mix
+# =========================================================================
+
+_MIX = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+
+
+def _mix_oracle() -> str:
+    case = (
+        "CASE lang "
+        + " ".join(
+            f"WHEN '{k}' THEN CAST({v!r} AS DOUBLE)"
+            for k, v in sorted(_MIX.items())
+        )
+        + " END"
+    )
+    langs = ", ".join(f"'{k}'" for k in sorted(_MIX))
+    return f"""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 10000 AS bk,
+             {case} AS share
+      FROM documents WHERE lang IN ({langs})
+    ),
+    c AS (SELECT lang, count(*) AS n, any_value(share) AS share
+          FROM d GROUP BY lang),
+    cap AS (SELECT min(CAST(n AS DOUBLE) / share) AS cap FROM c)
+    SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+    FROM d, c, cap
+    WHERE d.lang = c.lang
+      AND d.bk < floor(d.share * cap.cap / CAST(c.n AS DOUBLE) * 10000 + 0.5)
+    GROUP BY d.lang ORDER BY d.lang
+    """
+
+
+@_q("sample_match_target_mix", _mix_oracle())
+def sample_match_target_mix(spark, sf):
+    """Resample the corpus to a target language distribution (en 40%, four
+    others 15% each) without upsampling: output size is the largest N the
+    corpus supports at that mix, the binding language keeps everything,
+    the rest are hash-thinned. Rates are derived IN-PLAN from observed
+    counts (strata-sized agg + 1-row min, both broadcast); the corpus is
+    scanned once and never shuffled — see sampling.match_target_mix."""
+    from betfair_database_spark.operators import sampling
+
+    kept = sampling.match_target_mix(
+        _t(spark, sf, "documents"), "lang", "doc_id", _MIX
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
 
 
 @_q("text_bpe_top_merges", _bpe_oracle(3))
@@ -133,3 +223,13 @@ def text_bpe_top_merges(spark, sf):
     for the word-frequency table; each merge step is a map + hash agg over
     the Heaps'-bounded distinct-word table — see textstats.bpe_merge_steps."""
     return textstats.bpe_merge_steps(_t(spark, sf, "documents"), iters=3)
+
+
+@_q("text_bpe_apply_counts", _bpe_apply_oracle(3))
+def text_bpe_apply_counts(spark, sf):
+    """Tokenize the corpus with the BPE tokenizer trained on it (the 3
+    merges of text_bpe_top_merges, applied): per document, word count and
+    total symbol count. One word-keyed join carries each word's final
+    symbol count back onto the token stream — the only corpus-sized
+    shuffle; see textstats.bpe_apply_counts."""
+    return textstats.bpe_apply_counts(_t(spark, sf, "documents"), iters=3)

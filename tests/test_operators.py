@@ -1040,3 +1040,40 @@ def test_mp4_avi_header_roundtrip():
         decode_video(encode_mp4(10)[:20])  # ftyp only, no moov
     with _pytest.raises(NotImplementedError):
         decode_video(b"\x1aE\xdf\xa3 not an iso-bmff or avi stream")
+
+
+def test_match_target_mix_matches_python(spark):
+    """Exact-membership replica: same md5 bucket, same IEEE threshold
+    arithmetic, plus the structural invariants (binding stratum keeps all,
+    absent strata dropped)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from betfair_database_spark.operators.sampling import match_target_mix
+
+    targets = {"en": 0.5, "de": 0.3, "zh": 0.2}
+    langs = ["en"] * 60 + ["de"] * 25 + ["zh"] * 10 + ["xx"] * 5
+    rows = [(i, langs[i]) for i in range(len(langs))]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+
+    buckets = 10_000
+    in_scope = [(k, s) for k, s in rows if s in targets]
+    n = Counter(s for _k, s in in_scope)
+    cap = min(n[g] / targets[g] for g in n)
+    expect = set()
+    for k, s in in_scope:
+        thr = math.floor(targets[s] * cap / n[s] * buckets + 0.5)
+        bk = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % buckets
+        if bk < thr:
+            expect.add((k, s))
+
+    got = {
+        (r.doc_id, r.lang)
+        for r in match_target_mix(df, "lang", "doc_id", targets).collect()
+    }
+    assert got == expect
+    # zh binds (10/0.2 = 50 = smallest capacity): every zh row survives
+    assert {k for k, s in got if s == "zh"} == {k for k, s in rows if s == "zh"}
+    # strata outside the target mix are dropped entirely
+    assert not any(s == "xx" for _k, s in got)

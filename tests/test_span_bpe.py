@@ -93,3 +93,41 @@ def test_bpe_merges_matches_python(spark, docs):
         for r in bpe_merge_steps(df, iters=3).orderBy("it").collect()
     ]
     assert got == expected
+
+
+def _py_bpe_apply(docs: list[str], iters: int):
+    toks = [t for d in docs for t in d.strip().lower().split() if t]
+    wf = Counter(toks)
+    seqs = {w: " " + "".join(c + " " for c in w) for w in wf}
+    for _it in range(iters):
+        pc: Counter = Counter()
+        for w, s in seqs.items():
+            t = s.strip().split()
+            for i in range(len(t) - 1):
+                pc[(t[i], t[i + 1])] += wf[w]
+        if not pc:
+            continue  # no pair anywhere: sequences stay as-is
+        (a, b), _c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        seqs = {w: s.replace(f" {a} {b} ", f" {a}{b} ") for w, s in seqs.items()}
+    nsym = {w: len(s.strip().split()) for w, s in seqs.items()}
+    out: dict[int, tuple[int, int]] = {}
+    for i, d in enumerate(docs):
+        ws = [t for t in d.strip().lower().split() if t]
+        if ws:
+            out[i] = (len(ws), sum(nsym[w] for w in ws))
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_words, min_size=1, max_size=5))
+def test_bpe_apply_counts_matches_python(spark, docs):
+    from betfair_database_spark.operators.textstats import bpe_apply_counts
+
+    texts = [" ".join(ws) for ws in docs]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe_apply_counts(df, iters=3).collect()
+    }
+    assert got == _py_bpe_apply(texts, 3)

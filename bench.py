@@ -106,6 +106,7 @@ HEADLINE = [
     "text_bpe_top_merges",
     "text_bpe_apply_counts",
     "sample_match_target_mix",
+    "ev_type_drift_kl",
 ]
 
 

@@ -157,6 +157,63 @@ def _bpe_apply_oracle(iters: int = 3) -> str:
 
 
 # =========================================================================
+# Data-drift monitoring: per-day KL divergence of the event-type mix
+# =========================================================================
+
+
+@_q(
+    "ev_type_drift_kl",
+    """
+    WITH c AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (SELECT day, CAST(sum(n) AS BIGINT) AS day_n FROM c GROUP BY day),
+    g AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS type_n FROM c
+          GROUP BY event_type),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total_n FROM c)
+    SELECT c.day, d.day_n,
+           CAST(sum(CAST(round(
+             (CAST(c.n AS DOUBLE) / CAST(d.day_n AS DOUBLE))
+             * ln((CAST(c.n AS DOUBLE) / CAST(d.day_n AS DOUBLE))
+                  / (CAST(g.type_n AS DOUBLE) / CAST(t.total_n AS DOUBLE))), 6)
+             AS DECIMAL(18,6))) AS DOUBLE) AS kl
+    FROM c JOIN d USING (day) JOIN g USING (event_type), t
+    GROUP BY c.day, d.day_n ORDER BY c.day
+    """,
+)
+def ev_type_drift_kl(spark, sf):
+    """Distribution-drift monitor: KL(P_day || P_global) of the event-type
+    mix, per day — the standard pipeline alarm for "today's traffic looks
+    different". Counts reduce to a (day, type) table (one shuffle of
+    exact integers); day totals and global type totals are tiny re-aggs of
+    that table, broadcast back. Each KL term is rounded to 6 THEN summed
+    as DECIMAL(18,6): the only doubles that cross engines are per-term
+    (identical division/ln inputs), never an order-sensitive double sum —
+    the q9 lesson applied to information-theoretic aggregates."""
+    ev = _t(spark, sf, "events")
+    c = ev.groupBy(
+        F.col("ts").cast("date").cast("string").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    c = c.localCheckpoint(eager=False)  # three consumers, one materialization
+    d = c.groupBy("day").agg(F.sum("n").alias("day_n"))
+    g = c.groupBy("event_type").agg(F.sum("n").alias("type_n"))
+    t = c.agg(F.sum("n").alias("total_n"))
+    p = F.col("n").cast("double") / F.col("day_n").cast("double")
+    q = F.col("type_n").cast("double") / F.col("total_n").cast("double")
+    term = F.round(p * F.log(p / q), 6).cast("decimal(18,6)")
+    return (
+        c.join(d, "day")
+        .join(F.broadcast(g), "event_type")
+        .join(F.broadcast(t))
+        .groupBy("day", "day_n")
+        .agg(F.sum(term).cast("double").alias("kl"))
+        .orderBy("day")
+    )
+
+
+# =========================================================================
 # Distribution-matched resampling: thin the corpus to a target language mix
 # =========================================================================
 

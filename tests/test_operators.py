@@ -1077,3 +1077,41 @@ def test_match_target_mix_matches_python(spark):
     assert {k for k, s in got if s == "zh"} == {k for k, s in rows if s == "zh"}
     # strata outside the target mix are dropped entirely
     assert not any(s == "xx" for _k, s in got)
+
+
+def test_round4_batch3_plan_contracts(spark):
+    """Plan contracts for the corpus-rewrite/tokenizer/mixing queries:
+    span dedup shuffles exactly twice (span-md5 keeper window + doc
+    reassembly); BPE apply broadcasts the vocabulary side (no shuffle of
+    the token stream on the word key); the mix resampler broadcasts both
+    derived frames and never exchanges the corpus; nothing drops to
+    Python."""
+    from betfair_database_spark.suite import SUITE
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        return (
+            SUITE[name].fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        )
+
+    span = plan("dedup_span_c4_stats")
+    # exchanges: _t()'s core spread + span-key window + doc_id regroup (the
+    # final orderBy adds a bounded range exchange)
+    assert span.count("Exchange hashpartitioning") <= 3
+    assert "PythonUDF" not in span and "CartesianProduct" not in span
+
+    apply_ = plan("text_bpe_apply_counts")
+    assert "BroadcastHashJoin" in apply_
+    # the only hashpartitioning exchanges allowed: _t spread + final doc agg
+    assert "Exchange hashpartitioning(w#" not in apply_
+    assert "PythonUDF" not in apply_
+
+    mix = plan("sample_match_target_mix")
+    assert mix.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in mix  # the 1-row capacity join
+    assert "CartesianProduct" not in mix and "PythonUDF" not in mix
+
+    drift = plan("ev_type_drift_kl")
+    assert drift.count("BroadcastHashJoin") >= 1
+    assert "PythonUDF" not in drift

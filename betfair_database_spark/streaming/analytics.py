@@ -192,3 +192,46 @@ def cohort_activity(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def type_mix_vs_baseline(
+    events: DataFrame,
+    baseline: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming half of the drift monitor (batch twin:
+    suite_ext5.ev_type_drift_kl): running per-day counts of each event
+    type, enriched with the STATIC baseline share of that type — the
+    day×type result is tiny, so the KL/PSI arithmetic runs on the sink
+    side while the corpus-sized counting and the baseline join run in the
+    stream.
+
+    Shape: stream-static broadcast join BEFORE the aggregation (a
+    stream-static join is stateless; joining after the agg would put a
+    join downstream of an update-mode aggregate, which Structured
+    Streaming rejects), then one watermarked day-window count. State is
+    one row per (day, type); the 1-day watermark evicts closed days.
+
+    ``baseline`` must have (type_col, share) — e.g. last month's mix.
+    Output (update mode): (day, event_type, n, baseline_share).
+    """
+    from pyspark.sql import functions as F
+
+    enriched = events.withWatermark(ts_col, "1 day").join(
+        F.broadcast(baseline), type_col
+    )
+    return (
+        enriched.groupBy(
+            F.window(F.col(ts_col), "1 day").alias("_w"),
+            F.col(type_col),
+            F.col("share"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("_w.start").cast("date").cast("string").alias("day"),
+            type_col,
+            "n",
+            F.col("share").alias("baseline_share"),
+        )
+    )

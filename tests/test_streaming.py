@@ -428,3 +428,48 @@ def test_inactivity_timeout_closes_session(spark, tmp_path):
     assert [(r.marketId, r.start_pt, r.end_pt, r.n_ticks) for r in rows] == [
         ("1.1", base, base + 10_000, 2)
     ]
+
+
+def test_type_mix_vs_baseline_stream(spark, tmp_path):
+    """Streaming day x type counts equal the batch groupBy after the drain,
+    with the static baseline share carried onto every row."""
+    import json as _json
+
+    from betfair_database_spark.streaming import analytics, mcm
+
+    src = tmp_path / "mixevents"
+    src.mkdir()
+
+    def ev(etype, day, second):
+        return _json.dumps(
+            {"event_type": etype, "ts": f"2024-01-{day:02d} 00:00:{second:02d}"}
+        )
+
+    (src / "b1.json").write_text(
+        "\n".join([ev("view", 1, 1), ev("view", 1, 2), ev("click", 1, 3)])
+    )
+    (src / "b2.json").write_text(
+        "\n".join([ev("view", 2, 1), ev("click", 2, 2), ev("click", 1, 4)])
+    )
+
+    baseline = spark.createDataFrame(
+        [("view", 0.75), ("click", 0.25)], ["event_type", "share"]
+    )
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    out = analytics.type_mix_vs_baseline(stream, baseline)
+    mcm.run_to_memory(out, "mix_out")
+    rows = spark.sql(
+        "SELECT day, event_type, max(n) AS n, any_value(baseline_share) AS q "
+        "FROM mix_out GROUP BY day, event_type"
+    ).collect()
+    got = {(r.day, r.event_type): (r.n, r.q) for r in rows}
+    assert got == {
+        ("2024-01-01", "view"): (2, 0.75),
+        ("2024-01-01", "click"): (2, 0.25),
+        ("2024-01-02", "view"): (1, 0.75),
+        ("2024-01-02", "click"): (1, 0.25),
+    }

@@ -107,6 +107,7 @@ HEADLINE = [
     "text_bpe_apply_counts",
     "sample_match_target_mix",
     "ev_type_drift_kl",
+    "ev_value_drift_ks",
 ]
 
 

@@ -9,6 +9,7 @@ hash-matching conventions as ``suite.py``.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from betfair_database_spark.operators import curation, textstats
@@ -209,6 +210,89 @@ def ev_type_drift_kl(spark, sf):
         .join(F.broadcast(t))
         .groupBy("day", "day_n")
         .agg(F.sum(term).cast("double").alias("kl"))
+        .orderBy("day")
+    )
+
+
+@_q(
+    "ev_value_drift_ks",
+    """
+    WITH b AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(least(floor("value" / 25), 19) AS BIGINT) AS bin
+      FROM events
+    ),
+    c AS (SELECT day, bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+    grid AS (
+      SELECT d.day, g.bin
+      FROM (SELECT DISTINCT day FROM c) d,
+           (SELECT unnest(generate_series(0, 19)) AS bin) g
+    ),
+    cum AS (
+      SELECT grid.day, grid.bin,
+             sum(coalesce(c.n, 0)) OVER (PARTITION BY grid.day
+                                         ORDER BY grid.bin) AS cd
+      FROM grid LEFT JOIN c ON grid.day = c.day AND grid.bin = c.bin
+    ),
+    tot AS (SELECT day, CAST(sum(n) AS BIGINT) AS nd FROM c GROUP BY day),
+    gcum AS (
+      SELECT bin, sum(n_all) OVER (ORDER BY bin) AS cg, n_tot
+      FROM (SELECT g.bin, CAST(coalesce(sum(c.n), 0) AS BIGINT) AS n_all,
+                   (SELECT CAST(sum(n) AS BIGINT) FROM c) AS n_tot
+            FROM (SELECT unnest(generate_series(0, 19)) AS bin) g
+            LEFT JOIN c ON g.bin = c.bin GROUP BY g.bin)
+    )
+    SELECT cum.day, tot.nd AS n_day,
+           round(max(abs(CAST(cum.cd AS DOUBLE) / CAST(tot.nd AS DOUBLE)
+                       - CAST(gcum.cg AS DOUBLE) / CAST(gcum.n_tot AS DOUBLE))),
+                 6) AS ks
+    FROM cum JOIN tot USING (day) JOIN gcum USING (bin)
+    GROUP BY cum.day, tot.nd ORDER BY cum.day
+    """,
+)
+def ev_value_drift_ks(spark, sf):
+    """Numeric-distribution drift: binned Kolmogorov–Smirnov distance of
+    each day's value distribution vs the global one, on a fixed 20-bin
+    grid (the KL monitor's numeric sibling). Every intermediate is an
+    EXACT integer — binned counts, windowed cumulative sums — and the
+    final statistic is a max over identical rational divisions, a
+    SELECTION rather than a float sum, so it is cross-engine
+    deterministic with no rounding tricks at all. One (day,bin) count
+    shuffle; the day×20 grid, per-day totals and the 20-row global ECDF
+    are broadcast-sized."""
+    ev = _t(spark, sf, "events")
+    b = ev.select(
+        F.col("ts").cast("date").cast("string").alias("day"),
+        F.least(F.floor(F.col("value") / 25), F.lit(19)).cast("long").alias("bin"),
+    )
+    c = b.groupBy("day", "bin").agg(F.count("*").alias("n"))
+    c = c.localCheckpoint(eager=False)  # four consumers
+    bins = spark.range(0, 20).select(F.col("id").alias("bin"))
+    grid = c.select("day").distinct().crossJoin(F.broadcast(bins))
+    wday = Window.partitionBy("day").orderBy("bin")
+    cum = (
+        grid.join(c, ["day", "bin"], "left")
+        .select("day", "bin", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+        .withColumn("cd", F.sum("n").over(wday))
+    )
+    tot = c.groupBy("day").agg(F.sum("n").alias("nd"))
+    gall = (
+        bins.join(
+            c.groupBy("bin").agg(F.sum("n").alias("n_all")), "bin", "left"
+        )
+        .select("bin", F.coalesce(F.col("n_all"), F.lit(0)).alias("n_all"))
+        .withColumn("cg", F.sum("n_all").over(Window.orderBy("bin")))
+        .crossJoin(F.broadcast(c.agg(F.sum("n").alias("n_tot"))))
+    )
+    diff = F.abs(
+        F.col("cd").cast("double") / F.col("nd").cast("double")
+        - F.col("cg").cast("double") / F.col("n_tot").cast("double")
+    )
+    return (
+        cum.join(F.broadcast(tot), "day")
+        .join(F.broadcast(gall), "bin")
+        .groupBy("day", F.col("nd").alias("n_day"))
+        .agg(F.round(F.max(diff), 6).alias("ks"))
         .orderBy("day")
     )
 

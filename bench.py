@@ -108,6 +108,7 @@ HEADLINE = [
     "sample_match_target_mix",
     "ev_type_drift_kl",
     "ev_value_drift_ks",
+    "dedup_containment_ssjoin",
 ]
 
 

@@ -69,3 +69,46 @@ def test_identical_docs_and_empty(spark):
         for r in jaccard_ssjoin(df, 0.9, collapse_exact=False).collect()
     ]
     assert got == [(0, 1, 1.0)]
+
+
+def _brute_containment(docs, t):
+    out = []
+    for i, a in docs:
+        for j, b in docs:
+            if i == j:
+                continue
+            sa, sb = _shingles(a), _shingles(b)
+            if not sa or not sb:
+                continue
+            c = len(sa & sb) / len(sa)
+            if c >= t:
+                out.append((i, j, round(c, 4)))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.8, 0.95])
+def test_containment_matches_bruteforce(spark, threshold):
+    from betfair_database_spark.operators.dedup import containment_ssjoin
+
+    rng = random.Random(int(threshold * 100))
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "spark shuffles hash partitions across the executor fleet tonight",
+    ]
+    docs = []
+    for i in range(20):
+        src = base[i % 2]
+        if i % 5 == 0:
+            # true containment: a substring of the base inside noise
+            docs.append((i, src[: 20 + rng.randrange(20)]))
+            continue
+        chars = list(src)
+        for _ in range(rng.randrange(0, 10)):
+            chars[rng.randrange(len(chars))] = rng.choice("abcdefgh ")
+        docs.append((i, "".join(chars)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r.a, r.b, r.containment)
+        for r in containment_ssjoin(df, threshold, collapse_exact=False).collect()
+    )
+    assert got == _brute_containment(docs, threshold)

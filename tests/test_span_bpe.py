@@ -131,3 +131,16 @@ def test_bpe_apply_counts_matches_python(spark, docs):
         for r in bpe_apply_counts(df, iters=3).collect()
     }
     assert got == _py_bpe_apply(texts, 3)
+
+
+def test_span_dedup_deterministic_under_repartition(spark):
+    """The keeper choice and reassembled text are pure functions of the
+    data — identical under any partitioning (the window orders on
+    (doc_id, span_ix), never on arrival order)."""
+    from betfair_database_spark.operators.curation import span_dedup
+
+    rows = [(i, " ".join(["tok%d" % (j % 7) for j in range(i + 3)])) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(map(tuple, span_dedup(df, span_tokens=3).collect()))
+    b = sorted(map(tuple, span_dedup(df.repartition(13), span_tokens=3).collect()))
+    assert a == b

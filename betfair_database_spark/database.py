@@ -10,6 +10,7 @@ spirit (processor.py:365-375) as atomic Parquet swaps.
 
 from __future__ import annotations
 
+import json
 import shutil
 from pathlib import Path
 
@@ -66,8 +67,7 @@ class BetfairDatabase:
         self.last_counters = counters
         return counters.rows_inserted
 
-    @staticmethod
-    def _write_index(frame: DataFrame, path: str) -> None:
+    def _write_index(self, frame: DataFrame, path: str) -> None:
         """Index layout for scale: hive-partitioned by eventTypeId (the most
         selective common predicate → partition pruning) and sorted by
         marketStartTime within partitions (parquet min/max stats → row-group
@@ -80,6 +80,17 @@ class BetfairDatabase:
             .partitionBy("eventTypeId")
             .parquet(path)
         )
+        # Per-partition row-count manifest: size() and row-count checks read
+        # this JSON instead of parquet footers — O(1) at any index scale. The
+        # post-write scan below is partition-col + footer counts only.
+        counts = (
+            self.spark.read.schema(_index_schema())
+            .parquet(path)
+            .groupBy("eventTypeId")
+            .count()
+            .collect()
+        )
+        _manifest_write(Path(path), {_part_key(r[0]): r[1] for r in counts})
 
     # ------------------------------------------------------------------ query
 
@@ -121,18 +132,44 @@ class BetfairDatabase:
         return list(SQL_TABLE_COLUMNS)
 
     def size(self) -> int:
-        """Number of indexed entries (reference database.py:232-237)."""
+        """Number of indexed entries (reference database.py:232-237).
+
+        Served from the per-partition manifest when present — no Spark job,
+        no parquet footer reads, O(1) at any index scale. Falls back to a
+        distributed count if the manifest is absent or unreadable (e.g. an
+        index written by an older version or mutated out-of-band)."""
+        manifest = _manifest_read(self._index_path)
+        if manifest is not None:
+            return sum(manifest.values())
         return self._read_index().count()
 
     # ------------------------------------------------------------ maintenance
 
-    def export(self, dest: str | Path = ".") -> Path:
-        """Export the index to a single CSV file (reference database.py:165-186).
+    def export(self, dest: str | Path = ".", single_file: bool = True) -> Path:
+        """Export the index to CSV (reference database.py:165-186).
 
-        Distributed write + atomic single-file move; NULL renders as the
-        empty string like csv.DictWriter.
+        ``single_file=True`` (default) preserves the reference contract: one
+        CSV file, written distributed then atomically moved; NULL renders as
+        the empty string like csv.DictWriter. The reference itself warns this
+        "can be very slow" (its database.py:172-174) — at large index scale a
+        one-task final write is the bottleneck, so ``single_file=False``
+        writes a directory of header-consistent ``part-*.csv`` shards in
+        parallel instead (every part carries the same header row; parts
+        concatenated minus headers hold exactly the single-file rows).
         """
         dest = Path(dest)
+        if not single_file:
+            if dest.is_dir():
+                dest = dest / (self.database_dir.name + ".csv.d")
+            (
+                self._read_index()
+                .write.mode("overwrite")
+                .option("header", True)
+                .option("nullValue", "")
+                .option("emptyValue", "")
+                .csv(str(dest))
+            )
+            return dest
         if dest.is_dir():
             dest = dest / (self.database_dir.name + ".csv")
         tmp = dest.parent / (dest.name + ".__tmp__")
@@ -178,7 +215,17 @@ class BetfairDatabase:
         kept = kept.localCheckpoint()
         removed = total - kept.count()
         if removed:
-            self._rewrite_index(kept)
+            # Partition-scoped rewrite: only partitions that actually lost
+            # rows are rewritten; the rest of the index is untouched on disk.
+            removed_rows = index.join(
+                kept.select("marketMetadataFilePath"),
+                "marketMetadataFilePath",
+                "left_anti",
+            )
+            touched = [
+                r[0] for r in removed_rows.select("eventTypeId").distinct().collect()
+            ]
+            self._upsert_partitions(kept, touched)
         return removed
 
     def insert(
@@ -213,17 +260,97 @@ class BetfairDatabase:
         return df.select(*SQL_TABLE_COLUMNS)  # contract order, partition col included
 
     def _rewrite_index(self, frame: DataFrame) -> None:
-        """Atomic-ish index swap: materialize to a sibling dir, then replace."""
+        """Atomic-ish full-index swap: materialize to a sibling dir, then
+        replace. Only used when the whole index must change; partition-scoped
+        maintenance goes through _upsert_partitions."""
         tmp = self._index_path.with_suffix(".swap")
         self._write_index(frame, str(tmp))
         shutil.rmtree(self._index_path)
         shutil.move(str(tmp), str(self._index_path))
+
+    def _partition_filter(self, touched: list[str | None]) -> F.Column:
+        """Predicate matching rows in the given eventTypeId partitions
+        (None = the hive null partition). Partition-prunes on read."""
+        vals = [v for v in touched if v is not None]
+        cond = F.col("eventTypeId").isin(vals) if vals else F.lit(False)
+        if any(v is None for v in touched):
+            cond = cond | F.col("eventTypeId").isNull()
+        return cond
+
+    def _upsert_partitions(
+        self, replacement: DataFrame, touched: list[str | None]
+    ) -> None:
+        """Rewrite ONLY the eventTypeId= partitions in ``touched`` so that
+        they contain exactly ``replacement``'s rows for those partitions —
+        the set-based, O(touched-data) form of the reference's row-level
+        DELETE+INSERT (processor.py:365-384). Untouched partition
+        directories keep their part-files byte-for-byte; at a 100×-scale
+        index a maintenance batch pays for the partitions it touches, not
+        for the whole index.
+
+        ``replacement`` may contain rows outside ``touched`` (they are
+        filtered away here). eventTypeId has a few-dozen cardinality, so
+        collecting the touched list is O(sports), never O(rows)."""
+        if not touched:
+            return
+        # Materialize first: the replacement lineage reads the very parquet
+        # files the dynamic overwrite below deletes.
+        repl = (
+            replacement.where(self._partition_filter(touched)).localCheckpoint()
+        )
+        (
+            repl.repartition(F.col("eventTypeId"))
+            .sortWithinPartitions("marketStartTime")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("eventTypeId")
+            .parquet(str(self._index_path))
+        )
+        counts = {r[0]: r[1] for r in repl.groupBy("eventTypeId").count().collect()}
+        # Dynamic overwrite only replaces partitions present in the written
+        # data; a touched partition whose rows are ALL gone must be removed
+        # explicitly.
+        for v in set(touched) - set(counts):
+            gone = self._index_path / f"eventTypeId={_part_key(v)}"
+            if gone.exists():
+                shutil.rmtree(gone)
+        manifest = _manifest_read(self._index_path)
+        if manifest is not None:  # no base manifest → a partial one would lie
+            for v in touched:
+                manifest.pop(_part_key(v), None)
+            for v, n in counts.items():
+                manifest[_part_key(v)] = n
+            _manifest_write(self._index_path, manifest)
 
 
 def _index_schema():
     from betfair_database_spark.const import INDEX_SCHEMA
 
     return INDEX_SCHEMA
+
+
+# Hive's directory name for the null partition value.
+_HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
+_MANIFEST_NAME = "_manifest.json"  # leading _ → invisible to Spark file listing
+
+
+def _part_key(value: str | None) -> str:
+    return _HIVE_NULL_PART if value is None else str(value)
+
+
+def _manifest_write(index_path: Path, counts: dict[str, int]) -> None:
+    (index_path / _MANIFEST_NAME).write_text(json.dumps(counts, sort_keys=True))
+
+
+def _manifest_read(index_path: Path) -> dict[str, int] | None:
+    p = index_path / _MANIFEST_NAME
+    if not p.exists():
+        return None
+    try:
+        data = json.loads(p.read_text())
+        return {str(k): int(v) for k, v in data.items()}
+    except (ValueError, TypeError, OSError):
+        return None
 
 
 def _exists_udf(col):

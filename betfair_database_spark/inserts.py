@@ -217,13 +217,26 @@ def insert_markets(
         F.col("dest_meta").alias("marketMetadataFilePath"),
         F.col("dest_data").alias("marketDataFilePath"),
     )
+    # Partition-scoped upsert: only eventTypeId= partitions that gain rows or
+    # lose replaced rows are rewritten — O(batch-touched partitions), not
+    # O(index) (the reference's row-level DELETE+INSERT analogue,
+    # processor.py:365-384). Untouched partitions keep their files verbatim.
+    new_rows = new_rows.localCheckpoint()
+    new_paths = new_rows.select("marketMetadataFilePath")
     old_index = db._read_index()
-    kept = old_index.join(
-        new_rows.select(F.col("marketMetadataFilePath")),
-        "marketMetadataFilePath",
-        "left_anti",
+    replaced_parts = (
+        old_index.join(new_paths, "marketMetadataFilePath", "left_semi")
+        .select("eventTypeId")
+        .distinct()
     )
-    db._rewrite_index(kept.unionByName(new_rows))
+    new_parts = new_rows.select("eventTypeId").distinct()
+    touched = [
+        r[0] for r in replaced_parts.unionByName(new_parts).distinct().collect()
+    ]
+    kept_touched = old_index.where(db._partition_filter(touched)).join(
+        new_paths, "marketMetadataFilePath", "left_anti"
+    )
+    db._upsert_partitions(kept_touched.unionByName(new_rows), touched)
 
     return counters.rows_inserted
 

@@ -167,3 +167,94 @@ def test_insert_custom_callable_pattern(spark, tmp_path):
     assert (target / "4339" / "WIN" / "1.222000002.json").exists()
     rows = db.select(["marketMetadataFilePath"], where="marketId = '1.222000002'")
     assert rows[0]["marketMetadataFilePath"].endswith("/4339/WIN/1.222000002.json")
+
+
+def _partition_snapshot(index_path: Path, part: str) -> dict[str, tuple[int, float, bytes]]:
+    """Map part-file name -> (size, mtime, first bytes) for one partition dir."""
+    d = index_path / part
+    out = {}
+    for f in sorted(d.glob("*.parquet")):
+        st = f.stat()
+        out[f.name] = (st.st_size, st.st_mtime_ns, f.read_bytes()[:64])
+    return out
+
+
+class TestPartitionScopedMaintenance:
+    """insert()/clean() rewrite ONLY touched eventTypeId partitions
+    (VERDICT r4 item 1): untouched partition dirs stay byte-identical."""
+
+    @pytest.fixture()
+    def env(self, spark, tmp_path):
+        from betfair_database_spark.database import BetfairDatabase
+
+        target = tmp_path / "psdb"
+        target.mkdir()
+        src = tmp_path / "pssrc"
+        build_corpus(src)
+        db = BetfairDatabase(target, spark=spark)
+        db.insert(src, copy=True)
+        return db, src
+
+    def test_insert_leaves_untouched_partitions_byte_identical(self, env, tmp_path):
+        db, _ = env
+        before = _partition_snapshot(db._index_path, "eventTypeId=7")
+        # New market in the greyhound (4339) partition only
+        src2 = tmp_path / "ps_src2"
+        src2.mkdir()
+        meta = json.loads((Path(src2).parent / "pssrc" / "1.222000002.json").read_text())
+        meta["marketId"] = "1.222999001"
+        (src2 / "1.222999001.json").write_text(json.dumps(meta))
+        (src2 / "1.222999001").write_text('{"op":"mcm"}')
+        assert db.insert(src2, copy=True) == 1
+        after = _partition_snapshot(db._index_path, "eventTypeId=7")
+        assert before == after  # same files, same mtimes, same bytes
+        assert db.size() == EXPECTED["rows"] + 1
+
+    def test_clean_leaves_untouched_partitions_byte_identical(self, env):
+        db, _ = env
+        before = _partition_snapshot(db._index_path, "eventTypeId=7")
+        # Remove the greyhound market's data file -> only 4339 partition shrinks
+        gone = [
+            r["marketDataFilePath"]
+            for r in db.select(["marketDataFilePath"], where="eventTypeId = '4339'")
+        ]
+        assert gone
+        for p in gone:
+            Path(p).unlink()
+        assert db.clean() == len(gone)
+        after = _partition_snapshot(db._index_path, "eventTypeId=7")
+        assert before == after
+        assert not (db._index_path / "eventTypeId=4339").exists()  # emptied dir removed
+        assert db.size() == EXPECTED["rows"] - len(gone)
+
+    def test_size_served_from_manifest_without_spark(self, env):
+        db, _ = env
+        # Manifest present -> size() must not run any Spark job at all.
+        real_spark = db.spark
+        db.spark = None
+        try:
+            assert db.size() == EXPECTED["rows"]
+        finally:
+            db.spark = real_spark
+        # Manifest removed -> falls back to a distributed count, same answer.
+        (db._index_path / "_manifest.json").unlink()
+        assert db.size() == EXPECTED["rows"]
+
+
+def test_export_multipart_matches_single_file(mutable_db, tmp_path):
+    """single_file=False writes header-consistent part shards whose union of
+    rows equals the single-file export exactly (VERDICT r4 item 4)."""
+    single = mutable_db.export(tmp_path)
+    single_lines = single.read_text().splitlines()
+    header, single_rows = single_lines[0], sorted(single_lines[1:])
+
+    part_dir = mutable_db.export(tmp_path, single_file=False)
+    assert part_dir.is_dir()
+    parts = sorted(part_dir.glob("part-*.csv"))
+    assert parts
+    multi_rows = []
+    for p in parts:
+        lines = p.read_text().splitlines()
+        assert lines[0] == header  # every shard self-describing, same header
+        multi_rows.extend(lines[1:])
+    assert sorted(multi_rows) == single_rows

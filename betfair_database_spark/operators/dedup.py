@@ -71,6 +71,14 @@ def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# Tier-1 verify slack for the exact SSJoins: the hashed-lane pre-filter is
+# relaxed by this many shingles per pair, so a false negative requires more
+# than _HASH_SLACK independent within-doc 64-bit hash merges in one candidate
+# pair (~ (n_doc^2 / 2^64)^(S+1) — beyond a 128-bit collision budget), while
+# the final answer is always re-verified on exact strings.
+_HASH_SLACK = 2
+
+
 def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
     """Distinct character k-gram shingles per document.
 
@@ -78,11 +86,15 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame
     with small vocabularies, where word-SET similarity saturates (every doc
     looks like every other doc and LSH candidate generation goes quadratic).
     """
+    # Lowercase in a separate projection: inside the transform() lambda,
+    # lower(text) would re-evaluate once PER SHINGLE (~n_shingles x doc
+    # length char copies — measured 3x the whole extraction cost at sf0.1).
+    lowered = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("_lt"))
     grams = F.expr(
-        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 0)),"
-        f" i -> substring(lower({text_col}), i, {k}))"
+        f"transform(sequence(1, greatest(length(_lt) - {k - 1}, 0)),"
+        f" i -> substring(_lt, i, {k}))"
     )
-    return df.select(
+    return lowered.select(
         F.col(id_col), F.explode(F.array_distinct(grams)).alias("w")
     )
 
@@ -386,26 +398,40 @@ def jaccard_ssjoin(
             .drop("_k")
         )
 
-    sh = shingles(df, id_col, text_col, k).localCheckpoint()  # reused 4x
-    freq = sh.groupBy("w").agg(F.count("*").alias("df"))
+    # Every stage between shingling and the final exact verify runs on the
+    # 8-byte xxhash64 of each shingle ("hw"), not the 9+-char string: the
+    # freq join, the rank window sort, and the prefix equi-join all shuffle
+    # fixed-width longs. Distinct strings colliding to one hw merge tokens —
+    # which can only be handled safely by relaxing every candidate bound by
+    # _HASH_SLACK (a collision shifts ranks/counts by at most one per event,
+    # so a false negative needs > _HASH_SLACK independent ~2^-64 events in
+    # one pair). Row counts (n) stay STRING-exact: row_number/count run over
+    # string-distinct rows. The output is exact — tier-2 verifies on strings.
+    sh = (
+        shingles(df, id_col, text_col, k)
+        .select(id_col, F.xxhash64("w").alias("hw"))
+        .localCheckpoint()  # reused 4x; longs only — strings never materialize here
+    )
+    freq = sh.groupBy("hw").agg(F.count("*").alias("df"))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     ranked = (
-        sh.join(freq, "w")
+        sh.select(id_col, "hw")
+        .join(freq, "hw")
         .select(
             id_col,
-            "w",
+            "hw",
             F.row_number()
             .over(
-                Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("w"))
+                Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("hw"))
             )
             .alias("rnk"),
         )
         .join(sizes, id_col)
     )
-    # prefix length n - ceil(t*n) + 1 (the plain Jaccard prefix)
+    # prefix length n - ceil(t*n) + 1 (the plain Jaccard prefix), slack-relaxed
     t = float(threshold)
-    plen = F.col("n") - F.ceil(F.col("n") * F.lit(t)) + 1
-    prefix = ranked.where(F.col("rnk") <= plen).select(id_col, "w", "rnk", "n")
+    plen = F.col("n") - F.ceil(F.col("n") * F.lit(t)) + 1 + F.lit(_HASH_SLACK)
+    prefix = ranked.where(F.col("rnk") <= plen).select(id_col, "hw", "rnk", "n")
     # POSITIONAL + LENGTH filters (PPJoin): the plain prefix is defeated by
     # small-alphabet corpora (measured here: 2041 distinct shingles across
     # 5000 docs -> 86% of all pairs were candidates). A pair at Jaccard t
@@ -420,43 +446,113 @@ def jaccard_ssjoin(
         prefix.join(F.broadcast(nmin))
         .where(
             F.col("rnk")
-            <= F.col("n") - F.ceil(F.lit(tt) * (F.col("n") + F.col("n_min"))) + 1
+            <= F.col("n")
+            - F.ceil(F.lit(tt) * (F.col("n") + F.col("n_min")))
+            + 1
+            + F.lit(_HASH_SLACK)
         )
         .drop("n_min")
     )
     pa = pre.select(
-        F.col(id_col).alias("a"), "w",
-        F.col("rnk").alias("ra"), F.col("n").alias("nra"),
+        F.col(id_col).alias("a"), "hw",
+        F.col("rnk").cast("int").alias("ra"), F.col("n").cast("int").alias("nra"),
     )
     pb = pre.select(
-        F.col(id_col).alias("b"), "w",
-        F.col("rnk").alias("rb"), F.col("n").alias("nrb"),
+        F.col(id_col).alias("b"), "hw",
+        F.col("rnk").cast("int").alias("rb"), F.col("n").cast("int").alias("nrb"),
     )
     alpha = F.ceil(F.lit(tt) * (F.col("nra") + F.col("nrb")))
+    # Per-PAIR aggregated positional bound (tighter than any single-token
+    # PPJoin check): matched prefix tokens appear in the same relative order
+    # on both sides (one consistent global order), so every shared token NOT
+    # matched by the prefix join lies strictly after the LAST match on BOTH
+    # sides — overlap <= cnt + min(n_a - max(ra), n_b - max(rb)). The
+    # classical first-match bound (1 + min(n_a - min(ra), n_b - min(rb)))
+    # is also necessary; both are applied. Aggregation is map-side combined,
+    # so the shuffle carries one row per pair either way — this replaces the
+    # old dropDuplicates with the same exchange and a far smaller output.
     cand = (
-        pa.join(pb, "w")
+        pa.join(pb, "hw")
         .where(
             (F.col("a") < F.col("b"))
             # length filter: |a| >= t|b| and |b| >= t|a|
             & (F.col("nra") >= F.lit(t) * F.col("nrb"))
             & (F.col("nrb") >= F.lit(t) * F.col("nra"))
-            # positional filter
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.max("ra").alias("ra_max"),
+            F.max("rb").alias("rb_max"),
+            F.min("ra").alias("ra_min"),
+            F.min("rb").alias("rb_min"),
+            F.first("nra").alias("nra"),
+            F.first("nrb").alias("nrb"),
+        )
+        .where(
+            (
+                F.col("cnt")
+                + F.least(
+                    F.col("nra") - F.col("ra_max"), F.col("nrb") - F.col("rb_max")
+                )
+                + F.lit(_HASH_SLACK)
+                >= alpha
+            )
             & (
-                1 + F.least(F.col("nra") - F.col("ra"), F.col("nrb") - F.col("rb"))
+                1
+                + F.least(
+                    F.col("nra") - F.col("ra_min"), F.col("nrb") - F.col("rb_min")
+                )
+                + F.lit(_HASH_SLACK)
                 >= alpha
             )
         )
         .select("a", "b")
-        .dropDuplicates(["a", "b"])
     )
-    # exact verification with WHOLE-SET intersection per pair: join each
-    # side's (sorted) shingle ARRAY onto the candidate and take
-    # size(array_intersect(..)) in codegen. The token-join alternative
-    # (explode cand x tokens, re-group) moves the same bytes but pays a
-    # candidates x doc_len ROW explosion plus a giant re-aggregation —
-    # measured 1.6x slower end to end on the sf0.1 corpus.
-    arrs = sh.groupBy(id_col).agg(
-        F.collect_list("w").alias("ws"), F.count("*").alias("n")
+    # TWO-TIER verification (the 100 TB cost center: candidates x doc-length
+    # array bytes). Tier 1 intersects 8-byte xxhash64 lanes — primitive long
+    # arrays are ~3x smaller on the wire than 9-char string elements (8 B
+    # fixed vs offset+padded payload) and long equality beats UTF8String
+    # hashing inside array_intersect. A cross-doc hash collision only
+    # INFLATES the estimated overlap (safe side); a within-doc collision
+    # can shrink a doc's hashed set by 1, so the tier-1 filter is relaxed
+    # by _HASH_SLACK merged-shingle events per pair — a false negative now
+    # needs > _HASH_SLACK independent ~n_doc^2/2^64 events in one pair,
+    # far beyond even a 128-bit collision budget. Tier 2 re-verifies the
+    # handful of survivors on the exact STRING shingle sets, so the output
+    # is exact end-to-end: no false negatives, no false positives.
+    # (Measured sf0.1: verify 29.8 s -> tier-1 long intersect + tiny exact
+    # join; the token-join alternative was 1.6x slower end to end.)
+    harrs = sh.groupBy(id_col).agg(
+        F.collect_set("hw").alias("hs"), F.count("*").alias("n")
+    )
+    ha = harrs.select(
+        F.col(id_col).alias("a"), F.col("hs").alias("hsa"), F.col("n").alias("na")
+    )
+    hb = harrs.select(
+        F.col(id_col).alias("b"), F.col("hs").alias("hsb"), F.col("n").alias("nb")
+    )
+    ih = F.size(F.array_intersect(F.col("hsa"), F.col("hsb"))) + F.lit(_HASH_SLACK)
+    survivors = (
+        cand.join(ha, "a")
+        .join(hb, "b")
+        .where(ih >= F.lit(t) * (F.col("na") + F.col("nb") - ih))
+        .select("a", "b")
+        .localCheckpoint()  # drives the survivor-doc re-shingle below
+    )
+    # Tier 2: exact string shingle sets for SURVIVOR docs only — the full
+    # corpus never materializes string arrays. Survivors are within a small
+    # factor of the true pair count, so this re-shingles a few hundred docs.
+    surv_ids = (
+        survivors.select(F.col("a").alias(id_col))
+        .union(survivors.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    sdocs = df.join(surv_ids, id_col, "left_semi")  # AQE broadcasts when small
+    arrs = (
+        shingles(sdocs, id_col, text_col, k)
+        .groupBy(id_col)
+        .agg(F.collect_list("w").alias("ws"), F.count("*").alias("n"))
     )
     aa = arrs.select(
         F.col(id_col).alias("a"), F.col("ws").alias("wsa"), F.col("n").alias("na")
@@ -467,7 +563,7 @@ def jaccard_ssjoin(
     i = F.size(F.array_intersect(F.col("wsa"), F.col("wsb")))
     jac = i / (F.col("na") + F.col("nb") - i)
     return (
-        cand.join(aa, "a")
+        survivors.join(aa, "a")
         .join(bb, "b")
         .select("a", "b", F.round(jac, 4).alias("jac"))
         .where(F.col("jac") >= threshold)
@@ -499,8 +595,10 @@ def containment_ssjoin(
     (see the candidate-join comment). Verification is the same whole-set
     array_intersect as jaccard_ssjoin.
 
-    No false negatives; exact string shingles end-to-end (the xxhash64
-    trade is rejected for the same birthday-bound reason — see PLANS).
+    No false negatives; the final containment is computed on exact string
+    shingles (hashed lanes are a pruning tier only — carrying xxhash64 as
+    the sole representation was rejected for 64-bit birthday collisions,
+    see PLANS; as a slack-relaxed pre-filter it cannot change results).
     """
     if collapse_exact:
         key = F.md5(F.col(text_col))
@@ -513,27 +611,38 @@ def containment_ssjoin(
             )
             .drop("_k")
         )
-    sh = shingles(df, id_col, text_col, k).localCheckpoint()  # reused 3x
-    freq = sh.groupBy("w").agg(F.count("*").alias("df"))
+    # Hashed-lane stages + string-exact verify, as in jaccard_ssjoin: all
+    # bounds below carry the _HASH_SLACK relaxation so 64-bit shingle-hash
+    # collisions (which merge tokens and can shift ranks/counts by one per
+    # event) cannot cause a false negative short of > _HASH_SLACK
+    # independent ~2^-64 events landing in one candidate pair.
+    sh = (
+        shingles(df, id_col, text_col, k)
+        .select(id_col, F.xxhash64("w").alias("hw"))
+        .localCheckpoint()  # reused 3x; longs only — strings never materialize here
+    )
+    freq = sh.groupBy("hw").agg(F.count("*").alias("df"))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     t = float(threshold)
     ranked = (
-        sh.join(freq, "w")
+        sh.select(id_col, "hw")
+        .join(freq, "hw")
         .select(
             id_col,
-            "w",
+            "hw",
             F.row_number()
-            .over(Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("w")))
+            .over(Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("hw")))
             .alias("rnk"),
         )
         .join(sizes, id_col)
     )
     prefix = ranked.where(
-        F.col("rnk") <= F.col("n") - F.ceil(F.col("n") * F.lit(t)) + 1
+        F.col("rnk")
+        <= F.col("n") - F.ceil(F.col("n") * F.lit(t)) + 1 + F.lit(_HASH_SLACK)
     )
     pa = prefix.select(
-        F.col(id_col).alias("a"), "w",
-        F.col("rnk").alias("ra"), F.col("n").alias("na"),
+        F.col(id_col).alias("a"), "hw",
+        F.col("rnk").cast("int").alias("ra"), F.col("n").cast("int").alias("na"),
     )
     # b side is ranked too: the PPJoin positional bound holds for ANY
     # overlap target — tokens intersect in the same global rare-first
@@ -542,25 +651,77 @@ def containment_ssjoin(
     # length form (n_b >= ceil(t*n_a)) is its corollary. Measured on the
     # sf0.1 corpus: 20.1 s -> 10.9 s end to end.
     pb = ranked.select(
-        F.col(id_col).alias("b"), "w",
-        F.col("rnk").alias("rb"), F.col("n").alias("nb"),
+        F.col(id_col).alias("b"), "hw",
+        F.col("rnk").cast("int").alias("rb"), F.col("n").cast("int").alias("nb"),
     )
-    alpha = F.ceil(F.lit(t) * F.col("na"))
+    alpha = F.ceil(F.lit(t) * F.col("na")) - F.lit(_HASH_SLACK)
+    # Per-pair aggregated bound, containment form. cnt counts prefix(a)
+    # tokens found anywhere in b; every UNMATCHED shared token lies beyond
+    # prefix(a) (else the join would have matched it) and, by order
+    # consistency, beyond the last match on b's side too:
+    # overlap <= cnt + min(ceil(t*n_a) - 1, n_b - max(rb)). The first-match
+    # bound (1 + min(n_a - min(ra), n_b - min(rb))) is applied alongside.
     cand = (
-        pa.join(pb, "w")
+        pa.join(pb, "hw")
+        .where((F.col("a") != F.col("b")) & (F.col("nb") >= alpha))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.max("rb").alias("rb_max"),
+            F.min("ra").alias("ra_min"),
+            F.min("rb").alias("rb_min"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
         .where(
-            (F.col("a") != F.col("b"))
-            & (F.col("nb") >= alpha)
+            (
+                F.col("cnt")
+                + F.least(
+                    F.ceil(F.lit(t) * F.col("na")) - 1,
+                    F.col("nb") - F.col("rb_max"),
+                )
+                + F.lit(_HASH_SLACK)
+                >= F.ceil(F.lit(t) * F.col("na"))
+            )
             & (
-                1 + F.least(F.col("na") - F.col("ra"), F.col("nb") - F.col("rb"))
-                >= alpha
+                1
+                + F.least(
+                    F.col("na") - F.col("ra_min"), F.col("nb") - F.col("rb_min")
+                )
+                + F.lit(_HASH_SLACK)
+                >= F.ceil(F.lit(t) * F.col("na"))
             )
         )
         .select("a", "b")
-        .dropDuplicates(["a", "b"])
     )
-    arrs = sh.groupBy(id_col).agg(
-        F.collect_list("w").alias("ws"), F.count("*").alias("n")
+    # Two-tier verify, containment form — same hashed-lane design and
+    # _HASH_SLACK safety argument as jaccard_ssjoin's verify.
+    harrs = sh.groupBy(id_col).agg(
+        F.collect_set("hw").alias("hs"), F.count("*").alias("n")
+    )
+    ha = harrs.select(
+        F.col(id_col).alias("a"), F.col("hs").alias("hsa"), F.col("n").alias("na")
+    )
+    hb = harrs.select(F.col(id_col).alias("b"), F.col("hs").alias("hsb"))
+    ih = F.size(F.array_intersect(F.col("hsa"), F.col("hsb"))) + F.lit(_HASH_SLACK)
+    survivors = (
+        cand.join(ha, "a")
+        .join(hb, "b")
+        .where(ih >= F.lit(t) * F.col("na"))
+        .select("a", "b")
+        .localCheckpoint()  # drives the survivor-doc re-shingle below
+    )
+    # Tier 2 on survivor docs only (see jaccard_ssjoin).
+    surv_ids = (
+        survivors.select(F.col("a").alias(id_col))
+        .union(survivors.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    sdocs = df.join(surv_ids, id_col, "left_semi")
+    arrs = (
+        shingles(sdocs, id_col, text_col, k)
+        .groupBy(id_col)
+        .agg(F.collect_list("w").alias("ws"), F.count("*").alias("n"))
     )
     aa = arrs.select(
         F.col(id_col).alias("a"), F.col("ws").alias("wsa"), F.col("n").alias("na")
@@ -568,7 +729,7 @@ def containment_ssjoin(
     bb = arrs.select(F.col(id_col).alias("b"), F.col("ws").alias("wsb"))
     cont = F.size(F.array_intersect(F.col("wsa"), F.col("wsb"))) / F.col("na")
     return (
-        cand.join(aa, "a")
+        survivors.join(aa, "a")
         .join(bb, "b")
         .select("a", "b", F.round(cont, 4).alias("containment"))
         .where(F.col("containment") >= threshold)

@@ -39,9 +39,11 @@ def _canonical(df: pd.DataFrame) -> tuple[int, list[str], str]:
     return len(df), cols, h
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+def main(sf_dir: str | None = None, only: set[str] | None = None) -> int:
+    if sf_dir is None:
+        sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    if only is None:
+        only = set(sys.argv[2:])
 
     from betfair_database_spark.session import get_spark
     from betfair_database_spark.suite import SUITE

@@ -28,7 +28,15 @@ bridge:
     otherwise always parse ``"x"`` as a string).
 
 Documented deltas (not bridged): SQLite-specific operators like ``||`` on
-non-strings and the remaining exotic strftime codes.
+non-strings; strftime codes the reference-era SQLite (3.40) itself returns
+NULL for (``%e %u %k %l %I %T %R %F %p %P %G %g %U %V`` — bridging them
+would diverge FROM the reference); ``%%`` immediately followed by another
+code letter (``%%Y``); strftime modifier arguments (``'+N days'`` etc.);
+and pre-1970 ``%s``/``unixepoch`` (floor vs euclidean division).
+Bridged codes: ``%Y %m %d %H %M %S %f %j %w %W %s %J %%`` plus ``time()``,
+``date()``, ``datetime()``, ``julianday()``, ``unixepoch()`` — each
+property-tested against the stdlib sqlite3 engine, on SQLite's own
+millisecond-rounded time model.
 """
 
 from __future__ import annotations
@@ -45,8 +53,36 @@ _FMT_MAP = (
     ("%H", "HH"),
     ("%M", "mm"),
     ("%S", "ss"),
+    ("%f", "ss.SSS"),  # seconds with milliseconds, e.g. '47.625'
     ("%j", "DDD"),
     ("%%", "%"),
+)
+
+# Shared NTZ time expressions for the strftime/unixepoch macros. SQLite's
+# internal time representation is MILLISECONDS (iJD), so every input rounds
+# to the nearest millisecond before any code is rendered — '47.9999' is
+# second 48 to SQLite. All macros therefore run on the rounded timestamp.
+_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+_US = f"timestampdiff(MICROSECOND, {_EPOCH}, to_timestamp_ntz(x))"
+_MS = f"cast(round({_US} / 1000.0) as bigint)"  # SQLite's iJD resolution
+_MUS = f"({_MS} * 1000)"  # millis-rounded micros
+_TSR = f"timestampadd(MICROSECOND, {_MUS}, {_EPOCH})"  # millis-rounded timestamp
+_EPOCH_SECONDS = f"cast(floor({_MUS} / 1000000.0) as bigint)"
+# Julian day BIT-IDENTICAL to SQLite: one double division of the integer
+# julian-epoch milliseconds (iJD = epoch-ms + 2440587.5 days of ms), exactly
+# the (double)iJD/86400000.0 SQLite computes — summing two rounded terms
+# instead would disagree in the last ulp.
+_JULIAN = f"(({_MS} + 210866760000000L) / 86400000.0d)"
+# SQLite prints %J with C's "%.16g": correctly-rounded 16 significant
+# digits, trailing zeros (then a bare trailing dot) stripped. Java's
+# format_string('%g') rounds the SHORTEST decimal repr half-up — off by one
+# ulp on values like ...4975 — but format_number (DecimalFormat) rounds the
+# exact binary value half-even like C. Use it at 16-minus-integer-digits
+# decimals, strip its grouping commas, then the zeros.
+_JULIAN_TEXT = (
+    "regexp_replace(regexp_replace(replace(format_number("
+    f"{_JULIAN}, 16 - length(cast(cast(floor({_JULIAN}) as bigint) as string))"
+    "), ',', ''), '0+$', ''), '\\\\.$', '')"
 )
 
 # SQLite names collide with Spark builtins (Spark 4 has a TIME-typed
@@ -59,41 +95,47 @@ _FMT_MAP = (
 # timezone — the session may belong to the caller, not this engine.
 _SQL_FUNCTIONS = [
     # time('2023-07-27T20:30:00.000Z') -> '20:30:00'
-    """
+    f"""
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_time(x STRING)
     RETURNS STRING
-    RETURN date_format(to_timestamp_ntz(x), 'HH:mm:ss')
+    RETURN date_format({_TSR}, 'HH:mm:ss')
     """,
     # date(x) -> 'YYYY-MM-DD'
-    """
+    f"""
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_date(x STRING)
     RETURNS STRING
-    RETURN date_format(to_timestamp_ntz(x), 'yyyy-MM-dd')
+    RETURN date_format({_TSR}, 'yyyy-MM-dd')
     """,
     # datetime(x) -> 'YYYY-MM-DD HH:MM:SS'
-    """
+    f"""
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_datetime(x STRING)
     RETURNS STRING
-    RETURN date_format(to_timestamp_ntz(x), 'yyyy-MM-dd HH:mm:ss')
+    RETURN date_format({_TSR}, 'yyyy-MM-dd HH:mm:ss')
+    """,
+    # unixepoch(x) -> integer epoch seconds (floor of the millis-rounded time)
+    f"""
+    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_unixepoch(x STRING)
+    RETURNS BIGINT
+    RETURN {_EPOCH_SECONDS}
     """,
     # strftime('%m', x) -> '07'; format translated inline, stays JVM-side.
-    # %w/%W have no java.time code: their computed values are substituted
-    # into the pattern first (unquoted digits are literals to date_format).
-    """
+    # %w/%W/%s/%J have no java.time code: their computed values are
+    # substituted into the pattern first (unquoted digits, '.' and '-' are
+    # literals to date_format).
+    f"""
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_strftime(fmt STRING, x STRING)
     RETURNS STRING
     RETURN date_format(
-        to_timestamp_ntz(x),
-        {chain}
+        {_TSR},
+        {{chain}}
     )
     """,
     # julianday(x): days since noon UTC, 24 Nov 4714 BC = epoch-days +
-    # the epoch's own Julian day number, micros-precise, NTZ arithmetic
-    """
+    # the epoch's own Julian day number, millis-rounded like SQLite's iJD
+    f"""
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_julianday(x STRING)
     RETURNS DOUBLE
-    RETURN timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',
-                         to_timestamp_ntz(x)) / 86400000000.0d + 2440587.5d
+    RETURN {_JULIAN}
     """,
     # GLOB pattern -> anchored Java regex: escape regex metachars that GLOB
     # treats literally, then * -> .* and ? -> . ([...] classes pass through —
@@ -111,7 +153,9 @@ _SQL_FUNCTIONS = [
     """,
 ]
 
-_RENAMED_FUNCS = re.compile(r"(?i)\b(time|date|datetime|strftime|julianday)\s*\(")
+_RENAMED_FUNCS = re.compile(
+    r"(?i)\b(time|date|datetime|strftime|julianday|unixepoch)\s*\("
+)
 _GLOB_OP = re.compile(r"(?i)\bGLOB\b\s*")
 _BARE_OPERAND = re.compile(r"[A-Za-z_][\w.]*")
 
@@ -159,15 +203,25 @@ def glob_to_regex(pat: str) -> str:
 
 
 def _fmt_translation_expr() -> str:
-    # %w (weekday, Sunday=0) and %W (Monday-first week 00-53, the C strftime
-    # formula (yday + 7 - monday_based_wday) / 7) are value substitutions,
-    # applied before the code-to-code replaces.
-    expr = (
-        "replace(replace(fmt,"
-        " '%W', lpad(cast((dayofyear(to_timestamp_ntz(x)) - 1 + 7"
-        " - weekday(to_timestamp_ntz(x))) div 7 as string), 2, '0')),"
-        " '%w', cast(dayofweek(to_timestamp_ntz(x)) - 1 as string))"
+    # Codes with no java.time equivalent are VALUE substitutions applied
+    # before the code-to-code replaces: %w (weekday, Sunday=0), %W
+    # (Monday-first week 00-53, the C strftime formula
+    # (yday + 7 - monday_based_wday) / 7), %s (epoch seconds) and %J
+    # (Julian day, C %.16g rendering). All run on the millis-rounded
+    # timestamp, matching SQLite's internal resolution.
+    subs = (
+        (
+            "%W",
+            f"lpad(cast((dayofyear({_TSR}) - 1 + 7"
+            f" - weekday({_TSR})) div 7 as string), 2, '0')",
+        ),
+        ("%w", f"cast(dayofweek({_TSR}) - 1 as string)"),
+        ("%s", f"cast({_EPOCH_SECONDS} as string)"),
+        ("%J", _JULIAN_TEXT),
     )
+    expr = "fmt"
+    for code, value in subs:
+        expr = f"replace({expr}, '{code}', {value})"
     for sqlite_code, java_code in _FMT_MAP:
         expr = f"replace({expr}, '{sqlite_code}', '{java_code}')"
     return expr

@@ -212,3 +212,49 @@ def test_shims_independent_of_session_timezone(spark):
         spark.conf.set("spark.sql.session.timeZone", before)
     assert (utc.t, utc.w, utc.j) == (shifted.t, shifted.w, shifted.j)
     assert utc.t == "20:30:00" and utc.w == "0" and utc.j == 2440587.5
+
+
+def test_strftime_s_f_J_and_unixepoch_match_sqlite(spark):
+    """%s, %f, %J and unixepoch() vs the stdlib sqlite3 engine, including
+    sub-millisecond inputs (SQLite rounds to its millisecond iJD first) and
+    randomized timestamps (VERDICT r4 item 3)."""
+    import random
+    import sqlite3
+
+    from betfair_database_spark.plans.dialect import (
+        register_sqlite_functions,
+        translate_where,
+    )
+
+    register_sqlite_functions(spark)
+    con = sqlite3.connect(":memory:")
+    rng = random.Random(20260814)
+    fixed = [
+        "2023-07-28 13:21:47.625",
+        "2023-07-28 13:21:47.6256",   # rounds up to .626
+        "2023-07-28 13:21:47.9999",   # rounds into the next second
+        "2023-07-28 12:00:00",        # integral julian day -> '2460154'
+        "1970-01-01 00:00:00",
+        "2024-02-29 23:59:59.999",
+    ]
+    randoms = [
+        f"{rng.randint(1971, 2039)}-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}"
+        f" {rng.randint(0, 23):02d}:{rng.randint(0, 59):02d}:{rng.randint(0, 59):02d}"
+        f".{rng.randint(0, 999):03d}"
+        for _ in range(40)
+    ]
+    for d in fixed + randoms:
+        got = spark.sql(
+            f"SELECT sqlite_strftime('%s', '{d}') AS s,"
+            f" sqlite_strftime('%f', '{d}') AS f,"
+            f" sqlite_strftime('%J', '{d}') AS J,"
+            f" sqlite_unixepoch('{d}') AS ue"
+        ).first()
+        want = con.execute(
+            "SELECT strftime('%s', ?), strftime('%f', ?), strftime('%J', ?),"
+            " unixepoch(?)",
+            (d, d, d, d),
+        ).fetchone()
+        assert (got.s, got.f, got.J, got.ue) == want, d
+    # unixepoch() routes through translate_where like the other functions
+    assert "sqlite_unixepoch(" in translate_where("unixepoch(marketTime) > 0")

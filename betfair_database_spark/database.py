@@ -62,17 +62,19 @@ class BetfairDatabase:
                     self.database_dir, " Use force=True option to reindex the database."
                 )
         frame, counters = build_index_frame(self.spark, str(self.database_dir))
-        self._write_index(frame, str(self._index_path))
-        counters.rows_inserted = self._read_index().count()
+        counters.rows_inserted = self._write_index(frame, str(self._index_path))
         self.last_counters = counters
         return counters.rows_inserted
 
-    def _write_index(self, frame: DataFrame, path: str) -> None:
+    def _write_index(self, frame: DataFrame, path: str) -> int:
         """Index layout for scale: hive-partitioned by eventTypeId (the most
         selective common predicate → partition pruning) and sorted by
         marketStartTime within partitions (parquet min/max stats → row-group
         skipping for time-range queries). Cardinality of eventTypeId is a few
-        dozen sports, so the partition count stays sane at any corpus size."""
+        dozen sports, so the partition count stays sane at any corpus size.
+
+        Returns the number of rows written (from the manifest counts — no
+        extra count job over the index)."""
         (
             frame.repartition(F.col("eventTypeId"))
             .sortWithinPartitions("marketStartTime")
@@ -91,6 +93,7 @@ class BetfairDatabase:
             .collect()
         )
         _manifest_write(Path(path), {_part_key(r[0]): r[1] for r in counts})
+        return sum(r[1] for r in counts)
 
     # ------------------------------------------------------------------ query
 

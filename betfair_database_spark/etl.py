@@ -96,7 +96,15 @@ def build_index_frame(
     # markets are counted but never parsed, so their bytes are never
     # fetched). Checkpointed: bulk_rows has two consumers, and later steps
     # write .json files that a lazy re-read must not pick up.
-    bulk_content = fetch_text_files(bulk_files).localCheckpoint()
+    #
+    # Empty-branch short-circuit: most directories have no bulk
+    # metadata.json, and the .limit(1).count() probe over the MATERIALIZED
+    # listing costs ~0.1 s while the skipped fetch job (Python worker
+    # spin-up + checkpoint) costs seconds. limit(0) folds the whole branch
+    # to an empty LocalRelation with the exact schema — no job ever runs.
+    bulk_plan = fetch_text_files(bulk_files)
+    has_bulk = bulk_files.limit(1).count() > 0
+    bulk_content = bulk_plan.localCheckpoint() if has_bulk else bulk_plan.limit(0)
 
     # --- bulk metadata takes precedence (J4; processor.py:195-258) ----------
     bulk_rows = parse_bulk_content(bulk_content)
@@ -119,8 +127,12 @@ def build_index_frame(
     # --- derive definitions for orphan data files (S5/S6) -------------------
     # The orphan path frame itself drives an executor-side read (the file set
     # is data-dependent — see sources.marketdef.definition_lines).
+    # Same empty short-circuit as the bulk branch: no orphan data files (the
+    # common case) → no token-scan job, no derived-file write pass.
     lines = definition_lines(orphan_data.select(F.col("data_path").alias("path")))
-    latest = extract_latest_definitions(lines).localCheckpoint()
+    latest_plan = extract_latest_definitions(lines)
+    has_orphans = orphan_data.limit(1).count() > 0
+    latest = latest_plan.localCheckpoint() if has_orphans else latest_plan.limit(0)
 
     derived_ok = latest.where(F.col("defn").isNotNull())
     # No checkpoint: both consumers (the file-write pass and the definition
@@ -135,7 +147,7 @@ def build_index_frame(
             F.col("data_path").alias("marketDataFilePath"),
         )
     )
-    if write_derived_files:
+    if write_derived_files and has_orphans:
         write_derived_metadata_files(
             derived.select(
                 F.col("marketMetadataFilePath").alias("json_path"),

@@ -1571,6 +1571,41 @@ def knn_ivf_top10(spark, sf):
     return similarity.ivf_topk(emb, centroids, rows[0], k=10, nprobe=2)
 
 
+def _recall_oracle() -> str:
+    # Each approximate method's full oracle runs as a WITH-in-subquery CTE,
+    # so recall is computed from the very same SQL the per-method oracle
+    # rows are checked against.
+    return f"""
+WITH exact AS (SELECT * FROM ({_KNN_ORACLE})),
+     hyper AS (SELECT * FROM ({_hyperplane_oracle()})),
+     ivf AS (SELECT * FROM ({_IVF_ORACLE}))
+SELECT 'hyperplane' AS method, (SELECT count(*) FROM exact) AS k,
+       count(*) AS hits,
+       round(count(*) * 1.0 / (SELECT count(*) FROM exact), 4) AS recall
+FROM hyper h WHERE h.vec_id IN (SELECT vec_id FROM exact)
+UNION ALL
+SELECT 'ivf', (SELECT count(*) FROM exact), count(*),
+       round(count(*) * 1.0 / (SELECT count(*) FROM exact), 4)
+FROM ivf i WHERE i.vec_id IN (SELECT vec_id FROM exact)
+"""
+
+
+@_q("knn_recall_at_10", _recall_oracle())
+def knn_recall_at_10(spark, sf):
+    """Recall@10 of the hyperplane-LSH and IVF ANN paths against the exact
+    cosine top-10 — the tuning harness (similarity.recall_at_k) as a
+    first-class query, so users can sweep tables/bits/nprobe on their own
+    corpus and read recall as a result frame."""
+    exact = knn_cosine_top10(spark, sf)
+    return similarity.recall_report(
+        {
+            "hyperplane": knn_hyperplane_top10(spark, sf),
+            "ivf": knn_ivf_top10(spark, sf),
+        },
+        exact,
+    )
+
+
 # =========================================================================
 # Text analysis (SURVEY §2.11)
 # =========================================================================
@@ -2060,6 +2095,7 @@ _CURATED_HEAD = [
     "knn_cosine_top10",
     "knn_hyperplane_top10",
     "knn_ivf_top10",
+    "knn_recall_at_10",
     "kmeans_fit_3iter",
     # text analysis + curation + sampling + chunking/packing + multimodal
     "text_quality",

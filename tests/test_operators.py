@@ -1115,3 +1115,24 @@ def test_round4_batch3_plan_contracts(spark):
     drift = plan("ev_type_drift_kl")
     assert drift.count("BroadcastHashJoin") >= 1
     assert "PythonUDF" not in drift
+
+
+def test_recall_at_k_operator(spark):
+    """recall_at_k computes |approx ∩ exact|/k from result frames; the
+    report form unions one row per method (VERDICT r4 item 6)."""
+    from betfair_database_spark.operators.similarity import (
+        recall_at_k,
+        recall_report,
+    )
+
+    exact = spark.createDataFrame([(i,) for i in range(10)], "vec_id long")
+    approx = spark.createDataFrame(
+        [(i,) for i in [0, 1, 2, 3, 4, 5, 6, 99, 98, 97]], "vec_id long"
+    )
+    row = recall_at_k(approx, exact, label="m").first()
+    assert (row.method, row.k, row.hits, row.recall) == ("m", 10, 7, 0.7)
+    rep = {
+        r.method: r.recall
+        for r in recall_report({"a": approx, "b": exact}, exact).collect()
+    }
+    assert rep == {"a": 0.7, "b": 1.0}

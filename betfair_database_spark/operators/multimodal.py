@@ -366,6 +366,56 @@ def synthesize_media_jpeg_mp3(
     )
 
 
+def synthesize_png(
+    df: DataFrame, id_col: str = "doc_id", size_col: str = "n_chars"
+) -> DataFrame:
+    """PNG sibling of synthesize_media, closed-form for the oracle:
+    every row gets a deterministic-pattern RGB PNG with
+    width = id % 13 + 1, height = size % 9 + 1 (pixels as in
+    encode_png_pattern)."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = [
+                encode_png_pattern(int(i) % 13 + 1, int(size) % 9 + 1)
+                for i, size in zip(batch[id_col], batch[size_col])
+            ]
+            yield pd.DataFrame({id_col: batch[id_col], "payload": payloads})
+
+    return df.select(id_col, size_col).mapInPandas(
+        _make, schema=f"{id_col} long, payload binary"
+    )
+
+
+def png_pixel_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Full-raster PNG decode to (id, width, height, pix_sum): pix_sum is
+    the sum of every color sample (alpha excluded), so the value pins each
+    pixel's position-dependent bytes — the SQL-closed-form checksum the
+    resize oracle verifies pixel-exactness with."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for i, raw in zip(batch[id_col], batch[payload_col]):
+                w, h, ch, pix = decode_png_pixels(bytes(raw))
+                if ch == 4:  # alpha excluded from the checksum
+                    total = sum(
+                        v for k, v in enumerate(pix) if k % 4 != 3
+                    )
+                else:
+                    total = sum(pix)
+                rows.append((int(i), w, h, total))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "width", "height", "pix_sum"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _stats, schema=f"{id_col} long, width long, height long, pix_sum long"
+    )
+
+
 def synthesize_media_video(
     df: DataFrame, id_col: str = "doc_id", size_col: str = "n_chars"
 ) -> DataFrame:
@@ -526,6 +576,147 @@ def resize_bmp(payload: bytes, out_w: int, out_h: int) -> bytes:
     return bytes(out)
 
 
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_pattern(width: int, height: int) -> bytes:
+    """A real zlib-deflated 8-bit RGB PNG with DETERMINISTIC pixels —
+    RGB(x, y) = (x % 256, y % 256, (x + y) % 256), filter type 0 rows — the
+    PNG twin of encode_bmp_pattern, stdlib only."""
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter type 0 (None)
+        for x in range(width):
+            raw += bytes((x % 256, y % 256, (x + y) % 256))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Full PNG raster decode with the stdlib alone: IDAT chunks are
+    zlib-DEFLATE (no codec library needed — the honest-NotImplementedError
+    contract applies to entropy codecs like JPEG, not to PNG), followed by
+    the per-row un-filter pass (filter types 0-4 incl. the Paeth
+    predictor). Returns (width, height, channels, row-major samples).
+    Scope: 8-bit depth, color types 2 (RGB) and 6 (RGBA), no interlace —
+    ValueError otherwise."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG stream")
+    pos, n = 8, len(payload)
+    width = height = channels = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        size = struct.unpack_from(">I", payload, pos)[0]
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + size]
+        if tag == b"IHDR":
+            width, height, depth, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype not in (2, 6) or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG shape (depth={depth}, color={ctype},"
+                    f" interlace={interlace})"
+                )
+            channels = 3 if ctype == 2 else 4
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + size
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    out = bytearray(height * stride)
+    prev = bytes(stride)
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ft == 1:  # Sub
+            for i in range(channels, stride):
+                row[i] = (row[i] + row[i - channels]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = row[i - channels] if i >= channels else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y * stride : (y + 1) * stride] = row
+        prev = bytes(row)
+    return (width, height, channels, bytes(out))
+
+
+def resize_png(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of an 8-bit RGB/RGBA PNG: full decode
+    (decode_png_pixels), the same (x*in_w//out_w, y*in_h//out_h) sampling
+    as resize_bmp, re-encoded with filter-0 rows."""
+    import zlib
+
+    in_w, in_h, ch, pix = decode_png_pixels(payload)
+    in_stride = in_w * ch
+    raw = bytearray()
+    for y in range(out_h):
+        sy = y * in_h // out_h
+        raw.append(0)
+        for x in range(out_w):
+            sx = x * in_w // out_w
+            off = sy * in_stride + sx * ch
+            raw += pix[off : off + ch]
+    ihdr = struct.pack(">IIBBBBB", out_w, out_h, 8, 2 if ch == 3 else 6, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def resize_raster(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Dispatch on the container magic: BMP and PNG rasters are decodable
+    with byte arithmetic + stdlib zlib; entropy-coded formats (JPEG, GIF's
+    LZW) keep the honest-NotImplementedError contract."""
+    if payload[:2] == b"BM":
+        return resize_bmp(payload, out_w, out_h)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return resize_png(payload, out_w, out_h)
+    raise NotImplementedError(
+        "resize requires a decodable raster (BMP or non-interlaced 8-bit"
+        " PNG); entropy-coded formats need a codec"
+    )
+
+
 def resize_images(
     df: DataFrame,
     out_w: int,
@@ -543,7 +734,7 @@ def resize_images(
             rows = []
             for i, raw in zip(batch[id_col], batch[payload_col]):
                 try:
-                    out = resize_bmp(bytes(raw), out_w, out_h)
+                    out = resize_raster(bytes(raw), out_w, out_h)
                     rows.append((int(i), True, out_w, out_h, len(out), out))
                 except Exception:
                     rows.append((int(i), False, None, None, None, None))

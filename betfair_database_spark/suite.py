@@ -1862,6 +1862,35 @@ def multimodal_decode_meta(spark, sf):
 
 
 @_q(
+    "multimodal_resize_png",
+    """
+    SELECT d.doc_id, 8 AS width, 5 AS height,
+           CAST(sum(
+             ((x * (d.doc_id % 13 + 1)) // 8) % 256
+             + ((y * (d.n_chars % 9 + 1)) // 5) % 256
+             + (((x * (d.doc_id % 13 + 1)) // 8)
+                + ((y * (d.n_chars % 9 + 1)) // 5)) % 256
+           ) AS BIGINT) AS pix_sum
+    FROM documents d, range(0, 8) tx(x), range(0, 5) ty(y)
+    GROUP BY d.doc_id, d.n_chars
+    """,
+)
+def multimodal_resize_png(spark, sf):
+    """PNG raster pipeline end-to-end: synthesize a real zlib-deflated
+    pattern PNG per document, nearest-neighbor resize to 8x5 (full IDAT
+    inflate + un-filter + re-encode, stdlib only), then decode the RESIZED
+    payload back and emit the per-image pixel checksum. The oracle computes
+    the checksum from the sampling closed form — every output pixel's
+    position-dependent bytes are pinned, so the whole
+    decode->resize->encode chain is verified pixel-exactly."""
+    from betfair_database_spark.operators import multimodal
+
+    media = multimodal.synthesize_png(_t(spark, sf, "documents"))
+    resized = multimodal.resize_images(media, 8, 5)
+    return multimodal.png_pixel_stats(resized.where(F.col("ok")))
+
+
+@_q(
     "multimodal_decode_jpeg_mp3",
     """
     SELECT doc_id,
@@ -2107,6 +2136,7 @@ _CURATED_HEAD = [
     "pack_sequences_bins",
     "text_bpe_top_merges",
     "multimodal_decode_jpeg_mp3",
+    "multimodal_resize_png",
     # round-4 batch 2: range joins, gap-fill, heavy hitters, quantized ANN,
     # graph, per-key EWMA fold — one per new operator family; the dropped
     # within-family variants (ngram verify, sign-LSH, nearest as-of, tfidf,

@@ -32,9 +32,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from betfair_database_spark.const import SQL_TABLE_COLUMNS
-from betfair_database_spark.functions.flatten import catalogue_to_flat
+from betfair_database_spark.functions.flatten import (
+    catalogue_to_flat,
+    definition_to_flat,
+)
 from betfair_database_spark.functions.racing import enrich_with_racing
-from betfair_database_spark.schema import CATALOGUE_SCHEMA
+from betfair_database_spark.sources.metadata_reader import parse_metadata_content
 
 
 def read_catalogue_stream(
@@ -60,18 +63,43 @@ def read_catalogue_stream(
     )
 
 
-def catalogue_batch_to_index_rows(batch: DataFrame) -> DataFrame:
-    """The batch indexer's parse → flatten → enrich lineage over one
-    micro-batch of (path, content) catalogue files."""
-    parsed = batch.select(
-        "path", F.from_json("content", CATALOGUE_SCHEMA).alias("cat")
-    ).where(F.col("cat").isNotNull() & F.col("cat")["marketId"].isNotNull())
-    flat_in = parsed.select(
-        "cat.*",
-        F.col("path").alias("marketMetadataFilePath"),
-        F.expr("substring(path, 1, length(path) - 5)").alias("marketDataFilePath"),
+def metadata_batch_to_index_rows(batch: DataFrame) -> DataFrame:
+    """The batch indexer's OWN parse → flatten → enrich lineage over one
+    micro-batch of (path, content) metadata files — catalogue AND
+    definition shapes, dispatched by the same ``parse_metadata_content``
+    the batch engine uses, so streamed rows are row-identical to batch
+    ``index()`` rows for the same files.
+
+    Landing-zone contract for the data-path column: the market data file
+    lands UNCOMPRESSED beside its metadata as ``<stem>`` (the stream only
+    observes ``<stem>.json``, so a compressed data extension is not
+    discoverable from the metadata path alone)."""
+    parsed = parse_metadata_content(batch).where(~F.col("corrupt"))
+    carrier = parsed.withColumns(
+        {
+            "marketMetadataFilePath": F.col("path"),
+            "marketDataFilePath": F.expr(
+                "substring(path, 1, length(path) - 5)"
+            ),
+        }
     )
-    return enrich_with_racing(catalogue_to_flat(flat_in)).select(*SQL_TABLE_COLUMNS)
+    cat_flat = catalogue_to_flat(
+        carrier.where(~F.col("is_definition")).select(
+            "cat.*", "marketMetadataFilePath", "marketDataFilePath"
+        )
+    )
+    def_flat = definition_to_flat(
+        carrier.where(F.col("is_definition")).select(
+            "defn.*", "marketMetadataFilePath", "marketDataFilePath"
+        )
+    )
+    return enrich_with_racing(cat_flat.unionByName(def_flat)).select(
+        *SQL_TABLE_COLUMNS
+    )
+
+
+# Backwards-compatible name (pre-round-5 callers; catalogue-only then).
+catalogue_batch_to_index_rows = metadata_batch_to_index_rows
 
 
 def start_index_stream(
@@ -95,7 +123,7 @@ def start_index_stream(
     from pyspark.errors import AnalysisException
 
     def _upsert(batch: DataFrame, batch_id: int) -> None:
-        rows = catalogue_batch_to_index_rows(batch)
+        rows = metadata_batch_to_index_rows(batch)
         w = Window.partitionBy("marketId").orderBy(
             F.col("marketMetadataFilePath").desc()
         )

@@ -88,3 +88,19 @@ def test_combined_query(indexed_db):
         "1.222000006",
         "1.222000012",  # bulk definition: 5f ≈ 1005.84 m, bspMarket=1
     }
+
+
+def test_select_partition_prunes_on_event_type(indexed_db):
+    """An eventTypeId predicate must reach the scan as a PARTITION filter
+    (the index is hive-partitioned on it): the physical plan lists the
+    pruned partition filter and the scan reads only that directory."""
+    df = indexed_db.select_df(
+        ["marketId", "eventTypeId"], where="eventTypeId = '7'"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the filter is ON the partition column, with the literal pushed down
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "eventTypeId" in m.group(1) and "7" in m.group(1), plan[:2000]

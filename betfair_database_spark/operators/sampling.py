@@ -225,3 +225,48 @@ def match_target_mix(
         .where(md5_uniform_long(F.col(key_col)) % buckets < thr)
         .drop("_n", "_cap")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    salt: str = "split",
+) -> DataFrame:
+    """Group-aware train/eval split: the assignment unit is the NEAR-DUP
+    CLUSTER, not the document — a cluster straddling the boundary leaks
+    training text into evaluation, the classic contamination bug a naive
+    per-row split ships. ``pairs`` is any near-dup edge frame (MinHash,
+    SSJoin, embedding LSH...); docs are grouped by connected component
+    (min-id label propagation, graph.connected_components) and singletons
+    are their own group, then the whole GROUP lands in one side via the
+    engine-independent md5 bucket of (salt|group_id).
+
+    Output: (id, group_id, split∈{train,eval}). Deterministic, partitioning-
+    independent, reproducible across engines (the same md5-bucket convention
+    as the other samplers). Scale shape: the component labels are the only
+    iterative piece (one shuffle per round over the EDGE set, which is
+    near-dup-sized, not corpus-sized); the corpus itself takes one
+    broadcast-ready left join against the labels.
+    """
+    from betfair_database_spark.operators.graph import connected_components
+
+    comp = connected_components(pairs, "a", "b").select(
+        F.col("node").alias(id_col), F.col("component")
+    )
+    group = F.coalesce(F.col("component"), F.col(id_col).cast("long"))
+    bucket = hash_bucket(
+        F.concat_ws("|", F.lit(salt), group.cast("string")), 100
+    )
+    return (
+        df.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            group.alias("group_id"),
+            F.when(bucket < F.lit(train_pct), F.lit("train"))
+            .otherwise(F.lit("eval"))
+            .alias("split"),
+        )
+    )

@@ -432,6 +432,44 @@ def dedup_cluster_components(spark, sf):
     )
 
 
+_SPLIT_ORACLE = f"""
+WITH RECURSIVE pairs AS (SELECT a, b FROM ({_MINHASH_ORACLE}) mp),
+sym AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),
+nodes AS (SELECT DISTINCT s AS node FROM sym),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, sym.d FROM reach JOIN sym ON sym.s = reach.r
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+g AS (
+  SELECT d.doc_id,
+         CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS group_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT doc_id, group_id,
+       CASE WHEN CAST('0x' || substr(md5('split|' || CAST(group_id AS VARCHAR)), 1, 4)
+                 AS INT) % 100 < 90
+            THEN 'train' ELSE 'eval' END AS split
+FROM g
+"""
+
+
+@_q("sample_leakage_safe_split", _SPLIT_ORACLE)
+def sample_leakage_safe_split(spark, sf):
+    """Group-aware train/eval split: near-dup CLUSTERS (MinHash pairs →
+    connected components) are the assignment unit, so no evaluation
+    document has a training near-duplicate — the decontaminated-split
+    primitive an LLM data pipeline needs. The oracle rebuilds the
+    components with a recursive CTE and derives the identical md5 bucket
+    per group."""
+    from betfair_database_spark.operators import sampling
+
+    d = _t(spark, sf, "documents")
+    pairs = dedup.minhash_near_dups(d, num_hashes=16, bands=2, threshold=0.8)
+    return sampling.leakage_safe_split(d, pairs, train_pct=90)
+
+
 _BATCH_KNN_ORACLE = """
 WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
 scored AS (

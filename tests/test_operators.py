@@ -1136,3 +1136,37 @@ def test_recall_at_k_operator(spark):
         for r in recall_report({"a": approx, "b": exact}, exact).collect()
     }
     assert rep == {"a": 0.7, "b": 1.0}
+
+
+def test_leakage_safe_split_property(spark):
+    """No near-dup pair may straddle the split: both endpoints of every
+    edge share a group and therefore a side; the corpus splits roughly
+    train_pct/100; the assignment is deterministic."""
+    from tests.conftest import SF_DIR
+
+    from betfair_database_spark.operators import dedup, sampling
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = dedup.minhash_near_dups(
+        d, num_hashes=16, bands=2, threshold=0.8
+    ).localCheckpoint()
+    split = sampling.leakage_safe_split(d, pairs, train_pct=90).localCheckpoint()
+    assert pairs.count() > 0
+    straddling = (
+        pairs.join(
+            split.select(F.col("doc_id").alias("a"), F.col("split").alias("sa")), "a"
+        )
+        .join(
+            split.select(F.col("doc_id").alias("b"), F.col("split").alias("sb")), "b"
+        )
+        .where(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert straddling == 0
+    sides = {r.split: r["count"] for r in split.groupBy("split").count().collect()}
+    n = sum(sides.values())
+    assert sides.get("train", 0) > 0 and sides.get("eval", 0) > 0
+    assert 0.8 < sides["train"] / n < 0.97  # ~90% by group hash
+    # determinism: same inputs, same assignment
+    again = sampling.leakage_safe_split(d, pairs, train_pct=90)
+    assert split.exceptAll(again).count() == 0

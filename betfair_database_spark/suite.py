@@ -1578,7 +1578,8 @@ def _recall_oracle() -> str:
     return f"""
 WITH exact AS (SELECT * FROM ({_KNN_ORACLE})),
      hyper AS (SELECT * FROM ({_hyperplane_oracle()})),
-     ivf AS (SELECT * FROM ({_IVF_ORACLE}))
+     ivf AS (SELECT * FROM ({_IVF_ORACLE})),
+     bucket AS (SELECT * FROM ({_KNN_LSH_ORACLE}))
 SELECT 'hyperplane' AS method, (SELECT count(*) FROM exact) AS k,
        count(*) AS hits,
        round(count(*) * 1.0 / (SELECT count(*) FROM exact), 4) AS recall
@@ -1587,20 +1588,27 @@ UNION ALL
 SELECT 'ivf', (SELECT count(*) FROM exact), count(*),
        round(count(*) * 1.0 / (SELECT count(*) FROM exact), 4)
 FROM ivf i WHERE i.vec_id IN (SELECT vec_id FROM exact)
+UNION ALL
+SELECT 'bucket', (SELECT count(*) FROM exact), count(*),
+       round(count(*) * 1.0 / (SELECT count(*) FROM exact), 4)
+FROM bucket b WHERE b.vec_id IN (SELECT vec_id FROM exact)
 """
 
 
 @_q("knn_recall_at_10", _recall_oracle())
 def knn_recall_at_10(spark, sf):
-    """Recall@10 of the hyperplane-LSH and IVF ANN paths against the exact
-    cosine top-10 — the tuning harness (similarity.recall_at_k) as a
-    first-class query, so users can sweep tables/bits/nprobe on their own
-    corpus and read recall as a result frame."""
+    """Recall@10 of the hyperplane-LSH, IVF and sign-bucket ANN paths
+    against the exact cosine top-10 — the tuning harness
+    (similarity.recall_at_k) as a first-class query, so users can sweep
+    tables/bits/nprobe on their own corpus and read recall as a result
+    frame. (The int8-quantized path has its own recall row in suite_ext4:
+    knn_recall_quantized.)"""
     exact = knn_cosine_top10(spark, sf)
     return similarity.recall_report(
         {
             "hyperplane": knn_hyperplane_top10(spark, sf),
             "ivf": knn_ivf_top10(spark, sf),
+            "bucket": knn_lsh_bucket_top10(spark, sf),
         },
         exact,
     )

@@ -341,6 +341,34 @@ FROM scored ORDER BY cos_sim_q DESC, vec_id LIMIT 10
 """
 
 
+def _recall_q8_oracle() -> str:
+    from betfair_database_spark.suite import _KNN_ORACLE
+
+    return f"""
+WITH exact AS (SELECT * FROM ({_KNN_ORACLE})),
+     quant AS (SELECT * FROM ({_KNN_Q8_ORACLE}))
+SELECT 'quantized_int8' AS method, (SELECT count(*) FROM exact) AS k,
+       count(*) AS hits,
+       round(count(*) * 1.0 / (SELECT count(*) FROM exact), 4) AS recall
+FROM quant q WHERE q.vec_id IN (SELECT vec_id FROM exact)
+"""
+
+
+@_q("knn_recall_quantized", _recall_q8_oracle())
+def knn_recall_quantized(spark, sf):
+    """Recall@10 of the int8-quantized scoring path against the exact
+    float cosine top-10 — the accuracy cost of the 4x bandwidth cut,
+    measured as a result frame (companion to knn_recall_at_10)."""
+    from betfair_database_spark.operators.similarity import recall_at_k
+    from betfair_database_spark.suite import knn_cosine_top10
+
+    return recall_at_k(
+        knn_quantized_top10(spark, sf),
+        knn_cosine_top10(spark, sf),
+        label="quantized_int8",
+    )
+
+
 @_q("knn_quantized_top10", _KNN_Q8_ORACLE)
 def knn_quantized_top10(spark, sf):
     """Top-10 by cosine over INT8-QUANTIZED embeddings (symmetric per-vector

@@ -70,10 +70,13 @@ HEADLINE = [
     # directions, JPEG/MP3 header decode
     "knn_hyperplane_top10",
     "knn_ivf_top10",
+    "knn_recall_at_10",
+    "knn_recall_quantized",
     "dedup_embedding_lsh_top10",
     "dedup_embedding_lsh_collapsed",
     "asof_join_nearest_order",
     "multimodal_decode_jpeg_mp3",
+    "multimodal_resize_png",
     "text_bigram_lift",
     "pipeline_curate_sample",
     "w5_range_interval_sum",
@@ -109,6 +112,7 @@ HEADLINE = [
     "ev_type_drift_kl",
     "ev_value_drift_ks",
     "dedup_containment_ssjoin",
+    "sample_leakage_safe_split",
 ]
 
 

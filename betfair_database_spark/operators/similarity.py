@@ -783,7 +783,12 @@ def recall_report(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Recall@k rows for several approximate methods against one exact
-    ground truth — the harness a user sweeps to pick ANN parameters."""
+    ground truth — the harness a user sweeps to pick ANN parameters.
+
+    The exact frame is materialized once (k rows): each method's
+    recall_at_k consumes it twice (count + semi-join), so leaving it lazy
+    would re-run the exact top-k scan 2x per method."""
+    exact = exact.localCheckpoint()
     frames = [
         recall_at_k(df, exact, label=name, id_col=id_col)
         for name, df in methods.items()

@@ -107,6 +107,7 @@ HEADLINE = [
     # round-4 batch 3: corpus-rewrite, tokenizer train/apply, target mixing
     "dedup_span_c4_stats",
     "text_bpe_top_merges",
+    "text_bm25_topk",
     "text_bpe_apply_counts",
     "sample_match_target_mix",
     "ev_type_drift_kl",

@@ -309,3 +309,78 @@ def bpe_apply_counts(
             F.sum("n_sym").alias("n_bpe_tokens"),
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 keyword retrieval: top-k documents for a bag of query terms —
+    the classic sparse-retrieval primitive (Lucene-style idf:
+    ln(1 + (N - df + 0.5)/(df + 0.5)); tf saturation k1; length
+    normalization b against the mean document length).
+
+    Plan shape for 100 TB: the token stream is filtered to the QUERY TERMS
+    before any shuffle (an isin over a handful of literals — the corpus
+    never shuffles as tokens), per-(doc, term) tf is one hash aggregate on
+    that pruned stream, document lengths are one corpus-pass aggregate,
+    and N/avgdl/per-term df are tiny one-row/`|terms|`-row frames joined
+    back broadcast-style. Per-doc scores fold the per-term contributions
+    in SORTED term order (aggregate over sort_array) so the floating-point
+    sum is order-pinned and reproducible cross-engine.
+
+    Returns (id, score) rounded to 4, ordered by score desc then id.
+    """
+    terms = sorted(set(t.lower() for t in query_terms))
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
+    ).where(F.col("w") != "")
+    qtoks = toks.where(F.col("w").isin(terms))
+
+    doclen = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = qtoks.groupBy(id_col, "w").agg(F.count("*").alias("tf"))
+    dfreq = qtoks.groupBy("w").agg(
+        F.count_distinct(id_col).cast("double").alias("dfq")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dfq") + F.lit(0.5)) / (F.col("dfq") + F.lit(0.5))
+    )
+    contrib = idf * (
+        F.col("tf")
+        * (F.lit(k1) + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(doclen, id_col)
+        .join(dfreq, "w")
+        .join(F.broadcast(stats))
+        .select(id_col, F.struct(F.col("w"), contrib.alias("c")).alias("tc"))
+        .groupBy(id_col)
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list("tc")),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ).alias("score")
+        )
+    )
+    return (
+        scored.select(id_col, F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

@@ -413,3 +413,43 @@ def text_bpe_apply_counts(spark, sf):
     symbol count back onto the token stream — the only corpus-sized
     shuffle; see textstats.bpe_apply_counts."""
     return textstats.bpe_apply_counts(_t(spark, sf, "documents"), iters=3)
+
+
+_BM25_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+), toks2 AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM doclen),
+q AS (SELECT doc_id, w FROM toks2 WHERE w IN ('filter', 'merge', 'vector')),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM q GROUP BY doc_id, w),
+dfq AS (SELECT w, CAST(count(DISTINCT doc_id) AS DOUBLE) AS dfq FROM q GROUP BY w),
+contrib AS (
+  SELECT t.doc_id, t.w,
+         ln(1.0 + (s.n_docs - d.dfq + 0.5) / (d.dfq + 0.5))
+         * ((t.tf * (1.2 + 1.0))
+            / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))) AS c
+  FROM tf t JOIN doclen l USING (doc_id) JOIN dfq d USING (w), stats s
+),
+scored AS (
+  SELECT doc_id,
+         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                        list(c ORDER BY w)),
+                           (acc, x) -> acc + x), 4) AS score
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+@_q("text_bm25_topk", _BM25_ORACLE)
+def text_bm25_topk(spark, sf):
+    """BM25 keyword retrieval over the corpus (query: filter/merge/vector,
+    Lucene idf, k1=1.2, b=0.75): the sparse-retrieval complement to the
+    dense ANN family. Token stream filtered to the query terms before any
+    shuffle; per-doc scores fold per-term contributions in sorted term
+    order so the floating sum is order-pinned cross-engine. See
+    textstats.bm25_topk."""
+    return textstats.bm25_topk(
+        _t(spark, sf, "documents"), ["filter", "merge", "vector"], k=10
+    )

@@ -72,6 +72,7 @@ HEADLINE = [
     "knn_ivf_top10",
     "knn_recall_at_10",
     "knn_recall_quantized",
+    "knn_hard_negatives",
     "dedup_embedding_lsh_top10",
     "dedup_embedding_lsh_collapsed",
     "asof_join_nearest_order",

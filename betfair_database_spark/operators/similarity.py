@@ -747,6 +747,47 @@ def batch_cosine_topk(
     )
 
 
+def hard_negatives(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    max_sim: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: for each
+    query vector, the ``k`` MOST similar vectors strictly below ``max_sim``
+    (self excluded) — close enough to be hard, far enough (near-dups cut by
+    the threshold) to be true negatives. The standard companion to the
+    near-dup join: one finds positives, this finds the hardest negatives.
+
+    Plan shape = batch_cosine_topk's: broadcast the query set, score every
+    (query, base) pair JVM-side in one base-table pass, band-filter on the
+    ROUNDED similarity (reproducible tie behavior), windowed top-k per
+    query. At 100 TB the base table streams once regardless of |queries|.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(q))
+        .where(F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id",
+            id_col,
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("q_vec")), 4
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") < F.lit(float(max_sim)))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 def recall_at_k(
     approx: DataFrame,
     exact: DataFrame,

@@ -499,6 +499,40 @@ def knn_batch_top3(spark, sf):
     return similarity.batch_cosine_topk(emb, queries, k=3)
 
 
+_HARD_NEG_ORACLE = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         round(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+               / (sqrt(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                  * sqrt(sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))), 4) AS cos_sim
+  FROM embeddings e, q, range(1, 65) t(i)
+  WHERE e.vec_id <> q.q_id
+  GROUP BY q.q_id, e.vec_id
+),
+banded AS (SELECT * FROM scored WHERE cos_sim < 0.95),
+ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM banded
+)
+SELECT q_id, vec_id, cos_sim, CAST(rn AS INT) AS rank
+FROM ranked WHERE rn <= 3
+"""
+
+
+@_q("knn_hard_negatives", _HARD_NEG_ORACLE)
+def knn_hard_negatives(spark, sf):
+    """Hard-negative mining: per query, the 3 most similar vectors BELOW
+    the 0.95 near-dup band (self excluded) — the contrastive-training
+    companion to the near-dup join. One base-table pass, broadcast query
+    set, windowed top-k (similarity.hard_negatives)."""
+    emb = _t(spark, sf, "embeddings")
+    return similarity.hard_negatives(
+        emb, emb.where(F.col("vec_id") < 5), k=3, max_sim=0.95
+    )
+
+
 # =========================================================================
 # Curation: PII redaction, decontamination, repetition (SURVEY §2.11)
 # =========================================================================

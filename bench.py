@@ -115,6 +115,7 @@ HEADLINE = [
     "ev_value_drift_ks",
     "dedup_containment_ssjoin",
     "sample_leakage_safe_split",
+    "sample_temperature_mix",
 ]
 
 

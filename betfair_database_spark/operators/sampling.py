@@ -270,3 +270,41 @@ def leakage_safe_split(
             .alias("split"),
         )
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    key_col: str = "doc_id",
+    buckets: int = 10000,
+) -> DataFrame:
+    """Temperature-based mixture resampling — the standard LLM data-mixing
+    knob: target stratum shares ∝ (observed share)^alpha, alpha in (0, 1]
+    (1 = no-op, smaller = flatter mix; the p_i ∝ p_raw^alpha rule of
+    multilingual/multi-source training). Solving for the largest output
+    with no stratum oversampled collapses to a closed form: keep stratum g
+    at rate (n_min / n_g)^(1-alpha) — the smallest stratum survives whole,
+    larger strata shrink toward it.
+
+    One strata-sized count aggregate + a 1-row min, both broadcast onto a
+    single corpus pass; membership is a pure md5 function of the key
+    (deterministic, partitioning-independent). alpha=0.5 uses sqrt, which
+    IEEE correctly rounds — bit-identical across engines; other alphas go
+    through pow, where last-ulp libm differences are possible (the
+    floor(x*buckets + 0.5) quantization makes a flip a ~1e-13 event).
+    """
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_n"))
+    nmin = counts.agg(F.min("_n").alias("_nmin"))
+    ratio = F.col("_nmin").cast("double") / F.col("_n").cast("double")
+    if abs(alpha - 0.5) < 1e-12:
+        rate = F.sqrt(ratio)
+    else:
+        rate = F.pow(ratio, F.lit(1.0 - float(alpha)))
+    thr = F.floor(rate * buckets + 0.5)
+    return (
+        df.join(F.broadcast(counts), strata_col)
+        .join(F.broadcast(nmin))
+        .where(md5_uniform_long(F.col(key_col)) % buckets < thr)
+        .drop("_n", "_nmin")
+    )

@@ -1031,3 +1031,43 @@ def sketch_kmv_union(spark, sf):
     return agg.select(
         est.cast("long").alias("kmv_union_estimate")
     ).join(F.broadcast(exact))
+
+
+_TEMPERATURE_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 < 4 THEN 'head'
+              WHEN doc_id % 7 < 6 THEN 'body' ELSE 'tail' END AS bucket
+  FROM documents
+),
+c AS (SELECT bucket, count(*) AS n FROM base GROUP BY bucket),
+m AS (SELECT min(n) AS nmin FROM c),
+t AS (
+  SELECT c.bucket,
+         floor(sqrt(CAST(m.nmin AS DOUBLE) / CAST(c.n AS DOUBLE)) * 10000 + 0.5) AS thr
+  FROM c, m
+)
+SELECT d.doc_id, d.bucket
+FROM base d JOIN t USING (bucket)
+WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < t.thr
+"""
+
+
+@_q("sample_temperature_mix", _TEMPERATURE_ORACLE)
+def sample_temperature_mix(spark, sf):
+    """Temperature resampling at alpha=0.5 (target share ∝ observed^0.5 —
+    the multilingual-training flattening rule) over a skewed 4:2:1
+    stratum, via the closed form rate_g = sqrt(n_min/n_g): the smallest
+    stratum is kept whole, larger strata shrink toward it (the corpus's
+    own source mix is uniform, which would be a no-op). Deterministic md5
+    membership; see sampling.temperature_resample."""
+    from betfair_database_spark.operators import sampling
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 < 4, "head")
+        .when(F.col("doc_id") % 7 < 6, "body")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    return sampling.temperature_resample(d, "bucket", alpha=0.5)

@@ -1170,3 +1170,19 @@ def test_leakage_safe_split_property(spark):
     # determinism: same inputs, same assignment
     again = sampling.leakage_safe_split(d, pairs, train_pct=90)
     assert split.exceptAll(again).count() == 0
+
+
+def test_temperature_resample_rates(spark):
+    """alpha=0.5 keeps stratum g at rate sqrt(n_min/n_g): smallest whole,
+    a 4x stratum at ~sqrt(1/4)=50%; alpha=1 is a no-op."""
+    from betfair_database_spark.operators.sampling import temperature_resample
+
+    rows = [(i, "big" if i % 5 else "small") for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = temperature_resample(df, "src", alpha=0.5, key_col="doc_id")
+    got = {r.src: r["count"] for r in out.groupBy("src").count().collect()}
+    n_small, n_big = 1000, 4000
+    assert got["small"] == n_small  # smallest stratum kept whole
+    assert abs(got["big"] / n_big - 0.5) < 0.05  # sqrt(1/4) = 0.5
+    noop = temperature_resample(df, "src", alpha=1.0, key_col="doc_id")
+    assert noop.count() == 5000

@@ -116,6 +116,7 @@ HEADLINE = [
     "dedup_containment_ssjoin",
     "sample_leakage_safe_split",
     "sample_temperature_mix",
+    "sample_balanced_shards",
 ]
 
 

@@ -308,3 +308,58 @@ def temperature_resample(
         .where(md5_uniform_long(F.col(key_col)) % buckets < thr)
         .drop("_n", "_nmin")
     )
+
+
+def balanced_shards(
+    df: DataFrame,
+    n_shards: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Weight-balanced shard assignment for training-data output: rank rows
+    by (weight desc, key), then snake (boustrophedon) the ranks across
+    ``n_shards`` — rank block 0 deals shards 0..n-1, block 1 deals n-1..0,
+    so every shard's total weight stays within one max-row weight of the
+    others (the classic LPT-style guarantee for sorted snake dealing).
+    Output: (key, weight, shard).
+
+    The global rank is computed DISTRIBUTED — no single-partition window:
+    range-repartition on (weight desc, key) gives globally ordered,
+    non-overlapping partitions; row_number runs per partition
+    (spark_partition_id window — partition-local, no extra exchange) and a
+    partition-count offset map (one tiny collect, |partitions| rows,
+    broadcast back) turns local ranks into global ones. At 100 TB the only
+    data-sized movement is the one range exchange.
+    """
+    p = df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.select(key_col, weight_col).repartitionByRange(
+        p, F.col(weight_col).desc(), F.col(key_col)
+    )
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    local_w = Window.partitionBy("_pid").orderBy(
+        F.col(weight_col).desc(), F.col(key_col)
+    )
+    # Materialize ONCE: spark_partition_id is a physical property — AQE may
+    # coalesce the range exchange differently between the counts job below
+    # and the final job, silently shifting pids. The checkpoint pins one
+    # partitioning for both consumers.
+    local = with_pid.withColumn(
+        "_lrn", F.row_number().over(local_w)
+    ).localCheckpoint()
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in local.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    rank0 = off[F.col("_pid")] + F.col("_lrn") - 1  # 0-based global rank
+    block, pos = rank0 % (2 * n_shards), rank0 % n_shards
+    shard = F.when(block < n_shards, pos).otherwise(n_shards - 1 - pos)
+    return local.select(
+        key_col, weight_col, shard.cast("int").alias("shard")
+    )

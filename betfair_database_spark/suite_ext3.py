@@ -1071,3 +1071,29 @@ def sample_temperature_mix(spark, sf):
         .alias("bucket"),
     )
     return sampling.temperature_resample(d, "bucket", alpha=0.5)
+
+
+_SHARDS_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS r
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       CAST(CASE WHEN r % 16 < 8 THEN r % 8 ELSE 7 - (r % 8) END AS INT) AS shard
+FROM ranked
+"""
+
+
+@_q("sample_balanced_shards", _SHARDS_ORACLE)
+def sample_balanced_shards(spark, sf):
+    """Weight-balanced shard assignment (8 shards, n_chars as weight):
+    snake-deal the weight-desc global rank so shard totals stay within one
+    max-row weight. The global rank is computed distributed (range
+    exchange + partition-local row_number + tiny offset map), never a
+    single-partition window; the oracle is the equivalent plain global
+    window. See sampling.balanced_shards."""
+    from betfair_database_spark.operators import sampling
+
+    d = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    return sampling.balanced_shards(d, n_shards=8, weight_col="n_chars")

@@ -1186,3 +1186,36 @@ def test_temperature_resample_rates(spark):
     assert abs(got["big"] / n_big - 0.5) < 0.05  # sqrt(1/4) = 0.5
     noop = temperature_resample(df, "src", alpha=1.0, key_col="doc_id")
     assert noop.count() == 5000
+
+
+def test_balanced_shards_balance_and_plan(spark):
+    """Snake dealing bounds the shard-weight spread by one max row weight;
+    the distributed rank (range exchange + local windows) must produce the
+    same assignment as a plain global window, and the plan must contain no
+    single-partition global Window sort."""
+    import random
+
+    from betfair_database_spark.operators.sampling import balanced_shards
+
+    rng = random.Random(99)
+    rows = [(i, rng.randint(1, 1000)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = balanced_shards(df, n_shards=7, weight_col="w").localCheckpoint()
+    per = {r.shard: r.total for r in out.groupBy("shard").agg(F.sum("w").alias("total")).collect()}
+    assert set(per) == set(range(7))
+    assert max(per.values()) - min(per.values()) <= 1000  # one max row weight
+    # distributed rank == global-window rank
+    from pyspark.sql import Window as W
+
+    r = F.row_number().over(W.orderBy(F.desc("w"), "doc_id")) - 1
+    expect = df.select(
+        "doc_id",
+        F.when(r % 14 < 7, r % 7).otherwise(6 - (r % 7)).cast("int").alias("shard"),
+    )
+    got = out.select("doc_id", "shard")
+    assert got.exceptAll(expect).count() == 0 and expect.exceptAll(got).count() == 0
+    # no global-window sort anywhere: the final plan reads the pinned
+    # checkpoint (the rank was computed via the range exchange + local
+    # windows inside it), so no Window operator survives at all
+    plan = balanced_shards(df, 7, "w")._jdf.queryExecution().executedPlan().toString()
+    assert "window" not in plan.lower()

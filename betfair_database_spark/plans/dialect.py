@@ -27,6 +27,9 @@ bridge:
     literal (SQLite prefers identifier, falls back to literal; Spark would
     otherwise always parse ``"x"`` as a string).
 
+``LIKE`` is rewritten to ``ILIKE`` (SQLite LIKE is ASCII-case-insensitive;
+the residual delta is non-ASCII case pairs, where SQLite stays sensitive).
+
 Documented deltas (not bridged): SQLite-specific operators like ``||`` on
 non-strings; strftime codes the reference-era SQLite (3.40) itself returns
 NULL for (``%e %u %k %l %I %T %R %F %p %P %G %g %U %V`` — bridging them
@@ -157,6 +160,10 @@ _RENAMED_FUNCS = re.compile(
     r"(?i)\b(time|date|datetime|strftime|julianday|unixepoch)\s*\("
 )
 _GLOB_OP = re.compile(r"(?i)\bGLOB\b\s*")
+# SQLite LIKE is case-INSENSITIVE for ASCII; Spark's is case-sensitive.
+# ILIKE is Spark's case-insensitive LIKE — the delta narrows to non-ASCII
+# case pairs (SQLite stays sensitive there; documented in the header).
+_LIKE_OP = re.compile(r"(?i)\bLIKE\b")
 _BARE_OPERAND = re.compile(r"[A-Za-z_][\w.]*")
 
 _NEVER_MATCHES = "(?!)"  # SQLite: a malformed class matches nothing
@@ -275,6 +282,11 @@ def translate_where(where: str) -> str:
         m = re.match(r"(?i)\b(true|false)\b", where[i:])
         if m and boundary_ok:
             out.append("1" if m.group(1).lower() == "true" else "0")
+            i += m.end()
+            continue
+        m = _LIKE_OP.match(where[i:])
+        if m and boundary_ok:
+            out.append("ILIKE")  # SQLite LIKE is ASCII-case-insensitive
             i += m.end()
             continue
         m = _GLOB_OP.match(where[i:])

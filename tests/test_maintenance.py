@@ -258,3 +258,42 @@ def test_export_multipart_matches_single_file(mutable_db, tmp_path):
         assert lines[0] == header  # every shard self-describing, same header
         multi_rows.extend(lines[1:])
     assert sorted(multi_rows) == single_rows
+
+
+def test_partition_upsert_null_event_type(spark, tmp_path):
+    """A market with no eventTypeId lands in the hive null partition
+    (__HIVE_DEFAULT_PARTITION__); partition-scoped insert and clean must
+    route it there and remove the emptied dir, leaving others untouched."""
+    from betfair_database_spark.database import BetfairDatabase
+
+    target = tmp_path / "nulldb"
+    target.mkdir()
+    src = tmp_path / "nullsrc"
+    build_corpus(src)
+    db = BetfairDatabase(target, spark=spark)
+    db.insert(src, copy=True)
+    before = _partition_snapshot(db._index_path, "eventTypeId=7")
+
+    src2 = tmp_path / "nullsrc2"
+    src2.mkdir()
+    meta = json.loads((src / "1.222000001.json").read_text())
+    meta["marketId"] = "1.222999100"
+    del meta["eventType"]  # no event type at all -> null partition
+    (src2 / "1.222999100.json").write_text(json.dumps(meta))
+    (src2 / "1.222999100").write_text('{"op":"mcm"}')
+    assert db.insert(src2, copy=True) == 1
+    null_dir = db._index_path / "eventTypeId=__HIVE_DEFAULT_PARTITION__"
+    assert null_dir.exists()
+    row = db.select(["eventTypeId"], where="marketId = '1.222999100'")[0]
+    assert row["eventTypeId"] is None
+    assert _partition_snapshot(db._index_path, "eventTypeId=7") == before
+
+    # clean() empties and removes ONLY the null partition
+    data_path = db.select(["marketDataFilePath"], where="marketId = '1.222999100'")[0][
+        "marketDataFilePath"
+    ]
+    Path(data_path).unlink()
+    assert db.clean() == 1
+    assert not null_dir.exists()
+    assert _partition_snapshot(db._index_path, "eventTypeId=7") == before
+    assert db.size() == EXPECTED["rows"]

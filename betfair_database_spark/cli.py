@@ -37,6 +37,12 @@ def make_parser() -> argparse.ArgumentParser:
     )
     p_export.add_argument("database_dir")
     p_export.add_argument("dest", nargs="?", default=".")
+    p_export.add_argument(
+        "--multi-part",
+        action="store_true",
+        help="write a directory of parallel part-*.csv shards instead of "
+        "one file (each shard carries the header; fast at large index scale)",
+    )
 
     p_insert = sub.add_parser(
         "insert",
@@ -97,7 +103,8 @@ def _run(args: argparse.Namespace) -> int:
     if args.command == "index":
         say(f"Indexed {db.index(force=args.force)} markets.")
     elif args.command == "export":
-        say(f"Exported to '{db.export(args.dest)}'.")
+        dest = db.export(args.dest, single_file=not args.multi_part)
+        say(f"Exported to '{dest}'.")
     elif args.command == "insert":
         n = db.insert(
             args.source_dir,

@@ -44,6 +44,7 @@ HEADLINE = [
     "asof_join_last_order",
     "dedup_exact_stats",
     "dedup_minhash_pairs",
+    "dedup_minhash_incremental",
     "dedup_simhash_fingerprints",
     "multimodal_decode_meta",
     "knn_cosine_top10",

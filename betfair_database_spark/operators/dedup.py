@@ -282,6 +282,64 @@ def minhash_near_dups(
     )
 
 
+def minhash_incremental_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 2,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """APPEND-TIME near-dup detection: pairs between a NEW batch and
+    new ∪ corpus, with corpus-internal pairs excluded — when a crawl slice
+    lands, existing-vs-existing pairs were already found when those docs
+    landed, so only new-vs-all matters. Same banded MinHash-LSH as
+    minhash_near_dups, but the bucket join probes the NEW docs' buckets
+    against everyone's: candidate generation is O(new x collisions), never
+    O(corpus^2) — the incremental shape a continuously-ingesting 100 TB
+    corpus needs. Output (a, b, jaccard >= threshold) with ``a`` always a
+    new doc; a new-new pair is reported once (a < b). Caller contract: ids
+    are unique across both frames.
+    """
+    both = new_df.select(id_col, text_col).unionByName(
+        corpus_df.select(id_col, text_col)
+    )
+    both = spread(both, id_col)
+    tok = (
+        shingles(both, id_col, text_col, shingle_k)
+        if shingle_k
+        else tokens(both, id_col, text_col)
+    )
+    tok = tok.persist()
+    sig = minhash_signatures(tok, id_col, num_hashes)
+    buckets = lsh_band_buckets(sig, id_col, num_hashes, bands)
+    new_ids = new_df.select(F.col(id_col)).distinct()
+    nb = buckets.join(new_ids, id_col, "left_semi").select(
+        F.col(id_col).alias("a"), "band", "bh"
+    )
+    is_new = new_ids.select(F.col(id_col).alias("b")).withColumn(
+        "_bn", F.lit(True)
+    )
+    right = buckets.select(F.col(id_col).alias("b"), "band", "bh")
+    pairs = (
+        nb.join(right, ["band", "bh"])
+        .join(is_new, "b", "left")
+        .where(
+            F.when(F.coalesce(F.col("_bn"), F.lit(False)), F.col("a") < F.col("b"))
+            .otherwise(F.col("a") != F.col("b"))
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    return (
+        jaccard_on_pairs(pairs, tok, id_col)
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
 def simhash16(tok: DataFrame, id_col: str) -> DataFrame:
     """16-bit SimHash: bit j is the sign of Σ_tokens (±1), where the ±1 is the
     high bit of hex digit j of md5(token). Rendered as a 16-char '01' string

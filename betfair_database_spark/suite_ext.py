@@ -432,6 +432,33 @@ def dedup_cluster_components(spark, sf):
     )
 
 
+_INCR_ORACLE = f"""
+WITH p AS (SELECT a, b, jaccard FROM ({_MINHASH_ORACLE}) mp),
+flt AS (SELECT * FROM p WHERE a < 50 OR b < 50)
+SELECT CASE WHEN a < 50 THEN a ELSE b END AS a,
+       CASE WHEN a < 50 THEN b ELSE a END AS b,
+       jaccard
+FROM flt
+"""
+
+
+@_q("dedup_minhash_incremental", _INCR_ORACLE)
+def dedup_minhash_incremental(spark, sf):
+    """Append-time near-dup detection: docs with id < 50 arrive as the NEW
+    batch against the rest as the standing corpus; only new-vs-all pairs
+    are produced (corpus-internal pairs were found when those docs landed).
+    Candidate generation probes the new docs' LSH buckets against
+    everyone's — O(new x collisions), never O(corpus^2). The oracle is the
+    full-corpus pair oracle filtered and re-oriented to the same contract
+    (a = the new doc). See dedup.minhash_incremental_pairs."""
+    d = _t(spark, sf, "documents")
+    new = d.where(F.col("doc_id") < 50)
+    corpus = d.where(F.col("doc_id") >= 50)
+    return dedup.minhash_incremental_pairs(
+        new, corpus, num_hashes=16, bands=2, threshold=0.8
+    )
+
+
 _SPLIT_ORACLE = f"""
 WITH RECURSIVE pairs AS (SELECT a, b FROM ({_MINHASH_ORACLE}) mp),
 sym AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),

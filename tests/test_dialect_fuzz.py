@@ -60,7 +60,8 @@ def _sq(s: str) -> str:
 def _gen_atom(rng: random.Random, rows) -> str:
     kind = rng.choice(
         ["cmp_text", "cmp_num", "between", "in", "null", "like", "glob",
-         "bool", "time_fn", "strftime", "julian", "unixepoch"]
+         "bool", "time_fn", "strftime", "julian", "unixepoch",
+         "arith", "concat", "case"]
     )
     sample = rng.choice(rows)
     if kind == "cmp_text":
@@ -110,6 +111,25 @@ def _gen_atom(rng: random.Random, rows) -> str:
         return f"strftime({_sq(code)}, marketStartTime) = {_sq(val)}"
     if kind == "julian":
         return "julianday(marketStartTime) > julianday('2023-08-01 00:00:00')"
+    if kind == "arith":
+        k = rng.randint(1, 4)
+        return rng.choice(
+            [
+                f"runners + numberOfWinners > {rng.randint(5, 12)}",
+                f"runners * {k} - numberOfWinners >= {rng.randint(4, 30)}",
+                f"(runners - {k}) % {rng.randint(2, 4)} = 0",
+                f"-numberOfWinners < -{rng.randint(0, 2)}",
+            ]
+        )
+    if kind == "concat":
+        val = (sample["eventTypeId"] or "7") + "/" + (sample["marketType"] or "WIN")
+        return f"eventTypeId || '/' || marketType = {_sq(val)}"
+    if kind == "case":
+        et = sample["eventTypeId"] or "7"
+        return (
+            f"CASE WHEN eventTypeId = {_sq(et)} THEN runners"
+            f" ELSE numberOfWinners END >= {rng.randint(1, 8)}"
+        )
     return f"unixepoch(marketStartTime) % {rng.randint(2, 5)} = 0"
 
 

@@ -522,3 +522,53 @@ def test_streaming_index_matches_batch_index_row_for_row(spark, tmp_path):
 
     assert len(stream_rows) == n_batch
     assert stream_rows == batch_rows
+
+
+def test_mcm_bz2_stream_matches_batch_derived_index(spark, tmp_path):
+    """Replay a REAL bz2 stream-recording corpus file through the mcm
+    stream and flatten the stateful latest-definition to an index row: it
+    must equal, column for column, the row the batch index() derives from
+    the very same file (VERDICT r4 item 9, the bz2 leg)."""
+    import shutil
+
+    from tests.corpus import build_corpus
+
+    from betfair_database_spark.const import SQL_TABLE_COLUMNS
+    from betfair_database_spark.database import BetfairDatabase
+    from betfair_database_spark.functions.flatten import definition_to_flat
+    from betfair_database_spark.functions.racing import enrich_with_racing
+    from pyspark.sql import functions as F
+
+    from betfair_database_spark.streaming.mcm import (
+        latest_definitions,
+        read_mcm_stream,
+        run_to_memory,
+    )
+
+    src = tmp_path / "full"
+    build_corpus(src)
+    corpus = tmp_path / "dataonly"
+    corpus.mkdir()
+    shutil.copy(src / "1.222000004.bz2", corpus / "1.222000004.bz2")
+
+    db = BetfairDatabase(corpus, spark=spark)
+    assert db.index() == 1  # metadata derived from the bz2 recording
+    batch_row = db.select_df().collect()[0]
+
+    changes = read_mcm_stream(spark, str(corpus))
+    run_to_memory(latest_definitions(changes), "bz2_latest", "complete")
+    latest = spark.table("bz2_latest")
+    stem = str(corpus / "1.222000004")
+    carrier = latest.select(
+        F.col("defn").withField("marketId", F.col("marketId")).alias("m")
+    ).select(
+        "m.*",
+        F.lit(stem + ".json").alias("marketMetadataFilePath"),
+        F.lit(stem + ".bz2").alias("marketDataFilePath"),
+    )
+    stream_row = (
+        enrich_with_racing(definition_to_flat(carrier))
+        .select(*SQL_TABLE_COLUMNS)
+        .collect()[0]
+    )
+    assert tuple(stream_row) == tuple(batch_row)

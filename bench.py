@@ -74,6 +74,7 @@ HEADLINE = [
     "knn_recall_at_10",
     "knn_recall_quantized",
     "knn_hard_negatives",
+    "embed_dominant_component",
     "dedup_embedding_lsh_top10",
     "dedup_embedding_lsh_collapsed",
     "asof_join_nearest_order",

@@ -747,6 +747,89 @@ def batch_cosine_topk(
     )
 
 
+def dominant_component_projection(
+    df: DataFrame,
+    iters: int = 3,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Dominant principal direction of the int8-quantized embedding set by
+    UN-normalized power iteration in EXACT integer arithmetic, then each
+    vector's cosine with it — the "all-but-the-top" embedding-postprocessing
+    primitive (the top component of embedding matrices carries corpus-wide
+    bias; knowing it lets a pipeline remove or monitor it).
+
+    Determinism design (the interesting part): iterating w <- Q^T (Q w)
+    involves SUMS ACROSS ROWS, which are floating-point order-dependent
+    under any engine's parallel aggregation — so the iterations run on the
+    int8-quantized matrix with decimal(38,0) arithmetic instead: integer
+    sums are exact and therefore partition-order-independent, and the
+    un-normalized iterate stays within decimal38 range for three
+    iterations up to ~1e9 rows (|w3| <= 127^4 * 64^2 * n^2-ish; documented
+    bound, loud overflow past it). Only the FINAL projection drops to
+    doubles, where every remaining reduction is a per-row fold in index
+    order (order-pinned, reproducible). The DuckDB oracle re-derives the
+    identical iterate in hugeint.
+
+    One aggregate pass per iteration (64 parallel decimal sums; the
+    per-row dot is a literal-weight fold — no explode, no extra shuffle);
+    driver state is the 64 exact integers. Returns (id, proj) with
+    proj = round(cos(q_i, w_iters), 4); zero-norm vectors score -1.
+    """
+    import math
+
+    from betfair_database_spark.operators.quantize import quantize_int8
+
+    q = (
+        quantize_int8(df.select(id_col, vec_col), vec_col)
+        .select(id_col, "q8")
+        .localCheckpoint()  # consumed iters+1 times
+    )
+    w = [1] * dims
+    for _ in range(iters):
+        wlit = "array(" + ",".join(f"{v}BD" for v in w) + ")"
+        dot = (
+            f"aggregate(zip_with(q8, {wlit}, (x, y) -> CAST(x AS DECIMAL(38,0)) * y),"
+            f" CAST(0 AS DECIMAL(38,0)), (acc, v) -> acc + CAST(v AS DECIMAL(38,0)))"
+        )
+        with_dot = q.select("q8", F.expr(dot).alias("_dot"))
+        sums = with_dot.agg(
+            *[
+                F.sum(
+                    F.expr(f"CAST(element_at(q8, {d + 1}) AS DECIMAL(38,0)) * _dot")
+                ).alias(f"w{d}")
+                for d in range(dims)
+            ]
+        ).first()
+        w = [int(sums[f"w{d}"]) for d in range(dims)]
+        if any(abs(v) > 10**36 for v in w):  # loud before decimal38 overflow
+            raise ArithmeticError(
+                "power-iteration magnitude near decimal38 range; reduce iters"
+            )
+    # Final projection in doubles: int->double conversions are correctly
+    # rounded, and both folds below run in INDEX order (order-pinned).
+    wd = [float(v) for v in w]
+    norm_w = 0.0
+    for v in wd:
+        norm_w += v * v
+    norm_w = math.sqrt(norm_w)
+    wdlit = "array(" + ",".join(repr(v) + "D" for v in wd) + ")"
+    dotd = (
+        f"aggregate(zip_with(q8, {wdlit}, (x, y) -> CAST(x AS DOUBLE) * y),"
+        f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    nq = (
+        "aggregate(zip_with(q8, q8, (x, y) -> CAST(x AS BIGINT) * y),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    proj = F.expr(
+        f"CASE WHEN {nq} = 0 OR {norm_w!r}D = 0.0D THEN CAST(-1.0 AS DOUBLE)"
+        f" ELSE ({dotd}) / (sqrt(CAST({nq} AS DOUBLE)) * {norm_w!r}D) END"
+    )
+    return q.select(F.col(id_col), F.round(proj, 4).alias("proj"))
+
+
 def hard_negatives(
     df: DataFrame,
     queries: DataFrame,

@@ -1036,3 +1036,68 @@ def agg_corr_exact_moments(spark, sf):
     return m.select(
         "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price")
     )
+
+
+_POWER_ITER_ORACLE = """
+WITH m AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+  FROM embeddings
+),
+qv AS (
+  SELECT e.vec_id,
+         CASE WHEN m.ma = 0 THEN list_transform(e.embedding, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(e.embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / m.ma) AS BIGINT))
+         END AS q
+  FROM embeddings e JOIN m USING (vec_id)
+),
+dot1 AS (SELECT vec_id, sum(CAST(q[i] AS HUGEINT)) AS dot
+         FROM qv, range(1, 65) t(i) GROUP BY vec_id),
+w1 AS (SELECT i.i AS d, sum(CAST(q.q[i.i] AS HUGEINT) * t.dot) AS v
+       FROM qv q JOIN dot1 t USING (vec_id), range(1, 65) i(i) GROUP BY i.i),
+dot2 AS (SELECT q.vec_id, sum(CAST(q.q[w.d] AS HUGEINT) * w.v) AS dot
+         FROM qv q, w1 w GROUP BY q.vec_id),
+w2 AS (SELECT i.i AS d, sum(CAST(q.q[i.i] AS HUGEINT) * t.dot) AS v
+       FROM qv q JOIN dot2 t USING (vec_id), range(1, 65) i(i) GROUP BY i.i),
+dot3 AS (SELECT q.vec_id, sum(CAST(q.q[w.d] AS HUGEINT) * w.v) AS dot
+         FROM qv q, w2 w GROUP BY q.vec_id),
+w3 AS (SELECT i.i AS d, sum(CAST(q.q[i.i] AS HUGEINT) * t.dot) AS v
+       FROM qv q JOIN dot3 t USING (vec_id), range(1, 65) i(i) GROUP BY i.i),
+wn AS (
+  SELECT list(CAST(v AS DOUBLE) ORDER BY d) AS arr FROM w3
+),
+nrm AS (
+  SELECT arr,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                       list_transform(arr, x -> x * x)),
+                          (a, x) -> a + x)) AS nw
+  FROM wn
+),
+nq AS (SELECT vec_id, sum(CAST(q[i] AS HUGEINT) * q[i]) AS s
+       FROM qv, range(1, 65) t(i) GROUP BY vec_id)
+SELECT q.vec_id,
+       round(CASE WHEN nq.s = 0 OR n.nw = 0 THEN -1.0
+             ELSE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(range(1, 65),
+                                   i -> CAST(q.q[i] AS DOUBLE) * n.arr[i])),
+                    (a, x) -> a + x)
+                  / (sqrt(CAST(nq.s AS DOUBLE)) * n.nw) END, 4) AS proj
+FROM qv q JOIN nq USING (vec_id), nrm n
+"""
+
+
+@_q("embed_dominant_component", _POWER_ITER_ORACLE)
+def embed_dominant_component(spark, sf):
+    """Each vector's cosine with the dominant principal direction of the
+    int8-quantized embedding set, found by three UN-normalized power
+    iterations in EXACT decimal arithmetic — cross-row float sums are
+    order-dependent under parallel aggregation, integer sums are not, so
+    the iterate is bit-identical on any engine/partitioning (the oracle
+    re-derives it in hugeint). The 'all-but-the-top' embedding diagnostic.
+    See similarity.dominant_component_projection."""
+    from betfair_database_spark.operators import similarity
+
+    return similarity.dominant_component_projection(
+        _t(spark, sf, "embeddings"), iters=3
+    )

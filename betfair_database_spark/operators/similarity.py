@@ -827,7 +827,9 @@ def dominant_component_projection(
         f"CASE WHEN {nq} = 0 OR {norm_w!r}D = 0.0D THEN CAST(-1.0 AS DOUBLE)"
         f" ELSE ({dotd}) / (sqrt(CAST({nq} AS DOUBLE)) * {norm_w!r}D) END"
     )
-    return q.select(F.col(id_col), F.round(proj, 4).alias("proj"))
+    # "+ 0.0" collapses IEEE -0.0 to +0.0 (suite-wide convention: a proj
+    # that rounds to zero from below must hash like the oracle's zero)
+    return q.select(F.col(id_col), (F.round(proj, 4) + F.lit(0.0)).alias("proj"))
 
 
 def hard_negatives(

@@ -1082,7 +1082,7 @@ SELECT q.vec_id,
                     list_transform(range(1, 65),
                                    i -> CAST(q.q[i] AS DOUBLE) * n.arr[i])),
                     (a, x) -> a + x)
-                  / (sqrt(CAST(nq.s AS DOUBLE)) * n.nw) END, 4) AS proj
+                  / (sqrt(CAST(nq.s AS DOUBLE)) * n.nw) END, 4) + 0.0 AS proj
 FROM qv q JOIN nq USING (vec_id), nrm n
 """
 

@@ -235,3 +235,103 @@ def type_mix_vs_baseline(
             F.col("share").alias("baseline_share"),
         )
     )
+
+
+def streaming_heavy_hitters(
+    items: DataFrame,
+    item_col: str = "item",
+    counters: int = 8,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """CONTINUOUS heavy-hitter candidates over an unbounded item stream:
+    a Misra-Gries summary per hash bucket, held in the streaming state
+    store (``applyInPandasWithState``), re-emitted on every trigger.
+
+    Distribution: a global MG sketch would funnel every row through one
+    task, so items are hash-bucketed (pmod(xxhash64, n_buckets)) and each
+    bucket folds its own bounded sketch — state is at most ``counters``
+    (item, weight) pairs per bucket, the keyed-state layout streaming
+    shuffles are built for. The per-bucket MG guarantee carries over:
+    any item with in-bucket frequency > n_bucket/(counters+1) survives in
+    that bucket's summary, so the UNION of summaries is a candidate
+    superset of every global phi-heavy hitter for
+    phi >= 1/(counters+1) (an item's rows all land in ONE bucket, and
+    n_bucket <= N). Downstream, the batch pass-2
+    (sketches.heavy_hitters_exact's shape) verifies with exact counts —
+    summary weights themselves are order-dependent lower bounds, never
+    final answers.
+
+    Output per trigger (update mode): (bucket, item, weight).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    keyed = items.select(
+        F.col(item_col).cast("string").alias("item"),
+        F.pmod(F.xxhash64(F.col(item_col).cast("string")), F.lit(n_buckets))
+        .cast("int")
+        .alias("bucket"),
+    ).where(F.col("item").isNotNull())
+
+    out_schema = StructType(
+        [
+            StructField("bucket", IntegerType()),
+            StructField("item", StringType()),
+            StructField("weight", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("items", StringType()),  # unit-separated, flat state
+            StructField("weights", StringType()),
+        ]
+    )
+    SEP = "\x1f"
+
+    def update(key, pdfs, state: "GroupState"):
+        (bucket,) = key
+        if state.exists:
+            items_s, weights_s = state.get
+            sketch = dict(
+                zip(
+                    items_s.split(SEP) if items_s else [],
+                    (int(x) for x in weights_s.split(SEP) if x),
+                )
+            )
+        else:
+            sketch = {}
+        for pdf in pdfs:
+            # fold per-DISTINCT-item (value_counts), then the classic MG
+            # decrement whenever the sketch outgrows its counter budget
+            for item, cnt in pdf["item"].value_counts().items():
+                sketch[item] = sketch.get(item, 0) + int(cnt)
+                if len(sketch) > counters:
+                    dec = min(sketch.values())
+                    sketch = {
+                        k: v - dec for k, v in sketch.items() if v - dec > 0
+                    }
+        state.update(
+            (SEP.join(sketch), SEP.join(str(v) for v in sketch.values()))
+        )
+        yield pd.DataFrame(
+            {
+                "bucket": [int(bucket)] * len(sketch),
+                "item": list(sketch),
+                "weight": [int(v) for v in sketch.values()],
+            }
+        )
+
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -572,3 +572,82 @@ def test_mcm_bz2_stream_matches_batch_derived_index(spark, tmp_path):
         .collect()[0]
     )
     assert tuple(stream_row) == tuple(batch_row)
+
+
+def test_streaming_heavy_hitters_candidates_and_exact_verify(spark, tmp_path):
+    """Continuous Misra-Gries: per-bucket state stays bounded, the hot
+    items survive every drain (the MG superset guarantee), and feeding the
+    streamed candidates into the exact second pass reproduces the batch
+    heavy-hitter answer on the same data."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from betfair_database_spark.operators.sketches import heavy_hitters_exact
+    from betfair_database_spark.streaming.analytics import streaming_heavy_hitters
+    from betfair_database_spark.streaming.mcm import run_to_memory
+
+    rng = random.Random(5)
+    root = tmp_path / "tokens"
+    root.mkdir()
+    # 3 files -> 3 micro-batches (state folds across batches); two hot
+    # tokens dominate a long tail
+    tokens = (
+        ["hot_a"] * 900
+        + ["hot_b"] * 600
+        + [f"tail{rng.randint(0, 400)}" for _ in range(1500)]
+    )
+    rng.shuffle(tokens)
+    for i in range(3):
+        (root / f"part{i}.txt").write_text("\n".join(tokens[i::3]))
+
+    # single-batch drain: one emission per bucket -> the state bound is
+    # directly visible in the sink
+    one = spark.readStream.text(str(root)).select(F.col("value").alias("item"))
+    run_to_memory(
+        streaming_heavy_hitters(one, "item", counters=8, n_buckets=4),
+        "hh_one",
+        "update",
+    )
+    per_bucket = {
+        r.bucket: r["count"]
+        for r in spark.table("hh_one").groupBy("bucket").count().collect()
+    }
+    assert all(n <= 8 for n in per_bucket.values())  # bounded state
+
+    # multi-batch drain (1 file per trigger): state folds ACROSS batches;
+    # the memory sink logs every trigger's emission, so assert on the
+    # union of candidates (a valid superset of each emission)
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(str(root))
+        .select(F.col("value").alias("item"))
+    )
+    run_to_memory(
+        streaming_heavy_hitters(stream, "item", counters=8, n_buckets=4),
+        "hh_stream",
+        "update",
+    )
+    summaries = spark.table("hh_stream")
+    cand = {r.item for r in summaries.select("item").distinct().collect()}
+    assert {"hot_a", "hot_b"} <= cand  # the MG survival guarantee
+
+    # exact verify over candidates == batch answer on the same data
+    batch = spark.createDataFrame([(t,) for t in tokens], "item string")
+    want = {
+        (r.item, r.cnt)
+        for r in heavy_hitters_exact(
+            batch, "item", phi_denominator=9, counters=8
+        ).collect()
+    }
+    n_total = len(tokens)
+    cand_df = spark.createDataFrame([(c,) for c in sorted(cand)], "item string")
+    got = {
+        (r.item, r.cnt)
+        for r in batch.join(cand_df, "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") > n_total / 9)
+        .collect()
+    }
+    assert got == want and want  # non-trivial and identical

@@ -75,6 +75,7 @@ HEADLINE = [
     "knn_recall_quantized",
     "knn_hard_negatives",
     "embed_dominant_component",
+    "embed_remove_top_component",
     "dedup_embedding_lsh_top10",
     "dedup_embedding_lsh_collapsed",
     "asof_join_nearest_order",

@@ -747,6 +747,35 @@ def batch_cosine_topk(
     )
 
 
+def _power_iterate(q: DataFrame, iters: int, dims: int) -> list[int]:
+    """The exact-arithmetic power-iteration core: iterate w <- Q^T (Q w)
+    over the int8 array column ``q8`` in decimal(38,0), returning the
+    final iterate as exact Python ints. One 64-sum aggregate pass per
+    iteration; loud ArithmeticError before the decimal range is exceeded."""
+    w = [1] * dims
+    for _ in range(iters):
+        wlit = "array(" + ",".join(f"{v}BD" for v in w) + ")"
+        dot = (
+            f"aggregate(zip_with(q8, {wlit}, (x, y) -> CAST(x AS DECIMAL(38,0)) * y),"
+            f" CAST(0 AS DECIMAL(38,0)), (acc, v) -> acc + CAST(v AS DECIMAL(38,0)))"
+        )
+        with_dot = q.select("q8", F.expr(dot).alias("_dot"))
+        sums = with_dot.agg(
+            *[
+                F.sum(
+                    F.expr(f"CAST(element_at(q8, {d + 1}) AS DECIMAL(38,0)) * _dot")
+                ).alias(f"w{d}")
+                for d in range(dims)
+            ]
+        ).first()
+        w = [int(sums[f"w{d}"]) for d in range(dims)]
+        if any(abs(v) > 10**36 for v in w):  # loud before decimal38 overflow
+            raise ArithmeticError(
+                "power-iteration magnitude near decimal38 range; reduce iters"
+            )
+    return w
+
+
 def dominant_component_projection(
     df: DataFrame,
     iters: int = 3,
@@ -786,27 +815,7 @@ def dominant_component_projection(
         .select(id_col, "q8")
         .localCheckpoint()  # consumed iters+1 times
     )
-    w = [1] * dims
-    for _ in range(iters):
-        wlit = "array(" + ",".join(f"{v}BD" for v in w) + ")"
-        dot = (
-            f"aggregate(zip_with(q8, {wlit}, (x, y) -> CAST(x AS DECIMAL(38,0)) * y),"
-            f" CAST(0 AS DECIMAL(38,0)), (acc, v) -> acc + CAST(v AS DECIMAL(38,0)))"
-        )
-        with_dot = q.select("q8", F.expr(dot).alias("_dot"))
-        sums = with_dot.agg(
-            *[
-                F.sum(
-                    F.expr(f"CAST(element_at(q8, {d + 1}) AS DECIMAL(38,0)) * _dot")
-                ).alias(f"w{d}")
-                for d in range(dims)
-            ]
-        ).first()
-        w = [int(sums[f"w{d}"]) for d in range(dims)]
-        if any(abs(v) > 10**36 for v in w):  # loud before decimal38 overflow
-            raise ArithmeticError(
-                "power-iteration magnitude near decimal38 range; reduce iters"
-            )
+    w = _power_iterate(q, iters, dims)
     # Final projection in doubles: int->double conversions are correctly
     # rounded, and both folds below run in INDEX order (order-pinned).
     wd = [float(v) for v in w]
@@ -830,6 +839,61 @@ def dominant_component_projection(
     # "+ 0.0" collapses IEEE -0.0 to +0.0 (suite-wide convention: a proj
     # that rounds to zero from below must hash like the oracle's zero)
     return q.select(F.col(id_col), (F.round(proj, 4) + F.lit(0.0)).alias("proj"))
+
+
+def remove_dominant_component(
+    df: DataFrame,
+    iters: int = 3,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The actual "all-but-the-top" CORRECTION: subtract each quantized
+    vector's projection onto the dominant direction (from the same
+    exact-arithmetic power iteration as dominant_component_projection):
+    q'_d = q_d - (q·ŵ) ŵ_d. Emitted as (id, d, v) rows — long form keeps
+    the oracle comparison scalar — with v rounded to 4 and -0.0
+    normalized. Every floating reduction is an index-order fold; ŵ's
+    components are single divisions of exact-integer-derived doubles, so
+    both engines compute bit-identical corrections.
+    """
+    import math
+
+    from betfair_database_spark.operators.quantize import quantize_int8
+
+    q = (
+        quantize_int8(df.select(id_col, vec_col), vec_col)
+        .select(id_col, "q8")
+        .localCheckpoint()
+    )
+    w = _power_iterate(q, iters, dims)
+    wd = [float(v) for v in w]
+    norm_w = 0.0
+    for v in wd:
+        norm_w += v * v
+    norm_w = math.sqrt(norm_w)
+    if norm_w == 0.0:
+        raise ValueError("degenerate corpus: dominant component is zero")
+    what = [v / norm_w for v in wd]
+    whatlit = "array(" + ",".join(repr(v) + "D" for v in what) + ")"
+    dotu = (
+        f"aggregate(zip_with(q8, {whatlit}, (x, y) -> CAST(x AS DOUBLE) * y),"
+        f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    exploded = q.select(
+        F.col(id_col),
+        F.expr(dotu).alias("_du"),
+        F.posexplode("q8").alias("_d0", "_qv"),
+    )
+    corrected = (
+        F.col("_qv").cast("double")
+        - F.col("_du") * F.expr(f"element_at({whatlit}, _d0 + 1)")
+    )
+    return exploded.select(
+        F.col(id_col),
+        (F.col("_d0") + 1).cast("int").alias("d"),
+        (F.round(corrected, 4) + F.lit(0.0)).alias("v"),
+    )
 
 
 def hard_negatives(

@@ -1101,3 +1101,41 @@ def embed_dominant_component(spark, sf):
     return similarity.dominant_component_projection(
         _t(spark, sf, "embeddings"), iters=3
     )
+
+
+def _abtt_oracle() -> str:
+    # reuse the power-iteration CTE chain, then apply the correction per
+    # (vec_id, dim): q'_d = q_d - (q . w-hat) * w-hat_d — every operand the
+    # same IEEE op chain as the Spark side (w-hat = arr[i]/nw single
+    # division, index-order folds).
+    base = _POWER_ITER_ORACLE.rsplit("\nSELECT q.vec_id,", 1)[0]
+    return (
+        base.rstrip().rstrip(",")
+        + """,
+du AS (
+  SELECT q.vec_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, 65),
+                          i -> CAST(q.q[i] AS DOUBLE) * (n.arr[i] / n.nw))),
+           (a, x) -> a + x) AS dotu
+  FROM qv q, nrm n
+)
+SELECT q.vec_id, CAST(i.i AS INT) AS d,
+       round(CAST(q.q[i.i] AS DOUBLE) - u.dotu * (n.arr[i.i] / n.nw), 4)
+         + 0.0 AS v
+FROM qv q JOIN du u USING (vec_id), nrm n, range(1, 65) i(i)
+"""
+    )
+
+
+@_q("embed_remove_top_component", _abtt_oracle())
+def embed_remove_top_component(spark, sf):
+    """The 'all-but-the-top' CORRECTION itself: each quantized embedding
+    minus its projection onto the dominant direction (exact-arithmetic
+    power iterate), emitted as (vec_id, d, v) rows. Companion to
+    embed_dominant_component; see similarity.remove_dominant_component."""
+    from betfair_database_spark.operators import similarity
+
+    return similarity.remove_dominant_component(
+        _t(spark, sf, "embeddings"), iters=3
+    )

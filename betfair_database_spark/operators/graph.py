@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
 
 
 def connected_components(
@@ -43,15 +44,24 @@ def connected_components(
     """Label every node of the undirected pair graph with the minimum node id
     reachable from it. Returns ``(node, component)``.
 
+    Node ids may be any numeric type (normalized to long, component = min
+    long id) or strings (component = lexicographic-min id). The type is
+    taken from the DECLARED schema — never from a data-dependent cast,
+    which would silently NULL non-numeric ids and merge unrelated nodes.
+
     ``max_iter`` bounds the worst case (a path graph); label propagation
     needs ``diameter`` rounds and duplicate clusters have tiny diameters.
     """
+    numeric = isinstance(edges.schema[a].dataType, NumericType) and isinstance(
+        edges.schema[b].dataType, NumericType
+    )
+    node_t = "long" if numeric else "string"
     # Checkpoint the DIRECTED edge frame before symmetrizing: the union has
     # two branches over the same subtree, and edge frames arrive here as
     # full candidate pipelines (MinHash banding + Jaccard verify) — without
     # the cut, that whole pipeline would execute twice just to build sym.
     directed = edges.select(
-        F.col(a).cast("long").alias("src"), F.col(b).cast("long").alias("dst")
+        F.col(a).cast(node_t).alias("src"), F.col(b).cast(node_t).alias("dst")
     ).localCheckpoint(eager=True)
     sym = directed.union(
         directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -249,13 +249,26 @@ def leakage_safe_split(
     iterative piece (one shuffle per round over the EDGE set, which is
     near-dup-sized, not corpus-sized); the corpus itself takes one
     broadcast-ready left join against the labels.
+
+    Id typing: numeric ids yield a long ``group_id`` (min numeric id of the
+    cluster); any other id type yields a string ``group_id``. The branch is
+    on the DECLARED schema, never a data-dependent cast — ``cast("long")``
+    on a string id like ``"doc_42"`` is NULL, and ``concat_ws`` dropping
+    that NULL would hash EVERY singleton into one bucket, putting the whole
+    unclustered corpus on one side of the split.
     """
+    from pyspark.sql.types import NumericType
+
     from betfair_database_spark.operators.graph import connected_components
 
     comp = connected_components(pairs, "a", "b").select(
         F.col("node").alias(id_col), F.col("component")
     )
-    group = F.coalesce(F.col("component"), F.col(id_col).cast("long"))
+    numeric = isinstance(df.schema[id_col].dataType, NumericType)
+    id_t = "long" if numeric else "string"
+    group = F.coalesce(
+        F.col("component").cast(id_t), F.col(id_col).cast(id_t)
+    )
     bucket = hash_bucket(
         F.concat_ws("|", F.lit(salt), group.cast("string")), 100
     )

@@ -1172,6 +1172,81 @@ def test_leakage_safe_split_property(spark):
     assert split.exceptAll(again).count() == 0
 
 
+def test_leakage_safe_split_string_ids(spark):
+    """Regression (round-5 verdict #1): string doc ids must NOT collapse
+    into one hash bucket. The old path cast ids to long (NULL for
+    "doc_42"), concat_ws dropped the NULL, and every singleton hashed the
+    same "split|" key — the whole unclustered corpus landed on one side.
+    With the fix, singletons bucket on the raw id string: the split is
+    ~train_pct/100, every doc gets a non-null group_id, and clustered
+    pairs never straddle."""
+    from betfair_database_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(f"doc_{i}",) for i in range(400)], "doc_id string"
+    )
+    # a few explicit near-dup clusters among the string ids
+    pairs = spark.createDataFrame(
+        [("doc_0", "doc_1"), ("doc_1", "doc_2"), ("doc_10", "doc_11")],
+        "a string, b string",
+    )
+    split = sampling.leakage_safe_split(docs, pairs, train_pct=90).localCheckpoint()
+    assert split.where(F.col("group_id").isNull()).count() == 0
+    assert dict(split.dtypes)["group_id"] == "string"
+    # clusters stay whole
+    straddle = (
+        pairs.join(
+            split.select(F.col("doc_id").alias("a"), F.col("split").alias("sa")), "a"
+        )
+        .join(
+            split.select(F.col("doc_id").alias("b"), F.col("split").alias("sb")), "b"
+        )
+        .where(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert straddle == 0
+    # the old bug put ALL 395 singletons on one side; assert a real split
+    sides = {r.split: r["count"] for r in split.groupBy("split").count().collect()}
+    n = sum(sides.values())
+    assert sides.get("train", 0) > 0 and sides.get("eval", 0) > 0
+    assert 0.8 < sides["train"] / n < 0.97
+    # singleton group ids are the distinct raw ids, not a shared key
+    singles = split.where(~F.col("doc_id").isin("doc_0", "doc_1", "doc_2", "doc_10", "doc_11"))
+    assert singles.select("group_id").distinct().count() == singles.count()
+
+
+def test_connected_components_string_ids(spark):
+    """String node ids propagate lexicographic-min labels; the declared-
+    schema branch means no silent NULL-cast node merging (round-5 verdict
+    #9: accept strings or raise loudly — we accept)."""
+    from betfair_database_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y")], "a string, b string"
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_balanced_shards_string_keys(spark):
+    """balanced_shards orders by (weight desc, key) — string keys must rank
+    and deal identically to a global-window reference."""
+    from pyspark.sql import Window as W
+
+    from betfair_database_spark.operators.sampling import balanced_shards
+
+    rows = [(f"k{i:03d}", (i * 37) % 50 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id string, w long")
+    out = balanced_shards(df, n_shards=5, weight_col="w").localCheckpoint()
+    r = F.row_number().over(W.orderBy(F.desc("w"), "doc_id")) - 1
+    expect = df.select(
+        "doc_id",
+        F.when(r % 10 < 5, r % 5).otherwise(4 - (r % 5)).cast("int").alias("shard"),
+    )
+    got = out.select("doc_id", "shard")
+    assert got.exceptAll(expect).count() == 0 and expect.exceptAll(got).count() == 0
+
+
 def test_temperature_resample_rates(spark):
     """alpha=0.5 keeps stratum g at rate sqrt(n_min/n_g): smallest whole,
     a 4x stratum at ~sqrt(1/4)=50%; alpha=1 is a no-op."""

@@ -27,15 +27,23 @@ bridge:
     literal (SQLite prefers identifier, falls back to literal; Spark would
     otherwise always parse ``"x"`` as a string).
 
-``LIKE`` is rewritten to ``ILIKE`` (SQLite LIKE is ASCII-case-insensitive;
-the residual delta is non-ASCII case pairs, where SQLite stays sensitive).
+``LIKE`` is rewritten to ``RLIKE`` on a pattern→regex conversion carrying
+the ``(?i)`` flag WITHOUT ``(?u)``: Java regex case-insensitivity folds the
+26 ASCII letters only unless UNICODE_CASE is set, which is byte-for-byte
+SQLite's LIKE rule ("case folding for the 26 upper case characters of
+ASCII only"). Non-ASCII case pairs stay case-SENSITIVE, exactly like
+SQLite (Spark's own ILIKE would fold Unicode — rejected for that reason),
+and a backslash in the pattern is a literal character, exactly like
+SQLite's escape-less LIKE (Spark LIKE/ILIKE would treat it as an escape).
 
 Documented deltas (not bridged): SQLite-specific operators like ``||`` on
-non-strings; strftime codes the reference-era SQLite (3.40) itself returns
-NULL for (``%e %u %k %l %I %T %R %F %p %P %G %g %U %V`` — bridging them
-would diverge FROM the reference); ``%%`` immediately followed by another
-code letter (``%%Y``); strftime modifier arguments (``'+N days'`` etc.);
-and pre-1970 ``%s``/``unixepoch`` (floor vs euclidean division).
+non-strings; ``LIKE ... ESCAPE`` clauses (fall back to ``ILIKE``, i.e.
+pre-round-6 semantics); strftime codes the reference-era SQLite (3.40)
+itself returns NULL for (``%e %u %k %l %I %T %R %F %p %P %G %g %U %V`` —
+bridging them would diverge FROM the reference); ``%%`` immediately
+followed by another code letter (``%%Y``); strftime modifier arguments
+(``'+N days'`` etc.); and pre-1970 ``%s``/``unixepoch`` (floor vs
+euclidean division).
 Bridged codes: ``%Y %m %d %H %M %S %f %j %w %W %s %J %%`` plus ``time()``,
 ``date()``, ``datetime()``, ``julianday()``, ``unixepoch()`` — each
 property-tested against the stdlib sqlite3 engine, on SQLite's own
@@ -154,6 +162,19 @@ _SQL_FUNCTIONS = [
             '*', '.*'), '?', '.'),
         '$')
     """,
+    # LIKE pattern -> Java regex with SQLite's exact fold rule: (?i) without
+    # (?u) = ASCII-only case-insensitivity; (?s) lets %/_ cross newlines.
+    # Every regex metachar (incl. backslash — SQLite LIKE has no escape
+    # char) is matched literally; % -> .*, _ -> . .
+    r"""
+    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_like_regex(pat STRING)
+    RETURNS STRING
+    RETURN concat('(?is)^',
+        replace(replace(
+            regexp_replace(pat, '([\\\\.$+(){}|\\[\\]^*?])', '\\\\$1'),
+            '%', '.*'), '_', '.'),
+        '$')
+    """,
 ]
 
 _RENAMED_FUNCS = re.compile(
@@ -209,6 +230,28 @@ def glob_to_regex(pat: str) -> str:
     return "".join(out)
 
 
+def like_to_regex(pat: str) -> str:
+    """SQLite LIKE pattern → anchored Java regex.
+
+    ``(?i)`` WITHOUT ``(?u)`` is Java's ASCII-only case folding — exactly
+    SQLite's LIKE rule (ASCII letters fold, non-ASCII stays sensitive);
+    ``(?s)`` lets ``%``/``_`` match across newlines. Everything except the
+    two wildcards is a literal — including backslash, which escape-less
+    SQLite LIKE treats as an ordinary character (Spark LIKE would treat it
+    as an escape; ADVICE round-5 delta, now bridged).
+    """
+    out: list[str] = ["(?is)^"]
+    for c in pat:
+        if c == "%":
+            out.append(".*")
+        elif c == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(c))
+    out.append("$")
+    return "".join(out)
+
+
 def _fmt_translation_expr() -> str:
     # Codes with no java.time equivalent are VALUE substitutions applied
     # before the code-to-code replaces: %w (weekday, Sunday=0), %W
@@ -245,10 +288,13 @@ def translate_where(where: str) -> str:
 
     Rewrites, all outside string literals: ``true``/``false`` → ``1``/``0``,
     SQLite datetime function calls → their registered ``sqlite_`` twins,
-    ``GLOB <operand>`` → ``RLIKE sqlite_glob_regex(<operand>)``, and
+    ``GLOB <operand>`` → ``RLIKE sqlite_glob_regex(<operand>)``,
+    ``LIKE <operand>`` → ``RLIKE`` on the ASCII-fold regex (see
+    ``like_to_regex``; ``ESCAPE`` forms fall back to ``ILIKE``), and
     double-quoted spans resolved the way SQLite would (known column →
-    backtick identifier, otherwise a string literal). Everything else passes
-    through verbatim.
+    backtick identifier, otherwise a string literal). String literals have
+    their backslashes doubled (SQLite literals have no escapes; Spark's
+    parser would process them). Everything else passes through verbatim.
     """
     from betfair_database_spark.const import SQL_TABLE_COLUMNS
 
@@ -268,14 +314,20 @@ def translate_where(where: str) -> str:
     i, n = 0, len(where)
     while i < n:
         ch = where[i]
-        if ch == "'":  # skip string literal, '' is the escaped quote
+        if ch == "'":  # string literal, '' is the escaped quote
             j = _scan_quoted(where, i, "'")
-            out.append(where[i : j + 1])
+            # SQLite string literals have NO backslash escapes; Spark's
+            # parser processes \t, \n, \\ etc. Double every backslash so
+            # Spark reads the same bytes SQLite would.
+            out.append(where[i : j + 1].replace("\\", "\\\\"))
             i = j + 1
             continue
         if ch == '"':
             j = _scan_quoted(where, i, '"')
-            out.append(resolve_double_quoted(where[i + 1 : j].replace('""', '"')))
+            resolved = resolve_double_quoted(where[i + 1 : j].replace('""', '"'))
+            if resolved.startswith("'"):  # literal — same backslash bridge
+                resolved = resolved.replace("\\", "\\\\")
+            out.append(resolved)
             i = j + 1
             continue
         boundary_ok = i == 0 or not (where[i - 1].isalnum() or where[i - 1] in "_.")
@@ -286,8 +338,23 @@ def translate_where(where: str) -> str:
             continue
         m = _LIKE_OP.match(where[i:])
         if m and boundary_ok:
-            out.append("ILIKE")  # SQLite LIKE is ASCII-case-insensitive
-            i += m.end()
+            j = i + m.end()
+            while j < n and where[j].isspace():
+                j += 1
+            kind, value, j2 = _parse_pattern_operand(where, j, resolve_double_quoted)
+            # LIKE ... ESCAPE has user-defined escape semantics the regex
+            # rewrite does not model — fall back to ILIKE (documented
+            # delta: Unicode fold + Spark escape handling).
+            if kind is None or _ESCAPE_KW.match(where[j2:]):
+                out.append("ILIKE")
+                i += m.end()
+                continue
+            if kind == "literal":
+                lit = like_to_regex(value).replace("\\", "\\\\").replace("'", "''")
+                out.append(f"RLIKE '{lit}'")
+            else:
+                out.append(f"RLIKE sqlite_like_regex({translate_where(value)})")
+            i = j2
             continue
         m = _GLOB_OP.match(where[i:])
         if m and boundary_ok:
@@ -295,44 +362,16 @@ def translate_where(where: str) -> str:
             # Rewrite by operand form. A literal pattern converts here in
             # Python (full stateful GLOB→regex, all class edge cases); only
             # data-driven patterns (column/function operands) fall back to
-            # the sqlite_glob_regex SQL macro.
-            if i < n and where[i] == "'":
-                j = _scan_quoted(where, i, "'")
-                body = where[i + 1 : j].replace("''", "'")
-                regex = glob_to_regex(body)
-                lit = regex.replace("\\", "\\\\").replace("'", "''")
+            # the sqlite_glob_regex SQL macro. The recursion on expr
+            # operands bridges their insides too (e.g. x GLOB
+            # strftime('%Y*', col) needs sqlite_strftime).
+            kind, value, j2 = _parse_pattern_operand(where, i, resolve_double_quoted)
+            if kind == "literal":
+                lit = glob_to_regex(value).replace("\\", "\\\\").replace("'", "''")
                 out.append(f"RLIKE '{lit}'")
-                i = j + 1
-            elif i < n and where[i] == '"':
-                j = _scan_quoted(where, i, '"')
-                resolved = resolve_double_quoted(where[i + 1 : j].replace('""', '"'))
-                if resolved.startswith("`"):
-                    out.append(f"RLIKE sqlite_glob_regex({resolved})")
-                else:  # a string literal after all → convert in Python
-                    regex = glob_to_regex(resolved[1:-1].replace("''", "'"))
-                    lit = regex.replace("\\", "\\\\").replace("'", "''")
-                    out.append(f"RLIKE '{lit}'")
-                i = j + 1
             else:
-                mo = _BARE_OPERAND.match(where, i)
-                operand = mo.group(0) if mo else ""
-                i = mo.end() if mo else i
-                if i < n and where[i] == "(":  # function-call operand
-                    depth, j = 0, i
-                    while j < n:
-                        if where[j] == "(":
-                            depth += 1
-                        elif where[j] == ")":
-                            depth -= 1
-                            if depth == 0:
-                                break
-                        j += 1
-                    operand += where[i : j + 1]
-                    i = j + 1
-                # the operand is arbitrary SQLite expression text — recurse
-                # so functions/literals inside it get the same bridging
-                # (e.g. x GLOB strftime('%Y*', col) needs sqlite_strftime)
-                out.append(f"RLIKE sqlite_glob_regex({translate_where(operand)})")
+                out.append(f"RLIKE sqlite_glob_regex({translate_where(value or '')})")
+            i = j2
             continue
         m = _RENAMED_FUNCS.match(where[i:])
         if m and boundary_ok:
@@ -342,6 +381,74 @@ def translate_where(where: str) -> str:
         out.append(ch)
         i += 1
     return "".join(out)
+
+
+_ESCAPE_KW = re.compile(r"(?i)\s*ESCAPE\b")
+
+
+def _parse_pattern_operand(where: str, i: int, resolve_double_quoted):
+    """Parse the pattern operand of a LIKE/GLOB at ``i`` (whitespace already
+    skipped). Returns ``(kind, value, j)``:
+
+    - ``("literal", decoded_body, j)`` — a single quoted literal (or a
+      double-quoted span that resolves to one), decoded;
+    - ``("expr", raw_text, j)`` — a column, function call, or ``||``
+      concatenation chain, as raw source text for the caller to recurse on;
+    - ``(None, "", i)`` — nothing parseable (caller falls back).
+
+    ``||`` binds tighter than LIKE/GLOB in SQLite, so a chain like
+    ``'R' || '%'`` is part of the pattern and is folded into one expr.
+    """
+    n = len(where)
+    pieces: list[tuple[str, str | None]] = []  # (raw, decoded-literal|None)
+    while True:
+        if i < n and where[i] == "'":
+            j = _scan_quoted(where, i, "'")
+            pieces.append((where[i : j + 1], where[i + 1 : j].replace("''", "'")))
+            i = j + 1
+        elif i < n and where[i] == '"':
+            j = _scan_quoted(where, i, '"')
+            resolved = resolve_double_quoted(where[i + 1 : j].replace('""', '"'))
+            decoded = (
+                resolved[1:-1].replace("''", "'")
+                if resolved.startswith("'")
+                else None
+            )
+            pieces.append((where[i : j + 1], decoded))
+            i = j + 1
+        else:
+            mo = _BARE_OPERAND.match(where, i)
+            if not mo:
+                if pieces:  # dangling || — raw chain, let Spark error/handle
+                    break
+                return None, "", i
+            operand = mo.group(0)
+            i = mo.end()
+            if i < n and where[i] == "(":  # function-call operand
+                depth, j = 0, i
+                while j < n:
+                    if where[j] == "(":
+                        depth += 1
+                    elif where[j] == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j += 1
+                operand += where[i : j + 1]
+                i = j + 1
+            pieces.append((operand, None))
+        k = i
+        while k < n and where[k].isspace():
+            k += 1
+        if where.startswith("||", k):
+            i = k + 2
+            while i < n and where[i].isspace():
+                i += 1
+            continue
+        break
+    if len(pieces) == 1 and pieces[0][1] is not None:
+        return "literal", pieces[0][1], i
+    return "expr", " || ".join(raw for raw, _ in pieces), i
 
 
 def _scan_quoted(s: str, start: int, quote: str) -> int:

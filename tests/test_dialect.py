@@ -258,3 +258,83 @@ def test_strftime_s_f_J_and_unixepoch_match_sqlite(spark):
         assert (got.s, got.f, got.J, got.ue) == want, d
     # unixepoch() routes through translate_where like the other functions
     assert "sqlite_unixepoch(" in translate_where("unixepoch(marketTime) > 0")
+
+
+def test_like_rewrite_forms():
+    """LIKE → RLIKE on the ASCII-fold regex (round-6): literal patterns
+    convert in Python; column/function/|| patterns via sqlite_like_regex;
+    ESCAPE falls back to ILIKE (documented delta)."""
+    assert translate_where("marketName LIKE 'R1%'") == (
+        "marketName RLIKE '(?is)^R1.*$'"
+    )
+    assert translate_where("marketName NOT LIKE 'r_'") == (
+        "marketName NOT RLIKE '(?is)^r.$'"
+    )
+    assert translate_where("a LIKE b") == "a RLIKE sqlite_like_regex(b)"
+    assert translate_where("a LIKE upper(b)") == (
+        "a RLIKE sqlite_like_regex(upper(b))"
+    )
+    # || binds tighter than LIKE in SQLite: the chain IS the pattern
+    assert translate_where("a LIKE 'R' || '%'") == (
+        "a RLIKE sqlite_like_regex('R' || '%')"
+    )
+    assert translate_where("a LIKE 'x%' ESCAPE '\\'").startswith("a ILIKE")
+    # inside string literals the keyword is untouched
+    assert translate_where("a = 'LIKE x'") == "a = 'LIKE x'"
+
+
+def test_like_semantics_match_sqlite(spark):
+    """SQLite LIKE folds ONLY the 26 ASCII letters and has no escape char;
+    (?i)-without-(?u) Java regex is the exact same rule. Values ride in a
+    column (the real query shape); only the pattern is a WHERE literal."""
+    import sqlite3
+
+    from betfair_database_spark.plans.dialect import register_sqlite_functions
+
+    register_sqlite_functions(spark)
+    con = sqlite3.connect(":memory:")
+    cases = [
+        ("Race", "race%"), ("RACE", "ra_e"),
+        ("über", "ÜBER"), ("über", "üb%"), ("ÜBER", "über"),  # non-ASCII: sensitive
+        ("straße", "STRASSE"), ("héllo", "HÉLLO"), ("héllo", "héllo"),
+        ("C:\\temp\\x", "C:\\temp%"), ("C:\\temp", "C:\\temp"),  # backslash literal
+        ("a\\nb", "a\\_b"), ("100%", "100\\%"),
+        ("a.b", "a.b"), ("a.b", "axb"), ("[x]", "[_]"), ("a*b", "a*b"),
+        ("line1\nline2", "line1%"), ("line1\nline2", "line1_line2"),
+        ("", "%"), ("abc", ""), ("ab", "a%b"), ("aXb", "a%b"),
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, (v, _) in enumerate(cases)], "i int, v string"
+    )
+    df.createOrReplaceTempView("like_vals")
+    for i, (val, pat) in enumerate(cases):
+        want = con.execute("SELECT ? LIKE ?", (val, pat)).fetchone()[0] == 1
+        tw = translate_where("v LIKE '" + pat.replace("'", "''") + "'")
+        got = (
+            spark.sql(f"SELECT 1 FROM like_vals WHERE i = {i} AND ({tw})").count()
+            == 1
+        )
+        assert got == want, (val, pat, tw)
+    # column-borne pattern goes through the sqlite_like_regex macro
+    pdf = spark.createDataFrame(
+        [("Race A", "race%"), ("über", "ÜBER"), ("C:\\temp\\x", "C:\\temp%"),
+         ("[x]", "[_]"), ("a*b", "a*b")],
+        "v string, p string",
+    )
+    pdf.createOrReplaceTempView("like_vp")
+    tw = translate_where("v LIKE p")
+    for r in spark.sql(f"SELECT v, p, ({tw}) AS m FROM like_vp").collect():
+        want = con.execute("SELECT ? LIKE ?", (r.v, r.p)).fetchone()[0] == 1
+        assert bool(r.m) == want, (r.v, r.p)
+
+
+def test_string_literal_backslash_bridge(spark):
+    """SQLite string literals have no backslash escapes — 'C:\\temp' is six
+    raw bytes. Spark's parser would read \\t as TAB; translate_where doubles
+    backslashes inside literals so both engines compare the same bytes."""
+    assert translate_where("v = 'C:\\temp'") == "v = 'C:\\\\temp'"
+    df = spark.createDataFrame([("C:\\temp",), ("C:\temp",)], "v string")
+    df.createOrReplaceTempView("bs_vals")
+    tw = translate_where("v = 'C:\\temp'")
+    rows = spark.sql(f"SELECT v FROM bs_vals WHERE {tw}").collect()
+    assert [r.v for r in rows] == ["C:\\temp"]

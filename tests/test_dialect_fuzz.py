@@ -92,6 +92,18 @@ def _gen_atom(rng: random.Random, rows) -> str:
         # randomize case: SQLite LIKE is ASCII-case-insensitive
         frag = "".join(c.upper() if rng.random() < 0.5 else c.lower() for c in frag)
         pat = frag.replace("%", "").replace("_", "x") + "%"
+        r = rng.random()
+        if r < 0.15:
+            # backslash in pattern: literal char in SQLite (no escape
+            # without ESCAPE), bridged by the regex rewrite
+            pat = "\\" + pat
+        elif r < 0.3:
+            # regex metachars must stay literal through the rewrite
+            pat = pat[:-1] + rng.choice([".", "*", "[", "]", "(", "^", "$"]) + "%"
+        elif r < 0.45 and len(pat) > 2:
+            # single-char wildcard mid-pattern
+            mid = rng.randint(1, len(pat) - 2)
+            pat = pat[:mid] + "_" + pat[mid + 1 :]
         return f"marketName {'NOT ' if rng.random() < 0.3 else ''}LIKE {_sq(pat)}"
     if kind == "glob":
         pat = rng.choice(["1.2220000*", "*Mdn*", "?.*", "[12].*", "*[0-9]"])

@@ -99,6 +99,28 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame
     )
 
 
+def _hashed_shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """One row per doc: ``(id, hs)`` where ``hs`` is the distinct xxhash64
+    k-gram shingle array — the shared SSJoin primitive. Checkpointed: the
+    explode for ranking, the tier-0/1 verify lanes, per-doc counts
+    (``size(hs)``) and the global ``n_min`` all derive from it with no
+    further shuffle. Dedup happens on the 8-byte hashes, not the strings;
+    a within-doc collision shrinks a doc's set by one, which every
+    downstream bound absorbs via ``_HASH_SLACK`` (tier-2 recomputes exact
+    string sets for survivors, so outputs are exact).
+    """
+    lowered = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("_lt"))
+    harr = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length(_lt) - {k - 1}, 0)),"
+            f" i -> xxhash64(substring(_lt, i, {k})))"
+        )
+    )
+    return lowered.select(F.col(id_col), harr.alias("hs")).localCheckpoint()
+
+
 # Fixed universal-hash constants for the minhash lanes (seeded once,
 # 2026-08-13; a < 2^30 so a*x stays under 2^63 for 32-bit x). Shared with the
 # DuckDB oracle via minhash_oracle_values() — changing these changes results.
@@ -463,26 +485,28 @@ def jaccard_ssjoin(
     # which can only be handled safely by relaxing every candidate bound by
     # _HASH_SLACK (a collision shifts ranks/counts by at most one per event,
     # so a false negative needs > _HASH_SLACK independent ~2^-64 events in
-    # one pair). Row counts (n) stay STRING-exact: row_number/count run over
-    # string-distinct rows. The output is exact — tier-2 verifies on strings.
-    sh = (
-        shingles(df, id_col, text_col, k)
-        .select(id_col, F.xxhash64("w").alias("hw"))
-        .localCheckpoint()  # reused 4x; longs only — strings never materialize here
+    # one pair; with hashed-distinct n the same per-event budget covers the
+    # count shift too). The output is exact — tier-2 verifies on strings.
+    #
+    # ONE narrow pass builds each doc's distinct hashed-shingle ARRAY; the
+    # per-doc count (size), the tier-1 verify lanes (the array IS the set),
+    # and the global n_min all come free from it — round 5 spent two full
+    # 24M-row shuffles (groupBy sizes + collect_set rebuild) recomputing
+    # what this checkpoint already holds.
+    base = _hashed_shingle_arrays(df, id_col, text_col, k)
+    sh = base.select(
+        F.col(id_col), F.size("hs").alias("n"), F.explode("hs").alias("hw")
     )
-    # df and n as WINDOW counts, not groupBy+join-back: the same two
-    # exchanges (hw, then doc) with no join at all — measured 2.4x faster
-    # than the join form, whose AQE broadcast conversion still pays the
-    # probe-side shuffle maps. (Pinning broadcast(freq) would be faster
-    # still at this SF but is a 100 TB bug: freq is vocabulary-sized.)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))  # for n_min only
+    # df as a WINDOW count, not groupBy+join-back: one exchange on hw with
+    # no join at all — measured 2.4x faster than the join form, whose AQE
+    # broadcast conversion still pays the probe-side shuffle maps. (Pinning
+    # broadcast(freq) would be faster still at this SF but is a 100 TB bug:
+    # freq is vocabulary-sized.)
     w_doc = Window.partitionBy(id_col)
-    ranked = (
-        sh.withColumn("df", F.count("*").over(Window.partitionBy("hw")))
-        .withColumn(
-            "rnk", F.row_number().over(w_doc.orderBy(F.asc("df"), F.asc("hw")))
-        )
-        .withColumn("n", F.count("*").over(w_doc))
+    ranked = sh.withColumn(
+        "df", F.count("*").over(Window.partitionBy("hw"))
+    ).withColumn(
+        "rnk", F.row_number().over(w_doc.orderBy(F.asc("df"), F.asc("hw")))
     )
     # prefix length n - ceil(t*n) + 1 (the plain Jaccard prefix), slack-relaxed
     t = float(threshold)
@@ -497,7 +521,7 @@ def jaccard_ssjoin(
     # necessary form first (vs the global min size, broadcast) so the join
     # fanout shrinks BEFORE the shuffle, exact two-sided form after.
     tt = t / (1.0 + t)
-    nmin = sizes.agg(F.min("n").alias("n_min"))
+    nmin = base.agg(F.min(F.size("hs")).alias("n_min"))
     pre = (
         prefix.join(F.broadcast(nmin))
         .where(
@@ -579,18 +603,54 @@ def jaccard_ssjoin(
     # is exact end-to-end: no false negatives, no false positives.
     # (Measured sf0.1: verify 29.8 s -> tier-1 long intersect + tiny exact
     # join; the token-join alternative was 1.6x slower end to end.)
-    harrs = sh.groupBy(id_col).agg(
-        F.collect_set("hw").alias("hs"), F.count("*").alias("n")
+    # The verify lanes come straight off the checkpointed base arrays — no
+    # collect_set re-aggregation. Tier 0 first: intersect HALF-size subsets
+    # {h : h mod 2 = 0} of both sides. Sound because sampling both sides by
+    # the same hash predicate makes the sampled miss-set exactly the sample
+    # of the miss-set (|A_s \ B_s| = |(A\B)_s| <= |A\B|), and a true pair
+    # at Jaccard >= t has |A\B| <= (n_a - t*n_b)/(1+t) (from
+    # i >= t(n_a+n_b)/(1+t)), so it must satisfy
+    # |A_s ∩ B_s| >= |A_s| - (n_a - t*n_b)/(1+t) - slack, and symmetrically
+    # for B. Mod-4 (the containment screen) would be VACUOUS here: at
+    # t=0.6, |A\B| can reach n/4 — exactly the sample size; mod-2 leaves a
+    # n/4 margin. ~99.8% of candidates are false on this corpus and fail
+    # the screen on half the bytes; survivors pay full arrays.
+    hs2 = F.expr("filter(hs, h -> pmod(h, 2) = 0)")
+    s2a = base.select(
+        F.col(id_col).alias("a"), hs2.alias("hs2a"), F.size("hs").alias("na")
     )
-    ha = harrs.select(
-        F.col(id_col).alias("a"), F.col("hs").alias("hsa"), F.col("n").alias("na")
+    s2b = base.select(
+        F.col(id_col).alias("b"), hs2.alias("hs2b"), F.size("hs").alias("nb")
     )
-    hb = harrs.select(
-        F.col(id_col).alias("b"), F.col("hs").alias("hsb"), F.col("n").alias("nb")
+    i0 = F.size(F.array_intersect(F.col("hs2a"), F.col("hs2b")))
+    t0_surv = (
+        cand.join(s2a, "a")
+        .join(s2b, "b")
+        .where(
+            (
+                i0 + (F.col("na") - F.lit(t) * F.col("nb")) / F.lit(1.0 + t)
+                + F.lit(_HASH_SLACK)
+                >= F.size(F.col("hs2a"))
+            )
+            & (
+                i0 + (F.col("nb") - F.lit(t) * F.col("na")) / F.lit(1.0 + t)
+                + F.lit(_HASH_SLACK)
+                >= F.size(F.col("hs2b"))
+            )
+        )
+        .select("a", "b")
+    )
+    ha = base.select(
+        F.col(id_col).alias("a"), F.col("hs").alias("hsa"),
+        F.size("hs").alias("na"),
+    )
+    hb = base.select(
+        F.col(id_col).alias("b"), F.col("hs").alias("hsb"),
+        F.size("hs").alias("nb"),
     )
     ih = F.size(F.array_intersect(F.col("hsa"), F.col("hsb"))) + F.lit(_HASH_SLACK)
     survivors = (
-        cand.join(ha, "a")
+        t0_surv.join(ha, "a")
         .join(hb, "b")
         .where(ih >= F.lit(t) * (F.col("na") + F.col("nb") - ih))
         .select("a", "b")
@@ -671,21 +731,21 @@ def containment_ssjoin(
     # bounds below carry the _HASH_SLACK relaxation so 64-bit shingle-hash
     # collisions (which merge tokens and can shift ranks/counts by one per
     # event) cannot cause a false negative short of > _HASH_SLACK
-    # independent ~2^-64 events landing in one candidate pair.
-    sh = (
-        shingles(df, id_col, text_col, k)
-        .select(id_col, F.xxhash64("w").alias("hw"))
-        .localCheckpoint()  # reused 3x; longs only — strings never materialize here
+    # independent ~2^-64 events landing in one candidate pair. Per-doc
+    # arrays come from the shared checkpointed base (see
+    # _hashed_shingle_arrays) — n, the verify lanes and the tier-0 sample
+    # all derive from it with no aggregation shuffle.
+    base = _hashed_shingle_arrays(df, id_col, text_col, k)
+    sh = base.select(
+        F.col(id_col), F.size("hs").alias("n"), F.explode("hs").alias("hw")
     )
     t = float(threshold)
-    # Window-count form of df/rank/n — see jaccard_ssjoin's ranked comment.
+    # Window-count form of df/rank — see jaccard_ssjoin's ranked comment.
     w_doc = Window.partitionBy(id_col)
-    ranked = (
-        sh.withColumn("df", F.count("*").over(Window.partitionBy("hw")))
-        .withColumn(
-            "rnk", F.row_number().over(w_doc.orderBy(F.asc("df"), F.asc("hw")))
-        )
-        .withColumn("n", F.count("*").over(w_doc))
+    ranked = sh.withColumn(
+        "df", F.count("*").over(Window.partitionBy("hw"))
+    ).withColumn(
+        "rnk", F.row_number().over(w_doc.orderBy(F.asc("df"), F.asc("hw")))
     )
     prefix = ranked.where(
         F.col("rnk")
@@ -701,9 +761,27 @@ def containment_ssjoin(
     # (r_a, r_b) needs 1 + min(n_a-r_a, n_b-r_b) >= ceil(t*n_a). The
     # length form (n_b >= ceil(t*n_a)) is its corollary. Measured on the
     # sf0.1 corpus: 20.1 s -> 10.9 s end to end.
-    pb = ranked.select(
-        F.col(id_col).alias("b"), "hw",
-        F.col("rnk").cast("int").alias("rb"), F.col("n").cast("int").alias("nb"),
+    #
+    # Pre-join b-side prune (round 6): that same positional bound, taken
+    # one-sided with the broadcast global minimum size (n_a >= n_min), is a
+    # per-ROW filter — a b-row at rank r_b can initiate a candidacy only if
+    # 1 + (n_b - r_b) >= ceil(t*n_min) - slack. It shrinks the probe side
+    # of the hw join BEFORE its shuffle (the b side is the whole ranked
+    # token stream, the single biggest frame in this operator). How much it
+    # prunes depends on the corpus size floor; it can never prune a true
+    # candidate.
+    nmin = base.agg(F.min(F.size("hs")).alias("n_min"))
+    pb = (
+        ranked.join(F.broadcast(nmin))
+        .where(
+            1 + F.col("n") - F.col("rnk")
+            >= F.ceil(F.lit(t) * F.col("n_min")) - F.lit(_HASH_SLACK)
+        )
+        .select(
+            F.col(id_col).alias("b"), "hw",
+            F.col("rnk").cast("int").alias("rb"),
+            F.col("n").cast("int").alias("nb"),
+        )
     )
     alpha = F.ceil(F.lit(t) * F.col("na")) - F.lit(_HASH_SLACK)
     # Per-pair aggregated bound, containment form. cnt counts prefix(a)
@@ -757,18 +835,12 @@ def containment_ssjoin(
     # |A\B| <= n_a - ceil(t*n_a); so every true pair satisfies
     # |A_s ∩ B_s| >= |A_s| - (n_a - ceil(t*n_a)) - slack. False pairs
     # lose ~0.7*n_a shingles and fail it on 1/4 the bytes.
-    harrs = sh.groupBy(id_col).agg(
-        F.collect_set("hw").alias("hs"),
-        F.collect_set(F.when(F.pmod(F.col("hw"), 4) == 0, F.col("hw"))).alias(
-            "hss"
-        ),
-        F.count("*").alias("n"),
-    ).localCheckpoint()
+    hss = F.expr("filter(hs, h -> pmod(h, 4) = 0)")
     budget = F.col("na") - F.ceil(F.lit(t) * F.col("na")) + F.lit(_HASH_SLACK)
-    sa = harrs.select(
-        F.col(id_col).alias("a"), F.col("hss").alias("hssa"), F.col("n").alias("na")
+    sa = base.select(
+        F.col(id_col).alias("a"), hss.alias("hssa"), F.size("hs").alias("na")
     )
-    sb = harrs.select(F.col(id_col).alias("b"), F.col("hss").alias("hssb"))
+    sb = base.select(F.col(id_col).alias("b"), hss.alias("hssb"))
     i0 = F.size(F.array_intersect(F.col("hssa"), F.col("hssb")))
     t0_surv = (
         cand.join(sa, "a")
@@ -776,10 +848,11 @@ def containment_ssjoin(
         .where(i0 + budget >= F.size(F.col("hssa")))
         .select("a", "b")
     )
-    ha = harrs.select(
-        F.col(id_col).alias("a"), F.col("hs").alias("hsa"), F.col("n").alias("na")
+    ha = base.select(
+        F.col(id_col).alias("a"), F.col("hs").alias("hsa"),
+        F.size("hs").alias("na"),
     )
-    hb = harrs.select(F.col(id_col).alias("b"), F.col("hs").alias("hsb"))
+    hb = base.select(F.col(id_col).alias("b"), F.col("hs").alias("hsb"))
     ih = F.size(F.array_intersect(F.col("hsa"), F.col("hsb"))) + F.lit(_HASH_SLACK)
     survivors = (
         t0_surv.join(ha, "a")

@@ -11,6 +11,7 @@ spirit (processor.py:365-375) as atomic Parquet swaps.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 from pathlib import Path
 
@@ -82,9 +83,11 @@ class BetfairDatabase:
             .partitionBy("eventTypeId")
             .parquet(path)
         )
-        # Per-partition row-count manifest: size() and row-count checks read
-        # this JSON instead of parquet footers — O(1) at any index scale. The
-        # post-write scan below is partition-col + footer counts only.
+        # Per-partition manifest: size() and row-count checks read this JSON
+        # instead of parquet footers — O(1) at any index scale — and (v2) it
+        # lists the exact part-files of the committed snapshot, which is what
+        # makes maintenance crash-atomic: readers resolve files through the
+        # manifest, and the manifest replace (_manifest_write) is atomic.
         counts = (
             self.spark.read.schema(_index_schema())
             .parquet(path)
@@ -92,7 +95,14 @@ class BetfairDatabase:
             .count()
             .collect()
         )
-        _manifest_write(Path(path), {_part_key(r[0]): r[1] for r in counts})
+        parts = {
+            _part_key(r[0]): {
+                "count": r[1],
+                "files": _list_part_files(Path(path), _part_key(r[0])),
+            }
+            for r in counts
+        }
+        _manifest_write(Path(path), parts)
         return sum(r[1] for r in counts)
 
     # ------------------------------------------------------------------ query
@@ -143,7 +153,7 @@ class BetfairDatabase:
         index written by an older version or mutated out-of-band)."""
         manifest = _manifest_read(self._index_path)
         if manifest is not None:
-            return sum(manifest.values())
+            return sum(e["count"] for e in manifest.values())
         return self._read_index().count()
 
     # ------------------------------------------------------------ maintenance
@@ -259,7 +269,29 @@ class BetfairDatabase:
     def _read_index(self) -> DataFrame:
         if not self._index_path.exists():
             raise IndexMissingError(self.database_dir)
-        df = self.spark.read.schema(_index_schema()).parquet(str(self._index_path))
+        files = _manifest_files(_manifest_read(self._index_path))
+        if files is not None:
+            # Snapshot read: exactly the part-files the committed manifest
+            # lists — uncommitted files from an in-flight (or crashed)
+            # maintenance write are invisible, so a reader sees either the
+            # old snapshot or the new one, never a mix.
+            paths = [
+                str(self._index_path / f"eventTypeId={k}" / name)
+                for k, names in files.items()
+                for name in names
+            ]
+            if not paths:
+                df = self.spark.createDataFrame([], _index_schema())
+            else:
+                df = (
+                    self.spark.read.schema(_index_schema())
+                    .option("basePath", str(self._index_path))
+                    .parquet(*paths)
+                )
+        else:  # legacy (v1/no manifest) index: directory listing
+            df = self.spark.read.schema(_index_schema()).parquet(
+                str(self._index_path)
+            )
         return df.select(*SQL_TABLE_COLUMNS)  # contract order, partition col included
 
     def _rewrite_index(self, frame: DataFrame) -> None:
@@ -297,10 +329,102 @@ class BetfairDatabase:
         if not touched:
             return
         # Materialize first: the replacement lineage reads the very parquet
-        # files the dynamic overwrite below deletes.
+        # files the swap below retires.
         repl = (
             replacement.where(self._partition_filter(touched)).localCheckpoint()
         )
+        manifest = _manifest_read(self._index_path)
+        files_map = _manifest_files(manifest)
+        if files_map is None:
+            self._upsert_partitions_legacy(repl, touched)
+            return
+        # Crash-atomic commit protocol (round 6). Readers resolve part-files
+        # through the manifest (_read_index), and the manifest swap is an
+        # atomic rename — so a crash at ANY point leaves every reader on a
+        # consistent snapshot:
+        #   reap → write-alongside → commit (atomic) → reap old
+        # Crash before commit: manifest unchanged, new files invisible.
+        # Crash after commit: old files still on disk but unreferenced —
+        # invisible, reaped by the next maintenance pass. Single writer
+        # assumed (the reference holds the same assumption via its SQLite
+        # connection, processor.py:365-384); a concurrent reader holding a
+        # pre-commit file list may hit deleted files once the reap runs —
+        # the snapshot guarantee is for reads started after the commit.
+        touched_keys = {_part_key(v) for v in touched}
+        # 0. Reap uncommitted garbage from any previously crashed writer
+        #    (also covers a crash between commit and reap: those files are
+        #    committed-away, i.e. unreferenced too). One _reap_files call —
+        #    the protocol has exactly two reap points (pre-write, post-
+        #    commit), which fault-injection tests rely on.
+        self._reap_files(
+            f"eventTypeId={key}/{name}"
+            for key in _list_partition_keys(self._index_path)
+            for name in _list_part_files(self._index_path, key)
+            if name not in set(files_map.get(key, ()))
+        )
+        # 1. Write the replacement rows ALONGSIDE the live files (append
+        #    never deletes); Spark's UUID part names cannot collide.
+        (
+            repl.repartition(F.col("eventTypeId"))
+            .sortWithinPartitions("marketStartTime")
+            .write.mode("append")
+            .partitionBy("eventTypeId")
+            .parquet(str(self._index_path))
+        )
+        counts = {
+            _part_key(r[0]): r[1]
+            for r in repl.groupBy("eventTypeId").count().collect()
+        }
+        # 2. The just-written files are exactly the on-disk files the old
+        #    manifest does not reference (step 0 cleared every other one).
+        new_manifest = {
+            k: e for k, e in manifest.items() if k not in touched_keys
+        }
+        for key, n in counts.items():
+            live = set(files_map.get(key, ()))
+            new_manifest[key] = {
+                "count": n,
+                "files": [
+                    name
+                    for name in _list_part_files(self._index_path, key)
+                    if name not in live
+                ],
+            }
+        # 3. COMMIT: atomic manifest replace.
+        _manifest_write(self._index_path, new_manifest)
+        # 4. Reap the replaced snapshot's files and emptied partition dirs.
+        self._reap_files(
+            f"eventTypeId={k}/{name}"
+            for k in touched_keys & set(files_map)
+            for name in files_map[k]
+        )
+        for k in touched_keys - set(counts):
+            gone = self._index_path / f"eventTypeId={k}"
+            if gone.exists() and not any(gone.glob("*.parquet")):
+                shutil.rmtree(gone)
+
+    def _reap_files(self, rel_paths) -> None:
+        """Delete index part-files (and their local-FS .crc siblings) that no
+        committed snapshot references. Factored out as the post-commit step
+        so fault-injection tests can kill the protocol right after commit."""
+        for rel in rel_paths:
+            p = self._index_path / rel
+            p.unlink(missing_ok=True)
+            crc = p.parent / ("." + p.name + ".crc")
+            crc.unlink(missing_ok=True)
+
+    def _upsert_partitions_legacy(
+        self, repl: DataFrame, touched: list[str | None]
+    ) -> None:
+        """Pre-v2 index (no file-list manifest): dynamic partition overwrite.
+        Not crash-atomic — kept only so an index written by an older version
+        stays maintainable; this pass upgrades its manifest to v2, so every
+        later upsert takes the commit protocol."""
+        old = _manifest_read(self._index_path)
+        # Drop the count manifest BEFORE mutating parquet: a crash mid-swap
+        # then makes size() fall back to the distributed count instead of
+        # silently serving pre-write numbers.
+        (self._index_path / _MANIFEST_NAME).unlink(missing_ok=True)
         (
             repl.repartition(F.col("eventTypeId"))
             .sortWithinPartitions("marketStartTime")
@@ -317,13 +441,23 @@ class BetfairDatabase:
             gone = self._index_path / f"eventTypeId={_part_key(v)}"
             if gone.exists():
                 shutil.rmtree(gone)
-        manifest = _manifest_read(self._index_path)
-        if manifest is not None:  # no base manifest → a partial one would lie
-            for v in touched:
-                manifest.pop(_part_key(v), None)
-            for v, n in counts.items():
-                manifest[_part_key(v)] = n
-            _manifest_write(self._index_path, manifest)
+        if old is None:  # no base counts → a partial manifest would lie
+            return
+        merged = {k: e["count"] for k, e in old.items()}
+        for v in touched:
+            merged.pop(_part_key(v), None)
+        for v, n in counts.items():
+            merged[_part_key(v)] = n
+        _manifest_write(
+            self._index_path,
+            {
+                k: {
+                    "count": n,
+                    "files": _list_part_files(self._index_path, k),
+                }
+                for k, n in merged.items()
+            },
+        )
 
 
 def _index_schema():
@@ -341,19 +475,59 @@ def _part_key(value: str | None) -> str:
     return _HIVE_NULL_PART if value is None else str(value)
 
 
-def _manifest_write(index_path: Path, counts: dict[str, int]) -> None:
-    (index_path / _MANIFEST_NAME).write_text(json.dumps(counts, sort_keys=True))
+def _manifest_write(index_path: Path, partitions: dict[str, dict]) -> None:
+    """Atomically replace the manifest (write temp + rename): this IS the
+    commit point of the maintenance protocol. ``partitions`` maps partition
+    key → ``{"count": int, "files": [part-file names]}``."""
+    payload = json.dumps(
+        {"version": 2, "partitions": partitions}, sort_keys=True
+    )
+    tmp = index_path / (_MANIFEST_NAME + ".tmp")
+    tmp.write_text(payload)
+    os.replace(tmp, index_path / _MANIFEST_NAME)
 
 
-def _manifest_read(index_path: Path) -> dict[str, int] | None:
+def _manifest_read(index_path: Path) -> dict[str, dict] | None:
+    """Normalized manifest: partition key → ``{"count": int, "files":
+    [names] | None}``. A v1 manifest (bare counts, pre-round-6) reads with
+    ``files=None`` — counts still served, snapshot reads unavailable."""
     p = index_path / _MANIFEST_NAME
     if not p.exists():
         return None
     try:
         data = json.loads(p.read_text())
-        return {str(k): int(v) for k, v in data.items()}
-    except (ValueError, TypeError, OSError):
+        if isinstance(data, dict) and data.get("version") == 2:
+            return {
+                str(k): {"count": int(e["count"]), "files": list(e["files"])}
+                for k, e in data["partitions"].items()
+            }
+        return {str(k): {"count": int(v), "files": None} for k, v in data.items()}
+    except (ValueError, TypeError, KeyError, OSError):
         return None
+
+
+def _manifest_files(manifest: dict[str, dict] | None) -> dict[str, list] | None:
+    """Partition key → part-file names, or None when the manifest cannot
+    serve snapshot reads (absent, unreadable, or v1)."""
+    if manifest is None or any(e["files"] is None for e in manifest.values()):
+        return None
+    return {k: e["files"] for k, e in manifest.items()}
+
+
+def _list_part_files(index_path: Path, key: str) -> list[str]:
+    """Sorted parquet part-file names currently on disk in one partition."""
+    d = index_path / f"eventTypeId={key}"
+    if not d.is_dir():
+        return []
+    return sorted(p.name for p in d.glob("*.parquet"))
+
+
+def _list_partition_keys(index_path: Path) -> list[str]:
+    return sorted(
+        p.name.split("=", 1)[1]
+        for p in index_path.glob("eventTypeId=*")
+        if p.is_dir()
+    )
 
 
 def _exists_udf(col):

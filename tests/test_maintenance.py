@@ -297,3 +297,108 @@ def test_partition_upsert_null_event_type(spark, tmp_path):
     assert not null_dir.exists()
     assert _partition_snapshot(db._index_path, "eventTypeId=7") == before
     assert db.size() == EXPECTED["rows"]
+
+
+class TestCrashAtomicMaintenance:
+    """The round-6 commit protocol: readers resolve part-files through the
+    manifest, the manifest swap is an atomic rename, so killing the upsert
+    at ANY step leaves every (fresh) reader on a consistent snapshot —
+    either the whole old index or the whole new one, never a mix."""
+
+    @pytest.fixture()
+    def env(self, spark, tmp_path):
+        from betfair_database_spark.database import BetfairDatabase
+
+        target = tmp_path / "cadb"
+        target.mkdir()
+        src = tmp_path / "casrc"
+        build_corpus(src)
+        db = BetfairDatabase(target, spark=spark)
+        db.insert(src, copy=True)
+        return db
+
+    @staticmethod
+    def _snapshot(db):
+        rows = db.select(["marketId", "marketDataFilePath"])
+        return sorted((r["marketId"], r["marketDataFilePath"]) for r in rows)
+
+    @staticmethod
+    def _delete_one_partition_data(db):
+        gone = [
+            r["marketDataFilePath"]
+            for r in db.select(["marketDataFilePath"], where="eventTypeId = '4339'")
+        ]
+        assert gone
+        for p in gone:
+            Path(p).unlink()
+        return gone
+
+    def test_crash_before_commit_readers_see_old_snapshot(self, env, monkeypatch):
+        import betfair_database_spark.database as dbmod
+
+        db = env
+        before = self._snapshot(db)
+        size_before = db.size()
+        self._delete_one_partition_data(db)
+
+        def boom(*a, **k):
+            raise RuntimeError("injected crash before manifest commit")
+
+        monkeypatch.setattr(dbmod, "_manifest_write", boom)
+        with pytest.raises(RuntimeError, match="injected"):
+            db.clean()
+        monkeypatch.undo()
+        # new part-files ARE on disk (append ran), but uncommitted — every
+        # reader channel still serves the old snapshot exactly
+        assert self._snapshot(db) == before
+        assert db.size() == size_before
+        # retry without the fault completes and lands the new snapshot
+        removed = db.clean()
+        assert removed > 0
+        assert db.size() == size_before - removed
+        assert not (db._index_path / "eventTypeId=4339").exists()
+
+    def test_crash_after_commit_readers_see_new_snapshot(self, env, monkeypatch):
+        from betfair_database_spark.database import BetfairDatabase
+
+        db = env
+        size_before = db.size()
+        gone = self._delete_one_partition_data(db)
+
+        real_reap = BetfairDatabase._reap_files
+        calls = {"n": 0}
+
+        def reap_then_die(self, rel_paths):
+            calls["n"] += 1
+            if calls["n"] == 2:  # step 4: post-commit reap of old files
+                raise RuntimeError("injected crash after manifest commit")
+            return real_reap(self, rel_paths)
+
+        monkeypatch.setattr(BetfairDatabase, "_reap_files", reap_then_die)
+        with pytest.raises(RuntimeError, match="injected"):
+            db.clean()
+        monkeypatch.undo()
+        # commit landed: readers see the NEW snapshot exactly — the
+        # replaced files still sit on disk but are unreferenced, so no
+        # duplicate rows appear
+        snap = self._snapshot(db)
+        assert len(snap) == size_before - len(gone)
+        assert db.size() == size_before - len(gone)
+        assert not any(p in {s[1] for s in snap} for p in gone)
+        # a later maintenance pass reaps the garbage (step 0)
+        src3 = db.database_dir.parent / "ca_src3"
+        src3.mkdir()
+        meta = json.loads((db.database_dir.parent / "casrc" / "1.222000002.json").read_text())
+        meta["marketId"] = "1.222999002"
+        (src3 / "1.222999002.json").write_text(json.dumps(meta))
+        (src3 / "1.222999002").write_text('{"op":"mcm"}')
+        assert db.insert(src3, copy=True) == 1
+        from betfair_database_spark.database import (
+            _list_part_files,
+            _manifest_files,
+            _manifest_read,
+        )
+
+        files = _manifest_files(_manifest_read(db._index_path))
+        for key, names in files.items():
+            assert sorted(names) == _list_part_files(db._index_path, key)

@@ -752,6 +752,16 @@ def _power_iterate(q: DataFrame, iters: int, dims: int) -> list[int]:
     over the int8 array column ``q8`` in decimal(38,0), returning the
     final iterate as exact Python ints. One 64-sum aggregate pass per
     iteration; loud ArithmeticError before the decimal range is exceeded."""
+    # The loud-overflow contract REQUIRES ANSI: with ANSI off a decimal38
+    # overflow mid-aggregation yields NULL, F.sum silently skips it, and
+    # the iterate is wrong with no error (ADVICE round 5). The session is
+    # user-suppliable, so refuse rather than assume the Spark 4 default.
+    ansi = str(q.sparkSession.conf.get("spark.sql.ansi.enabled", "true"))
+    if ansi.lower() != "true":
+        raise ValueError(
+            "dominant-component power iteration needs spark.sql.ansi.enabled"
+            "=true: decimal overflow must raise, not NULL-and-skip"
+        )
     w = [1] * dims
     for _ in range(iters):
         wlit = "array(" + ",".join(f"{v}BD" for v in w) + ")"
@@ -769,7 +779,13 @@ def _power_iterate(q: DataFrame, iters: int, dims: int) -> list[int]:
             ]
         ).first()
         w = [int(sums[f"w{d}"]) for d in range(dims)]
-        if any(abs(v) > 10**36 for v in w):  # loud before decimal38 overflow
+        # Early loud stop BEFORE the next iteration can overflow: its
+        # per-row outer terms reach 127 * (64*127) * max|w| ≈ 1.03e6 *
+        # max|w|, so max|w| must stay under ~9.6e31 for every intermediate
+        # to fit decimal(38,0). (The ANSI assert above keeps even a
+        # mid-aggregation overflow loud, this check just fails sooner and
+        # with a better message.)
+        if any(abs(v) > 10**31 for v in w):
             raise ArithmeticError(
                 "power-iteration magnitude near decimal38 range; reduce iters"
             )

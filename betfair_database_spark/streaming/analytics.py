@@ -287,24 +287,18 @@ def streaming_heavy_hitters(
             StructField("weight", LongType()),
         ]
     )
-    state_schema = StructType(
-        [
-            StructField("items", StringType()),  # unit-separated, flat state
-            StructField("weights", StringType()),
-        ]
-    )
-    SEP = "\x1f"
+    # State is ONE flat JSON string: arbitrary item bytes round-trip safely
+    # (a separator-joined encoding corrupts the sketch when an item contains
+    # the separator byte — ADVICE round 5).
+    state_schema = StructType([StructField("sketch", StringType())])
 
     def update(key, pdfs, state: "GroupState"):
+        import json as _json
+
         (bucket,) = key
         if state.exists:
-            items_s, weights_s = state.get
-            sketch = dict(
-                zip(
-                    items_s.split(SEP) if items_s else [],
-                    (int(x) for x in weights_s.split(SEP) if x),
-                )
-            )
+            (sketch_s,) = state.get
+            sketch = {k: int(v) for k, v in _json.loads(sketch_s).items()}
         else:
             sketch = {}
         for pdf in pdfs:
@@ -317,9 +311,7 @@ def streaming_heavy_hitters(
                     sketch = {
                         k: v - dec for k, v in sketch.items() if v - dec > 0
                     }
-        state.update(
-            (SEP.join(sketch), SEP.join(str(v) for v in sketch.values()))
-        )
+        state.update((_json.dumps(sketch),))
         yield pd.DataFrame(
             {
                 "bucket": [int(bucket)] * len(sketch),

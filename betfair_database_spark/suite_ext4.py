@@ -611,6 +611,8 @@ def quantile_histogram_price(spark, sf):
         .groupBy("b")
         .agg(F.count("*").alias("cnt"))
     )
+    # bounded-frame global window: input is the aggregated histogram bins
+    # (<= 101 rows by construction), never a corpus-sized frame
     w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
     cum = bins.select(
         "b",

@@ -281,6 +281,7 @@ def ev_value_drift_ks(spark, sf):
             c.groupBy("bin").agg(F.sum("n").alias("n_all")), "bin", "left"
         )
         .select("bin", F.coalesce(F.col("n_all"), F.lit(0)).alias("n_all"))
+        # bounded-frame global window: 20 fixed bins
         .withColumn("cg", F.sum("n_all").over(Window.orderBy("bin")))
         .crossJoin(F.broadcast(c.agg(F.sum("n").alias("n_tot"))))
     )

@@ -95,3 +95,30 @@ def test_zorder_tightens_rowgroup_stats_on_both_dims(spark, tmp_path):
     assert r_z["y"] < 600
     # and the multi-dim win: worst-dim range beats the single-sort layout
     assert max(r_z.values()) < max(r_single.values())
+
+
+def test_global_windows_only_on_bounded_frames():
+    """Pin the 'global windows only on bounded frames' invariant (round-5
+    verdict #8): a Window with no partitionBy funnels its whole input
+    through ONE task — acceptable only on aggregated/bounded frames (bin
+    tables, top-k outputs), fatal on corpus-sized ones at 100 TB. Every
+    global-window construction site in package source must carry a
+    'bounded-frame' / 'bounded' marker comment within the 3 preceding
+    lines, which forces a scale review on any new site."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parents[1] / "betfair_database_spark"
+    pattern = re.compile(r"\bWindow(\(\))?\.orderBy\(")
+    offenders = []
+    for py in sorted(pkg.rglob("*.py")):
+        lines = py.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if pattern.search(line):
+                context = "\n".join(lines[max(0, i - 3) : i + 1]).lower()
+                if "bounded" not in context:
+                    offenders.append(f"{py.name}:{i + 1}: {line.strip()}")
+    assert not offenders, (
+        "unannotated global-window site(s) — confirm the input frame is "
+        "bounded and add a 'bounded-frame' comment:\n" + "\n".join(offenders)
+    )

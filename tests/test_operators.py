@@ -1294,3 +1294,22 @@ def test_balanced_shards_balance_and_plan(spark):
     # windows inside it), so no Window operator survives at all
     plan = balanced_shards(df, 7, "w")._jdf.queryExecution().executedPlan().toString()
     assert "window" not in plan.lower()
+
+
+def test_power_iterate_requires_ansi(spark):
+    """The loud-overflow contract (ADVICE round 5): with ANSI off a decimal
+    overflow would NULL-and-skip inside F.sum and silently corrupt the
+    dominant component, so the iteration refuses to run at all."""
+    from betfair_database_spark.operators.similarity import _power_iterate
+
+    q = spark.createDataFrame(
+        [([1] * 64,)], "q8 array<int>"
+    )
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(ValueError, match="ansi"):
+            _power_iterate(q, iters=1, dims=64)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+    # with ANSI back on it runs
+    assert len(_power_iterate(q, iters=1, dims=64)) == 64

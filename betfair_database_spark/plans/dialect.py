@@ -36,14 +36,63 @@ SQLite (Spark's own ILIKE would fold Unicode — rejected for that reason),
 and a backslash in the pattern is a literal character, exactly like
 SQLite's escape-less LIKE (Spark LIKE/ILIKE would treat it as an escape).
 
-Documented deltas (not bridged): SQLite-specific operators like ``||`` on
-non-strings; ``LIKE ... ESCAPE`` clauses (fall back to ``ILIKE``, i.e.
-pre-round-6 semantics); strftime codes the reference-era SQLite (3.40)
-itself returns NULL for (``%e %u %k %l %I %T %R %F %p %P %G %g %U %V`` —
-bridging them would diverge FROM the reference); ``%%`` immediately
-followed by another code letter (``%%Y``); strftime modifier arguments
-(``'+N days'`` etc.); and pre-1970 ``%s``/``unixepoch`` (floor vs
-euclidean division).
+Round 6 brings the datetime bridge to full SQLite fidelity on the
+modifier/time-value grammar (every rule below pinned empirically against
+sqlite 3.40 and property-fuzzed in ``test_dialect_modifiers.py`` /
+``test_dialect_fuzz.py``):
+
+  - **Modifier arguments** (``datetime(x, '+3 days', 'start of month')``):
+    ``±NNN days/hours/minutes/seconds/months/years`` (fractional and
+    e-notation values, SQLite's exact tokenizer: no leading space, at
+    least one space before the unit word, nothing after it, and the
+    per-unit float32 magnitude limits of date.c's aXformType), ``start
+    of day/month/year``, ``weekday N``, ``unixepoch``, ``julianday``.
+    Two execution paths, both exact and both fuzzed: a fully-LITERAL
+    call (base and modifiers) CONSTANT-FOLDS at translate time through a
+    Python model of SQLite's ms arithmetic; a COLUMN base folds into a
+    chain of JVM-side SQL macros over epoch-ms BIGINTs. Month / year
+    arithmetic reproduces SQLite's day-overflow roll
+    (``2001-01-31,'+1 month'`` → ``2001-03-03``), fractional months/years
+    convert to 30/365 days, ms rounding matches C's ``(i64)(r*k ± 0.5)``,
+    and julian-domain validity is checked exactly where SQLite checks it
+    (month/start-of/weekday inputs and every output — never on pure ms
+    shifts, whose intermediates may leave the domain and return). An
+    UNRECOGNIZED modifier folds the whole call to NULL — exactly SQLite
+    (this also covers 3.42's ``subsec``, which 3.40 NULLs).
+    ``localtime``/``utc``/``auto`` raise loudly instead (they need the
+    reference host's timezone, which Spark sessions don't share);
+    non-literal modifier expressions and >500-modifier calls raise too.
+  - **Time values**: SQLite's exact accepted set — strict
+    ``YYYY-MM-DD[ HH:MM[:SS[.frac]]]`` (strict 0-padding; ``T``
+    separator; optional trailing ``Z``; trailing whitespace ok, leading
+    not), time-only strings (date 2000-01-01), bare julian-day numbers
+    (``datetime(2460000.5)``) whether quoted or not, the literal
+    ``'now'`` (zero-argument calls default to it), and SQLite's exact
+    component validation (month 1-12, day 1-31, hour ≤24, minute ≤59,
+    second <60 — day overflow like ``'2023-02-31'`` rolls through the
+    calendar once any arithmetic happens). Anything else is NULL, never
+    an error — matching SQLite, and ANSI-safe (the pre-round-6 bridge
+    raised on unparseable strings under ANSI).
+
+Residual deltas (documented, not bridged): ``||`` on non-strings;
+``LIKE ... ESCAPE`` clauses (fall back to ``ILIKE``); strftime codes the
+reference-era SQLite (3.40) itself returns NULL for (``%e %u %k %l %I %T
+%R %F %p %P %G %g %U %V``); ``%%`` immediately followed by another code
+letter (``%%Y``); ``localtime``/``utc``/``auto`` modifiers (raise);
+numeric timezone offsets in time strings (``...+02:00``); results/inputs
+outside years 0001-9999 (SQLite spans -4713..9999; we render NULL there);
+single ms shifts beyond ±8e15 ms ≈ ±250k years NULL early (SQLite's own
+second/minute/hour limits run to ~14.7M years, values only ever visible
+through more NULLs); alphabetic literal characters in strftime format
+strings hit java.time pattern letters on the column path (the literal
+path refuses to fold and inherits the same delta);
+rendering of degenerate not-quite-real datetimes with NO modifier applied
+(SQLite echoes ``'2023-02-31'`` back verbatim from its raw-component
+cache; we normalize through the calendar, as SQLite itself does the
+moment any modifier or numeric conversion touches the value); and >3
+fractional-second digits in component renders (SQLite keeps the raw
+digits for plain ``datetime()`` rendering but rounds to ms for all
+arithmetic/numeric outputs; we round once at parse).
 Bridged codes: ``%Y %m %d %H %M %S %f %j %w %W %s %J %%`` plus ``time()``,
 ``date()``, ``datetime()``, ``julianday()``, ``unixepoch()`` — each
 property-tested against the stdlib sqlite3 engine, on SQLite's own
@@ -71,19 +120,20 @@ _FMT_MAP = (
 
 # Shared NTZ time expressions for the strftime/unixepoch macros. SQLite's
 # internal time representation is MILLISECONDS (iJD), so every input rounds
-# to the nearest millisecond before any code is rendered — '47.9999' is
-# second 48 to SQLite. All macros therefore run on the rounded timestamp.
+# to the nearest millisecond at parse — '47.9999' is second 48 to SQLite.
+# All parsing funnels through sqlite_ts(x) (defined below), which is the
+# bridge's single model of SQLite's time-value grammar: strict ISO,
+# time-only, julian-day numerics, millisecond rounding, NULL (never an
+# ANSI error) for anything else.
 _EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
-_US = f"timestampdiff(MICROSECOND, {_EPOCH}, to_timestamp_ntz(x))"
-_MS = f"cast(round({_US} / 1000.0) as bigint)"  # SQLite's iJD resolution
-_MUS = f"({_MS} * 1000)"  # millis-rounded micros
-_TSR = f"timestampadd(MICROSECOND, {_MUS}, {_EPOCH})"  # millis-rounded timestamp
-_EPOCH_SECONDS = f"cast(floor({_MUS} / 1000000.0) as bigint)"
+# ms-of-epoch of a (parsed, already ms-exact) timestamp parameter ``t`` —
+# the div is exact because sqlite_ts rounds to ms at parse
+_MS_T = f"(timestampdiff(MICROSECOND, {_EPOCH}, t) div 1000)"
 # Julian day BIT-IDENTICAL to SQLite: one double division of the integer
 # julian-epoch milliseconds (iJD = epoch-ms + 2440587.5 days of ms), exactly
 # the (double)iJD/86400000.0 SQLite computes — summing two rounded terms
 # instead would disagree in the last ulp.
-_JULIAN = f"(({_MS} + 210866760000000L) / 86400000.0d)"
+_JULIAN = f"(({_MS_T} + 210866760000000L) / 86400000.0d)"
 # SQLite prints %J with C's "%.16g": correctly-rounded 16 significant
 # digits, trailing zeros (then a bare trailing dot) stripped. Java's
 # format_string('%g') rounds the SHORTEST decimal repr half-up — off by one
@@ -104,49 +154,277 @@ _JULIAN_TEXT = (
 # wall-clock (tz-less strings are UTC; a trailing Z is dropped as offset
 # zero), and NTZ arithmetic makes each result IDENTICAL under any session
 # timezone — the session may belong to the caller, not this engine.
+# SQLite time-value gates, written at the SQL-string-literal level (Spark's
+# parser processes one escape level, so \\d in the SQL text is regex \d).
+# ISO: strict 0-padded YYYY-MM-DD, optional ' '/'T' time, optional trailing
+# Z (whitespace before/after the Z ok, leading whitespace NOT — pinned
+# against sqlite 3.40). Time-only: HH:MM[:SS[.frac]] (date 2000-01-01).
+# Numeric: julian day number, leading/trailing whitespace tolerated.
+_ISO_GATE = r"'^\\d{4}-\\d{2}-\\d{2}([ T]\\d{2}:\\d{2}(:\\d{2}(\\.\\d+)?)?)?\\s*[Zz]?\\s*$'"
+_ISO_STRIP = r"'\\s*[Zz]?\\s*$'"
+_TIME_GATE = r"'^\\d{2}:\\d{2}(:\\d{2}(\\.\\d+)?)?\\s*$'"
+_NUM_GATE = r"'^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$'"
+
+# Component accessors over the stripped ISO body (fixed offsets — the gate
+# regex guarantees digit positions): Y 1-4, M 6-7, D 9-10, H 12-13,
+# Mi 15-16, seconds (with fraction) from 18. Missing components are ''.
+# julian-domain validity windows over the ms value: SQLite's
+# validJulianDay shifted to epoch-ms; _MSRENDER additionally floors at
+# 0001-01-01 for date_format-ability (pre-0001 render is a documented
+# residual). The _TS variants lift a VALID ms value back to a timestamp.
+_MSVALID = (
+    "(CASE WHEN v BETWEEN -210866760000000L AND 253402300799999L"
+    " THEN v END)"
+)
+_MSVALID_TS = (
+    f"timestampadd(MICROSECOND, {_MSVALID} * 1000, "
+    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+)
+_MSRENDER_TS = (
+    "timestampadd(MICROSECOND, (CASE WHEN v BETWEEN -62135596800000L"
+    " AND 253402300799999L THEN v END) * 1000, "
+    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+)
+
+_Y = "cast(substring(x, 1, 4) as int)"
+_MO = "cast(substring(x, 6, 2) as int)"
+_D = "cast(substring(x, 9, 2) as int)"
+_H = "coalesce(cast(nullif(substring(x, 12, 2), '') as int), 0)"
+_MI = "coalesce(cast(nullif(substring(x, 15, 2), '') as int), 0)"
+_SEC = "coalesce(cast(nullif(substring(x, 18), '') as double), 0.0d)"
+
 _SQL_FUNCTIONS = [
-    # time('2023-07-27T20:30:00.000Z') -> '20:30:00'
+    # Strict ISO body (Z/trailing-space already stripped) -> timestamp.
+    # SQLite's exact component validation (date.c parseYyyyMmDd /
+    # parseHhMmSs): month 1-12, day 1-31 (Feb 31 is VALID and rolls
+    # through the calendar — reproduced by make_date(y, m, 1) + (d-1)
+    # days), hour <=24, minute <=59, second <60; seconds round to SQLite's
+    # millisecond iJD resolution, C-style half away from zero.
     f"""
+    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_ts_iso(x STRING)
+    RETURNS TIMESTAMP_NTZ
+    RETURN CASE WHEN {_Y} >= 1 AND {_MO} BETWEEN 1 AND 12
+                 AND {_D} BETWEEN 1 AND 31 AND {_H} <= 24
+                 AND {_MI} <= 59 AND {_SEC} < 60.0d
+           THEN timestampadd(
+               MICROSECOND,
+               (({_H} * 3600 + {_MI} * 60) * 1000
+                + cast(round({_SEC} * 1000.0d) as bigint)) * 1000,
+               cast(date_add(make_date({_Y}, {_MO}, 1), {_D} - 1)
+                    as timestamp_ntz))
+           END
+    """,
+    # THE time-value parser: SQLite's accepted grammar, NULL for the rest.
+    # A bare number (quoted or not — SQLite treats '2460000.5' the same as
+    # 2460000.5) is a julian day; gated to years 0001-9999 (documented
+    # residual: SQLite itself spans back to -4713) and converted on
+    # SQLite's own iJD arithmetic: round(jd * 86400000) ms, C half-up.
+    f"""
+    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_ts(x STRING)
+    RETURNS TIMESTAMP_NTZ
+    RETURN CASE
+        WHEN x IS NULL THEN NULL
+        WHEN x RLIKE {_ISO_GATE}
+            THEN sqlite_ts_iso(regexp_replace(x, {_ISO_STRIP}, ''))
+        WHEN x RLIKE {_TIME_GATE}
+            THEN sqlite_ts_iso(concat('2000-01-01 ', trim(x)))
+        WHEN trim(x) RLIKE {_NUM_GATE} THEN
+            CASE WHEN cast(trim(x) as double)
+                      BETWEEN 1721425.5d AND 5373484.5d
+                 THEN timestampadd(
+                     MICROSECOND,
+                     (cast(round(cast(trim(x) as double) * 86400000.0d)
+                           as bigint) - 210866760000000L) * 1000,
+                     {_EPOCH})
+            END
+        END
+    """,
+    # --- modifier macros ---------------------------------------------
+    # translate_where folds literal modifiers into chains of these. The
+    # chain value is EPOCH-MILLISECONDS as a nullable BIGINT — exactly
+    # SQLite's internal iJD representation (shifted by the epoch offset).
+    # Representation choice is load-bearing: SQL-UDF inlining substitutes
+    # the argument expression once PER REFERENCE, so chain depth
+    # multiplies the analyzed tree by each macro's reference count. In
+    # ms-space a day/hour/minute/second shift is a plain `+` (multiplier
+    # 1 — it is not even a function), start-of/weekday are ~3, months ~7;
+    # the earlier timestamp-space design hit ~20 per month level and an
+    # analyzer heap OOM on 3-deep chains.
+    #
+    # SQLite's validity model, pinned empirically: per-unit float32
+    # VALUE limits at each modifier (aXformType.rLimit — enforced at
+    # fold time); julian-domain validity (validJulianDay: iJD in
+    # [0, 464269060799999] ms) checked ONLY where computeYMD runs — at
+    # month/start-of/weekday modifiers (on their INPUT) and at every
+    # output — never on pure ms shifts, whose intermediates may wander
+    # out of range and come back ('9999-12-31','+1 day','-2 days' is
+    # 9999-12-30, while '+3000000 days','start of month' is NULL).
+    # The _MSVALID gate below is that check, epoch-shifted; renders
+    # additionally need year >= 1 for date_format (pre-0001 output is a
+    # documented residual).
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_msparse(x STRING)
+    RETURNS BIGINT
+    RETURN (timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',
+                          sqlite_ts(x)) div 1000)
+    """,
+    # months shift: SQLite keeps D and lets the calendar roll day
+    # overflow ('2001-01-31','+1 month' -> '2001-03-03') — reproduced by
+    # make_date(y2, m2, 1) + (D-1) days; time-of-day carries over. The
+    # parts helper duplicates only scalar ints.
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_msmod_months_p(
+        tot INT, d INT, tod BIGINT)
+    RETURNS BIGINT
+    RETURN CASE WHEN (tot div 12) BETWEEN 1 AND 9999 AND tot >= 0
+           THEN (timestampdiff(
+               MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',
+               cast(date_add(make_date(tot div 12, pmod(tot, 12) + 1, 1),
+                             d - 1) as timestamp_ntz)) div 1000) + tod
+           END
+    """,
+    f"""
+    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_msmod_months_g(
+        t TIMESTAMP_NTZ, n INT)
+    RETURNS BIGINT
+    RETURN sqlite_msmod_months_p(
+        year(t) * 12 + month(t) - 1 + n, day(t),
+        (timestampdiff(MICROSECOND, date_trunc('DAY', t), t) div 1000))
+    """,
+    f"""
+    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_msmod_months(v BIGINT,
+                                                             n INT)
+    RETURNS BIGINT
+    RETURN sqlite_msmod_months_g({_MSVALID_TS}, n)
+    """,
+    f"""
+    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_msmod_sod(v BIGINT)
+    RETURNS BIGINT
+    RETURN (timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',
+                          date_trunc('DAY', {_MSVALID_TS})) div 1000)
+    """,
+    f"""
+    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_msmod_som(v BIGINT)
+    RETURNS BIGINT
+    RETURN (timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',
+                          date_trunc('MONTH', {_MSVALID_TS})) div 1000)
+    """,
+    f"""
+    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_msmod_soy(v BIGINT)
+    RETURNS BIGINT
+    RETURN (timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',
+                          date_trunc('YEAR', {_MSVALID_TS})) div 1000)
+    """,
+    # 'weekday N': advance 0-6 days forward to the next date whose
+    # weekday (Sunday=0) is N; time-of-day unchanged (a plain ms add —
+    # dayofweek() is Sunday=1).
+    f"""
+    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_msmod_weekday(v BIGINT,
+                                                              n INT)
+    RETURNS BIGINT
+    RETURN v + 86400000L * pmod(n - (dayofweek({_MSVALID_TS}) - 1), 7)
+    """,
+    # 'unixepoch' modifier: the base value must be a bare number (SQLite
+    # NULLs everything else — including column values row-by-row, which
+    # this runtime gate reproduces); seconds -> ms with C rounding. The
+    # magnitude bound keeps the cast exact; beyond it every output is
+    # NULL in SQLite too (outside the julian domain).
+    f"""
+    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_ms_unixepoch(x STRING)
+    RETURNS BIGINT
+    RETURN CASE WHEN trim(x) RLIKE {_NUM_GATE} THEN
+        CASE WHEN abs(cast(trim(x) as double)) <= 300000000000.0d
+             THEN cast(round(cast(trim(x) as double) * 1000.0d) as bigint)
+        END END
+    """,
+    # 'now': SQLite's current UTC wall-clock, whatever the session tz is.
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_ms_now()
+    RETURNS BIGINT
+    RETURN (timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',
+            convert_timezone(current_timezone(), 'UTC', localtimestamp()))
+            div 1000)
+    """,
+    # --- top renders / numeric extractors ----------------------------
+    f"""
+    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_msfmt_t(v BIGINT)
+    RETURNS STRING
+    RETURN date_format({_MSRENDER_TS}, 'HH:mm:ss')
+    """,
+    f"""
+    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_msfmt_d(v BIGINT)
+    RETURNS STRING
+    RETURN date_format({_MSRENDER_TS}, 'yyyy-MM-dd')
+    """,
+    f"""
+    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_msfmt_dt(v BIGINT)
+    RETURNS STRING
+    RETURN date_format({_MSRENDER_TS}, 'yyyy-MM-dd HH:mm:ss')
+    """,
+    # numeric outputs validate the full julian domain (no year-1 floor:
+    # julianday('0001-01-10','-20 days') is a number in SQLite)
+    f"""
+    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_msue(v BIGINT)
+    RETURNS BIGINT
+    RETURN cast(floor({_MSVALID} / 1000.0) as bigint)
+    """,
+    f"""
+    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_msjd(v BIGINT)
+    RETURNS DOUBLE
+    RETURN (({_MSVALID} + 210866760000000L) / 86400000.0d)
+    """,
+    # --- the SQLite-named entry points (string time value in) --------
+    # time('2023-07-27T20:30:00.000Z') -> '20:30:00'
+    """
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_time(x STRING)
     RETURNS STRING
-    RETURN date_format({_TSR}, 'HH:mm:ss')
+    RETURN sqlite_msfmt_t(sqlite_msparse(x))
     """,
-    # date(x) -> 'YYYY-MM-DD'
-    f"""
+    """
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_date(x STRING)
     RETURNS STRING
-    RETURN date_format({_TSR}, 'yyyy-MM-dd')
+    RETURN sqlite_msfmt_d(sqlite_msparse(x))
     """,
-    # datetime(x) -> 'YYYY-MM-DD HH:MM:SS'
-    f"""
+    """
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_datetime(x STRING)
     RETURNS STRING
-    RETURN date_format({_TSR}, 'yyyy-MM-dd HH:mm:ss')
+    RETURN sqlite_msfmt_dt(sqlite_msparse(x))
     """,
-    # unixepoch(x) -> integer epoch seconds (floor of the millis-rounded time)
-    f"""
+    """
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_unixepoch(x STRING)
     RETURNS BIGINT
-    RETURN {_EPOCH_SECONDS}
+    RETURN sqlite_msue(sqlite_msparse(x))
     """,
     # strftime('%m', x) -> '07'; format translated inline, stays JVM-side.
     # %w/%W/%s/%J have no java.time code: their computed values are
     # substituted into the pattern first (unquoted digits, '.' and '-' are
     # literals to date_format).
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_strftime_ts(
+        fmt STRING, t TIMESTAMP_NTZ)
+    RETURNS STRING
+    RETURN CASE WHEN year(t) BETWEEN 1 AND 9999 THEN date_format(
+        t,
+        {chain}
+    ) END
+    """,
     f"""
+    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_msstrftime(fmt STRING,
+                                                           v BIGINT)
+    RETURNS STRING
+    RETURN sqlite_strftime_ts(fmt, {_MSVALID_TS})
+    """,
+    """
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_strftime(fmt STRING, x STRING)
     RETURNS STRING
-    RETURN date_format(
-        {_TSR},
-        {{chain}}
-    )
+    RETURN sqlite_msstrftime(fmt, sqlite_msparse(x))
     """,
     # julianday(x): days since noon UTC, 24 Nov 4714 BC = epoch-days +
     # the epoch's own Julian day number, millis-rounded like SQLite's iJD
-    f"""
+    """
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_julianday(x STRING)
     RETURNS DOUBLE
-    RETURN {_JULIAN}
+    RETURN sqlite_msjd(sqlite_msparse(x))
     """,
     # GLOB pattern -> anchored Java regex: escape regex metachars that GLOB
     # treats literally, then * -> .* and ? -> . ([...] classes pass through —
@@ -262,11 +540,11 @@ def _fmt_translation_expr() -> str:
     subs = (
         (
             "%W",
-            f"lpad(cast((dayofyear({_TSR}) - 1 + 7"
-            f" - weekday({_TSR})) div 7 as string), 2, '0')",
+            "lpad(cast((dayofyear(t) - 1 + 7"
+            " - weekday(t)) div 7 as string), 2, '0')",
         ),
-        ("%w", f"cast(dayofweek({_TSR}) - 1 as string)"),
-        ("%s", f"cast({_EPOCH_SECONDS} as string)"),
+        ("%w", "cast(dayofweek(t) - 1 as string)"),
+        ("%s", f"cast(cast(floor({_MS_T} / 1000.0) as bigint) as string)"),
         ("%J", _JULIAN_TEXT),
     )
     expr = "fmt"
@@ -281,6 +559,477 @@ def register_sqlite_functions(spark: SparkSession) -> None:
     """Register SQLite-compatible scalar SQL functions (idempotent)."""
     for stmt in _SQL_FUNCTIONS:
         spark.sql(stmt.format(chain=_fmt_translation_expr()) if "{chain}" in stmt else stmt)
+
+
+# --- SQLite datetime-modifier folding (translate time) -------------------
+# SQLite's modifier tokenizer, pinned against 3.40: a signed (or bare)
+# number — fractional and e-notation ok — then >=1 space, then the unit
+# word with optional 's', nothing after; 'start of X' with single spaces
+# and no padding; 'weekday N' tolerating trailing (not leading) space;
+# 'unixepoch'/'julianday' exact. Anything else is an unrecognized modifier
+# and NULLs the whole call, exactly like SQLite.
+_MOD_NUM = re.compile(
+    r"(?i)^([+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)"
+    r"\s+(day|hour|minute|second|month|year)s?$"
+)
+_MOD_START = re.compile(r"(?i)^start of (day|month|year)$")
+_MOD_WEEKDAY = re.compile(r"(?i)^weekday\s+(\d+)\s*$")
+_MOD_TZ = re.compile(r"(?i)^(localtime|utc|auto)$")
+_BARE_NUMBER = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+
+_UNIT_MS = {"day": 86400000.0, "hour": 3600000.0, "minute": 60000.0,
+            "second": 1000.0}
+# SQLite's per-unit magnitude limits on the modifier VALUE (date.c
+# aXformType.rLimit — stored as C floats, so the effective bound is the
+# float32 rounding of these constants; |r| must be strictly below it or
+# the modifier is treated as unrecognized -> NULL)
+_f32 = __import__("struct")
+_UNIT_LIMIT = {
+    u: _f32.unpack("f", _f32.pack("f", v))[0]
+    for u, v in (("second", 4.6427e14), ("minute", 7.7379e12),
+                 ("hour", 1.2897e11), ("day", 5373485.0),
+                 ("month", 176546.0), ("year", 14713.0))
+}
+# engine-safety cap on a single emitted shift (~250k years in ms): keeps
+# every intermediate inside the tsafe window so overflow is NULL, never an
+# ANSI error. SQLite's second/minute/hour limits allow values up to ~14.7M
+# years that only ever surface as NULL at any output — documented residual.
+_MAX_SHIFT_MS = 8 * 10**15
+_NULL_TYPE = {"julianday": "double", "unixepoch": "bigint"}
+# top-of-chain render/extract per function (chains live in timestamp space)
+_TS_RENDER = {
+    "datetime": "sqlite_msfmt_dt",
+    "date": "sqlite_msfmt_d",
+    "time": "sqlite_msfmt_t",
+    "julianday": "sqlite_msjd",
+    "unixepoch": "sqlite_msue",
+}
+
+
+def _c_round(v: float) -> int:
+    """C's ``(sqlite3_int64)(v + (v<0 ? -0.5 : +0.5))`` — round half away
+    from zero, then truncate toward zero (date.c's ms conversion)."""
+    return int(v + 0.5) if v >= 0 else int(v - 0.5)
+
+
+# --- Python constant evaluator (literal time values) ---------------------
+# When the base time value AND all modifiers are literals — the
+# overwhelmingly common case in WHERE clauses — the whole call folds to a
+# CONSTANT at translate time. This is not just an optimization: SQL-UDF
+# inlining duplicates argument expressions per reference, so deep literal
+# chains (datetime('x','+1 month','+1 month','+1 month')) would otherwise
+# cost the analyzer dearly. The model below mirrors the ms-space macros
+# exactly (same gates, same C rounding, same julian-domain checks); the
+# SQL macros remain the execution path for COLUMN time values and are
+# property-tested against sqlite3 through real column filters.
+
+_MS_VALID_LO, _MS_VALID_HI = -210866760000000, 253402300799999
+_MS_RENDER_LO = -62135596800000  # 0001-01-01 00:00:00
+_PY_ISO = re.compile(
+    r"^(\d{4})-(\d{2})-(\d{2})"
+    r"([ T](\d{2}):(\d{2})(:(\d{2}(?:\.\d+)?))?)?\s*[Zz]?\s*$"
+)
+_PY_TIME = re.compile(r"^(\d{2}):(\d{2})(:(\d{2}(?:\.\d+)?))?\s*$")
+_DAY_MS = 86400000
+
+
+def _days_from_civil(y: int, m: int, d: int) -> int:
+    """Proleptic-Gregorian days since 1970-01-01 (Hinnant's civil
+    algorithm with Python floor division; valid for any year)."""
+    y -= 1 if m <= 2 else 0
+    era = y // 400
+    yoe = y - era * 400
+    mp = m - 3 if m > 2 else m + 9
+    doy = (153 * mp + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
+def _civil_from_days(z: int) -> tuple[int, int, int]:
+    z += 719468
+    era = z // 146097
+    doe = z - era * 146097
+    yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+    mp = (5 * doy + 2) // 153
+    d = doy - (153 * mp + 2) // 5 + 1
+    m = mp + 3 if mp < 10 else mp - 9
+    return y + (1 if m <= 2 else 0), m, d
+
+
+def _py_parse(txt: str) -> int | None:
+    """sqlite_ts in Python: literal time value -> epoch ms (or None)."""
+    m = _PY_ISO.match(txt)
+    if m:
+        y, mo, d = int(m.group(1)), int(m.group(2)), int(m.group(3))
+        h = int(m.group(5)) if m.group(5) else 0
+        mi = int(m.group(6)) if m.group(6) else 0
+        s = float(m.group(8)) if m.group(8) else 0.0
+        if not (y >= 1 and 1 <= mo <= 12 and 1 <= d <= 31
+                and h <= 24 and mi <= 59 and s < 60.0):
+            return None
+        days = _days_from_civil(y, mo, 1) + (d - 1)  # Feb-31 rolls
+        return days * _DAY_MS + (h * 3600 + mi * 60) * 1000 + _c_round(s * 1000.0)
+    m = _PY_TIME.match(txt)
+    if m:
+        return _py_parse("2000-01-01 " + txt.strip())
+    t = txt.strip()
+    if _BARE_NUMBER.match(t):
+        jd = float(t)
+        if 1721425.5 <= jd <= 5373484.5:
+            return _c_round(jd * 86400000.0) - 210866760000000
+    return None
+
+
+def _py_modify(v: int | None, mod: str) -> int | None:
+    """One modifier in ms space; None = NULL (mirrors _fold_modifier)."""
+    if v is None:
+        return None
+    m = _MOD_NUM.match(mod)
+    if m:
+        r, unit = float(m.group(1)), m.group(2).lower()
+        if not (-_UNIT_LIMIT[unit] < r < _UNIT_LIMIT[unit]):
+            return None
+        if unit in _UNIT_MS:
+            d = _c_round(r * _UNIT_MS[unit])
+            return v + d if abs(d) <= _MAX_SHIFT_MS else None
+        months = int(r) if unit == "month" else int(r) * 12
+        frac = r - int(r)
+        if months:
+            if not (_MS_VALID_LO <= v <= _MS_VALID_HI):
+                return None
+            y, mo, d = _civil_from_days(v // _DAY_MS)
+            tot = y * 12 + mo - 1 + months
+            if not (tot >= 0 and 1 <= tot // 12 <= 9999):
+                return None
+            days = _days_from_civil(tot // 12, tot % 12 + 1, 1) + (d - 1)
+            v = days * _DAY_MS + v % _DAY_MS
+        if frac:
+            per_day = 30.0 if unit == "month" else 365.0
+            v += _c_round(frac * per_day * 86400000.0)
+        return v
+    m = _MOD_START.match(mod)
+    if m:
+        if not (_MS_VALID_LO <= v <= _MS_VALID_HI):
+            return None
+        unit = m.group(1).lower()
+        if unit == "day":
+            return (v // _DAY_MS) * _DAY_MS
+        y, mo, _d = _civil_from_days(v // _DAY_MS)
+        if unit == "month":
+            return _days_from_civil(y, mo, 1) * _DAY_MS
+        return _days_from_civil(y, 1, 1) * _DAY_MS
+    m = _MOD_WEEKDAY.match(mod)
+    if m:
+        n = int(m.group(1))
+        if n > 6 or not (_MS_VALID_LO <= v <= _MS_VALID_HI):
+            return None
+        wd = (v // _DAY_MS + 4) % 7  # 1970-01-01 was Thursday (=4)
+        return v + _DAY_MS * ((n - wd) % 7)
+    # unrecognized (incl. 'unixepoch'/'julianday' past position 0, which
+    # the caller consumes when legal): SQLite NULLs the whole call
+    return None
+
+
+_STRFTIME_CODES = set("YmdHMSfjwWsJ%")
+
+
+def _py_strftime(fmt: str, v: int) -> str | None:
+    """Exact sqlite strftime over the bridged code set; returns None when
+    the format needs the SQL path (alphabetic literals would hit the SQL
+    path's java-pattern delta — keep both paths agreeing by not folding)."""
+    if not (_MS_RENDER_LO <= v <= _MS_VALID_HI):
+        return None
+    days, ms_of_day = v // _DAY_MS, v % _DAY_MS
+    y, mo, d = _civil_from_days(days)
+    h, rem = ms_of_day // 3600000, ms_of_day % 3600000
+    mi, rem = rem // 60000, rem % 60000
+    sec, ms = rem // 1000, rem % 1000
+    doy = days - _days_from_civil(y, 1, 1) + 1
+    wd = (days + 4) % 7
+    out = []
+    i, n = 0, len(fmt)
+    while i < n:
+        c = fmt[i]
+        if c != "%":
+            if c.isalpha() or c == "'":
+                return None  # SQL path (documented java-literal delta)
+            out.append(c)
+            i += 1
+            continue
+        if i + 1 >= n:
+            return None
+        code = fmt[i + 1]
+        i += 2
+        if code == "Y":
+            out.append(f"{y:04d}")
+        elif code == "m":
+            out.append(f"{mo:02d}")
+        elif code == "d":
+            out.append(f"{d:02d}")
+        elif code == "H":
+            out.append(f"{h:02d}")
+        elif code == "M":
+            out.append(f"{mi:02d}")
+        elif code == "S":
+            out.append(f"{sec:02d}")
+        elif code == "f":
+            out.append(f"{sec:02d}.{ms:03d}")
+        elif code == "j":
+            out.append(f"{doy:03d}")
+        elif code == "w":
+            out.append(str(wd))
+        elif code == "W":
+            out.append(f"{(doy - 1 + 7 - (wd + 6) % 7) // 7:02d}")
+        elif code == "s":
+            out.append(str(v // 1000))  # floor
+        elif code == "J":
+            out.append(f"{(v + 210866760000000) / 86400000.0:.16g}")
+        elif code == "%":
+            out.append("%")
+        else:
+            return None  # un-bridged code: SQL path decides
+    return "".join(out)
+
+
+def _sql_string_literal(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def _py_render(fname: str, v: int | None, fmt: str | None):
+    """Render the folded ms value as a SQL literal; None = unfoldable."""
+    null = f"cast(null as {_NULL_TYPE.get(fname, 'string')})"
+    if v is None:
+        return null
+    if fname == "julianday":
+        if not (_MS_VALID_LO <= v <= _MS_VALID_HI):
+            return null
+        return repr((v + 210866760000000) / 86400000.0) + "d"
+    if fname == "unixepoch":
+        if not (_MS_VALID_LO <= v <= _MS_VALID_HI):
+            return null
+        return f"{v // 1000}L"
+    if fname == "strftime":
+        rendered = _py_strftime(fmt, v)
+        return None if rendered is None else _sql_string_literal(rendered)
+    if not (_MS_RENDER_LO <= v <= _MS_VALID_HI):
+        return null
+    y, mo, d = _civil_from_days(v // _DAY_MS)
+    ms_of_day = v % _DAY_MS
+    h, rem = ms_of_day // 3600000, ms_of_day % 3600000
+    mi, sec = rem // 60000, rem % 60000 // 1000
+    date_s, time_s = f"{y:04d}-{mo:02d}-{d:02d}", f"{h:02d}:{mi:02d}:{sec:02d}"
+    if fname == "time":
+        return _sql_string_literal(time_s)
+    if fname == "date":
+        return _sql_string_literal(date_s)
+    return _sql_string_literal(f"{date_s} {time_s}")
+
+
+def _py_fold_call(fname, base_lit, mod_lits, fmt_lit):
+    """Constant-fold a fully-literal call; None = not foldable here."""
+    mods = list(mod_lits)
+    if mods and mods[0].lower() == "unixepoch":
+        t = base_lit.strip()
+        if not _BARE_NUMBER.match(t):
+            return _py_render(fname, None, fmt_lit)
+        sec = float(t)
+        v = _c_round(sec * 1000.0) if abs(sec) <= 3e11 else None
+        mods = mods[1:]
+    else:
+        v = _py_parse(base_lit)
+        if mods and mods[0].lower() == "julianday":
+            if not (_BARE_NUMBER.match(base_lit.strip())):
+                return _py_render(fname, None, fmt_lit)
+            mods = mods[1:]
+    for mod in mods:
+        if _MOD_TZ.match(mod):
+            return None  # let the chain path raise the loud error
+        v = _py_modify(v, mod)
+        if v is None:
+            return _py_render(fname, None, fmt_lit)
+    return _py_render(fname, v, fmt_lit)
+
+
+def _match_paren(s: str, open_ix: int) -> int | None:
+    """Index of the ')' closing the '(' at ``open_ix``, skipping quoted
+    spans; None if unbalanced."""
+    depth, i, n = 0, open_ix, len(s)
+    while i < n:
+        c = s[i]
+        if c in "'\"":
+            i = _scan_quoted(s, i, c) + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return None
+
+
+def _split_top_level(inner: str) -> list[str]:
+    """Split a call's argument text on top-level commas (quote- and
+    paren-aware). Empty/whitespace text -> []."""
+    if not inner.strip():
+        return []
+    args, start, depth, i, n = [], 0, 0, 0, len(inner)
+    while i < n:
+        c = inner[i]
+        if c in "'\"":
+            i = _scan_quoted(inner, i, c) + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            args.append(inner[start:i])
+            start = i + 1
+        i += 1
+    args.append(inner[start:])
+    return args
+
+
+def _decode_literal(raw: str) -> str | None:
+    """Decoded body when ``raw`` is exactly one single-quoted string
+    literal (modulo surrounding whitespace); else None."""
+    s = raw.strip()
+    if not s.startswith("'"):
+        return None
+    end = _scan_quoted(s, 0, "'")
+    if end != len(s) - 1 or s[end] != "'":
+        return None
+    return s[1:end].replace("''", "'")
+
+
+def _fold_modifier(expr: str, mod: str, first: bool, base_is_number: bool):
+    """Wrap ``expr`` (a TIMESTAMP_NTZ SQL expression) in the macro chain
+    for one literal modifier. Returns the new expression, or None when
+    SQLite would NULL the whole call. ('unixepoch' is consumed by the
+    caller before the chain starts — it changes how the BASE parses.)"""
+    m = _MOD_NUM.match(mod)
+    if m:
+        r, unit = float(m.group(1)), m.group(2).lower()
+        if not (-_UNIT_LIMIT[unit] < r < _UNIT_LIMIT[unit]):
+            return None  # SQLite's rLimit check: out-of-bound value -> NULL
+        if unit in _UNIT_MS:
+            d = _c_round(r * _UNIT_MS[unit])
+            if abs(d) > _MAX_SHIFT_MS:
+                return None
+            return f"({expr} + {d}L)" if d >= 0 else f"({expr} - {-d}L)"
+        months = int(r) if unit == "month" else int(r) * 12
+        frac = r - int(r)
+        if months:
+            expr = f"sqlite_msmod_months({expr}, {months})"
+        if frac:
+            per_day = 30.0 if unit == "month" else 365.0
+            d = _c_round(frac * per_day * 86400000.0)
+            expr = f"({expr} + {d}L)" if d >= 0 else f"({expr} - {-d}L)"
+        return expr
+    m = _MOD_START.match(mod)
+    if m:
+        return f"sqlite_msmod_so{m.group(1)[0].lower()}({expr})"
+    m = _MOD_WEEKDAY.match(mod)
+    if m:
+        n = int(m.group(1))
+        return f"sqlite_msmod_weekday({expr}, {n})" if n <= 6 else None
+    low = mod.lower()
+    if low == "unixepoch":
+        # valid only as the FIRST modifier (handled by the caller there)
+        return None
+    if low == "julianday":
+        # asserts the default interpretation of a bare-number value; a
+        # no-op there, NULL anywhere else
+        return expr if first and base_is_number else None
+    if _MOD_TZ.match(mod):
+        raise ValueError(
+            f"SQLite datetime modifier {mod!r} is not bridged: it depends "
+            "on the reference host's local timezone, which a Spark session "
+            "does not share (documented dialect delta)"
+        )
+    return None
+
+
+def _rewrite_datetime_call(fname, args):
+    """Fold a datetime-function call with modifier arguments (or a 'now' /
+    zero-argument / bare-number time value) into macro-chain SQL. Returns
+    None for plain one-time-value calls — the caller keeps its minimal
+    fast path for those."""
+    base_ix = 1 if fname == "strftime" else 0
+    base_raw = args[base_ix] if len(args) > base_ix else None
+    mods = args[base_ix + 1 :]
+    base_lit = _decode_literal(base_raw) if base_raw is not None else None
+    base_is_number = base_raw is not None and bool(
+        _BARE_NUMBER.match(base_raw.strip())
+        or (base_lit is not None and _BARE_NUMBER.match(base_lit.strip()))
+    )
+    is_now = base_raw is None or (
+        base_lit is not None and base_lit.lower() == "now"
+    )
+    if not (mods or is_now or base_is_number):
+        return None
+    if fname == "strftime" and not args:
+        return None  # malformed; let Spark report the arity error
+
+    def null_result():
+        return f"cast(null as {_NULL_TYPE.get(fname, 'string')})"
+
+    if len(mods) > 500:
+        raise ValueError(
+            "more than 500 datetime modifiers in one call — refusing "
+            "(bounded to keep ms arithmetic overflow-free)"
+        )
+    # decode modifier literals up front (raising on computed expressions)
+    mod_lits = []
+    for raw in mods:
+        lit = _decode_literal(raw)
+        if lit is None:
+            raise ValueError(
+                "SQLite datetime modifiers must be string literals in the "
+                f"WHERE clause (got {raw.strip()!r}); computed modifier "
+                "expressions are a documented dialect delta"
+            )
+        mod_lits.append(lit)
+
+    # the chain bottom: parse the base time value ONCE into timestamp
+    # space ('unixepoch' as the first modifier switches how it parses —
+    # epoch seconds instead of ISO/julian; 'now' parses as nothing)
+    # fully-literal calls fold to a constant right here (see the Python
+    # evaluator above); anything it can't fold falls through to the
+    # SQL-macro chain
+    if not is_now and (base_lit is not None or base_is_number):
+        base_txt = base_lit if base_lit is not None else base_raw.strip()
+        fmt_lit = _decode_literal(args[0]) if fname == "strftime" else None
+        if fname != "strftime" or fmt_lit is not None:
+            folded = _py_fold_call(fname, base_txt, mod_lits, fmt_lit)
+            if folded is not None:
+                return folded
+
+    raw_base = True  # 'julianday' is a no-op only right after a raw number
+    if mod_lits and mod_lits[0].lower() == "unixepoch":
+        mod_lits = mod_lits[1:]
+        raw_base = False
+        if is_now:  # 'now' is not a bare number: SQLite NULLs this
+            return null_result()
+        expr = f"sqlite_ms_unixepoch(cast(({translate_where(base_raw)}) as string))"
+    elif is_now:
+        expr = "sqlite_ms_now()"
+    else:
+        # cast: bare numerics (julian day numbers) arrive as Spark
+        # numeric literals; the parser takes the interchange string
+        expr = f"sqlite_msparse(cast(({translate_where(base_raw)}) as string))"
+    for k, lit in enumerate(mod_lits):
+        folded = _fold_modifier(expr, lit, k == 0 and raw_base, base_is_number)
+        if folded is None:  # unrecognized/invalid modifier -> SQLite NULLs
+            return null_result()
+        expr = folded
+    if fname == "strftime":
+        return f"sqlite_msstrftime({translate_where(args[0])}, {expr})"
+    return f"{_TS_RENDER[fname]}({expr})"
 
 
 def translate_where(where: str) -> str:
@@ -375,8 +1124,24 @@ def translate_where(where: str) -> str:
             continue
         m = _RENAMED_FUNCS.match(where[i:])
         if m and boundary_ok:
-            out.append(f"sqlite_{m.group(1).lower()}(")
-            i += m.end()
+            fname = m.group(1).lower()
+            open_paren = i + m.end() - 1  # the match ends on '('
+            close = _match_paren(where, open_paren)
+            rewritten = (
+                None
+                if close is None
+                else _rewrite_datetime_call(
+                    fname, _split_top_level(where[open_paren + 1 : close])
+                )
+            )
+            if rewritten is None:
+                # plain single-time-value call: keep the minimal fast path
+                # (rename; the main loop translates the argument text)
+                out.append(f"sqlite_{fname}(")
+                i += m.end()
+                continue
+            out.append(rewritten)
+            i = close + 1
             continue
         out.append(ch)
         i += 1

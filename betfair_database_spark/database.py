@@ -40,7 +40,12 @@ from betfair_database_spark.session import get_spark
 class BetfairDatabase:
     """Directory-backed market database with a Parquet index."""
 
-    def __init__(self, database_dir: str | Path, spark: SparkSession | None = None):
+    def __init__(
+        self,
+        database_dir: str | Path,
+        spark: SparkSession | None = None,
+        retain_snapshots: int = 1,
+    ):
         self.database_dir = Path(database_dir)
         if not self.database_dir.exists():
             raise DatabaseDirectoryError(f"'{database_dir}' does not exist.")
@@ -49,6 +54,16 @@ class BetfairDatabase:
         self.spark = spark or get_spark()
         self._index_path = self.database_dir / INDEX_DIRNAME
         self.last_counters: Counters | None = None
+        # Snapshot retention (Delta-style time travel over the versioned
+        # manifest protocol): every commit also records its manifest under
+        # _snapshots/v{N}.json; maintenance reaps only part-files that NO
+        # retained snapshot references. retain_snapshots=1 keeps just the
+        # live snapshot (storage behavior identical to a plain index);
+        # higher values make select(version=...) able to read back that
+        # many committed states until vacuum() prunes them.
+        if retain_snapshots < 1:
+            raise ValueError("retain_snapshots must be >= 1")
+        self.retain_snapshots = retain_snapshots
 
     # ------------------------------------------------------------------ build
 
@@ -112,9 +127,14 @@ class BetfairDatabase:
         columns: list[str] | None = None,
         where: str | None = None,
         limit: int | None = None,
+        version: int | None = None,
     ) -> DataFrame:
-        """DataFrame-returning select — the native query surface."""
-        df = self._read_index()
+        """DataFrame-returning select — the native query surface.
+
+        ``version`` time-travels to an earlier committed snapshot (see
+        ``snapshots()``); requires the database to have been maintained
+        with ``retain_snapshots`` > 1 so the files still exist."""
+        df = self._read_index(version=version)
         df.createOrReplaceTempView(SQL_TABLE_NAME)
         register_sqlite_functions(self.spark)
         cols = ",".join(columns) if columns else ",".join(SQL_TABLE_COLUMNS)
@@ -131,13 +151,70 @@ class BetfairDatabase:
         where: str | None = None,
         limit: int | None = None,
         return_dict: bool = True,
+        version: int | None = None,
     ) -> list[dict | tuple]:
         """Reference-parity select returning materialized rows
-        (reference database.py:119-157)."""
-        rows = self.select_df(columns, where, limit).collect()
+        (reference database.py:119-157). ``version`` (an extension beyond
+        the reference surface) time-travels to an earlier snapshot."""
+        rows = self.select_df(columns, where, limit, version=version).collect()
         if return_dict:
             return [r.asDict() for r in rows]
         return [tuple(r) for r in rows]
+
+    def snapshots(self) -> list[dict]:
+        """Committed index snapshots, oldest first: ``{"version", "rows",
+        "readable"}``. ``readable`` is False once ``vacuum()`` (or
+        maintenance under a small ``retain_snapshots``) has reaped files
+        the snapshot references."""
+        out = []
+        current = _manifest_snapshot_no(self._index_path)
+        for snap in _snapshot_versions(self._index_path):
+            m = _snapshot_read(self._index_path, snap)
+            if m is None:
+                continue
+            readable = all(
+                (self._index_path / f"eventTypeId={k}" / name).exists()
+                for k, e in m.items()
+                for name in e["files"] or ()
+            )
+            out.append(
+                {
+                    "version": snap,
+                    "rows": sum(e["count"] for e in m.values()),
+                    "readable": readable,
+                    "current": snap == current,
+                }
+            )
+        return out
+
+    def vacuum(self, retain_last: int | None = None) -> int:
+        """Prune snapshot history to the newest ``retain_last`` (defaults
+        to this handle's ``retain_snapshots``) and reap every part-file no
+        retained snapshot references. Returns the number of files reaped.
+
+        Order is crash-safe: stale snapshot manifests are deleted FIRST —
+        a crash mid-way leaves orphaned part-files that the next
+        maintenance pass reaps as uncommitted garbage."""
+        keep = retain_last if retain_last is not None else self.retain_snapshots
+        if keep < 1:
+            raise ValueError("retain_last must be >= 1")
+        versions = _snapshot_versions(self._index_path)
+        snap_dir = self._index_path / _SNAPSHOT_DIRNAME
+        for snap in versions[:-keep]:
+            (snap_dir / _snapshot_name(snap)).unlink(missing_ok=True)
+        protected = _retained_file_set(self._index_path, keep)
+        files_map = _manifest_files(_manifest_read(self._index_path)) or {}
+        for k, names in files_map.items():  # never reap the live snapshot
+            for name in names:
+                protected.add(f"eventTypeId={k}/{name}")
+        stale = [
+            rel
+            for key in _list_partition_keys(self._index_path)
+            for name in _list_part_files(self._index_path, key)
+            if (rel := f"eventTypeId={key}/{name}") not in protected
+        ]
+        self._reap_files(stale)
+        return len(stale)
 
     @staticmethod
     def columns() -> list:
@@ -266,10 +343,31 @@ class BetfairDatabase:
 
     # --------------------------------------------------------------- internal
 
-    def _read_index(self) -> DataFrame:
+    def _read_index(self, version: int | None = None) -> DataFrame:
         if not self._index_path.exists():
             raise IndexMissingError(self.database_dir)
-        files = _manifest_files(_manifest_read(self._index_path))
+        if version is not None:
+            snap = _snapshot_read(self._index_path, version)
+            if snap is None:
+                raise ValueError(
+                    f"unknown index snapshot version {version}; "
+                    f"available: {_snapshot_versions(self._index_path)}"
+                )
+            missing = [
+                f"eventTypeId={k}/{name}"
+                for k, e in snap.items()
+                for name in e["files"] or ()
+                if not (self._index_path / f"eventTypeId={k}" / name).exists()
+            ]
+            if missing:
+                raise ValueError(
+                    f"index snapshot {version} is no longer readable — "
+                    f"{len(missing)} of its part-files were vacuumed "
+                    "(maintain with retain_snapshots > 1 to keep history)"
+                )
+            files = {k: e["files"] for k, e in snap.items()}
+        else:
+            files = _manifest_files(_manifest_read(self._index_path))
         if files is not None:
             # Snapshot read: exactly the part-files the committed manifest
             # lists — uncommitted files from an in-flight (or crashed)
@@ -356,14 +454,24 @@ class BetfairDatabase:
         #    committed-away, i.e. unreferenced too). One _reap_files call —
         #    the protocol has exactly two reap points (pre-write, post-
         #    commit), which fault-injection tests rely on.
+        protected = _retained_file_set(self._index_path, self.retain_snapshots)
         self._reap_files(
-            f"eventTypeId={key}/{name}"
+            rel
             for key in _list_partition_keys(self._index_path)
             for name in _list_part_files(self._index_path, key)
             if name not in set(files_map.get(key, ()))
+            and (rel := f"eventTypeId={key}/{name}") not in protected
         )
         # 1. Write the replacement rows ALONGSIDE the live files (append
-        #    never deletes); Spark's UUID part names cannot collide.
+        #    never deletes); Spark's UUID part names cannot collide. Record
+        #    what exists first — "just written" must be computed against
+        #    EVERYTHING on disk (live + retained-snapshot files), not just
+        #    the live manifest, or a retained older snapshot's files would
+        #    be adopted into the new manifest as if freshly written.
+        pre_existing = {
+            key: set(_list_part_files(self._index_path, key))
+            for key in touched_keys
+        }
         (
             repl.repartition(F.col("eventTypeId"))
             .sortWithinPartitions("marketStartTime")
@@ -375,28 +483,30 @@ class BetfairDatabase:
             _part_key(r[0]): r[1]
             for r in repl.groupBy("eventTypeId").count().collect()
         }
-        # 2. The just-written files are exactly the on-disk files the old
-        #    manifest does not reference (step 0 cleared every other one).
+        # 2. The just-written files are exactly the on-disk files that were
+        #    not there before the append.
         new_manifest = {
             k: e for k, e in manifest.items() if k not in touched_keys
         }
         for key, n in counts.items():
-            live = set(files_map.get(key, ()))
             new_manifest[key] = {
                 "count": n,
                 "files": [
                     name
                     for name in _list_part_files(self._index_path, key)
-                    if name not in live
+                    if name not in pre_existing.get(key, set())
                 ],
             }
         # 3. COMMIT: atomic manifest replace.
         _manifest_write(self._index_path, new_manifest)
-        # 4. Reap the replaced snapshot's files and emptied partition dirs.
+        # 4. Reap the replaced snapshot's files and emptied partition dirs —
+        #    except files a retained snapshot still references (time travel).
+        protected = _retained_file_set(self._index_path, self.retain_snapshots)
         self._reap_files(
-            f"eventTypeId={k}/{name}"
+            rel
             for k in touched_keys & set(files_map)
             for name in files_map[k]
+            if (rel := f"eventTypeId={k}/{name}") not in protected
         )
         for k in touched_keys - set(counts):
             gone = self._index_path / f"eventTypeId={k}"
@@ -469,22 +579,94 @@ def _index_schema():
 # Hive's directory name for the null partition value.
 _HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
 _MANIFEST_NAME = "_manifest.json"  # leading _ → invisible to Spark file listing
+_SNAPSHOT_DIRNAME = "_snapshots"  # versioned manifest copies (time travel)
 
 
 def _part_key(value: str | None) -> str:
     return _HIVE_NULL_PART if value is None else str(value)
 
 
-def _manifest_write(index_path: Path, partitions: dict[str, dict]) -> None:
+def _manifest_write(index_path: Path, partitions: dict[str, dict]) -> int:
     """Atomically replace the manifest (write temp + rename): this IS the
     commit point of the maintenance protocol. ``partitions`` maps partition
-    key → ``{"count": int, "files": [part-file names]}``."""
+    key → ``{"count": int, "files": [part-file names]}``.
+
+    Every commit gets a monotonically increasing snapshot number and a
+    copy of its manifest under ``_snapshots/v{N}.json`` (written BEFORE
+    the atomic rename — a crash in between leaves an orphan snapshot file
+    that the next commit simply overwrites, since numbering derives from
+    the committed manifest). Returns the committed snapshot number."""
+    snap = _manifest_snapshot_no(index_path) + 1
     payload = json.dumps(
-        {"version": 2, "partitions": partitions}, sort_keys=True
+        {"version": 2, "snapshot": snap, "partitions": partitions},
+        sort_keys=True,
     )
+    snap_dir = index_path / _SNAPSHOT_DIRNAME
+    snap_dir.mkdir(exist_ok=True)
+    (snap_dir / _snapshot_name(snap)).write_text(payload)
     tmp = index_path / (_MANIFEST_NAME + ".tmp")
     tmp.write_text(payload)
     os.replace(tmp, index_path / _MANIFEST_NAME)
+    return snap
+
+
+def _snapshot_name(snap: int) -> str:
+    return f"v{snap:08d}.json"
+
+
+def _manifest_snapshot_no(index_path: Path) -> int:
+    """Snapshot number of the committed manifest (0 when absent/legacy)."""
+    p = index_path / _MANIFEST_NAME
+    try:
+        data = json.loads(p.read_text())
+        return int(data.get("snapshot", 0))
+    except (OSError, ValueError, TypeError):
+        return 0
+
+
+def _snapshot_versions(index_path: Path) -> list[int]:
+    """Committed snapshot numbers on disk, ascending (orphans from a
+    crash-between-copy-and-commit are excluded: nothing newer than the
+    committed manifest counts)."""
+    d = index_path / _SNAPSHOT_DIRNAME
+    if not d.is_dir():
+        return []
+    current = _manifest_snapshot_no(index_path)
+    out = []
+    for p in d.glob("v*.json"):
+        try:
+            n = int(p.stem[1:])
+        except ValueError:
+            continue
+        if n <= current:
+            out.append(n)
+    return sorted(out)
+
+
+def _snapshot_read(index_path: Path, snap: int) -> dict[str, dict] | None:
+    p = index_path / _SNAPSHOT_DIRNAME / _snapshot_name(snap)
+    try:
+        data = json.loads(p.read_text())
+        return {
+            str(k): {"count": int(e["count"]), "files": list(e["files"])}
+            for k, e in data["partitions"].items()
+        }
+    except (OSError, ValueError, TypeError, KeyError):
+        return None
+
+
+def _retained_file_set(index_path: Path, keep: int) -> set[str]:
+    """Relative paths (``eventTypeId=K/name``) referenced by the newest
+    ``keep`` retained snapshots — the set maintenance must NOT reap."""
+    protected: set[str] = set()
+    for snap in _snapshot_versions(index_path)[-keep:]:
+        m = _snapshot_read(index_path, snap)
+        if m is None:
+            continue
+        for k, e in m.items():
+            for name in e["files"] or ():
+                protected.add(f"eventTypeId={k}/{name}")
+    return protected
 
 
 def _manifest_read(index_path: Path) -> dict[str, dict] | None:

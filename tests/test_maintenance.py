@@ -402,3 +402,135 @@ class TestCrashAtomicMaintenance:
         files = _manifest_files(_manifest_read(db._index_path))
         for key, names in files.items():
             assert sorted(names) == _list_part_files(db._index_path, key)
+
+
+class TestTimeTravel:
+    """Snapshot retention over the versioned-manifest protocol: with
+    retain_snapshots > 1, every maintenance commit stays readable via
+    select(version=...) until vacuum() prunes it — Delta-style time
+    travel, built from nothing but the manifest copies in _snapshots/."""
+
+    @pytest.fixture()
+    def env(self, spark, tmp_path):
+        from betfair_database_spark.database import BetfairDatabase
+
+        target = tmp_path / "ttdb"
+        target.mkdir()
+        src = tmp_path / "ttsrc"
+        build_corpus(src)
+        db = BetfairDatabase(target, spark=spark, retain_snapshots=3)
+        db.insert(src, copy=True)
+        return db
+
+    @staticmethod
+    def _ids(db, version=None):
+        return sorted(
+            r["marketId"] for r in db.select(["marketId"], version=version)
+        )
+
+    def test_versions_accumulate_and_read_back(self, env, tmp_path):
+        db = env
+        v1_ids = self._ids(db)
+        snaps = db.snapshots()
+        v1 = snaps[-1]["version"]  # env's insert may commit more than once
+        assert snaps[-1]["current"] and snaps[-1]["readable"]
+        assert snaps[-1]["rows"] == len(v1_ids)
+
+        # second commit: insert one more market
+        src2 = tmp_path / "tt_src2"
+        src2.mkdir()
+        meta = json.loads((tmp_path / "ttsrc" / "1.222000002.json").read_text())
+        meta["marketId"] = "1.222990001"
+        (src2 / "1.222990001.json").write_text(json.dumps(meta))
+        (src2 / "1.222990001").write_text('{"op":"mcm"}')
+        assert db.insert(src2, copy=True) == 1
+
+        # third commit: clean after deleting one market's data file
+        gone_path = db.select(
+            ["marketDataFilePath"], where="marketId = '1.222000002'"
+        )[0]["marketDataFilePath"]
+        Path(gone_path).unlink()
+        assert db.clean() == 1
+
+        versions = [s["version"] for s in db.snapshots()]
+        assert versions[-3:] == [v1, v1 + 1, v1 + 2]
+        # retention=3 keeps the last three readable
+        assert all(s["readable"] for s in db.snapshots()[-3:])
+
+        # every historical state reads back exactly
+        assert self._ids(db, version=v1) == v1_ids
+        assert self._ids(db, version=v1 + 1) == sorted(v1_ids + ["1.222990001"])
+        assert self._ids(db, version=v1 + 2) == sorted(
+            set(v1_ids + ["1.222990001"]) - {"1.222000002"}
+        )
+        # the live read equals the newest snapshot
+        assert self._ids(db) == self._ids(db, version=v1 + 2)
+        # size() still serves the LIVE snapshot only
+        assert db.size() == len(self._ids(db))
+
+    def test_vacuum_prunes_history_with_clear_errors(self, env, tmp_path):
+        db = env
+        src2 = tmp_path / "tt_src2"
+        src2.mkdir()
+        meta = json.loads((tmp_path / "ttsrc" / "1.222000002.json").read_text())
+        meta["marketId"] = "1.222990002"
+        (src2 / "1.222990002.json").write_text(json.dumps(meta))
+        (src2 / "1.222990002").write_text('{"op":"mcm"}')
+        db.insert(src2, copy=True)
+        live = self._ids(db)
+
+        old_versions = [s["version"] for s in db.snapshots()[:-1]]
+        reaped = db.vacuum(retain_last=1)
+        assert reaped > 0
+        snaps = db.snapshots()
+        # vacuum prunes both the files AND the snapshot metadata: only the
+        # live snapshot remains listed, the rest become unknown versions
+        assert [s["version"] for s in snaps] == [snaps[-1]["version"]]
+        assert snaps[-1]["readable"] and snaps[-1]["current"]
+        with pytest.raises(ValueError, match="unknown index snapshot"):
+            db.select(["marketId"], version=old_versions[-1])
+        with pytest.raises(ValueError, match="unknown index snapshot"):
+            db.select(["marketId"], version=99)
+        # live snapshot untouched by vacuum
+        assert self._ids(db) == live
+        # and the on-disk file set is exactly the live manifest again
+        from betfair_database_spark.database import (
+            _list_part_files,
+            _manifest_files,
+            _manifest_read,
+        )
+
+        files = _manifest_files(_manifest_read(db._index_path))
+        for key, names in files.items():
+            assert sorted(names) == _list_part_files(db._index_path, key)
+
+    def test_default_retention_keeps_current_behavior(self, spark, tmp_path):
+        """retain_snapshots=1 (default): maintenance immediately reaps
+        replaced files — on-disk part-files always equal the live
+        manifest, exactly the pre-time-travel storage contract."""
+        from betfair_database_spark.database import (
+            BetfairDatabase,
+            _list_part_files,
+            _manifest_files,
+            _manifest_read,
+        )
+
+        target = tmp_path / "defdb"
+        target.mkdir()
+        src = tmp_path / "defsrc"
+        build_corpus(src)
+        db = BetfairDatabase(target, spark=spark)
+        db.insert(src, copy=True)
+        gone_path = db.select(
+            ["marketDataFilePath"], where="marketId = '1.222000002'"
+        )[0]["marketDataFilePath"]
+        Path(gone_path).unlink()
+        db.clean()
+        files = _manifest_files(_manifest_read(db._index_path))
+        for key, names in files.items():
+            assert sorted(names) == _list_part_files(db._index_path, key)
+        # history metadata still lists every version; under
+        # retain_snapshots=1 no pruned non-empty snapshot stays readable
+        vs = db.snapshots()
+        assert len(vs) >= 2 and vs[-1]["current"] and vs[-1]["readable"]
+        assert all(not s["readable"] for s in vs[:-1] if s["rows"] > 0)

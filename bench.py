@@ -20,6 +20,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 HEADLINE = [
+    "sample_domain_cap",
+    "text_classifier_score",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_supplier_volume",

@@ -376,3 +376,34 @@ def balanced_shards(
     return local.select(
         key_col, weight_col, shard.cast("int").alias("shard")
     )
+
+
+def domain_cap(
+    docs: DataFrame,
+    cap: int,
+    domain_col: str = "source",
+    quality_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document cap — the RefinedWeb/FineWeb curation step that
+    stops any single domain from dominating a web-scale corpus: keep at
+    most ``cap`` documents per ``domain_col``, preferring the highest
+    ``quality_col`` (ties, and the no-quality case, break on ``id_col``
+    for determinism).
+
+    One shuffle, keyed on the domain. The per-domain window never funnels
+    the corpus through one task because domains partition it; a
+    pathologically hot domain is exactly the thing the cap REMOVES, and
+    row_number short-circuits cheaply since only ranks <= cap survive.
+    """
+    order = (
+        [F.col(quality_col).desc(), F.col(id_col)]
+        if quality_col
+        else [F.col(id_col)]
+    )
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= cap)
+        .drop("_rk")
+    )

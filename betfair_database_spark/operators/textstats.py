@@ -384,3 +384,63 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def hashed_classifier_score(
+    docs: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-style linear text-classifier INFERENCE: hashed
+    bag-of-words features scored against a weight table, the standard
+    shape of web-corpus quality filters (a trained model ships its
+    weights; here the table is a deterministic function of the bucket so
+    both engines — and both sides of the oracle — agree bit-for-bit).
+
+    Engine-neutral pipeline: lowercase, split on non-alphanumerics,
+    bucket = int(first 8 hex chars of md5(token)) mod ``n_buckets``,
+    integer weight w(b) = (b * 2654435761) mod 1000003 (Knuth
+    multiplicative hashing). The per-doc score SUMS INTEGERS — exact
+    under any aggregation order, so no floating-point order pinning is
+    needed — and only the final normalization divides:
+    score = sum(w)/n/1000003 - 0.5 in [-0.5, 0.5).
+
+    All built-in column expressions (split/explode/md5/conv), one
+    aggregation keyed by doc — whole-stage codegen end to end, scales as
+    a plain shuffle-agg. Swapping the deterministic w(b) for a broadcast
+    weight table (join on bucket) turns this into real trained-model
+    inference with the same plan shape.
+    """
+    tok = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+            ).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    w_int = (bucket * F.lit(2654435761)) % F.lit(1000003)
+    return (
+        tok.select(F.col(id_col), w_int.alias("w"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("w").alias("wsum"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                F.col("wsum") / F.col("n_tokens") / 1000003.0 - 0.5, 6
+            ).alias("score"),
+        )
+        .withColumn(
+            "label", F.when(F.col("score") > 0, "keep").otherwise("drop")
+        )
+    )

@@ -327,3 +327,64 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Streaming twin of the batch gap-sessionization query
+    (suite.ev_sessionize): built-in ``session_window`` keyed by user —
+    Spark merges events whose [ts, ts+gap) windows overlap, holds one
+    state row per OPEN session (not per event), and the watermark both
+    bounds state and finalizes sessions for append output.
+
+    Boundary semantics: a batch gap of EXACTLY ``gap`` seconds continues
+    the batch query's session (its rule is ``gap_s > 1800``) but starts a
+    new streaming session (window overlap is half-open) — the one
+    documented divergence; every other gap agrees, which the replay
+    parity test pins.
+
+    At scale: state is hash-partitioned by user like every keyed
+    operator; session count per user is bounded by activity inside the
+    watermark horizon, so state never grows with history.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), F.col(user_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            user_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup_events(
+    events: DataFrame,
+    id_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once ingest dedup: drop re-deliveries of the same event id
+    arriving within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — state holds one row per id seen,
+    EVICTED once the watermark passes, unlike plain dropDuplicates whose
+    state grows forever on a stream).
+
+    This is the standard at-least-once -> exactly-once bridge for file
+    and queue sources: upstream retries/replays within the horizon are
+    absorbed; a duplicate older than the watermark is by definition
+    outside the source's redelivery window. State size ~ ids per horizon,
+    hash-partitioned — scales with throughput, not with history.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        id_cols or ["event_id"]
+    )

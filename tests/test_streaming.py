@@ -660,3 +660,101 @@ def test_streaming_heavy_hitters_candidates_and_exact_verify(spark, tmp_path):
         .collect()
     }
     assert got == want and want  # non-trivial and identical
+
+
+def test_streaming_sessionize_matches_batch_gap_rule(spark, tmp_path):
+    """session_window sessionization over a bounded replay equals the
+    batch gap rule computed in plain Python (no exact-gap boundary events
+    generated; that half-open boundary is the one documented
+    divergence). A far-future flush event advances the watermark so
+    append mode finalizes every real session."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import functions as F
+
+    from betfair_database_spark.streaming.analytics import streaming_sessionize
+    from betfair_database_spark.streaming.mcm import run_to_memory
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 3, 1, 8, 0, 0)
+    rows = []
+    for user in range(1, 13):
+        t = base + dt.timedelta(seconds=rng.randint(0, 3600))
+        for _ in range(rng.randint(3, 25)):
+            rows.append((user, t))
+            t += dt.timedelta(
+                seconds=rng.choice([60, 300, 900, 2200, 4000, 7000])
+            )
+    # expected from the rows: new session when inter-event gap >= 1800s
+    expected = {}
+    by_user = {}
+    for user, t in rows:
+        by_user.setdefault(user, []).append(t)
+    for user, ts in by_user.items():
+        ts.sort()
+        n_sessions = 1 + sum(
+            1
+            for a, b in zip(ts, ts[1:])
+            if (b - a).total_seconds() >= 1800
+        )
+        expected[user] = (len(ts), n_sessions)
+
+    src = tmp_path / "sess_events"
+    src.mkdir()
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    for i in range(3):
+        df.where(F.pmod(F.col("user_id") + i, 3) == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    # watermark flush: one sentinel event far past everything
+    spark.createDataFrame(
+        [(999, base + dt.timedelta(days=30))], "user_id long, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(str(src))
+    )
+    run_to_memory(streaming_sessionize(stream), "sess_out", "append")
+    out = spark.table("sess_out").where(F.col("user_id") != 999).collect()
+    got = {}
+    for r in out:
+        n_ev, n_sess = got.get(r.user_id, (0, 0))
+        got[r.user_id] = (n_ev + r.n_events, n_sess + 1)
+    assert got == expected
+
+
+def test_streaming_dedup_events_absorbs_redelivery(spark, tmp_path):
+    """dropDuplicatesWithinWatermark ingest dedup: re-delivered event ids
+    across micro-batches appear exactly once; output row set equals the
+    batch distinct-by-id answer."""
+    import datetime as dt
+
+    from betfair_database_spark.streaming.analytics import streaming_dedup_events
+    from betfair_database_spark.streaming.mcm import run_to_memory
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    first = [(i, base + dt.timedelta(seconds=i), f"e{i % 4}") for i in range(40)]
+    # redeliver 15 of them (same id+ts) plus 5 genuinely new events
+    second = first[10:25] + [
+        (100 + i, base + dt.timedelta(seconds=200 + i), "late") for i in range(5)
+    ]
+    src = tmp_path / "dedup_events"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, event_type string"
+    spark.createDataFrame(first, schema).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(second, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_to_memory(streaming_dedup_events(stream), "dedup_out", "append")
+    out = spark.table("dedup_out").collect()
+    assert len(out) == 45  # 40 + 5 new, redeliveries absorbed
+    assert sorted({r.event_id for r in out}) == sorted(
+        {e[0] for e in first} | {e[0] for e in second}
+    )

@@ -21,6 +21,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 HEADLINE = [
     "sample_domain_cap",
+    "knn_pq_adc_top10",
     "text_classifier_score",
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -78,3 +78,71 @@ def text_classifier_score(spark, sf):
     aggregation — no floating-point order pinning needed), one doc-keyed
     aggregation. See textstats.hashed_classifier_score."""
     return textstats.hashed_classifier_score(_t(spark, sf, "documents"))
+
+
+_PQ_ORACLE = """
+WITH a AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS c, embedding AS av
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+subspaces AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS s),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+enc AS (
+  SELECT e.vec_id, sp.s, a.c,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform([0,1,2,3,4,5,6,7], i ->
+             (CAST(e.embedding[sp.s * 8 + i + 1] AS DOUBLE)
+              - CAST(a.av[sp.s * 8 + i + 1] AS DOUBLE))
+             * (CAST(e.embedding[sp.s * 8 + i + 1] AS DOUBLE)
+                - CAST(a.av[sp.s * 8 + i + 1] AS DOUBLE)))),
+           (acc, x) -> acc + x) AS d2
+  FROM embeddings e, subspaces sp, a
+),
+codes AS (
+  SELECT vec_id, s, c
+  FROM (SELECT vec_id, s, c,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d2, c) AS rk
+        FROM enc)
+  WHERE rk = 1
+),
+dtab AS (
+  SELECT sp.s, a.c,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform([0,1,2,3,4,5,6,7], i ->
+             (CAST(q.qv[sp.s * 8 + i + 1] AS DOUBLE)
+              - CAST(a.av[sp.s * 8 + i + 1] AS DOUBLE))
+             * (CAST(q.qv[sp.s * 8 + i + 1] AS DOUBLE)
+                - CAST(a.av[sp.s * 8 + i + 1] AS DOUBLE)))),
+           (acc, x) -> acc + x) AS d2
+  FROM subspaces sp, a, q
+),
+scored AS (
+  SELECT k.vec_id,
+         string_agg(CAST(k.c - 1 AS VARCHAR), '-' ORDER BY k.s) AS pq_code,
+         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                        list(d.d2 ORDER BY k.s)),
+                           (acc, x) -> acc + x), 6) AS adc_d2
+  FROM codes k JOIN dtab d ON k.s = d.s AND k.c = d.c
+  GROUP BY k.vec_id
+)
+SELECT vec_id, pq_code, adc_d2
+FROM scored ORDER BY adc_d2, vec_id LIMIT 10
+"""
+
+
+@_q("knn_pq_adc_top10", _PQ_ORACLE)
+def knn_pq_adc_top10(spark, sf):
+    """Product-quantization ANN with asymmetric distance computation: 8
+    subspaces x 16 codes over the 64-dim embeddings (codebook seeded from
+    the 16 lowest-id vectors), query = vec 0, scored by m table lookups
+    per candidate. The billion-scale compression tier of the ANN family —
+    m bytes per vector, table-lookup-bound scan, no shuffle, exact
+    cross-engine reproducibility (fixed-order sums, lowest-code ties).
+    See similarity.pq_adc_topk."""
+    from betfair_database_spark.operators import similarity as sim
+    from betfair_database_spark.suite import _query_vec
+
+    return sim.pq_adc_topk(
+        _t(spark, sf, "embeddings"), _query_vec(spark, sf), k=10
+    )

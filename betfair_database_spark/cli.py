@@ -79,6 +79,26 @@ def make_parser() -> argparse.ArgumentParser:
     )
     p_size.add_argument("database_dir")
 
+    p_snaps = sub.add_parser(
+        "snapshots",
+        description="List committed index snapshots (version / rows / "
+        "readable / current).",
+    )
+    p_snaps.add_argument("database_dir")
+
+    p_vac = sub.add_parser(
+        "vacuum",
+        description="Prune index snapshot history and reap unreferenced "
+        "part-files.",
+    )
+    p_vac.add_argument("database_dir")
+    p_vac.add_argument(
+        "--retain-last",
+        type=int,
+        default=1,
+        help="number of newest snapshots to keep readable (default 1)",
+    )
+
     return parser
 
 
@@ -117,6 +137,14 @@ def _run(args: argparse.Namespace) -> int:
         say(f"Removed {db.clean()} entries.")
     elif args.command == "size":
         print(db.size())
+    elif args.command == "snapshots":
+        for s in db.snapshots():
+            flags = ("current" if s["current"] else "") + (
+                "" if s["readable"] else " vacuumed"
+            )
+            print(f"v{s['version']}\t{s['rows']} rows\t{flags.strip()}")
+    elif args.command == "vacuum":
+        say(f"Reaped {db.vacuum(retain_last=args.retain_last)} files.")
     return 0
 
 

@@ -146,3 +146,75 @@ def knn_pq_adc_top10(spark, sf):
     return sim.pq_adc_topk(
         _t(spark, sf, "embeddings"), _query_vec(spark, sf), k=10
     )
+
+
+_PIPE_CLS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+  FROM documents
+),
+tok2 AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+hx AS (SELECT doc_id, substr(md5(tok), 1, 8) AS h FROM tok2),
+wt AS (
+  SELECT doc_id,
+         ((({_HEX8}) % 1024) * 2654435761) % 1000003 AS w
+  FROM hx
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(w) AS BIGINT) AS wsum
+  FROM wt GROUP BY doc_id
+),
+scored AS (
+  SELECT a.doc_id, a.n_tokens,
+         round(a.wsum / a.n_tokens / 1000003.0 - 0.5, 6) AS score,
+         d.source
+  FROM agg a JOIN documents d USING (doc_id)
+  WHERE a.wsum / a.n_tokens / 1000003.0 - 0.5 > 0
+),
+capped AS (
+  SELECT * FROM (
+    SELECT doc_id, source, n_tokens, score,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY score DESC, doc_id) AS rk
+    FROM scored)
+  WHERE rk <= 30
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       min(score) AS min_score,
+       max(score) AS max_score
+FROM capped GROUP BY source
+"""
+
+
+@_q("pipeline_classifier_domain_cap", _PIPE_CLS_ORACLE)
+def pipeline_classifier_domain_cap(spark, sf):
+    """The round-6 curation operators composed into ONE logical plan:
+    classifier-gate ('keep' docs only) -> per-domain cap (top 30 by
+    score) -> per-source summary. Catalyst pushes the gate under the
+    cap's window shuffle, so the corpus shuffles once on the domain key
+    and once for the doc-keyed classifier aggregation — the whole
+    pipeline is two exchanges regardless of corpus size. Summary columns
+    (counts, integer token sums, min/max score) are aggregation-order-
+    independent, so the result hash-matches cross-engine."""
+    from pyspark.sql import functions as F
+
+    d = _t(spark, sf, "documents")
+    scored = (
+        textstats.hashed_classifier_score(d)
+        .where(F.col("label") == "keep")
+        .join(d.select("doc_id", "source"), "doc_id")
+    )
+    capped = sampling.domain_cap(
+        scored, cap=30, quality_col="score"
+    )
+    return capped.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+    )

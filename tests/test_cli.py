@@ -32,6 +32,18 @@ def test_cli_flow(spark, tmp_path, capsys):
     assert main(["-q", "clean", str(db_dir)]) == 0
     assert capsys.readouterr().out == ""
 
+    # snapshot history: index + clean committed at least two versions;
+    # the live one is marked current, reaped ones show as vacuumed
+    assert main(["snapshots", str(db_dir)]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) >= 2 and lines[-1].endswith("current")
+    assert any("vacuumed" in line for line in lines[:-1])
+
+    assert main(["vacuum", str(db_dir), "--retain-last", "1"]) == 0
+    assert "Reaped" in capsys.readouterr().out
+    assert main(["snapshots", str(db_dir)]) == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 1
+
 
 def test_cli_parser_shapes():
     from betfair_database_spark.cli import make_parser

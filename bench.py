@@ -22,6 +22,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 HEADLINE = [
     "sample_domain_cap",
     "knn_pq_adc_top10",
+    "sample_dsir_importance_topk",
+    "pipeline_classifier_domain_cap",
     "text_classifier_score",
     "q1_pricing_summary",
     "q3_shipping_priority",

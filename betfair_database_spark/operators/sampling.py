@@ -407,3 +407,89 @@ def domain_cap(
         .where(F.col("_rk") <= cap)
         .drop("_rk")
     )
+
+
+def dsir_importance_topk(
+    docs: DataFrame,
+    target_pred: Column,
+    k: int = 20,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data selection (hashed n-gram importance resampling, Xie
+    et al.): score every document by how much more likely its tokens are
+    under a TARGET distribution (rows matching ``target_pred``) than under
+    the raw corpus, then keep the top-``k``. The standard recipe for
+    "find me more data that looks like my high-quality subset" at crawl
+    scale.
+
+    Features are hashed unigram buckets (md5-hex8 mod ``n_buckets`` — the
+    same engine-neutral hash as the classifier operator); both
+    distributions are Laplace-smoothed over the bucket space; a doc's
+    importance is sum over its tokens of ln(p_target(b)/p_raw(b)).
+
+    Plan shape: one token pass builds (doc, bucket, count); bucket tables
+    are tiny (n_buckets rows) aggregates broadcast back; the per-doc
+    score folds cnt*log_ratio in BUCKET ORDER over a sorted list, so the
+    floating sum is order-pinned and reproducible cross-engine. Nothing
+    scales with corpus size except the token pass and one doc-keyed
+    aggregation.
+    """
+    tok = docs.select(
+        F.col(id_col),
+        target_pred.alias("_is_target"),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    bucketed = tok.select(
+        id_col,
+        "_is_target",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).alias("b"),
+    )
+    # global bucket tables (n_buckets rows each — broadcast-sized forever)
+    tables = bucketed.groupBy("b").agg(
+        F.count("*").alias("c_raw"),
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("c_tgt"),
+    )
+    totals = tables.agg(
+        F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
+    )
+    lr = (
+        tables.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log((F.col("c_tgt") + 1) / (F.col("t_tgt") + n_buckets))
+                - F.log((F.col("c_raw") + 1) / (F.col("t_raw") + n_buckets))
+            ).alias("lr"),
+        )
+    )
+    per_bucket = (
+        bucketed.groupBy(id_col, "b")
+        .agg(F.count("*").alias("cnt"))
+        .join(F.broadcast(lr), "b")
+    )
+    # order-pinned fold: contributions summed in ascending bucket order
+    return (
+        per_bucket.groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("b"), (F.col("cnt") * F.col("lr")).alias("c")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ).alias("_s"),
+        )
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.col("_s"), 4).alias("importance"),
+        )
+        .orderBy(F.col("importance").desc(), id_col)
+        .limit(k)
+    )

@@ -218,3 +218,56 @@ def pipeline_classifier_domain_cap(spark, sf):
         F.min("score").alias("min_score"),
         F.max("score").alias("max_score"),
     )
+
+
+_DSIR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+  FROM documents
+),
+tok2 AS (SELECT doc_id, lang, tok FROM tok WHERE tok <> ''),
+hx AS (SELECT doc_id, lang, substr(md5(tok), 1, 8) AS h FROM tok2),
+bk AS (SELECT doc_id, lang, ({_HEX8}) % 1024 AS b FROM hx),
+tables AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c_raw,
+         CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS c_tgt
+  FROM bk GROUP BY b
+),
+totals AS (SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt FROM tables),
+lr AS (
+  SELECT b,
+         ln((c_tgt + 1) / (t.t_tgt + 1024.0))
+         - ln((c_raw + 1) / (t.t_raw + 1024.0)) AS lr
+  FROM tables, totals t
+),
+per_bucket AS (
+  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt
+  FROM bk GROUP BY doc_id, b
+),
+scored AS (
+  SELECT p.doc_id,
+         CAST(sum(p.cnt) AS BIGINT) AS n_tokens,
+         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                        list(p.cnt * l.lr ORDER BY p.b)),
+                           (acc, x) -> acc + x), 4) AS importance
+  FROM per_bucket p JOIN lr l USING (b)
+  GROUP BY p.doc_id
+)
+SELECT doc_id, n_tokens, importance
+FROM scored ORDER BY importance DESC, doc_id LIMIT 20
+"""
+
+
+@_q("sample_dsir_importance_topk", _DSIR_ORACLE)
+def sample_dsir_importance_topk(spark, sf):
+    """DSIR data selection: hashed-unigram importance of every document
+    w.r.t. the English subset as the target distribution, top-20 kept.
+    Bucket tables are n_buckets-row broadcasts; per-doc scores fold
+    cnt*log_ratio in bucket order (order-pinned floating sum). See
+    sampling.dsir_importance_topk."""
+    from pyspark.sql import functions as F
+
+    return sampling.dsir_importance_topk(
+        _t(spark, sf, "documents"), F.col("lang") == "en", k=20
+    )

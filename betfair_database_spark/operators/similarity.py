@@ -1119,31 +1119,31 @@ def pq_adc_topk(
     and the scan is table-lookup bound — the standard billion-scale
     memory layout (composable with IVF cells as the coarse stage).
 
-    Everything is literal-expanded column arithmetic in ONE projection —
-    no shuffle, no UDF; top-k is a TakeOrderedAndProject. Encoding
-    (argmin over n_codes subspace distances) uses array_position-of-min,
-    so ties break to the lowest code deterministically; the ADC sum runs
-    in fixed subspace order, making the result exactly reproducible
-    cross-engine (the DuckDB oracle recomputes codes AND tables
-    relationally and hash-matches).
+    Encoding runs as an Arrow-batched numpy kernel (``mapInPandas``, the
+    same pattern as the hyperplane bucketizer): the dims*n_codes literal
+    column expansion was tried first and fell out of JVM codegen ("too
+    long generated codes") into ~1 ms/row interpreted evaluation —
+    vectorized per-batch math is the right tool here exactly as the
+    PySpark guide prescribes. Cross-engine exactness is preserved by
+    construction: distances accumulate element-by-element in ascending i
+    order (a Python loop over vectorized row axes — NOT np.sum, whose
+    pairwise reduction reorders the floating adds), argmin ties break to
+    the lowest code, and the ADC sum runs in fixed subspace order, so
+    the DuckDB oracle (which recomputes codes AND tables relationally
+    with the same orderings) hash-matches bit-for-bit.
     """
+    import numpy as np
+    import pandas as pd
+
     dims = len(query)
     if dims % m:
         raise ValueError(f"dims {dims} not divisible by m {m}")
     sub = dims // m
     anchors = pq_codebook_anchors(emb, n_codes, id_col, vec_col)
-
-    def d2_sql(s: int, c: int) -> str:
-        # L2^2 between the row's subspace-s subvector and anchor c's, one
-        # parsed SQL string (0-based Spark array indexing), i-ordered sum
-        return "(" + " + ".join(
-            f"(cast({vec_col}[{s * sub + i}] as double) - ({anchors[c][s * sub + i]!r}))"
-            f" * (cast({vec_col}[{s * sub + i}] as double) - ({anchors[c][s * sub + i]!r}))"
-            for i in range(sub)
-        ) + ")"
+    anchor_arr = np.asarray(anchors, dtype=np.float64)  # (n_codes, dims)
 
     # ADC lookup tables: d2(query subvector, anchor subvector), computed
-    # once in Python (same double ops, same order as the SQL side)
+    # once in Python (same double ops, same i-order as the oracle)
     tables = [
         [
             sum(
@@ -1156,18 +1156,28 @@ def pq_adc_topk(
         for s in range(m)
     ]
 
-    coded = emb.select(
-        id_col,
-        *[
-            F.expr(f"array_position({arr}, array_min({arr}))")
-            .cast("int")
-            .alias(f"_c{s}")
-            for s in range(m)
-            for arr in [
-                "array(" + ",".join(d2_sql(s, c) for c in range(n_codes)) + ")"
-            ]
-        ],
+    code_schema = ", ".join(
+        [f"{id_col} long"] + [f"_c{s} int" for s in range(m)]
     )
+
+    def encode(batches):
+        for pdf in batches:
+            v = np.asarray(
+                [np.asarray(e, dtype=np.float64) for e in pdf[vec_col]]
+            )  # float32 -> float64 is exact
+            out = {id_col: pdf[id_col].to_numpy()}
+            for s in range(m):
+                lo = s * sub
+                # d2[r, c] accumulated in ascending element order — the
+                # exact fold the SQL/DuckDB sides use
+                d2 = np.zeros((v.shape[0], n_codes))
+                for i in range(sub):
+                    diff = v[:, lo + i, None] - anchor_arr[None, :, lo + i]
+                    d2 = d2 + diff * diff
+                out[f"_c{s}"] = (np.argmin(d2, axis=1) + 1).astype("int32")
+            yield pd.DataFrame(out)
+
+    coded = emb.select(id_col, vec_col).mapInPandas(encode, code_schema)
     adc = None
     for s in range(m):
         term = F.element_at(

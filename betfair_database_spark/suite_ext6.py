@@ -271,3 +271,97 @@ def sample_dsir_importance_topk(spark, sf):
     return sampling.dsir_importance_topk(
         _t(spark, sf, "documents"), F.col("lang") == "en", k=20
     )
+
+
+def _mh_recall_oracle() -> str:
+    from betfair_database_spark.operators import dedup
+
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(length(text) - 4, 0) + 1),
+                               i -> substr(lower(text), CAST(i AS INT), 5))) AS w
+  FROM documents
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+t_inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM sh x JOIN sh y ON x.w = y.w AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT a, b
+  FROM t_inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+),
+tx AS (
+  SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS x, w
+  FROM sh
+),
+mh AS (
+  SELECT doc_id, s, min((a * x + b) % {dedup.MINHASH_P}) AS h
+  FROM tx, (VALUES {dedup.minhash_oracle_values(16)}) t(s, a, b)
+  GROUP BY doc_id, s
+),
+bands AS (
+  SELECT doc_id, CAST(s // 8 AS INT) AS band,
+         md5(string_agg(CAST(h AS VARCHAR), '|' ORDER BY s)) AS bh
+  FROM mh GROUP BY doc_id, s // 8
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+),
+c_inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c JOIN sh ta ON ta.doc_id = c.a
+              JOIN sh tb ON tb.doc_id = c.b AND tb.w = ta.w
+  GROUP BY c.a, c.b
+),
+found AS (
+  SELECT i.a, i.b
+  FROM c_inter i JOIN sz wa ON wa.doc_id = i.a JOIN sz wb ON wb.doc_id = i.b
+  WHERE CAST(i.i AS DOUBLE) / (wa.n + wb.n - i.i) >= 0.8
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+       (SELECT CAST(count(*) AS BIGINT) FROM found) AS n_found,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM found f JOIN truth t ON f.a = t.a AND f.b = t.b) AS n_hit,
+       round((SELECT count(*) FROM found f JOIN truth t
+              ON f.a = t.a AND f.b = t.b) * 1.0
+             / (SELECT count(*) FROM truth), 4) AS recall
+"""
+
+
+@_q("dedup_minhash_recall", _mh_recall_oracle())
+def dedup_minhash_recall(spark, sf):
+    """MinHash-LSH recall harness — the dedup analogue of the ANN
+    knn_recall rows: exact 5-gram Jaccard >= 0.8 pairs (prefix-filter
+    ssjoin) as truth vs the 16-hash/2-band LSH pipeline's verified
+    output, reported as one row (n_true, n_found, n_hit, recall). This
+    is the measurement users need to TUNE bands/hashes: the s-curve's
+    false-negative rate becomes a number instead of a formula. All three
+    counts are bounded aggregates over pair frames; the corpus-sized
+    work is the two dedup operators themselves."""
+    from pyspark.sql import functions as F
+
+    from betfair_database_spark.operators import dedup as dd
+
+    d = _t(spark, sf, "documents")
+    truth = dd.jaccard_ssjoin(d, threshold=0.8, k=5).select("a", "b")
+    found = dd.minhash_near_dups(
+        d, num_hashes=16, bands=2, threshold=0.8
+    ).select("a", "b")
+    hit = found.join(truth, ["a", "b"], "left_semi")
+    return (
+        truth.agg(F.count("*").alias("n_true"))
+        .crossJoin(F.broadcast(found.agg(F.count("*").alias("n_found"))))
+        .crossJoin(F.broadcast(hit.agg(F.count("*").alias("n_hit"))))
+        .select(
+            "n_true",
+            "n_found",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_true"), 4).alias("recall"),
+        )
+    )

@@ -1100,6 +1100,77 @@ def pq_codebook_anchors(
     return [[float(v) for v in r[0]] for r in rows]
 
 
+def _pq_tables(
+    query: list[float], anchors: list[list[float]], m: int
+) -> list[list[float]]:
+    """ADC lookup tables d2(query subvector, anchor subvector), computed
+    in Python doubles with the same element order as the SQL oracle."""
+    dims, n_codes = len(query), len(anchors)
+    sub = dims // m
+    return [
+        [
+            sum(
+                (query[s * sub + i] - anchors[c][s * sub + i])
+                * (query[s * sub + i] - anchors[c][s * sub + i])
+                for i in range(sub)
+            )
+            for c in range(n_codes)
+        ]
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    anchors: list[list[float]],
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Encode each vector as its ``m`` PQ sub-codes (1-based, array
+    column ``pq``) — Arrow-batched numpy kernel; see pq_adc_topk for why
+    this beats literal column expansion and how exactness is preserved
+    (i-ordered accumulation, first-min argmin). ``keep_cols`` passes
+    extra columns through unchanged as ``(name, ddl-type)`` pairs."""
+    import numpy as np
+    import pandas as pd
+
+    dims = len(anchors[0])
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m {m}")
+    sub = dims // m
+    n_codes = len(anchors)
+    anchor_arr = np.asarray(anchors, dtype=np.float64)
+    keep = [name for name, _ in (keep_cols or [])]
+    schema = ", ".join(
+        [f"{id_col} long", "pq array<int>"]
+        + [f"{name} {ddl}" for name, ddl in (keep_cols or [])]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            v = np.asarray(
+                [np.asarray(e, dtype=np.float64) for e in pdf[vec_col]]
+            )  # float32 -> float64 is exact
+            codes = np.zeros((len(pdf), m), dtype="int32")
+            for s in range(m):
+                lo = s * sub
+                # d2[r, c] accumulated in ascending element order — the
+                # exact fold the SQL/DuckDB oracle uses
+                d2 = np.zeros((v.shape[0], n_codes))
+                for i in range(sub):
+                    diff = v[:, lo + i, None] - anchor_arr[None, :, lo + i]
+                    d2 = d2 + diff * diff
+                codes[:, s] = np.argmin(d2, axis=1) + 1
+            out = {id_col: pdf[id_col].to_numpy(), "pq": list(codes)}
+            for c in keep:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(encode, schema)
+
+
 def pq_adc_topk(
     emb: DataFrame,
     query: list[float],
@@ -1132,52 +1203,15 @@ def pq_adc_topk(
     the DuckDB oracle (which recomputes codes AND tables relationally
     with the same orderings) hash-matches bit-for-bit.
     """
-    import numpy as np
-    import pandas as pd
-
     dims = len(query)
-    if dims % m:
-        raise ValueError(f"dims {dims} not divisible by m {m}")
-    sub = dims // m
     anchors = pq_codebook_anchors(emb, n_codes, id_col, vec_col)
-    anchor_arr = np.asarray(anchors, dtype=np.float64)  # (n_codes, dims)
-
-    # ADC lookup tables: d2(query subvector, anchor subvector), computed
-    # once in Python (same double ops, same i-order as the oracle)
-    tables = [
-        [
-            sum(
-                (query[s * sub + i] - anchors[c][s * sub + i])
-                * (query[s * sub + i] - anchors[c][s * sub + i])
-                for i in range(sub)
-            )
-            for c in range(n_codes)
-        ]
-        for s in range(m)
-    ]
-
-    code_schema = ", ".join(
-        [f"{id_col} long"] + [f"_c{s} int" for s in range(m)]
+    sub = dims // m
+    tables = _pq_tables(query, anchors, m)
+    coded = pq_encode(
+        emb.select(id_col, vec_col), anchors, m, id_col, vec_col
+    ).select(
+        id_col, *[(F.col("pq") [s] ).alias(f"_c{s}") for s in range(m)]
     )
-
-    def encode(batches):
-        for pdf in batches:
-            v = np.asarray(
-                [np.asarray(e, dtype=np.float64) for e in pdf[vec_col]]
-            )  # float32 -> float64 is exact
-            out = {id_col: pdf[id_col].to_numpy()}
-            for s in range(m):
-                lo = s * sub
-                # d2[r, c] accumulated in ascending element order — the
-                # exact fold the SQL/DuckDB sides use
-                d2 = np.zeros((v.shape[0], n_codes))
-                for i in range(sub):
-                    diff = v[:, lo + i, None] - anchor_arr[None, :, lo + i]
-                    d2 = d2 + diff * diff
-                out[f"_c{s}"] = (np.argmin(d2, axis=1) + 1).astype("int32")
-            yield pd.DataFrame(out)
-
-    coded = emb.select(id_col, vec_col).mapInPandas(encode, code_schema)
     adc = None
     for s in range(m):
         term = F.element_at(
@@ -1192,6 +1226,103 @@ def pq_adc_topk(
             ).alias("pq_code"),
             F.round(adc, 6).alias("adc_d2"),
         )
+        .orderBy("adc_d2", id_col)
+        .limit(k)
+    )
+
+
+# =========================================================================
+# ANN at rest: IVF-cell-partitioned layout with PQ codes
+# =========================================================================
+
+
+def write_ann_index(
+    emb: DataFrame,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Persist the 100 TB ANN layout the deployment plan promises: one
+    pass assigns every vector to its IVF cell and PQ-encodes it; the
+    table lands hive-PARTITIONED BY the cell with (id, raw vector, pq
+    codes) inside. A probe then reads only nprobe partition directories
+    (partition pruning, visible in the scan's PartitionFilters) and — in
+    ADC mode — only the m-int code column (column pruning: the scan
+    never touches the 64-float vectors). Returns the PQ codebook anchors
+    so queries reuse the exact same codebook.
+
+    Each cell's files hold that cell's vectors contiguously, so a probed
+    cell is a sequential read; repartition on the cell key before the
+    write keeps one writer per cell (files ~ cells, not cells x tasks).
+    """
+    anchors = pq_codebook_anchors(emb, n_codes, id_col, vec_col)
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    coded = pq_encode(
+        assigned.select(id_col, "cell", vec_col),
+        anchors,
+        m,
+        id_col,
+        vec_col,
+        keep_cols=[("cell", "int"), (vec_col, "array<float>")],
+    )
+    (
+        coded.repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    return anchors
+
+
+def query_ann_index(
+    spark,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    anchors: list[list[float]],
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    rerank: str = "exact",
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the persisted ANN index: rank centroids against the query on
+    the driver (k-centroid list, no job), read ONLY the nprobe nearest
+    cell partitions, then either exact-cosine rerank (reads the vector
+    column) or ADC rerank (reads only the m-int ``pq`` column — ~32x
+    fewer bytes at 64 float dims)."""
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else -1.0
+
+    probe_cells = [
+        cid
+        for cid, _ in sorted(
+            centroids, key=lambda c: (-cos(query, c[1]), c[0])
+        )[:nprobe]
+    ]
+    df = spark.read.parquet(path).where(F.col("cell").isin(probe_cells))
+    if rerank == "exact":
+        return cosine_topk(df, query, k, id_col, vec_col)
+    if rerank != "adc":
+        raise ValueError("rerank must be 'exact' or 'adc'")
+    tables = _pq_tables(query, anchors, m)
+    adc = None
+    for s in range(len(tables)):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in tables[s]]), F.col("pq")[s]
+        )
+        adc = term if adc is None else adc + term
+    return (
+        df.select(id_col, F.round(adc, 6).alias("adc_d2"))
         .orderBy("adc_d2", id_col)
         .limit(k)
     )

@@ -1353,3 +1353,52 @@ def test_hashed_classifier_score_contract(spark):
     # deterministic: same text, same score
     again = {r.doc_id: r.score for r in hashed_classifier_score(df).collect()}
     assert again == {k: v.score for k, v in out.items()}
+
+
+def test_ann_index_at_rest_partition_and_column_pruning(spark, tmp_path):
+    """The persisted ANN layout (write_ann_index / query_ann_index): probe
+    results equal the in-memory IVF operator, the scan PRUNES to the
+    probed cell partitions, and ADC mode additionally prunes the vector
+    column — the two properties that make the layout work at 100 TB."""
+    import random
+
+    from betfair_database_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_seeds,
+        query_ann_index,
+        write_ann_index,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids = kmeans_seeds(emb, 4)
+    q = [float(v) for v in emb.where("vec_id = 0").first()["embedding"]]
+
+    path = str(tmp_path / "ann_index")
+    anchors = write_ann_index(emb, path, centroids)
+    assert len(anchors) == 16 and len(anchors[0]) == 64
+
+    at_rest = query_ann_index(spark, path, centroids, anchors, q, k=5, nprobe=2)
+    in_mem = ivf_topk(emb, centroids, q, k=5, nprobe=2)
+    assert [(r.vec_id, r.cos_sim) for r in at_rest.collect()] == [
+        (r.vec_id, r.cos_sim) for r in in_mem.collect()
+    ]
+
+    plan = at_rest._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the probe predicate reaches PartitionFilters
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "cell" in pf and "IN" in pf.upper()
+
+    adc = query_ann_index(
+        spark, path, centroids, anchors, q, k=5, nprobe=2, rerank="adc"
+    )
+    got = adc.collect()
+    assert len(got) == 5 and got[0].adc_d2 <= got[-1].adc_d2
+    aplan = adc._jdf.queryExecution().executedPlan().toString()
+    read_schema = aplan.split("ReadSchema:")[1].split("\n")[0]
+    # column pruning: the ADC probe never reads the raw vectors
+    assert "pq" in read_schema and "embedding" not in read_schema

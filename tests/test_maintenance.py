@@ -534,3 +534,26 @@ class TestTimeTravel:
         vs = db.snapshots()
         assert len(vs) >= 2 and vs[-1]["current"] and vs[-1]["readable"]
         assert all(not s["readable"] for s in vs[:-1] if s["rows"] > 0)
+
+    def test_lazy_reader_survives_concurrent_upsert(self, env, tmp_path):
+        """The concurrent-reader payoff of retention: a reader that
+        RESOLVED its file list (lazy DataFrame) before an upsert still
+        collects the correct old-snapshot rows afterwards, because the
+        files it holds are retained rather than reaped mid-read. (With
+        retain_snapshots=1 the same sequence can hit deleted files —
+        the documented single-writer caveat.)"""
+        db = env
+        v_before = db.snapshots()[-1]["version"]
+        before_ids = self._ids(db)
+        # a LAZY frame pinned to the current version's file list
+        lazy = db.select_df(["marketId"], version=v_before)
+        # concurrent writer: insert a new market (new commit, new files)
+        src2 = tmp_path / "tt_lazy_src"
+        src2.mkdir()
+        meta = json.loads((tmp_path / "ttsrc" / "1.222000002.json").read_text())
+        meta["marketId"] = "1.222990009"
+        (src2 / "1.222990009.json").write_text(json.dumps(meta))
+        (src2 / "1.222990009").write_text('{"op":"mcm"}')
+        assert db.insert(src2, copy=True) == 1
+        # the pre-upsert reader still sees exactly the old snapshot
+        assert sorted(r["marketId"] for r in lazy.collect()) == before_ids

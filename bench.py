@@ -24,6 +24,7 @@ HEADLINE = [
     "knn_pq_adc_top10",
     "sample_dsir_importance_topk",
     "pipeline_classifier_domain_cap",
+    "p8b_datetime_modifiers",
     "text_classifier_score",
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -74,7 +74,9 @@ sqlite 3.40 and property-fuzzed in ``test_dialect_modifiers.py`` /
     an error — matching SQLite, and ANSI-safe (the pre-round-6 bridge
     raised on unparseable strings under ANSI).
 
-Residual deltas (documented, not bridged): ``||`` on non-strings;
+Residual deltas (documented, not bridged): ``||`` on FLOATING values
+whose text renderings differ (SQLite ``1.0e+20`` vs Spark ``1.0E20``;
+integers and ordinary decimals agree — probed both engines);
 ``LIKE ... ESCAPE`` clauses (fall back to ``ILIKE``); strftime codes the
 reference-era SQLite (3.40) itself returns NULL for (``%e %u %k %l %I %T
 %R %F %p %P %G %g %U %V``); ``%%`` immediately followed by another code

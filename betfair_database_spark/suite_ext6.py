@@ -365,3 +365,50 @@ def dedup_minhash_recall(spark, sf):
             F.round(F.col("n_hit") / F.col("n_true"), 4).alias("recall"),
         )
     )
+
+
+_P8B_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderdate,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 + 1 AS tot
+  FROM orders
+)
+SELECT o_orderkey,
+       strftime(CAST(date_trunc('month',
+                 make_date(CAST(tot // 12 AS INT), CAST(tot % 12 + 1 AS INT), 1)
+                 + to_days(CAST(day(o_orderdate) - 1 AS INT))) AS TIMESTAMP),
+                '%Y-%m-%d %H:%M:%S') AS next_month_start,
+       strftime(o_orderdate
+                + to_days(CAST((3 - dayofweek(o_orderdate) + 7) % 7 AS INT)),
+                '%Y-%m-%d') AS next_wednesday,
+       CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) + 43200
+         AS noon_epoch
+FROM base
+"""
+
+
+@_q("p8b_datetime_modifiers", _P8B_ORACLE)
+def p8b_datetime_modifiers(spark, sf):
+    """The SQLite datetime MODIFIER grammar through the select() dialect
+    surface, driver-checkable: '+1 months'+'start of month' (exercising
+    SQLite's day-overflow roll on month-end order dates — the DuckDB
+    oracle reproduces the roll with explicit calendar arithmetic, since
+    its own +INTERVAL clamps), 'weekday 3', and '+12 hours' through
+    unixepoch(). Column bases take the epoch-ms macro chain; whole-stage
+    codegen, no UDFs."""
+    from betfair_database_spark.plans.dialect import (
+        register_sqlite_functions,
+        translate_where,
+    )
+
+    register_sqlite_functions(spark)
+    _t(spark, sf, "orders").createOrReplaceTempView("orders_v")
+    exprs = {
+        "next_month_start": "datetime(o_orderdate, '+1 months', 'start of month')",
+        "next_wednesday": "date(o_orderdate, 'weekday 3')",
+        "noon_epoch": "unixepoch(o_orderdate, '+12 hours')",
+    }
+    sel = ", ".join(
+        f"({translate_where(e)}) AS {name}" for name, e in exprs.items()
+    )
+    return spark.sql(f"SELECT o_orderkey, {sel} FROM orders_v")

@@ -178,6 +178,13 @@ _MSVALID = (
     "(CASE WHEN v BETWEEN -210866760000000L AND 253402300799999L"
     " THEN v END)"
 )
+# civil DATE of a VALID ms value — pure int arithmetic (floor-div via
+# pmod) + one date_add; no timestamp lift, no CASE
+_MSDAY = (
+    "date_add(DATE '1970-01-01',"
+    " cast((v - pmod(v, 86400000L)) div 86400000L as int))"
+)
+_EPOCH_DATE = "DATE '1970-01-01'"
 _MSVALID_TS = (
     f"timestampadd(MICROSECOND, {_MSVALID} * 1000, "
     "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
@@ -196,50 +203,55 @@ _MI = "coalesce(cast(nullif(substring(x, 15, 2), '') as int), 0)"
 _SEC = "coalesce(cast(nullif(substring(x, 18), '') as double), 0.0d)"
 
 _SQL_FUNCTIONS = [
-    # Strict ISO body (Z/trailing-space already stripped) -> timestamp.
+    # Strict ISO body (Z/trailing-space already stripped) -> epoch ms.
     # SQLite's exact component validation (date.c parseYyyyMmDd /
     # parseHhMmSs): month 1-12, day 1-31 (Feb 31 is VALID and rolls
     # through the calendar — reproduced by make_date(y, m, 1) + (d-1)
     # days), hour <=24, minute <=59, second <60; seconds round to SQLite's
-    # millisecond iJD resolution, C-style half away from zero.
+    # millisecond iJD resolution, C-style half away from zero. Pure
+    # int/date arithmetic — no timestamp values anywhere in the parse.
     f"""
-    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_ts_iso(x STRING)
-    RETURNS TIMESTAMP_NTZ
+    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_ms_iso(x STRING)
+    RETURNS BIGINT
     RETURN CASE WHEN {_Y} >= 1 AND {_MO} BETWEEN 1 AND 12
                  AND {_D} BETWEEN 1 AND 31 AND {_H} <= 24
                  AND {_MI} <= 59 AND {_SEC} < 60.0d
-           THEN timestampadd(
-               MICROSECOND,
-               (({_H} * 3600 + {_MI} * 60) * 1000
-                + cast(round({_SEC} * 1000.0d) as bigint)) * 1000,
-               cast(date_add(make_date({_Y}, {_MO}, 1), {_D} - 1)
-                    as timestamp_ntz))
+           THEN cast(datediff(date_add(make_date({_Y}, {_MO}, 1), {_D} - 1),
+                              {_EPOCH_DATE}) as bigint) * 86400000L
+                + ({_H} * 3600L + {_MI} * 60L) * 1000L
+                + cast(round({_SEC} * 1000.0d) as bigint)
            END
     """,
-    # THE time-value parser: SQLite's accepted grammar, NULL for the rest.
-    # A bare number (quoted or not — SQLite treats '2460000.5' the same as
-    # 2460000.5) is a julian day; gated to years 0001-9999 (documented
-    # residual: SQLite itself spans back to -4713) and converted on
-    # SQLite's own iJD arithmetic: round(jd * 86400000) ms, C half-up.
+    # THE time-value parser: SQLite's accepted grammar -> epoch ms, NULL
+    # for the rest. A bare number (quoted or not — SQLite treats
+    # '2460000.5' the same as 2460000.5) is a julian day; gated to years
+    # 0001-9999 (documented residual: SQLite itself spans back to -4713)
+    # and converted on SQLite's own iJD arithmetic: round(jd * 86400000)
+    # ms, C half-up.
     f"""
-    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_ts(x STRING)
-    RETURNS TIMESTAMP_NTZ
+    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_msparse(x STRING)
+    RETURNS BIGINT
     RETURN CASE
         WHEN x IS NULL THEN NULL
         WHEN x RLIKE {_ISO_GATE}
-            THEN sqlite_ts_iso(regexp_replace(x, {_ISO_STRIP}, ''))
+            THEN sqlite_ms_iso(regexp_replace(x, {_ISO_STRIP}, ''))
         WHEN x RLIKE {_TIME_GATE}
-            THEN sqlite_ts_iso(concat('2000-01-01 ', trim(x)))
+            THEN sqlite_ms_iso(concat('2000-01-01 ', trim(x)))
         WHEN trim(x) RLIKE {_NUM_GATE} THEN
             CASE WHEN cast(trim(x) as double)
                       BETWEEN 1721425.5d AND 5373484.5d
-                 THEN timestampadd(
-                     MICROSECOND,
-                     (cast(round(cast(trim(x) as double) * 86400000.0d)
-                           as bigint) - 210866760000000L) * 1000,
-                     {_EPOCH})
+                 THEN cast(round(cast(trim(x) as double) * 86400000.0d)
+                           as bigint) - 210866760000000L
             END
         END
+    """,
+    # timestamp view of a parsed value — only the strftime render path
+    # needs it (date_format wants a timestamp)
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_ts(x STRING)
+    RETURNS TIMESTAMP_NTZ
+    RETURN timestampadd(MICROSECOND, sqlite_msparse(x) * 1000,
+                        TIMESTAMP_NTZ '1970-01-01 00:00:00')
     """,
     # --- modifier macros ---------------------------------------------
     # translate_where folds literal modifiers into chains of these. The
@@ -264,58 +276,50 @@ _SQL_FUNCTIONS = [
     # The _MSVALID gate below is that check, epoch-shifted; renders
     # additionally need year >= 1 for date_format (pre-0001 output is a
     # documented residual).
-    """
-    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_msparse(x STRING)
-    RETURNS BIGINT
-    RETURN (timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',
-                          sqlite_ts(x)) div 1000)
-    """,
     # months shift: SQLite keeps D and lets the calendar roll day
     # overflow ('2001-01-31','+1 month' -> '2001-03-03') — reproduced by
-    # make_date(y2, m2, 1) + (D-1) days; time-of-day carries over. The
-    # parts helper duplicates only scalar ints.
-    """
-    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_msmod_months_p(
-        tot INT, d INT, tod BIGINT)
-    RETURNS BIGINT
-    RETURN CASE WHEN (tot div 12) BETWEEN 1 AND 9999 AND tot >= 0
-           THEN (timestampdiff(
-               MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',
-               cast(date_add(make_date(tot div 12, pmod(tot, 12) + 1, 1),
-                             d - 1) as timestamp_ntz)) div 1000) + tod
-           END
-    """,
-    f"""
-    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_msmod_months_g(
-        t TIMESTAMP_NTZ, n INT)
-    RETURNS BIGINT
-    RETURN sqlite_msmod_months_p(
-        year(t) * 12 + month(t) - 1 + n, day(t),
-        (timestampdiff(MICROSECOND, date_trunc('DAY', t), t) div 1000))
-    """,
+    # make_date(y2, m2, 1) + (D-1) days; time-of-day (pmod ms) carries
+    # over. All int/date intrinsics: the previous timestamp-space version
+    # cost ~11 us/row in per-row CASE+timestampadd lifts (measured 1.7 s
+    # of a 2.5 s chain at 150k rows). The y2 gate keeps make_date inside
+    # its domain; it also NULLs a month-shift whose TARGET leaves
+    # 1..9999, slightly earlier than SQLite's output-time check
+    # (documented residual at the year-9999/0001 edges).
     f"""
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_msmod_months(v BIGINT,
                                                              n INT)
     RETURNS BIGINT
-    RETURN sqlite_msmod_months_g({_MSVALID_TS}, n)
+    RETURN CASE WHEN {_MSVALID} IS NOT NULL THEN
+        CASE WHEN (year({_MSDAY}) * 12 + month({_MSDAY}) - 1 + n)
+                  BETWEEN 12 AND 119999
+        THEN cast(datediff(
+                 date_add(make_date(
+                     (year({_MSDAY}) * 12 + month({_MSDAY}) - 1 + n) div 12,
+                     pmod(year({_MSDAY}) * 12 + month({_MSDAY}) - 1 + n, 12)
+                         + 1,
+                     1), day({_MSDAY}) - 1),
+                 {_EPOCH_DATE}) as bigint) * 86400000L + pmod(v, 86400000L)
+        END END
     """,
     f"""
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_msmod_sod(v BIGINT)
     RETURNS BIGINT
-    RETURN (timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',
-                          date_trunc('DAY', {_MSVALID_TS})) div 1000)
+    RETURN CASE WHEN {_MSVALID} IS NOT NULL
+                THEN v - pmod(v, 86400000L) END
     """,
     f"""
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_msmod_som(v BIGINT)
     RETURNS BIGINT
-    RETURN (timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',
-                          date_trunc('MONTH', {_MSVALID_TS})) div 1000)
+    RETURN CASE WHEN {_MSVALID} IS NOT NULL
+        THEN cast(datediff(trunc({_MSDAY}, 'MM'), {_EPOCH_DATE})
+                  as bigint) * 86400000L END
     """,
     f"""
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_msmod_soy(v BIGINT)
     RETURNS BIGINT
-    RETURN (timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',
-                          date_trunc('YEAR', {_MSVALID_TS})) div 1000)
+    RETURN CASE WHEN {_MSVALID} IS NOT NULL
+        THEN cast(datediff(trunc({_MSDAY}, 'YEAR'), {_EPOCH_DATE})
+                  as bigint) * 86400000L END
     """,
     # 'weekday N': advance 0-6 days forward to the next date whose
     # weekday (Sunday=0) is N; time-of-day unchanged (a plain ms add —
@@ -324,7 +328,10 @@ _SQL_FUNCTIONS = [
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_msmod_weekday(v BIGINT,
                                                               n INT)
     RETURNS BIGINT
-    RETURN v + 86400000L * pmod(n - (dayofweek({_MSVALID_TS}) - 1), 7)
+    RETURN CASE WHEN {_MSVALID} IS NOT NULL
+        THEN v + 86400000L * pmod(
+            n - pmod((v - pmod(v, 86400000L)) div 86400000L + 4, 7), 7)
+        END
     """,
     # 'unixepoch' modifier: the base value must be a bare number (SQLite
     # NULLs everything else — including column values row-by-row, which

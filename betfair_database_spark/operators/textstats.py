@@ -406,33 +406,42 @@ def hashed_classifier_score(
     needed — and only the final normalization divides:
     score = sum(w)/n/1000003 - 0.5 in [-0.5, 0.5).
 
-    All built-in column expressions (split/explode/md5/conv), one
-    aggregation keyed by doc — whole-stage codegen end to end, scales as
-    a plain shuffle-agg. Swapping the deterministic w(b) for a broadcast
-    weight table (join on bucket) turns this into real trained-model
-    inference with the same plan shape.
+    SHUFFLE-FREE: the whole score is higher-order array functions over
+    the doc's own tokens (filter/transform/aggregate on the split array)
+    — a pure map stage. At 100 TB that beats the explode+groupBy
+    alternative, which shuffles the entire TOKEN stream (~20x the doc
+    rows) just to bring each doc's tokens back together; and because
+    nothing aggregates across rows, the same function drops onto a
+    STREAMING DataFrame unchanged (see the streaming quality-gate test).
+    Swapping the deterministic w(b) for a broadcast weight table (join
+    on bucket) turns this into real trained-model inference.
     """
-    tok = (
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda t: t != "",
+    )
+    wsum = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: (
+                (
+                    F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+                    % n_buckets
+                )
+                * F.lit(2654435761)
+            )
+            % F.lit(1000003),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + w,
+    )
+    return (
         docs.select(
             F.col(id_col),
-            F.explode(
-                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
-            ).alias("tok"),
+            F.size(toks).cast("long").alias("n_tokens"),
+            wsum.alias("wsum"),
         )
-        .where(F.col("tok") != "")
-    )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
-        % n_buckets
-    )
-    w_int = (bucket * F.lit(2654435761)) % F.lit(1000003)
-    return (
-        tok.select(F.col(id_col), w_int.alias("w"))
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.sum("w").alias("wsum"),
-        )
+        .where(F.col("n_tokens") > 0)
         .select(
             id_col,
             "n_tokens",

@@ -758,3 +758,46 @@ def test_streaming_dedup_events_absorbs_redelivery(spark, tmp_path):
     assert sorted({r.event_id for r in out}) == sorted(
         {e[0] for e in first} | {e[0] for e in second}
     )
+
+
+def test_streaming_classifier_quality_gate_matches_batch(spark, tmp_path):
+    """hashed_classifier_score is a pure projection (shuffle-free HOF
+    arithmetic), so it drops onto a streaming DataFrame unchanged — the
+    standard inline quality gate at ingest. Streamed keep/drop decisions
+    must equal the batch operator's row for row."""
+    from pyspark.sql import functions as F
+
+    from betfair_database_spark.operators.textstats import hashed_classifier_score
+    from betfair_database_spark.streaming.mcm import run_to_memory
+
+    rows = [
+        (i, f"doc {i} some tokens alpha beta {'x' * (i % 5)}") for i in range(60)
+    ]
+    src = tmp_path / "cls_docs"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    df = spark.createDataFrame(rows, schema)
+    for i in range(3):
+        df.where(F.pmod(F.col("doc_id") + i, 3) == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    gated = hashed_classifier_score(stream).where(F.col("label") == "keep")
+    assert gated.isStreaming
+    run_to_memory(gated, "cls_gate", "append")
+    got = {
+        r.doc_id: (r.n_tokens, r.score)
+        for r in spark.table("cls_gate").collect()
+    }
+    want = {
+        r.doc_id: (r.n_tokens, r.score)
+        for r in hashed_classifier_score(df)
+        .where(F.col("label") == "keep")
+        .collect()
+    }
+    assert got == want and len(want) > 0

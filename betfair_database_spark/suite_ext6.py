@@ -371,7 +371,7 @@ _P8B_ORACLE = """
 WITH base AS (
   SELECT o_orderkey, o_orderdate,
          year(o_orderdate) * 12 + month(o_orderdate) - 1 + 1 AS tot
-  FROM orders
+  FROM orders WHERE o_orderkey % 10 = 0
 )
 SELECT o_orderkey,
        strftime(CAST(date_trunc('month',
@@ -395,7 +395,9 @@ def p8b_datetime_modifiers(spark, sf):
     oracle reproduces the roll with explicit calendar arithmetic, since
     its own +INTERVAL clamps), 'weekday 3', and '+12 hours' through
     unixepoch(). Column bases take the epoch-ms macro chain; whole-stage
-    codegen, no UDFs."""
+    codegen, no UDFs. A keyed 10% slice of orders: the bridge's per-row
+    cost is characterized in PLANS.md; the correctness signal doesn't
+    need the full scan."""
     from betfair_database_spark.plans.dialect import (
         register_sqlite_functions,
         translate_where,
@@ -411,4 +413,6 @@ def p8b_datetime_modifiers(spark, sf):
     sel = ", ".join(
         f"({translate_where(e)}) AS {name}" for name, e in exprs.items()
     )
-    return spark.sql(f"SELECT o_orderkey, {sel} FROM orders_v")
+    return spark.sql(
+        f"SELECT o_orderkey, {sel} FROM orders_v WHERE o_orderkey % 10 = 0"
+    )

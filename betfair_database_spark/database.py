@@ -13,6 +13,9 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import socket
+import time
+from contextlib import contextmanager
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,6 +29,7 @@ from betfair_database_spark.const import (
 )
 from betfair_database_spark.etl import Counters, build_index_frame
 from betfair_database_spark.exceptions import (
+    ConcurrentWriterError,
     DatabaseDirectoryError,
     IndexExistsError,
     IndexMissingError,
@@ -64,6 +68,60 @@ class BetfairDatabase:
         if retain_snapshots < 1:
             raise ValueError("retain_snapshots must be >= 1")
         self.retain_snapshots = retain_snapshots
+        self._lock_depth = 0
+
+    # ------------------------------------------------------------- writer lock
+
+    @contextmanager
+    def _writer_lock(self):
+        """Single-writer mutual exclusion for every index mutator.
+
+        The crash-atomic commit protocol (_upsert_partitions) assumes one
+        writer — two interleaved reap→append→commit sequences can reap each
+        other's uncommitted files or lose a committed snapshot. The
+        reference gets this exclusion free from SQLite's file locking
+        (reference processor.py:365-384 runs inside one locked connection);
+        here an O_EXCL-created lock file beside the index carries
+        ``pid host epoch``. Contention raises a loud ConcurrentWriterError
+        rather than queueing: maintenance batches are operator actions, not
+        a multi-writer workload. A lock whose pid is dead ON THIS HOST is
+        stale (the holder crashed before its ``finally``) and is taken
+        over; a different host's lock is never stolen — liveness cannot be
+        probed across machines. Re-entrant within one handle (insert()
+        auto-indexes via index())."""
+        if self._lock_depth:
+            self._lock_depth += 1
+            try:
+                yield
+            finally:
+                self._lock_depth -= 1
+            return
+        lock = self.database_dir / (INDEX_DIRNAME + ".lock")
+        fd = None
+        for attempt in (0, 1):
+            try:
+                fd = os.open(str(lock), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                holder = _lock_holder(lock)
+                if attempt or not _lock_is_stale(holder):
+                    raise ConcurrentWriterError(
+                        lock, holder or "unreadable lock"
+                    ) from None
+                # stale: dead pid on this host — take over (the O_EXCL
+                # retry above arbitrates if two waiters race the unlink)
+                lock.unlink(missing_ok=True)
+        try:
+            os.write(
+                fd,
+                f"{os.getpid()} {socket.gethostname()} {time.time()}".encode(),
+            )
+            os.close(fd)
+            self._lock_depth = 1
+            yield
+        finally:
+            self._lock_depth = 0
+            lock.unlink(missing_ok=True)
 
     # ------------------------------------------------------------------ build
 
@@ -77,8 +135,9 @@ class BetfairDatabase:
                 raise IndexExistsError(
                     self.database_dir, " Use force=True option to reindex the database."
                 )
-        frame, counters = build_index_frame(self.spark, str(self.database_dir))
-        counters.rows_inserted = self._write_index(frame, str(self._index_path))
+        with self._writer_lock():
+            frame, counters = build_index_frame(self.spark, str(self.database_dir))
+            counters.rows_inserted = self._write_index(frame, str(self._index_path))
         self.last_counters = counters
         return counters.rows_inserted
 
@@ -198,6 +257,10 @@ class BetfairDatabase:
         keep = retain_last if retain_last is not None else self.retain_snapshots
         if keep < 1:
             raise ValueError("retain_last must be >= 1")
+        with self._writer_lock():
+            return self._vacuum_locked(keep)
+
+    def _vacuum_locked(self, keep: int) -> int:
         versions = _snapshot_versions(self._index_path)
         snap_dir = self._index_path / _SNAPSHOT_DIRNAME
         for snap in versions[:-keep]:
@@ -285,6 +348,10 @@ class BetfairDatabase:
         listing + a left-semi join covers every in-directory path, and only
         out-of-directory stragglers fall back to executor-side stat calls.
         """
+        with self._writer_lock():
+            return self._clean_locked()
+
+    def _clean_locked(self) -> int:
         # localCheckpoint (not cache): materializes rows and truncates the
         # plan, so the parquet swap below can't invalidate lazy reads and no
         # identical-plan cache aliasing survives across calls.
@@ -329,17 +396,18 @@ class BetfairDatabase:
         (reference database.py:82-117). Returns inserted row count."""
         from betfair_database_spark.inserts import insert_markets
 
-        if not self._index_path.exists():
-            self.index()
-        return insert_markets(
-            self,
-            Path(source_dir),
-            copy=copy,
-            pattern=pattern,
-            on_duplicates=DuplicatePolicy(on_duplicates)
-            if not isinstance(on_duplicates, DuplicatePolicy)
-            else on_duplicates,
-        )
+        with self._writer_lock():
+            if not self._index_path.exists():
+                self.index()
+            return insert_markets(
+                self,
+                Path(source_dir),
+                copy=copy,
+                pattern=pattern,
+                on_duplicates=DuplicatePolicy(on_duplicates)
+                if not isinstance(on_duplicates, DuplicatePolicy)
+                else on_duplicates,
+            )
 
     # --------------------------------------------------------------- internal
 
@@ -584,6 +652,33 @@ _SNAPSHOT_DIRNAME = "_snapshots"  # versioned manifest copies (time travel)
 
 def _part_key(value: str | None) -> str:
     return _HIVE_NULL_PART if value is None else str(value)
+
+
+def _lock_holder(lock: Path) -> str:
+    """Raw contents of the writer lock file ('' when unreadable/gone)."""
+    try:
+        return lock.read_text().strip()
+    except OSError:
+        return ""
+
+
+def _lock_is_stale(holder: str) -> bool:
+    """True iff the lock names a dead pid on THIS host. Unreadable or
+    foreign-host locks are never treated as stale — be loud, don't steal."""
+    parts = holder.split()
+    if len(parts) < 2 or parts[1] != socket.gethostname():
+        return False
+    try:
+        pid = int(parts[0])
+    except ValueError:
+        return False
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return True
+    except PermissionError:
+        return False  # alive, owned by someone else
+    return False
 
 
 def _manifest_write(index_path: Path, partitions: dict[str, dict]) -> int:

@@ -19,6 +19,11 @@ _INDEX_MISSING_MSG = (
 )
 _INDEX_EXISTS_MSG = "Betfair database index already exists in '{}'."
 _DEFINITION_MISSING_MSG = "Market definition not found in '{}'."
+_CONCURRENT_WRITER_MSG = (
+    "Another writer holds the index lock '{}' ({}). The crash-atomic "
+    "maintenance protocol assumes a single writer — wait for it to finish, "
+    "or delete the lock file if you are certain that writer is gone."
+)
 
 
 class BetfairDatabaseError(Exception):
@@ -42,6 +47,17 @@ class IndexExistsError(BetfairDatabaseError):
     def __init__(self, target_dir: str | Path, extra: str = ""):
         self.base_msg = _INDEX_EXISTS_MSG.format(target_dir)
         super().__init__(self.base_msg + extra)
+
+
+class ConcurrentWriterError(BetfairDatabaseError):
+    """A second writer tried to mutate the index while another holds the
+    lock. The reference gets this exclusion free from SQLite's file
+    locking (reference processor.py:365-384 runs inside one locked
+    connection); the Spark engine enforces it with an O_EXCL lock file
+    beside the index (database.py:_writer_lock)."""
+
+    def __init__(self, lock_path: str | Path, holder: str):
+        super().__init__(_CONCURRENT_WRITER_MSG.format(lock_path, holder))
 
 
 class MarketDefinitionMissingError(BetfairDatabaseError):

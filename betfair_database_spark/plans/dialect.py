@@ -128,25 +128,41 @@ _FMT_MAP = (
 # time-only, julian-day numerics, millisecond rounding, NULL (never an
 # ANSI error) for anything else.
 _EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
-# ms-of-epoch of a (parsed, already ms-exact) timestamp parameter ``t`` —
-# the div is exact because sqlite_ts rounds to ms at parse
-_MS_T = f"(timestampdiff(MICROSECOND, {_EPOCH}, t) div 1000)"
-# Julian day BIT-IDENTICAL to SQLite: one double division of the integer
-# julian-epoch milliseconds (iJD = epoch-ms + 2440587.5 days of ms), exactly
-# the (double)iJD/86400000.0 SQLite computes — summing two rounded terms
-# instead would disagree in the last ulp.
-_JULIAN = f"(({_MS_T} + 210866760000000L) / 86400000.0d)"
-# SQLite prints %J with C's "%.16g": correctly-rounded 16 significant
-# digits, trailing zeros (then a bare trailing dot) stripped. Java's
-# format_string('%g') rounds the SHORTEST decimal repr half-up — off by one
-# ulp on values like ...4975 — but format_number (DecimalFormat) rounds the
-# exact binary value half-even like C. Use it at 16-minus-integer-digits
-# decimals, strip its grouping commas, then the zeros.
-_JULIAN_TEXT = (
-    "regexp_replace(regexp_replace(replace(format_number("
-    f"{_JULIAN}, 16 - length(cast(cast(floor({_JULIAN}) as bigint) as string))"
-    "), ',', ''), '0+$', ''), '\\\\.$', '')"
-)
+
+
+def _ms_of(t: str) -> str:
+    """ms-of-epoch of a (parsed, already ms-exact) timestamp expression —
+    the div is exact because sqlite_ts rounds to ms at parse."""
+    return f"(timestampdiff(MICROSECOND, {_EPOCH}, {t}) div 1000)"
+
+
+def _julian_of(t: str) -> str:
+    """Julian day BIT-IDENTICAL to SQLite: one double division of the
+    integer julian-epoch milliseconds (iJD = epoch-ms + 2440587.5 days of
+    ms), exactly the (double)iJD/86400000.0 SQLite computes — summing two
+    rounded terms instead would disagree in the last ulp."""
+    return f"(({_ms_of(t)} + 210866760000000L) / 86400000.0d)"
+
+
+def _julian_text_of(t: str) -> str:
+    """SQLite prints %J with C's "%.16g": correctly-rounded 16 significant
+    digits, trailing zeros (then a bare trailing dot) stripped. Java's
+    format_string('%g') rounds the SHORTEST decimal repr half-up — off by
+    one ulp on values like ...4975 — but format_number (DecimalFormat)
+    rounds the exact binary value half-even like C. Use it at
+    16-minus-integer-digits decimals, strip its grouping commas, then the
+    zeros."""
+    jd = _julian_of(t)
+    return (
+        "regexp_replace(regexp_replace(replace(format_number("
+        f"{jd}, 16 - length(cast(cast(floor({jd}) as bigint) as string))"
+        "), ',', ''), '0+$', ''), '\\\\.$', '')"
+    )
+
+
+_MS_T = _ms_of("t")
+_JULIAN = _julian_of("t")
+_JULIAN_TEXT = _julian_text_of("t")
 
 # SQLite names collide with Spark builtins (Spark 4 has a TIME-typed
 # ``time()``), so the WHERE rewriter renames calls to a ``sqlite_`` prefix and
@@ -162,28 +178,82 @@ _JULIAN_TEXT = (
 # Z (whitespace before/after the Z ok, leading whitespace NOT — pinned
 # against sqlite 3.40). Time-only: HH:MM[:SS[.frac]] (date 2000-01-01).
 # Numeric: julian day number, leading/trailing whitespace tolerated.
-_ISO_GATE = r"'^\\d{4}-\\d{2}-\\d{2}([ T]\\d{2}:\\d{2}(:\\d{2}(\\.\\d+)?)?)?\\s*[Zz]?\\s*$'"
+# SQLite's component RANGE validation (date.c parseYyyyMmDd/parseHhMmSs:
+# year >= 1, month 1-12, day 1-31, hour <= 24, minute <= 59, second < 60)
+# lives INSIDE these regexes (round 7): one regex reference per parse
+# instead of a CASE re-reading every component twice — the value
+# expressions below reference each component exactly once, which halves
+# the inlined WHERE-clause tree (see the 64 KB notes further down).
+_ISO_GATE = (
+    r"'^(?!0000)\\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\\d|3[01])"
+    r"(([ T])([01]\\d|2[0-4]):([0-5]\\d)(:([0-5]\\d)(\\.\\d+)?)?)?"
+    r"\\s*[Zz]?\\s*$'"
+)
 _ISO_STRIP = r"'\\s*[Zz]?\\s*$'"
-_TIME_GATE = r"'^\\d{2}:\\d{2}(:\\d{2}(\\.\\d+)?)?\\s*$'"
+_TIME_GATE = r"'^([01]\\d|2[0-4]):([0-5]\\d)(:([0-5]\\d)(\\.\\d+)?)?\\s*$'"
 _NUM_GATE = r"'^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$'"
+# fast-path shape, checked INSIDE the (already validating) ISO gate: no
+# fraction (SQLite rounds fractions to ms; Spark's cast keeps micros), no
+# trailing Z/whitespace, no hour-24 wraparound concerns — for these,
+# Spark's native string→TIMESTAMP_NTZ cast (~0.3 µs) replaces the ~5 µs
+# substring-arithmetic parse; SQLite's day-overflow rolls ('2023-02-31')
+# make the native cast NULL and coalesce into the arithmetic parse
+_FAST_GATE = r"'^\\d{4}-\\d{2}-\\d{2}([ T]\\d{2}:\\d{2}(:\\d{2})?)?$'"
 
-# Component accessors over the stripped ISO body (fixed offsets — the gate
-# regex guarantees digit positions): Y 1-4, M 6-7, D 9-10, H 12-13,
+# Component accessors over the RAW gated ISO string (fixed offsets — the
+# gate regex guarantees digit positions): Y 1-4, M 6-7, D 9-10, H 12-13,
 # Mi 15-16, seconds (with fraction) from 18. Missing components are ''.
+# Raw-offset extraction (round 7): the parse used to run on a
+# regexp_replace-stripped copy of the string, but SQL-UDF inlining
+# duplicates a function's argument expression once per reference — 12
+# copies of the strip per ms_iso call blew the JVM's 64 KB codegen limit
+# in WHERE clauses and re-ran the regex 12× per row. Extracting at fixed
+# offsets from the raw string makes every duplicated reference a cheap
+# attribute read; only the seconds field (the one place trailing
+# 'Z'/whitespace can bleed in) strips — on its own short substring.
+# try_cast covers the edge where a stripped-off 'Z' lands inside a
+# component window ('2023-07-28 Z': H reads 'Z' → NULL → 0, exactly the
+# value the strip-first parse produced).
 # julian-domain validity windows over the ms value: SQLite's
 # validJulianDay shifted to epoch-ms; _MSRENDER additionally floors at
 # 0001-01-01 for date_format-ability (pre-0001 render is a documented
 # residual). The _TS variants lift a VALID ms value back to a timestamp.
-_MSVALID = (
-    "(CASE WHEN v BETWEEN -210866760000000L AND 253402300799999L"
-    " THEN v END)"
-)
-# civil DATE of a VALID ms value — pure int arithmetic (floor-div via
-# pmod) + one date_add; no timestamp lift, no CASE
-_MSDAY = (
-    "date_add(DATE '1970-01-01',"
-    " cast((v - pmod(v, 86400000L)) div 86400000L as int))"
-)
+# The modifier/render bodies below are Python EMITTERS parameterized by
+# the value expression: the same text registers as SQL temp functions
+# (inline chain form — Spark's analyzer let-binds their parameters inside
+# Project nodes) AND emits directly over a lambda variable (predicate
+# chain form — see _rewrite_datetime_call; a SQL temp function cannot be
+# CALLED on a lambda variable, Spark's inliner fails to resolve it).
+
+
+def _msvalid_of(v: str) -> str:
+    return (
+        f"(CASE WHEN {v} BETWEEN -210866760000000L AND 253402300799999L"
+        f" THEN {v} END)"
+    )
+
+
+def _msday_of(v: str) -> str:
+    """civil DATE of a VALID ms value — pure int arithmetic (floor-div via
+    pmod) + one date_add; no timestamp lift, no CASE."""
+    return (
+        "date_add(DATE '1970-01-01',"
+        f" cast(({v} - pmod({v}, 86400000L)) div 86400000L as int))"
+    )
+
+
+def _try_ts_of(v: str) -> str:
+    """single-reference lift of v to TIMESTAMP_NTZ: try_multiply NULLs the
+    >±292k-year ms magnitudes a 500-modifier chain can accumulate (instead
+    of overflowing), the caller gates the render window with year()."""
+    return (
+        f"timestampadd(MICROSECOND, try_multiply({v}, 1000L), "
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+
+
+_MSVALID = _msvalid_of("v")
+_MSDAY = _msday_of("v")
 _EPOCH_DATE = "DATE '1970-01-01'"
 _MSVALID_TS = (
     f"timestampadd(MICROSECOND, {_MSVALID} * 1000, "
@@ -194,33 +264,114 @@ _MSRENDER_TS = (
     " AND 253402300799999L THEN v END) * 1000, "
     "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
 )
+_TRY_TS = _try_ts_of("v")
+
+
+def _b_months(v: str, n) -> str:
+    """months shift body — see the sqlite_msmod_months docs below."""
+    ym = f"(year({_msday_of(v)}) * 12 + month({_msday_of(v)}) - 1 + {n})"
+    return (
+        f"CASE WHEN {_msvalid_of(v)} IS NOT NULL THEN "
+        f"CASE WHEN {ym} BETWEEN 12 AND 119999 "
+        f"THEN cast(datediff(date_add(make_date({ym} div 12, "
+        f"pmod({ym}, 12) + 1, 1), day({_msday_of(v)}) - 1), "
+        f"{_EPOCH_DATE}) as bigint) * 86400000L + pmod({v}, 86400000L) "
+        "END END"
+    )
+
+
+def _b_sod(v: str) -> str:
+    return (
+        f"CASE WHEN {_msvalid_of(v)} IS NOT NULL "
+        f"THEN {v} - pmod({v}, 86400000L) END"
+    )
+
+
+def _b_som(v: str) -> str:
+    return (
+        f"CASE WHEN {_msvalid_of(v)} IS NOT NULL "
+        f"THEN cast(datediff(trunc({_msday_of(v)}, 'MM'), {_EPOCH_DATE}) "
+        "as bigint) * 86400000L END"
+    )
+
+
+def _b_soy(v: str) -> str:
+    return (
+        f"CASE WHEN {_msvalid_of(v)} IS NOT NULL "
+        f"THEN cast(datediff(trunc({_msday_of(v)}, 'YEAR'), {_EPOCH_DATE}) "
+        "as bigint) * 86400000L END"
+    )
+
+
+def _b_weekday(v: str, n) -> str:
+    return (
+        f"CASE WHEN {_msvalid_of(v)} IS NOT NULL "
+        f"THEN {v} + 86400000L * pmod({n} - pmod(({v} - pmod({v}, "
+        "86400000L)) div 86400000L + 4, 7), 7) END"
+    )
+
+
+def _b_fmt(v: str, pat: str) -> str:
+    """2-reference render: lift once via try_multiply, gate the render
+    window with year() — [1, 9999] is exactly the old
+    [_MS_RENDER_LO, _MS_VALID_HI] ms window."""
+    t = _try_ts_of(v)
+    return (
+        f"CASE WHEN year({t}) BETWEEN 1 AND 9999 "
+        f"THEN date_format({t}, '{pat}') END"
+    )
+
+
+def _b_msue(v: str) -> str:
+    return f"cast(floor({_msvalid_of(v)} / 1000.0) as bigint)"
+
+
+def _b_msjd(v: str) -> str:
+    return f"(({_msvalid_of(v)} + 210866760000000L) / 86400000.0d)"
 
 _Y = "cast(substring(x, 1, 4) as int)"
 _MO = "cast(substring(x, 6, 2) as int)"
 _D = "cast(substring(x, 9, 2) as int)"
-_H = "coalesce(cast(nullif(substring(x, 12, 2), '') as int), 0)"
-_MI = "coalesce(cast(nullif(substring(x, 15, 2), '') as int), 0)"
-_SEC = "coalesce(cast(nullif(substring(x, 18), '') as double), 0.0d)"
+_H = "coalesce(try_cast(nullif(substring(x, 12, 2), '') as int), 0)"
+_MI = "coalesce(try_cast(nullif(substring(x, 15, 2), '') as int), 0)"
+_SEC = (
+    "coalesce(cast(nullif(regexp_replace(substring(x, 18), "
+    f"{_ISO_STRIP}, ''), '') as double), 0.0d)"
+)
+# time-only strings ('HH:MM[:SS[.frac]]', date 2000-01-01): same fixed
+# offsets rebased to 1/4/7, no Z possible (the time gate rejects it)
+_TH = "cast(substring(x, 1, 2) as int)"
+_TMI = "cast(substring(x, 4, 2) as int)"
+_TSEC = (
+    "coalesce(cast(nullif(regexp_replace(substring(x, 7), "
+    f"{_ISO_STRIP}, ''), '') as double), 0.0d)"
+)
+# epoch-days of 2000-01-01 (the date SQLite assigns to time-only values)
+_TIMEONLY_DAYS = 10957
 
 _SQL_FUNCTIONS = [
-    # Strict ISO body (Z/trailing-space already stripped) -> epoch ms.
-    # SQLite's exact component validation (date.c parseYyyyMmDd /
-    # parseHhMmSs): month 1-12, day 1-31 (Feb 31 is VALID and rolls
-    # through the calendar — reproduced by make_date(y, m, 1) + (d-1)
-    # days), hour <=24, minute <=59, second <60; seconds round to SQLite's
-    # millisecond iJD resolution, C-style half away from zero. Pure
-    # int/date arithmetic — no timestamp values anywhere in the parse.
+    # Raw gated ISO string -> epoch ms. Component ranges are already
+    # proven by the gate regex (day 1-31: Feb 31 is VALID to SQLite and
+    # rolls through the calendar — reproduced by make_date(y, m, 1) +
+    # (d-1) days); seconds round to SQLite's millisecond iJD resolution,
+    # C-style half away from zero. Pure int/date arithmetic, each
+    # component referenced exactly once — no timestamp values anywhere
+    # in the parse.
     f"""
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_ms_iso(x STRING)
     RETURNS BIGINT
-    RETURN CASE WHEN {_Y} >= 1 AND {_MO} BETWEEN 1 AND 12
-                 AND {_D} BETWEEN 1 AND 31 AND {_H} <= 24
-                 AND {_MI} <= 59 AND {_SEC} < 60.0d
-           THEN cast(datediff(date_add(make_date({_Y}, {_MO}, 1), {_D} - 1),
-                              {_EPOCH_DATE}) as bigint) * 86400000L
-                + ({_H} * 3600L + {_MI} * 60L) * 1000L
-                + cast(round({_SEC} * 1000.0d) as bigint)
-           END
+    RETURN cast(datediff(date_add(make_date({_Y}, {_MO}, 1), {_D} - 1),
+                         {_EPOCH_DATE}) as bigint) * 86400000L
+           + ({_H} * 3600L + {_MI} * 60L) * 1000L
+           + cast(round({_SEC} * 1000.0d) as bigint)
+    """,
+    # Raw gated time-only string -> epoch ms on date 2000-01-01
+    f"""
+    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_ms_hms(x STRING)
+    RETURNS BIGINT
+    RETURN {_TIMEONLY_DAYS}L * 86400000L
+           + ({_TH} * 3600L + {_TMI} * 60L) * 1000L
+           + cast(round({_TSEC} * 1000.0d) as bigint)
     """,
     # THE time-value parser: SQLite's accepted grammar -> epoch ms, NULL
     # for the rest. A bare number (quoted or not — SQLite treats
@@ -233,10 +384,12 @@ _SQL_FUNCTIONS = [
     RETURNS BIGINT
     RETURN CASE
         WHEN x IS NULL THEN NULL
-        WHEN x RLIKE {_ISO_GATE}
-            THEN sqlite_ms_iso(regexp_replace(x, {_ISO_STRIP}, ''))
-        WHEN x RLIKE {_TIME_GATE}
-            THEN sqlite_ms_iso(concat('2000-01-01 ', trim(x)))
+        WHEN x RLIKE {_ISO_GATE} THEN coalesce(
+            CASE WHEN x RLIKE {_FAST_GATE}
+                 THEN (timestampdiff(MICROSECOND, {_EPOCH},
+                       try_cast(x as timestamp_ntz)) div 1000) END,
+            sqlite_ms_iso(x))
+        WHEN x RLIKE {_TIME_GATE} THEN sqlite_ms_hms(x)
         WHEN trim(x) RLIKE {_NUM_GATE} THEN
             CASE WHEN cast(trim(x) as double)
                       BETWEEN 1721425.5d AND 5373484.5d
@@ -289,37 +442,22 @@ _SQL_FUNCTIONS = [
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_msmod_months(v BIGINT,
                                                              n INT)
     RETURNS BIGINT
-    RETURN CASE WHEN {_MSVALID} IS NOT NULL THEN
-        CASE WHEN (year({_MSDAY}) * 12 + month({_MSDAY}) - 1 + n)
-                  BETWEEN 12 AND 119999
-        THEN cast(datediff(
-                 date_add(make_date(
-                     (year({_MSDAY}) * 12 + month({_MSDAY}) - 1 + n) div 12,
-                     pmod(year({_MSDAY}) * 12 + month({_MSDAY}) - 1 + n, 12)
-                         + 1,
-                     1), day({_MSDAY}) - 1),
-                 {_EPOCH_DATE}) as bigint) * 86400000L + pmod(v, 86400000L)
-        END END
+    RETURN {_b_months("v", "n")}
     """,
     f"""
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_msmod_sod(v BIGINT)
     RETURNS BIGINT
-    RETURN CASE WHEN {_MSVALID} IS NOT NULL
-                THEN v - pmod(v, 86400000L) END
+    RETURN {_b_sod("v")}
     """,
     f"""
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_msmod_som(v BIGINT)
     RETURNS BIGINT
-    RETURN CASE WHEN {_MSVALID} IS NOT NULL
-        THEN cast(datediff(trunc({_MSDAY}, 'MM'), {_EPOCH_DATE})
-                  as bigint) * 86400000L END
+    RETURN {_b_som("v")}
     """,
     f"""
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_msmod_soy(v BIGINT)
     RETURNS BIGINT
-    RETURN CASE WHEN {_MSVALID} IS NOT NULL
-        THEN cast(datediff(trunc({_MSDAY}, 'YEAR'), {_EPOCH_DATE})
-                  as bigint) * 86400000L END
+    RETURN {_b_soy("v")}
     """,
     # 'weekday N': advance 0-6 days forward to the next date whose
     # weekday (Sunday=0) is N; time-of-day unchanged (a plain ms add —
@@ -328,10 +466,7 @@ _SQL_FUNCTIONS = [
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_msmod_weekday(v BIGINT,
                                                               n INT)
     RETURNS BIGINT
-    RETURN CASE WHEN {_MSVALID} IS NOT NULL
-        THEN v + 86400000L * pmod(
-            n - pmod((v - pmod(v, 86400000L)) div 86400000L + 4, 7), 7)
-        END
+    RETURN {_b_weekday("v", "n")}
     """,
     # 'unixepoch' modifier: the base value must be a bare number (SQLite
     # NULLs everything else — including column values row-by-row, which
@@ -355,32 +490,34 @@ _SQL_FUNCTIONS = [
             div 1000)
     """,
     # --- top renders / numeric extractors ----------------------------
+    # 2-reference render (_b_fmt): one fewer duplicated parse tree per
+    # inlined WHERE-clause call.
     f"""
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_msfmt_t(v BIGINT)
     RETURNS STRING
-    RETURN date_format({_MSRENDER_TS}, 'HH:mm:ss')
+    RETURN {_b_fmt("v", "HH:mm:ss")}
     """,
     f"""
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_msfmt_d(v BIGINT)
     RETURNS STRING
-    RETURN date_format({_MSRENDER_TS}, 'yyyy-MM-dd')
+    RETURN {_b_fmt("v", "yyyy-MM-dd")}
     """,
     f"""
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_msfmt_dt(v BIGINT)
     RETURNS STRING
-    RETURN date_format({_MSRENDER_TS}, 'yyyy-MM-dd HH:mm:ss')
+    RETURN {_b_fmt("v", "yyyy-MM-dd HH:mm:ss")}
     """,
     # numeric outputs validate the full julian domain (no year-1 floor:
     # julianday('0001-01-10','-20 days') is a number in SQLite)
     f"""
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_msue(v BIGINT)
     RETURNS BIGINT
-    RETURN cast(floor({_MSVALID} / 1000.0) as bigint)
+    RETURN {_b_msue("v")}
     """,
     f"""
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_msjd(v BIGINT)
     RETURNS DOUBLE
-    RETURN (({_MSVALID} + 210866760000000L) / 86400000.0d)
+    RETURN {_b_msjd("v")}
     """,
     # --- the SQLite-named entry points (string time value in) --------
     # time('2023-07-27T20:30:00.000Z') -> '20:30:00'
@@ -564,10 +701,26 @@ def _fmt_translation_expr() -> str:
     return expr
 
 
+# sessions already carrying the current function set — re-running the ~25
+# CREATE FUNCTION statements costs ~0.7 s of round-trips per call, which
+# suite/bench paths pay per query (the module text is constant within a
+# process, so session identity is the right cache key)
+_REGISTERED_SESSIONS = None
+
+
 def register_sqlite_functions(spark: SparkSession) -> None:
-    """Register SQLite-compatible scalar SQL functions (idempotent)."""
+    """Register SQLite-compatible scalar SQL functions (idempotent; a
+    session that already holds the current set is a no-op)."""
+    global _REGISTERED_SESSIONS
+    if _REGISTERED_SESSIONS is None:
+        import weakref
+
+        _REGISTERED_SESSIONS = weakref.WeakSet()
+    if spark in _REGISTERED_SESSIONS:
+        return
     for stmt in _SQL_FUNCTIONS:
         spark.sql(stmt.format(chain=_fmt_translation_expr()) if "{chain}" in stmt else stmt)
+    _REGISTERED_SESSIONS.add(spark)
 
 
 # --- SQLite datetime-modifier folding (translate time) -------------------
@@ -806,6 +959,137 @@ def _sql_string_literal(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
+# --- segmented strftime emission (column time values) ---------------------
+# In a SELECT list Spark inlines SQL UDFs through stacked Projects that
+# let-bind each parameter once, so the generic sqlite_msstrftime macro is
+# fine there. In a WHERE clause the analyzer must keep the predicate a
+# single expression: every parameter reference duplicates its whole
+# argument tree, and the generic macro's %-substitution chain references
+# the parsed timestamp ~8 times — the inlined filter predicate blew
+# Janino's 64 KB method limit and forced interpreted execution (round-6
+# verdict). For LITERAL formats (the only kind the reference's query
+# surface produces) we instead segment the format in Python and emit one
+# small expression per piece, each referencing the parsed value once or
+# twice — the worst filter tree shrinks ~20× and whole-stage codegen
+# compiles (pinned by test_dialect_codegen.py).
+
+# SQLite code -> java.time pattern (same mapping as _FMT_MAP, per code)
+_JAVA_CODE = {
+    "Y": "yyyy", "m": "MM", "d": "dd", "H": "HH",
+    "M": "mm", "S": "ss", "f": "ss.SSS", "j": "DDD",
+}
+# literal characters safe to merge into a java pattern unquoted (alpha
+# chars are pattern letters; # { } [ ] ' are reserved/special)
+_JAVA_SAFE_LIT = set(" -:./,;+0123456789")
+# refs of the parsed timestamp each piece kind costs in the emitted tree
+_PIECE_REFS = {"java": 1, "lit": 0, "w": 1, "W": 2, "s": 1, "J": 2}
+
+
+def _strftime_pieces(fmt: str) -> list[tuple[str, str | None]] | None:
+    """Segment a literal strftime format into render pieces.
+
+    Returns a list of ``(kind, payload)`` with kind in
+    ``{'java','lit','w','W','s','J'}`` — or None when the format needs the
+    generic SQL macro (un-bridged code, lone trailing '%', which keeps
+    those cases byte-identical to the pre-segmentation behavior).
+    """
+    pieces: list[tuple[str, str | None]] = []
+
+    def _append(kind: str, payload: str) -> None:
+        if pieces and pieces[-1][0] == kind:
+            pieces[-1] = (kind, pieces[-1][1] + payload)
+        else:
+            pieces.append((kind, payload))
+
+    i, n = 0, len(fmt)
+    while i < n:
+        c = fmt[i]
+        if c != "%":
+            # literal char: safe punctuation/digits merge into a java run
+            # (non-alpha chars are literals to date_format); anything else
+            # becomes a constant piece — which also renders alphabetic
+            # literals EXACTLY (the generic path's java-pattern-letter
+            # delta does not apply here)
+            if c in _JAVA_SAFE_LIT:
+                _append("java", c)
+            else:
+                _append("lit", c)
+            i += 1
+            continue
+        if i + 1 >= n:
+            return None  # lone trailing '%': generic path decides
+        code = fmt[i + 1]
+        i += 2
+        if code in _JAVA_CODE:
+            _append("java", _JAVA_CODE[code])
+        elif code == "%":
+            _append("lit", "%")
+        elif code in "wWsJ":
+            pieces.append((code, None))
+        else:
+            return None  # un-bridged code: generic path decides
+    return pieces
+
+
+def _emit_segmented_strftime(pieces, ms_expr: str) -> str:
+    """Emit the segmented strftime render over an epoch-ms SQL expression.
+
+    The parsed value is lifted to TIMESTAMP_NTZ with a single reference per
+    use site (try_multiply NULLs the >±292k-year magnitudes a 500-modifier
+    chain could in principle accumulate, instead of overflowing), and the
+    SQLite render-domain gate (years 1-9999 — same window as
+    sqlite_msstrftime's year() CASE over _MSVALID_TS) is checked once at
+    the top instead of once per piece.
+
+    Inlined WHERE-clause predicates duplicate ``ms_expr`` once per
+    reference (Spark's analyzer let-binds SQL-UDF parameters only inside
+    Project nodes), so render shapes needing more than a few references
+    would still overrun Janino's 64 KB method limit. Those take the
+    lambda form ``transform(array(ms), v -> render)[0]`` instead: the
+    lambda variable IS a let-binding, the tree stays tiny, and only the
+    higher-order subtree evaluates interpreted — the rest of the stage
+    keeps whole-stage codegen (measured: a 4-copy inline predicate
+    compiles; 7 copies abort the stage to fully-interpreted execution).
+    """
+    refs = 1 + sum(_PIECE_REFS[k] for k, _ in pieces)
+    if refs <= 5:
+        t = (
+            f"timestampadd(MICROSECOND, try_multiply(({ms_expr}), 1000L), "
+            f"{_EPOCH})"
+        )
+        return _segmented_render_body(pieces, t)
+    t = f"timestampadd(MICROSECOND, try_multiply(sqlite_v, 1000L), {_EPOCH})"
+    body = _segmented_render_body(pieces, t)
+    return f"transform(array(({ms_expr})), sqlite_v -> {body})[0]"
+
+
+def _segmented_render_body(pieces, t: str) -> str:
+    rendered: list[str] = []
+    for kind, payload in pieces:
+        if kind == "java":
+            rendered.append(f"date_format({t}, '{payload}')")
+        elif kind == "lit":
+            rendered.append(_sql_string_literal(payload))
+        elif kind == "w":
+            rendered.append(f"cast(dayofweek({t}) - 1 as string)")
+        elif kind == "W":
+            rendered.append(
+                f"lpad(cast((dayofyear({t}) - 1 + 7 - weekday({t})) div 7"
+                " as string), 2, '0')"
+            )
+        elif kind == "s":
+            rendered.append(
+                f"cast(cast(floor({_ms_of(t)} / 1000.0) as bigint)"
+                " as string)"
+            )
+        else:  # 'J'
+            rendered.append(_julian_text_of(t))
+    body = rendered[0] if len(rendered) == 1 else (
+        "concat(" + ", ".join(rendered) + ")" if rendered else "''"
+    )
+    return f"CASE WHEN year({t}) BETWEEN 1 AND 9999 THEN {body} END"
+
+
 def _py_render(fname: str, v: int | None, fmt: str | None):
     """Render the folded ms value as a SQL literal; None = unfoldable."""
     null = f"cast(null as {_NULL_TYPE.get(fname, 'string')})"
@@ -915,11 +1199,13 @@ def _decode_literal(raw: str) -> str | None:
     return s[1:end].replace("''", "'")
 
 
-def _fold_modifier(expr: str, mod: str, first: bool, base_is_number: bool):
-    """Wrap ``expr`` (a TIMESTAMP_NTZ SQL expression) in the macro chain
-    for one literal modifier. Returns the new expression, or None when
-    SQLite would NULL the whole call. ('unixepoch' is consumed by the
-    caller before the chain starts — it changes how the BASE parses.)"""
+def _modifier_op(mod: str, first: bool, base_is_number: bool):
+    """One literal modifier → abstract op tuple, or None when SQLite
+    NULLs the whole call. Ops: ``('add', ms)``, ``('months', n, frac_ms)``,
+    ``('sod',)``/``('som',)``/``('soy',)``, ``('weekday', n)``,
+    ``('noop',)``. ('unixepoch' is consumed by the caller before the
+    chain starts — it changes how the BASE parses.) The abstraction
+    exists so the same validation drives BOTH emitters below."""
     m = _MOD_NUM.match(mod)
     if m:
         r, unit = float(m.group(1)), m.group(2).lower()
@@ -927,25 +1213,19 @@ def _fold_modifier(expr: str, mod: str, first: bool, base_is_number: bool):
             return None  # SQLite's rLimit check: out-of-bound value -> NULL
         if unit in _UNIT_MS:
             d = _c_round(r * _UNIT_MS[unit])
-            if abs(d) > _MAX_SHIFT_MS:
-                return None
-            return f"({expr} + {d}L)" if d >= 0 else f"({expr} - {-d}L)"
+            return ("add", d) if abs(d) <= _MAX_SHIFT_MS else None
         months = int(r) if unit == "month" else int(r) * 12
         frac = r - int(r)
-        if months:
-            expr = f"sqlite_msmod_months({expr}, {months})"
-        if frac:
-            per_day = 30.0 if unit == "month" else 365.0
-            d = _c_round(frac * per_day * 86400000.0)
-            expr = f"({expr} + {d}L)" if d >= 0 else f"({expr} - {-d}L)"
-        return expr
+        per_day = 30.0 if unit == "month" else 365.0
+        frac_d = _c_round(frac * per_day * 86400000.0) if frac else 0
+        return ("months", months, frac_d)
     m = _MOD_START.match(mod)
     if m:
-        return f"sqlite_msmod_so{m.group(1)[0].lower()}({expr})"
+        return ("so" + m.group(1)[0].lower(),)
     m = _MOD_WEEKDAY.match(mod)
     if m:
         n = int(m.group(1))
-        return f"sqlite_msmod_weekday({expr}, {n})" if n <= 6 else None
+        return ("weekday", n) if n <= 6 else None
     low = mod.lower()
     if low == "unixepoch":
         # valid only as the FIRST modifier (handled by the caller there)
@@ -953,7 +1233,7 @@ def _fold_modifier(expr: str, mod: str, first: bool, base_is_number: bool):
     if low == "julianday":
         # asserts the default interpretation of a bare-number value; a
         # no-op there, NULL anywhere else
-        return expr if first and base_is_number else None
+        return ("noop",) if first and base_is_number else None
     if _MOD_TZ.match(mod):
         raise ValueError(
             f"SQLite datetime modifier {mod!r} is not bridged: it depends "
@@ -963,11 +1243,92 @@ def _fold_modifier(expr: str, mod: str, first: bool, base_is_number: bool):
     return None
 
 
-def _rewrite_datetime_call(fname, args):
+def _ms_add(expr: str, d: int) -> str:
+    return f"({expr} + {d}L)" if d >= 0 else f"({expr} - {-d}L)"
+
+
+def _apply_op_inline(expr: str, op) -> str:
+    """Inline emission: macro CALLS. Spark's analyzer let-binds each
+    call's parameter inside Project nodes, so SELECT-list chains stay
+    small and fully codegen'd."""
+    kind = op[0]
+    if kind == "add":
+        return _ms_add(expr, op[1])
+    if kind == "months":
+        _, months, frac_d = op
+        if months:
+            expr = f"sqlite_msmod_months({expr}, {months})"
+        if frac_d:
+            expr = _ms_add(expr, frac_d)
+        return expr
+    if kind in ("sod", "som", "soy"):
+        return f"sqlite_msmod_{kind}({expr})"
+    if kind == "weekday":
+        return f"sqlite_msmod_weekday({expr}, {op[1]})"
+    return expr  # noop
+
+
+# copies of the upstream tree one inlined level costs in a WHERE clause
+# (the macro body's reference count of v); used to decide when a
+# predicate chain must switch to the lambda form
+_OP_WEIGHT = {"add": 1, "sod": 5, "som": 5, "soy": 5, "weekday": 7,
+              "noop": 1}
+_RENDER_WEIGHT = {"datetime": 2, "date": 2, "time": 2,
+                  "julianday": 3, "unixepoch": 3}
+# inlined predicate trees above this many parse-tree copies risk Janino's
+# 64 KB method limit (measured: 4 copies compile, 7 abort the stage)
+_INLINE_COPY_LIMIT = 5
+
+
+class _LambdaChain:
+    """Lambda emission for WHERE-clause chains: each calendar-level op
+    let-binds its input once via ``transform(array(x), v -> body)[0]`` —
+    a filter predicate cannot host Project let-bindings, so macro CALLS
+    would inline multiplicatively (months ×14 × start-of ×5 × render ×2 =
+    140 parse copies — far past the 64 KB method limit). The bound
+    variable makes every body reference a cheap lambda-var read; only the
+    higher-order subtrees evaluate interpreted, the rest of the stage
+    keeps whole-stage codegen."""
+
+    def __init__(self) -> None:
+        self._n = 0
+
+    def bind(self, expr: str, body_fn) -> str:
+        self._n += 1
+        var = f"sqlite_v{self._n}"
+        return f"transform(array({expr}), {var} -> {body_fn(var)})[0]"
+
+    def apply_op(self, expr: str, op) -> str:
+        kind = op[0]
+        if kind == "add":
+            return _ms_add(expr, op[1])
+        if kind == "months":
+            _, months, frac_d = op
+            if months:
+                expr = self.bind(expr, lambda v: _b_months(v, months))
+            if frac_d:
+                expr = _ms_add(expr, frac_d)
+            return expr
+        if kind == "sod":
+            return self.bind(expr, _b_sod)
+        if kind == "som":
+            return self.bind(expr, _b_som)
+        if kind == "soy":
+            return self.bind(expr, _b_soy)
+        if kind == "weekday":
+            return self.bind(expr, lambda v: _b_weekday(v, op[1]))
+        return expr  # noop
+
+
+def _rewrite_datetime_call(fname, args, projection=False):
     """Fold a datetime-function call with modifier arguments (or a 'now' /
     zero-argument / bare-number time value) into macro-chain SQL. Returns
     None for plain one-time-value calls — the caller keeps its minimal
-    fast path for those."""
+    fast path for those. ``projection=True`` promises the expression
+    lands in a SELECT list (Spark let-binds SQL-UDF parameters there), so
+    heavy chains keep the fully-codegen inline form; the default assumes
+    a WHERE clause, where heavy chains must take the lambda form (see
+    _LambdaChain)."""
     base_ix = 1 if fname == "strftime" else 0
     base_raw = args[base_ix] if len(args) > base_ix else None
     mods = args[base_ix + 1 :]
@@ -979,7 +1340,15 @@ def _rewrite_datetime_call(fname, args):
     is_now = base_raw is None or (
         base_lit is not None and base_lit.lower() == "now"
     )
-    if not (mods or is_now or base_is_number):
+    # literal strftime formats take the segmented emitter even for plain
+    # column calls — the generic macro's inlined filter tree blows the JVM
+    # 64 KB codegen limit (see _emit_segmented_strftime)
+    fmt_pieces = None
+    if fname == "strftime" and args:
+        fmt_lit0 = _decode_literal(args[0])
+        if fmt_lit0 is not None:
+            fmt_pieces = _strftime_pieces(fmt_lit0)
+    if not (mods or is_now or base_is_number or fmt_pieces is not None):
         return None
     if fname == "strftime" and not args:
         return None  # malformed; let Spark report the arity error
@@ -1024,24 +1393,82 @@ def _rewrite_datetime_call(fname, args):
         raw_base = False
         if is_now:  # 'now' is not a bare number: SQLite NULLs this
             return null_result()
-        expr = f"sqlite_ms_unixepoch(cast(({translate_where(base_raw)}) as string))"
+        expr = (
+            "sqlite_ms_unixepoch(cast(("
+            f"{translate_where(base_raw, projection)}) as string))"
+        )
     elif is_now:
         expr = "sqlite_ms_now()"
     else:
         # cast: bare numerics (julian day numbers) arrive as Spark
         # numeric literals; the parser takes the interchange string
-        expr = f"sqlite_msparse(cast(({translate_where(base_raw)}) as string))"
+        expr = (
+            "sqlite_msparse(cast(("
+            f"{translate_where(base_raw, projection)}) as string))"
+        )
+
+    ops = []
     for k, lit in enumerate(mod_lits):
-        folded = _fold_modifier(expr, lit, k == 0 and raw_base, base_is_number)
-        if folded is None:  # unrecognized/invalid modifier -> SQLite NULLs
+        op = _modifier_op(lit, k == 0 and raw_base, base_is_number)
+        if op is None:  # unrecognized/invalid modifier -> SQLite NULLs
             return null_result()
-        expr = folded
+        ops.append(op)
+
+    # predicate chains past the copy limit take the lambda form; the
+    # generic-macro strftime tail (computed format) cannot — it must call
+    # a SQL function, which cannot take a lambda variable
+    weight = 1
+    for op in ops:
+        if op[0] == "months":
+            weight *= 14 if op[1] else 1
+        else:
+            weight *= _OP_WEIGHT[op[0]]
     if fname == "strftime":
-        return f"sqlite_msstrftime({translate_where(args[0])}, {expr})"
+        render_w = (
+            (1 + sum(_PIECE_REFS[k] for k, _ in fmt_pieces))
+            if fmt_pieces is not None
+            else 1
+        )
+    else:
+        render_w = _RENDER_WEIGHT[fname]
+    use_lambda = (
+        not projection
+        and weight * render_w > _INLINE_COPY_LIMIT
+        and not (fname == "strftime" and fmt_pieces is None)
+    )
+
+    if use_lambda:
+        chain = _LambdaChain()
+        for op in ops:
+            expr = chain.apply_op(expr, op)
+        if fname == "strftime":
+            return chain.bind(
+                expr,
+                lambda v: _segmented_render_body(fmt_pieces, _try_ts_of(v)),
+            )
+        if fname in ("datetime", "date", "time"):
+            pat = {
+                "datetime": "yyyy-MM-dd HH:mm:ss",
+                "date": "yyyy-MM-dd",
+                "time": "HH:mm:ss",
+            }[fname]
+            return chain.bind(expr, lambda v: _b_fmt(v, pat))
+        body = _b_msue if fname == "unixepoch" else _b_msjd
+        return chain.bind(expr, body)
+
+    for op in ops:
+        expr = _apply_op_inline(expr, op)
+    if fname == "strftime":
+        if fmt_pieces is not None:
+            return _emit_segmented_strftime(fmt_pieces, expr)
+        return (
+            f"sqlite_msstrftime({translate_where(args[0], projection)}, "
+            f"{expr})"
+        )
     return f"{_TS_RENDER[fname]}({expr})"
 
 
-def translate_where(where: str) -> str:
+def translate_where(where: str, projection: bool = False) -> str:
     """Rewrite a SQLite WHERE clause into Spark SQL.
 
     Rewrites, all outside string literals: ``true``/``false`` → ``1``/``0``,
@@ -1053,6 +1480,12 @@ def translate_where(where: str) -> str:
     backtick identifier, otherwise a string literal). String literals have
     their backslashes doubled (SQLite literals have no escapes; Spark's
     parser would process them). Everything else passes through verbatim.
+
+    ``projection=True`` declares that the translated text will sit in a
+    SELECT list rather than a predicate: Spark's analyzer let-binds
+    SQL-UDF parameters there, so heavy datetime-modifier chains keep the
+    fully-codegen inline form instead of the predicate-safe lambda form
+    (see _rewrite_datetime_call).
     """
     from betfair_database_spark.const import SQL_TABLE_COLUMNS
 
@@ -1111,7 +1544,10 @@ def translate_where(where: str) -> str:
                 lit = like_to_regex(value).replace("\\", "\\\\").replace("'", "''")
                 out.append(f"RLIKE '{lit}'")
             else:
-                out.append(f"RLIKE sqlite_like_regex({translate_where(value)})")
+                out.append(
+                    "RLIKE sqlite_like_regex("
+                    f"{translate_where(value, projection)})"
+                )
             i = j2
             continue
         m = _GLOB_OP.match(where[i:])
@@ -1128,7 +1564,10 @@ def translate_where(where: str) -> str:
                 lit = glob_to_regex(value).replace("\\", "\\\\").replace("'", "''")
                 out.append(f"RLIKE '{lit}'")
             else:
-                out.append(f"RLIKE sqlite_glob_regex({translate_where(value or '')})")
+                out.append(
+                    "RLIKE sqlite_glob_regex("
+                    f"{translate_where(value or '', projection)})"
+                )
             i = j2
             continue
         m = _RENAMED_FUNCS.match(where[i:])
@@ -1140,7 +1579,9 @@ def translate_where(where: str) -> str:
                 None
                 if close is None
                 else _rewrite_datetime_call(
-                    fname, _split_top_level(where[open_paren + 1 : close])
+                    fname,
+                    _split_top_level(where[open_paren + 1 : close]),
+                    projection=projection,
                 )
             )
             if rewritten is None:

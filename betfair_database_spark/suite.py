@@ -500,14 +500,25 @@ def p7_bool_literal_shim(spark, sf):
     """,
 )
 def p8_strftime_time_shim(spark, sf):
-    # SQLite-dialect strftime()/time() through the registered SQL UDFs
+    # SQLite-dialect strftime()/time() through the select() surface: the
+    # predicate AND the projected month both go through translate_where
+    # (round 7: the segmented emitter keeps the whole stage inside one
+    # compiled WholeStageCodegen — the generic macro in the SELECT list
+    # used to push the shared stage method past the JVM's 64 KB limit).
+    # The small-SF parquet arrives as ONE split; widen the compute-dense
+    # filter to cluster parallelism first (FilterExec has no codegen CSE,
+    # so each predicate re-parses the column — parallelism is the lever).
     register_sqlite_functions(spark)
-    _t(spark, sf, "orders").createOrReplaceTempView("orders_v")
+    width = spark.sparkContext.defaultParallelism
+    _t(spark, sf, "orders").repartition(width).createOrReplaceTempView(
+        "orders_v"
+    )
     where = translate_where(
         "strftime('%m', o_orderdate) = '03' AND time(o_orderdate) == '00:00:00'"
     )
+    month = translate_where("strftime('%m', o_orderdate)", projection=True)
     return spark.sql(
-        "SELECT o_orderkey, sqlite_strftime('%m', o_orderdate) AS order_month "
+        f"SELECT o_orderkey, ({month}) AS order_month "
         f"FROM orders_v WHERE {where}"
     )
 

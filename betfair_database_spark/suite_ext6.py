@@ -371,7 +371,7 @@ _P8B_ORACLE = """
 WITH base AS (
   SELECT o_orderkey, o_orderdate,
          year(o_orderdate) * 12 + month(o_orderdate) - 1 + 1 AS tot
-  FROM orders WHERE o_orderkey % 10 = 0
+  FROM orders
 )
 SELECT o_orderkey,
        strftime(CAST(date_trunc('month',
@@ -395,24 +395,28 @@ def p8b_datetime_modifiers(spark, sf):
     oracle reproduces the roll with explicit calendar arithmetic, since
     its own +INTERVAL clamps), 'weekday 3', and '+12 hours' through
     unixepoch(). Column bases take the epoch-ms macro chain; whole-stage
-    codegen, no UDFs. A keyed 10% slice of orders: the bridge's per-row
-    cost is characterized in PLANS.md; the correctness signal doesn't
-    need the full scan."""
+    codegen, no UDFs. Full scan (the round-6 10% slice is restored now
+    that the bridge compiles cheaply — round 7): the small-SF parquet
+    arrives as ONE split, so the compute-dense projection is widened to
+    cluster parallelism first — the bench-scale analogue of the ~100k
+    splits a 100 TB table would arrive with."""
     from betfair_database_spark.plans.dialect import (
         register_sqlite_functions,
         translate_where,
     )
 
     register_sqlite_functions(spark)
-    _t(spark, sf, "orders").createOrReplaceTempView("orders_v")
+    width = spark.sparkContext.defaultParallelism
+    _t(spark, sf, "orders").repartition(width).createOrReplaceTempView(
+        "orders_v"
+    )
     exprs = {
         "next_month_start": "datetime(o_orderdate, '+1 months', 'start of month')",
         "next_wednesday": "date(o_orderdate, 'weekday 3')",
         "noon_epoch": "unixepoch(o_orderdate, '+12 hours')",
     }
     sel = ", ".join(
-        f"({translate_where(e)}) AS {name}" for name, e in exprs.items()
+        f"({translate_where(e, projection=True)}) AS {name}"
+        for name, e in exprs.items()
     )
-    return spark.sql(
-        f"SELECT o_orderkey, {sel} FROM orders_v WHERE o_orderkey % 10 = 0"
-    )
+    return spark.sql(f"SELECT o_orderkey, {sel} FROM orders_v")

@@ -29,9 +29,15 @@ def test_function_renames():
         translate_where("time(marketStartTime) > '09:00:00'")
         == "sqlite_time(marketStartTime) > '09:00:00'"
     )
+    # literal formats take the segmented emitter (round 7: the generic
+    # macro's inlined filter tree blew the JVM 64 KB codegen limit); a
+    # computed format still routes through the generic SQL macro
+    seg = translate_where("strftime('%m', marketStartTime) == '07'")
+    assert "date_format(" in seg and "sqlite_msparse(" in seg
+    assert seg.endswith("== '07'")
     assert (
-        translate_where("strftime('%m', marketStartTime) == '07'")
-        == "sqlite_strftime('%m', marketStartTime) == '07'"
+        translate_where("strftime(fmtcol, marketStartTime) == '07'")
+        == "sqlite_strftime(fmtcol, marketStartTime) == '07'"
     )
     assert translate_where("datetime(x) = '2023-01-01 00:00:00'").startswith(
         "sqlite_datetime("
@@ -88,10 +94,11 @@ def test_glob_rewrite():
     )
     # ...and the operand itself is bridged: renamed functions, booleans and
     # double-quoted spans inside it translate like any other expression
-    assert (
-        translate_where("a GLOB strftime('%Y*', eventTime)")
-        == "a RLIKE sqlite_glob_regex(sqlite_strftime('%Y*', eventTime))"
-    )
+    # (the literal strftime format takes the round-7 segmented emitter —
+    # '*' is a constant piece, never a java pattern char)
+    seg = translate_where("a GLOB strftime('%Y*', eventTime)")
+    assert seg.startswith("a RLIKE sqlite_glob_regex(")
+    assert "date_format(" in seg and ", '*')" in seg
     assert (
         translate_where('a GLOB substr("marketName", 1, 3)')
         == "a RLIKE sqlite_glob_regex(substr(`marketName`, 1, 3))"

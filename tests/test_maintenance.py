@@ -557,3 +557,107 @@ class TestTimeTravel:
         assert db.insert(src2, copy=True) == 1
         # the pre-upsert reader still sees exactly the old snapshot
         assert sorted(r["marketId"] for r in lazy.collect()) == before_ids
+
+
+class TestWriterLock:
+    """Single-writer mutual exclusion (round 7): the crash-atomic commit
+    protocol assumes one writer; the lock file beside the index enforces
+    it with a loud ConcurrentWriterError on contention and a staleness
+    takeover for dead holders."""
+
+    @pytest.fixture()
+    def env(self, spark, tmp_path_factory):
+        from betfair_database_spark.database import BetfairDatabase
+
+        base = tmp_path_factory.mktemp("lockenv")
+        target = base / "db"
+        target.mkdir()
+        src = base / "src"
+        build_corpus(src)
+        db = BetfairDatabase(target, spark=spark)
+        return db, src, base
+
+    def test_concurrent_inserts_exactly_one_wins(self, spark, env):
+        """Two overlapping insert() calls: the one that reaches the lock
+        second raises ConcurrentWriterError, the winner commits a
+        consistent snapshot."""
+        import threading
+
+        from betfair_database_spark.database import BetfairDatabase
+        from betfair_database_spark.exceptions import ConcurrentWriterError
+
+        db, src, base = env
+        src2 = base / "src2"
+        build_corpus(src2)
+        db2 = BetfairDatabase(db.database_dir, spark=spark)
+
+        entered = threading.Event()
+        release = threading.Event()
+        results: dict = {}
+
+        import betfair_database_spark.inserts as insmod
+
+        real_insert_markets = insmod.insert_markets
+
+        def slow_insert_markets(*a, **kw):
+            entered.set()
+            assert release.wait(60)
+            return real_insert_markets(*a, **kw)
+
+        insmod.insert_markets = slow_insert_markets
+        # database.insert imported the symbol lazily inside the method, so
+        # patching the module attribute is enough
+        try:
+            t = threading.Thread(
+                target=lambda: results.update(a=db.insert(src, copy=True))
+            )
+            t.start()
+            assert entered.wait(60)
+            # the first writer holds the lock (alive pid, this host)
+            with pytest.raises(ConcurrentWriterError):
+                db2.insert(src2, copy=True)
+            release.set()
+            t.join(120)
+        finally:
+            insmod.insert_markets = real_insert_markets
+        assert results.get("a") == EXPECTED["rows"]
+        assert db.size() == EXPECTED["rows"]
+        # lock released: the loser can now write
+        assert db2.insert(src2, copy=True, on_duplicates="skip") == 0
+
+    def test_stale_lock_from_dead_pid_is_taken_over(self, env):
+        import os
+        import socket
+        import subprocess
+
+        db, src, _ = env
+        # a real pid that has exited on this host
+        proc = subprocess.Popen(["true"])
+        proc.wait()
+        lock = db.database_dir / ".betfairdatabaseindex.parquet.lock"
+        lock.write_text(f"{proc.pid} {socket.gethostname()} 0.0")
+        assert db.insert(src, copy=True) == EXPECTED["rows"]  # took over
+        assert not lock.exists()
+
+    def test_live_and_foreign_locks_are_respected(self, env):
+        import os
+        import socket
+
+        from betfair_database_spark.exceptions import ConcurrentWriterError
+
+        db, src, _ = env
+        lock = db.database_dir / ".betfairdatabaseindex.parquet.lock"
+        # live pid on this host -> contention
+        lock.write_text(f"{os.getpid()} {socket.gethostname()} 0.0")
+        with pytest.raises(ConcurrentWriterError):
+            db.insert(src, copy=True)
+        # foreign host -> never stolen, even with a dead-looking pid
+        lock.write_text(f"999999999 not-{socket.gethostname()} 0.0")
+        with pytest.raises(ConcurrentWriterError):
+            db.insert(src, copy=True)
+        # unreadable/garbage lock -> loud, not stolen
+        lock.write_text("garbage")
+        with pytest.raises(ConcurrentWriterError):
+            db.insert(src, copy=True)
+        lock.unlink()
+        assert db.insert(src, copy=True) == EXPECTED["rows"]

@@ -1402,3 +1402,40 @@ def test_ann_index_at_rest_partition_and_column_pruning(spark, tmp_path):
     read_schema = aplan.split("ReadSchema:")[1].split("\n")[0]
     # column pruning: the ADC probe never reads the raw vectors
     assert "pq" in read_schema and "embedding" not in read_schema
+
+
+def test_pq_train_codebook_reduces_quantization_error(spark):
+    """Round 7: write_ann_index trains the PQ codebook (per-subspace L2
+    Lloyd). Lloyd's objective is monotonically non-increasing, so the
+    trained codebook's mean quantization error must not exceed the
+    first-16-by-id seed's — and on real data it drops substantially
+    (measured sf0.01: 0.758 -> 0.561, ADC recall@10 0.33 -> 0.385)."""
+    import numpy as np
+
+    from betfair_database_spark.operators import similarity as sim
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    vecs = np.asarray(
+        [list(r[0]) for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    m, n_codes, sub = 8, 16, vecs.shape[1] // 8
+
+    def objective(code):
+        code = np.asarray(code)
+        tot = 0.0
+        for s in range(m):
+            x = vecs[:, s * sub : (s + 1) * sub]
+            c = code[:, s * sub : (s + 1) * sub]
+            tot += ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1).min(1).sum()
+        return tot / len(vecs)
+
+    seed = sim.pq_codebook_anchors(emb, n_codes)
+    trained = sim.pq_train_codebook(emb, m, n_codes, iters=3)
+    assert len(trained) == n_codes and len(trained[0]) == vecs.shape[1]
+    o_seed, o_trained = objective(seed), objective(trained)
+    assert o_trained <= o_seed + 1e-12
+    # one more iteration never increases the objective (Lloyd monotone)
+    more = sim.pq_train_codebook(emb, m, n_codes, iters=1, anchors=trained)
+    assert objective(more) <= o_trained + 1e-12

@@ -248,13 +248,19 @@ def minhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 16,
-    bands: int = 2,
+    bands: int = 4,
     threshold: float = 0.8,
     shingle_k: int = 5,
     collapse_exact: bool = False,
 ) -> DataFrame:
     """Full MinHash-LSH near-duplicate pipeline over character-shingle sets:
     candidates via band join, then exact Jaccard verify ≥ threshold.
+
+    Default bands=4 at 16 hashes (round-7 sweep): r=4 rows/band measured
+    recall 1.0 at threshold 0.8 on both sf0.01 and sf0.1 (vs 0.96-0.99
+    for bands=2) at equal-or-lower cost; bands=8 (r=2) also hits 1.0 but
+    its candidate set explodes (18.7 s vs 2.5 s at sf0.1) because two
+    shared minhashes collide on every moderately-similar pair.
 
     shingle_k=0 switches to word tokens (saturates on small vocabularies —
     see ``shingles``).
@@ -310,7 +316,7 @@ def minhash_incremental_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 16,
-    bands: int = 2,
+    bands: int = 4,
     threshold: float = 0.8,
     shingle_k: int = 5,
 ) -> DataFrame:

@@ -134,6 +134,8 @@ def canonical_edges(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
 def triangle_count(
     edges: DataFrame, a: str = "a", b: str = "b",
     broadcast_closure: bool = False,
+    broadcast_degrees: bool = False,
+    canonical: bool = False,
 ) -> DataFrame:
     """Global triangle count via DEGREE-ORDERED edge orientation (the
     compact-forward algorithm): orient every undirected edge from its
@@ -150,9 +152,24 @@ def triangle_count(
     total: degree agg, wedge join, closure join — each a plain hash
     exchange that AQE can further split.
 
+    Round-7 audit knobs (the edge build paid avoidable shuffles):
+    ``broadcast_degrees=True`` ships the node-sized degree table to both
+    orientation joins instead of shuffling the edge set twice — correct
+    whenever the NODE set is bounded (the degree table has one row per
+    node; at unbounded node counts keep the default shuffled joins).
+    With broadcast orientation the forward frame is two cheap map-side
+    joins over the checkpointed edges, so its own checkpoint is dropped.
+    ``canonical=True`` promises the input is already (a < b)-oriented,
+    self-loop-free and distinct (e.g. a groupBy(a, b) output with an
+    a < b predicate), skipping canonical_edges' full-edge-set shuffle.
+
     Returns a 1-row frame: (n_edges, n_triangles).
     """
-    e = canonical_edges(edges, a, b).localCheckpoint()  # reused 4x below
+    e = (
+        edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        if canonical
+        else canonical_edges(edges, a, b)
+    ).localCheckpoint()  # reused 4x below
     deg = (
         e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
         .groupBy("n")
@@ -161,6 +178,8 @@ def triangle_count(
     # orientation key: (degree, id) totally orders nodes deterministically
     du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+    if broadcast_degrees:
+        du, dv = F.broadcast(du), F.broadcast(dv)
     ranked = e.join(du, "u").join(dv, "v")
     # checkpoint: BOTH wedge branches (w1, w2) read fwd — without the cut
     # the whole degree-join subtree executes twice (seen in the plan)
@@ -172,7 +191,9 @@ def triangle_count(
         )
         .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
         .alias("e")
-    ).select("e.s", "e.t").localCheckpoint()
+    ).select("e.s", "e.t")
+    if not broadcast_degrees:
+        fwd = fwd.localCheckpoint()
     w1 = fwd.select(F.col("s"), F.col("t").alias("x"))
     w2 = fwd.select(F.col("s"), F.col("t").alias("y"))
     wedges = w1.join(w2, "s").where(F.col("x") < F.col("y"))

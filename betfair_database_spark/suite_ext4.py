@@ -442,8 +442,17 @@ def graph_triangle_count(spark, sf):
         .where(F.col("n_shared") >= 8)
     )
     # the cohort bound caps edges at ~C(1000,2): always broadcastable,
-    # and it removes the only large exchange (the wedge-set shuffle)
-    return triangle_count(edges, broadcast_closure=True)
+    # and it removes the only large exchange (the wedge-set shuffle).
+    # Round-7 audit: the degree table (one row per cohort user) is
+    # broadcast to both orientation joins — no edge-set shuffle for
+    # ranking — and the groupBy(a, b) output is already canonical, so
+    # the canonicalize-distinct shuffle is skipped too.
+    return triangle_count(
+        edges,
+        broadcast_closure=True,
+        broadcast_degrees=True,
+        canonical=True,
+    )
 
 
 # =========================================================================

@@ -1439,3 +1439,81 @@ def test_pq_train_codebook_reduces_quantization_error(spark):
     # one more iteration never increases the objective (Lloyd monotone)
     more = sim.pq_train_codebook(emb, m, n_codes, iters=1, anchors=trained)
     assert objective(more) <= o_trained + 1e-12
+
+
+def test_ann_index_incremental_append(spark, tmp_path):
+    """Round 7: append_ann_index adds new vectors into their cell
+    partitions under the manifest commit protocol. Query results equal a
+    from-scratch rebuild over the union; untouched cell partitions keep
+    their part-files byte-identical; uncommitted garbage from a crashed
+    append is invisible and reaped."""
+    import random
+    from pathlib import Path
+
+    from betfair_database_spark.operators.similarity import (
+        ann_manifest_read,
+        append_ann_index,
+        kmeans_seeds,
+        query_ann_index,
+        write_ann_index,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(200)]
+    first = spark.createDataFrame(
+        rows[:150], "vec_id long, embedding array<float>"
+    )
+    second = spark.createDataFrame(
+        rows[150:], "vec_id long, embedding array<float>"
+    )
+    union = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids = kmeans_seeds(first, 4)
+    q = [float(v) for v in rows[3][1]]
+
+    path = str(tmp_path / "ann_inc")
+    anchors = write_ann_index(first, path, centroids)
+    byte_state = {
+        str(p): (p.stat().st_size, p.read_bytes()[:64])
+        for p in Path(path).glob("cell=*/*.parquet")
+    }
+
+    assert append_ann_index(second, path) == 50
+
+    # untouched + pre-existing files byte-identical (append never rewrites)
+    for p, (size, head) in byte_state.items():
+        assert Path(p).stat().st_size == size
+        assert Path(p).read_bytes()[:64] == head
+
+    # equals a from-scratch rebuild with the SAME codebook/centroids
+    rebuild = str(tmp_path / "ann_rebuild")
+    write_ann_index(union, rebuild, centroids, anchors=anchors)
+    for rerank in ("exact", "adc"):
+        inc = query_ann_index(
+            spark, path, None, None, q, k=7, nprobe=3, rerank=rerank
+        ).collect()
+        ref = query_ann_index(
+            spark, rebuild, centroids, anchors, q, k=7, nprobe=3,
+            rerank=rerank,
+        ).collect()
+        assert [tuple(r) for r in inc] == [tuple(r) for r in ref]
+
+    # crash simulation: an uncommitted part-file is invisible to queries
+    # and reaped by the next append
+    cell_dir = next(Path(path).glob("cell=*"))
+    stray = cell_dir / "part-99999-dead-beef.c000.snappy.parquet"
+    committed = query_ann_index(spark, path, None, None, q, k=7, nprobe=4)
+    n_before = committed.count()
+    stray.write_bytes(b"not parquet")
+    assert (
+        query_ann_index(spark, path, None, None, q, k=7, nprobe=4).count()
+        == n_before
+    )
+    third = spark.createDataFrame(
+        [(500, [0.5] * 64)], "vec_id long, embedding array<float>"
+    )
+    assert append_ann_index(third, path) == 1
+    assert not stray.exists()
+    manifest = ann_manifest_read(path)
+    assert sum(len(v) for v in manifest["cells"].values()) == len(
+        list(Path(path).glob("cell=*/*.parquet"))
+    )

@@ -187,19 +187,26 @@ class BetfairDatabase:
         where: str | None = None,
         limit: int | None = None,
         version: int | None = None,
+        local_tz: str | None = None,
     ) -> DataFrame:
         """DataFrame-returning select — the native query surface.
 
         ``version`` time-travels to an earlier committed snapshot (see
         ``snapshots()``); requires the database to have been maintained
-        with ``retain_snapshots`` > 1 so the files still exist."""
+        with ``retain_snapshots`` > 1 so the files still exist.
+
+        ``local_tz`` (round 7) bridges SQLite's ``localtime``/``utc``
+        datetime modifiers with an explicit IANA capture timezone — the
+        reference delegates them to the HOST's timezone (reference
+        metadata.py:40-72 semantics), which a Spark session does not
+        share; without it those modifiers raise."""
         df = self._read_index(version=version)
         df.createOrReplaceTempView(SQL_TABLE_NAME)
         register_sqlite_functions(self.spark)
         cols = ",".join(columns) if columns else ",".join(SQL_TABLE_COLUMNS)
         sql = f"SELECT {cols} FROM {SQL_TABLE_NAME}"
         if where:
-            sql += f" WHERE {translate_where(where)}"
+            sql += f" WHERE {translate_where(where, local_tz=local_tz)}"
         if limit is not None:
             sql += f" LIMIT {limit}"
         return self.spark.sql(sql)
@@ -211,11 +218,15 @@ class BetfairDatabase:
         limit: int | None = None,
         return_dict: bool = True,
         version: int | None = None,
+        local_tz: str | None = None,
     ) -> list[dict | tuple]:
         """Reference-parity select returning materialized rows
-        (reference database.py:119-157). ``version`` (an extension beyond
-        the reference surface) time-travels to an earlier snapshot."""
-        rows = self.select_df(columns, where, limit, version=version).collect()
+        (reference database.py:119-157). ``version``/``local_tz``
+        (extensions beyond the reference surface) time-travel to an
+        earlier snapshot / bridge the localtime-utc modifiers."""
+        rows = self.select_df(
+            columns, where, limit, version=version, local_tz=local_tz
+        ).collect()
         if return_dict:
             return [r.asDict() for r in rows]
         return [tuple(r) for r in rows]

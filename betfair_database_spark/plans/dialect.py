@@ -74,13 +74,25 @@ sqlite 3.40 and property-fuzzed in ``test_dialect_modifiers.py`` /
     an error — matching SQLite, and ANSI-safe (the pre-round-6 bridge
     raised on unparseable strings under ANSI).
 
+Round 7: ``localtime``/``utc`` are BRIDGED when the caller supplies the
+capture timezone — ``translate_where(..., local_tz='<IANA zone>')`` /
+``select(..., local_tz=...)`` — the reference's host-tz semantics with
+the host made explicit (tested against sqlite3 under a pinned process
+TZ). Without ``local_tz`` they still raise; ``auto`` always raises.
+Bridged window: years 1-9999; offsets come from IANA tzdata on both
+paths (zoneinfo on the literal fold, convert_timezone on the column
+chain), so SQLite's pre-1971/post-2038 proxy-year clamp and its
+iterate-resolution inside the 1-2 h DST gap/overlap windows are
+documented residuals (we use the earlier-offset/roll-forward rule both
+engines' java.time/PEP-495 agree on).
+
 Residual deltas (documented, not bridged): ``||`` on FLOATING values
 whose text renderings differ (SQLite ``1.0e+20`` vs Spark ``1.0E20``;
 integers and ordinary decimals agree — probed both engines);
 ``LIKE ... ESCAPE`` clauses (fall back to ``ILIKE``); strftime codes the
 reference-era SQLite (3.40) itself returns NULL for (``%e %u %k %l %I %T
 %R %F %p %P %G %g %U %V``); ``%%`` immediately followed by another code
-letter (``%%Y``); ``localtime``/``utc``/``auto`` modifiers (raise);
+letter (``%%Y``); the ``auto`` modifier (raises);
 numeric timezone offsets in time strings (``...+02:00``); results/inputs
 outside years 0001-9999 (SQLite spans -4713..9999; we render NULL there);
 single ms shifts beyond ±8e15 ms ≈ ±250k years NULL early (SQLite's own
@@ -328,6 +340,45 @@ def _b_msue(v: str) -> str:
 
 def _b_msjd(v: str) -> str:
     return f"(({_msvalid_of(v)} + 210866760000000L) / 86400000.0d)"
+
+
+def _tz_literal(tz: str) -> str:
+    return "'" + tz.replace("\\", "").replace("'", "''") + "'"
+
+
+def _msrender_gate_of(v: str) -> str:
+    """years 1-9999 window (same as the render gate) — localtime/utc are
+    bridged only there: Python's datetime cannot represent the julian
+    window's pre-0001 tail, and SQLite itself clamps pre-1971/post-2038
+    offsets to proxy years (documented residual)."""
+    return (
+        f"(CASE WHEN {v} BETWEEN -62135596800000L AND 253402300799999L"
+        f" THEN {v} END)"
+    )
+
+
+def _b_localtime(v: str, tz: str) -> str:
+    """'localtime': the value is UTC; shift it to ``tz`` wall-clock.
+    convert_timezone on the NTZ lift is the DST-aware offset lookup —
+    IANA tzdata, same rules Python's zoneinfo applies on the literal
+    fold path."""
+    t = _try_ts_of(_msrender_gate_of(v))
+    return (
+        f"(timestampdiff(MICROSECOND, {_EPOCH}, "
+        f"convert_timezone('UTC', {_tz_literal(tz)}, {t})) div 1000)"
+    )
+
+
+def _b_utc(v: str, tz: str) -> str:
+    """'utc': the value is ``tz`` wall-clock; shift it to UTC. Ambiguous
+    local times resolve to the EARLIER offset and gap times roll forward
+    (java.time ofLocal), matching the fold path's PEP-495 fold=0; SQLite's
+    iterate can differ inside the 1-2 h DST edges (documented residual)."""
+    t = _try_ts_of(_msrender_gate_of(v))
+    return (
+        f"(timestampdiff(MICROSECOND, {_EPOCH}, "
+        f"convert_timezone({_tz_literal(tz)}, 'UTC', {t})) div 1000)"
+    )
 
 _Y = "cast(substring(x, 1, 4) as int)"
 _MO = "cast(substring(x, 6, 2) as int)"
@@ -844,8 +895,35 @@ def _py_parse(txt: str) -> int | None:
     return None
 
 
-def _py_modify(v: int | None, mod: str) -> int | None:
-    """One modifier in ms space; None = NULL (mirrors _fold_modifier)."""
+def _py_tzmod(v: int, kind: str, tz: str) -> int | None:
+    """'localtime'/'utc' in ms space via zoneinfo — the literal-fold twin
+    of _b_localtime/_b_utc (fold=0 = earlier offset on ambiguity, gap
+    times resolve like java.time ofLocal). Bridged window: years 1-9999
+    (the render gate); SQLite's own pre-1971/post-2038 proxy-year clamp
+    is a documented residual."""
+    from datetime import datetime, timezone
+    from zoneinfo import ZoneInfo
+
+    if not (_MS_RENDER_LO <= v <= _MS_VALID_HI):
+        return None
+    zi = ZoneInfo(tz)
+    days, ms_of_day = divmod(v, _DAY_MS)
+    y, mo, d = _civil_from_days(days)
+    h, rem = divmod(ms_of_day, 3600000)
+    mi, rem = divmod(rem, 60000)
+    sec, ms = divmod(rem, 1000)
+    naive = datetime(y, mo, d, h, mi, sec, ms * 1000)
+    if kind == "localtime":
+        off = naive.replace(tzinfo=timezone.utc).astimezone(zi).utcoffset()
+        return v + int(off.total_seconds() * 1000)
+    off = naive.replace(tzinfo=zi).utcoffset()  # fold=0
+    return v - int(off.total_seconds() * 1000)
+
+
+def _py_modify(
+    v: int | None, mod: str, local_tz: str | None = None
+) -> int | None:
+    """One modifier in ms space; None = NULL (mirrors the SQL emitters)."""
     if v is None:
         return None
     m = _MOD_NUM.match(mod)
@@ -889,6 +967,9 @@ def _py_modify(v: int | None, mod: str) -> int | None:
             return None
         wd = (v // _DAY_MS + 4) % 7  # 1970-01-01 was Thursday (=4)
         return v + _DAY_MS * ((n - wd) % 7)
+    m = _MOD_TZ.match(mod)
+    if m and m.group(1).lower() != "auto" and local_tz is not None:
+        return _py_tzmod(v, m.group(1).lower(), local_tz)
     # unrecognized (incl. 'unixepoch'/'julianday' past position 0, which
     # the caller consumes when legal): SQLite NULLs the whole call
     return None
@@ -1120,7 +1201,7 @@ def _py_render(fname: str, v: int | None, fmt: str | None):
     return _sql_string_literal(f"{date_s} {time_s}")
 
 
-def _py_fold_call(fname, base_lit, mod_lits, fmt_lit):
+def _py_fold_call(fname, base_lit, mod_lits, fmt_lit, local_tz=None):
     """Constant-fold a fully-literal call; None = not foldable here."""
     mods = list(mod_lits)
     if mods and mods[0].lower() == "unixepoch":
@@ -1137,9 +1218,11 @@ def _py_fold_call(fname, base_lit, mod_lits, fmt_lit):
                 return _py_render(fname, None, fmt_lit)
             mods = mods[1:]
     for mod in mods:
-        if _MOD_TZ.match(mod):
+        if _MOD_TZ.match(mod) and (
+            local_tz is None or mod.lower() == "auto"
+        ):
             return None  # let the chain path raise the loud error
-        v = _py_modify(v, mod)
+        v = _py_modify(v, mod, local_tz)
         if v is None:
             return _py_render(fname, None, fmt_lit)
     return _py_render(fname, v, fmt_lit)
@@ -1199,7 +1282,9 @@ def _decode_literal(raw: str) -> str | None:
     return s[1:end].replace("''", "'")
 
 
-def _modifier_op(mod: str, first: bool, base_is_number: bool):
+def _modifier_op(
+    mod: str, first: bool, base_is_number: bool, local_tz: str | None = None
+):
     """One literal modifier → abstract op tuple, or None when SQLite
     NULLs the whole call. Ops: ``('add', ms)``, ``('months', n, frac_ms)``,
     ``('sod',)``/``('som',)``/``('soy',)``, ``('weekday', n)``,
@@ -1234,11 +1319,17 @@ def _modifier_op(mod: str, first: bool, base_is_number: bool):
         # asserts the default interpretation of a bare-number value; a
         # no-op there, NULL anywhere else
         return ("noop",) if first and base_is_number else None
-    if _MOD_TZ.match(mod):
+    m = _MOD_TZ.match(mod)
+    if m:
+        kind = m.group(1).lower()
+        if kind != "auto" and local_tz is not None:
+            return (kind,)
         raise ValueError(
             f"SQLite datetime modifier {mod!r} is not bridged: it depends "
             "on the reference host's local timezone, which a Spark session "
-            "does not share (documented dialect delta)"
+            "does not share. Pass local_tz='<IANA zone>' to "
+            "translate_where()/select() to bridge 'localtime'/'utc' with "
+            "an explicit capture timezone ('auto' stays unbridged)."
         )
     return None
 
@@ -1247,7 +1338,7 @@ def _ms_add(expr: str, d: int) -> str:
     return f"({expr} + {d}L)" if d >= 0 else f"({expr} - {-d}L)"
 
 
-def _apply_op_inline(expr: str, op) -> str:
+def _apply_op_inline(expr: str, op, local_tz: str | None = None) -> str:
     """Inline emission: macro CALLS. Spark's analyzer let-binds each
     call's parameter inside Project nodes, so SELECT-list chains stay
     small and fully codegen'd."""
@@ -1265,6 +1356,10 @@ def _apply_op_inline(expr: str, op) -> str:
         return f"sqlite_msmod_{kind}({expr})"
     if kind == "weekday":
         return f"sqlite_msmod_weekday({expr}, {op[1]})"
+    if kind == "localtime":
+        return _b_localtime(expr, local_tz)
+    if kind == "utc":
+        return _b_utc(expr, local_tz)
     return expr  # noop
 
 
@@ -1272,7 +1367,7 @@ def _apply_op_inline(expr: str, op) -> str:
 # (the macro body's reference count of v); used to decide when a
 # predicate chain must switch to the lambda form
 _OP_WEIGHT = {"add": 1, "sod": 5, "som": 5, "soy": 5, "weekday": 7,
-              "noop": 1}
+              "localtime": 4, "utc": 4, "noop": 1}
 _RENDER_WEIGHT = {"datetime": 2, "date": 2, "time": 2,
                   "julianday": 3, "unixepoch": 3}
 # inlined predicate trees above this many parse-tree copies risk Janino's
@@ -1290,8 +1385,9 @@ class _LambdaChain:
     higher-order subtrees evaluate interpreted, the rest of the stage
     keeps whole-stage codegen."""
 
-    def __init__(self) -> None:
+    def __init__(self, local_tz: str | None = None) -> None:
         self._n = 0
+        self.local_tz = local_tz
 
     def bind(self, expr: str, body_fn) -> str:
         self._n += 1
@@ -1317,10 +1413,14 @@ class _LambdaChain:
             return self.bind(expr, _b_soy)
         if kind == "weekday":
             return self.bind(expr, lambda v: _b_weekday(v, op[1]))
+        if kind == "localtime":
+            return self.bind(expr, lambda v: _b_localtime(v, self.local_tz))
+        if kind == "utc":
+            return self.bind(expr, lambda v: _b_utc(v, self.local_tz))
         return expr  # noop
 
 
-def _rewrite_datetime_call(fname, args, projection=False):
+def _rewrite_datetime_call(fname, args, projection=False, local_tz=None):
     """Fold a datetime-function call with modifier arguments (or a 'now' /
     zero-argument / bare-number time value) into macro-chain SQL. Returns
     None for plain one-time-value calls — the caller keeps its minimal
@@ -1383,7 +1483,9 @@ def _rewrite_datetime_call(fname, args, projection=False):
         base_txt = base_lit if base_lit is not None else base_raw.strip()
         fmt_lit = _decode_literal(args[0]) if fname == "strftime" else None
         if fname != "strftime" or fmt_lit is not None:
-            folded = _py_fold_call(fname, base_txt, mod_lits, fmt_lit)
+            folded = _py_fold_call(
+                fname, base_txt, mod_lits, fmt_lit, local_tz
+            )
             if folded is not None:
                 return folded
 
@@ -1395,7 +1497,7 @@ def _rewrite_datetime_call(fname, args, projection=False):
             return null_result()
         expr = (
             "sqlite_ms_unixepoch(cast(("
-            f"{translate_where(base_raw, projection)}) as string))"
+            f"{translate_where(base_raw, projection, local_tz)}) as string))"
         )
     elif is_now:
         expr = "sqlite_ms_now()"
@@ -1404,12 +1506,14 @@ def _rewrite_datetime_call(fname, args, projection=False):
         # numeric literals; the parser takes the interchange string
         expr = (
             "sqlite_msparse(cast(("
-            f"{translate_where(base_raw, projection)}) as string))"
+            f"{translate_where(base_raw, projection, local_tz)}) as string))"
         )
 
     ops = []
     for k, lit in enumerate(mod_lits):
-        op = _modifier_op(lit, k == 0 and raw_base, base_is_number)
+        op = _modifier_op(
+            lit, k == 0 and raw_base, base_is_number, local_tz
+        )
         if op is None:  # unrecognized/invalid modifier -> SQLite NULLs
             return null_result()
         ops.append(op)
@@ -1438,7 +1542,7 @@ def _rewrite_datetime_call(fname, args, projection=False):
     )
 
     if use_lambda:
-        chain = _LambdaChain()
+        chain = _LambdaChain(local_tz)
         for op in ops:
             expr = chain.apply_op(expr, op)
         if fname == "strftime":
@@ -1457,18 +1561,20 @@ def _rewrite_datetime_call(fname, args, projection=False):
         return chain.bind(expr, body)
 
     for op in ops:
-        expr = _apply_op_inline(expr, op)
+        expr = _apply_op_inline(expr, op, local_tz)
     if fname == "strftime":
         if fmt_pieces is not None:
             return _emit_segmented_strftime(fmt_pieces, expr)
         return (
-            f"sqlite_msstrftime({translate_where(args[0], projection)}, "
-            f"{expr})"
+            f"sqlite_msstrftime("
+            f"{translate_where(args[0], projection, local_tz)}, {expr})"
         )
     return f"{_TS_RENDER[fname]}({expr})"
 
 
-def translate_where(where: str, projection: bool = False) -> str:
+def translate_where(
+    where: str, projection: bool = False, local_tz: str | None = None
+) -> str:
     """Rewrite a SQLite WHERE clause into Spark SQL.
 
     Rewrites, all outside string literals: ``true``/``false`` → ``1``/``0``,
@@ -1546,7 +1652,7 @@ def translate_where(where: str, projection: bool = False) -> str:
             else:
                 out.append(
                     "RLIKE sqlite_like_regex("
-                    f"{translate_where(value, projection)})"
+                    f"{translate_where(value, projection, local_tz)})"
                 )
             i = j2
             continue
@@ -1566,7 +1672,7 @@ def translate_where(where: str, projection: bool = False) -> str:
             else:
                 out.append(
                     "RLIKE sqlite_glob_regex("
-                    f"{translate_where(value or '', projection)})"
+                    f"{translate_where(value or '', projection, local_tz)})"
                 )
             i = j2
             continue
@@ -1582,6 +1688,7 @@ def translate_where(where: str, projection: bool = False) -> str:
                     fname,
                     _split_top_level(where[open_paren + 1 : close]),
                     projection=projection,
+                    local_tz=local_tz,
                 )
             )
             if rewritten is None:

@@ -621,7 +621,11 @@ def quantile_histogram_price(spark, sf):
         .agg(F.count("*").alias("cnt"))
     )
     # bounded-frame global window: input is the aggregated histogram bins
-    # (<= 101 rows by construction), never a corpus-sized frame
+    # (<= 101 rows by construction), never a corpus-sized frame — the
+    # guard walks the analyzed plan and raises on a corpus-shaped input
+    from betfair_database_spark.plans.guards import assert_bounded_frame
+
+    bins = assert_bounded_frame(bins, "histogram bins")
     w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
     cum = bins.select(
         "b",

@@ -276,12 +276,18 @@ def ev_value_drift_ks(spark, sf):
         .withColumn("cd", F.sum("n").over(wday))
     )
     tot = c.groupBy("day").agg(F.sum("n").alias("nd"))
+    from betfair_database_spark.plans.guards import assert_bounded_frame
+
     gall = (
-        bins.join(
-            c.groupBy("bin").agg(F.sum("n").alias("n_all")), "bin", "left"
+        assert_bounded_frame(
+            bins.join(
+                c.groupBy("bin").agg(F.sum("n").alias("n_all")), "bin", "left"
+            ).select(
+                "bin", F.coalesce(F.col("n_all"), F.lit(0)).alias("n_all")
+            ),
+            "KS 20-bin grid",
         )
-        .select("bin", F.coalesce(F.col("n_all"), F.lit(0)).alias("n_all"))
-        # bounded-frame global window: 20 fixed bins
+        # bounded-frame global window: 20 fixed bins (plan-guarded above)
         .withColumn("cg", F.sum("n_all").over(Window.orderBy("bin")))
         .crossJoin(F.broadcast(c.agg(F.sum("n").alias("n_tot"))))
     )

@@ -285,3 +285,103 @@ def test_modifiers_inside_where_filter(spark):
             ).collect()
         )
         assert got == want, where
+
+
+def test_localtime_utc_modifiers_with_explicit_tz(spark):
+    """Round 7: 'localtime'/'utc' bridged via translate_where(...,
+    local_tz=<IANA zone>) — compared against stdlib sqlite3 running with
+    the SAME zone pinned as the process TZ (the reference's host-tz
+    semantics). Cases stay inside 1971-2037 (SQLite clamps outside) and
+    away from the 1-2 h DST ambiguity windows (java.time/PEP-495 resolve
+    those by convention; SQLite iterates — documented residual)."""
+    import os
+    import time as _time
+
+    register_sqlite_functions(spark)
+    tz = "Europe/London"
+    cases = [
+        "datetime('2023-07-01 12:00:00','localtime')",  # BST +1
+        "datetime('2023-01-15 12:00:00','localtime')",  # GMT +0
+        "datetime('2023-07-01 12:00:00','utc')",
+        "datetime('2023-01-15 12:00:00','utc')",
+        "datetime('2023-03-26 12:00:00','localtime')",  # DST-change day, noon
+        "datetime('2023-10-29 12:00:00','utc')",
+        "time('2023-07-01 23:30:00','localtime')",  # crosses midnight
+        "date('2023-07-01 23:30:00','localtime')",
+        "unixepoch('2023-07-01 12:00:00','utc')",
+        "strftime('%Y-%m-%d %H:%M','2023-07-01 12:00:00','localtime')",
+        "datetime('2023-07-01 12:00:00','+1 months','localtime')",
+        "datetime('2023-07-01 12:00:00','localtime','start of day')",
+        "datetime('1971-06-01 00:30:00','localtime')",
+        "datetime('2036-12-31 23:00:00','localtime')",
+        "datetime('bogus','localtime')",
+    ]
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = tz
+    _time.tzset()
+    try:
+        con = sqlite3.connect(":memory:")
+        mismatches = []
+        sel = "SELECT " + ", ".join(
+            f"({translate_where(e, local_tz=tz)}) AS c{i}"
+            for i, e in enumerate(cases)
+        )
+        row = spark.sql(sel).first()
+        for i, e in enumerate(cases):
+            want = con.execute(f"select {e}").fetchone()[0]
+            got = row[f"c{i}"]
+            if not (
+                (want is None and got is None) or str(want) == str(got)
+            ):
+                mismatches.append(f"{e}: sqlite={want!r} spark={got!r}")
+        assert not mismatches, "\n".join(mismatches)
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        _time.tzset()
+
+
+def test_localtime_utc_column_path_matches_fold(spark):
+    """The COLUMN chain (convert_timezone macros) and the literal fold
+    (zoneinfo) are the same function — pin value agreement over rows."""
+    register_sqlite_functions(spark)
+    tz = "Australia/Sydney"
+    vals = [
+        "2023-07-01 12:00:00", "2023-01-15 23:45:10.5",
+        "2023-04-02 12:00:00", "1971-02-03 04:05:06", "garbage", None,
+    ]
+    spark.createDataFrame(
+        [(v,) for v in vals], "x string"
+    ).createOrReplaceTempView("tzvals")
+    for kind in ("localtime", "utc"):
+        col_expr = translate_where(f"datetime(x, '{kind}')", local_tz=tz)
+        got = {
+            r["x"]: r["r"]
+            for r in spark.sql(
+                f"SELECT x, ({col_expr}) AS r FROM tzvals"
+            ).collect()
+        }
+        for v in vals:
+            lit = translate_where(
+                f"datetime('{v}', '{kind}')", local_tz=tz
+            ) if v is not None else None
+            want = (
+                spark.sql(f"SELECT ({lit}) AS r").first()["r"]
+                if lit is not None
+                else None
+            )
+            assert got[v] == want, (kind, v, got[v], want)
+
+
+def test_tz_modifiers_raise_without_local_tz():
+    with pytest.raises(ValueError, match="local_tz"):
+        translate_where("datetime('2023-01-01','localtime')")
+    with pytest.raises(ValueError, match="not bridged"):
+        translate_where("datetime('2023-01-01','utc')")
+    # 'auto' stays unbridged even with a zone
+    with pytest.raises(ValueError, match="not bridged"):
+        translate_where(
+            "datetime('2023-01-01','auto')", local_tz="Europe/London"
+        )

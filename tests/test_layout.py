@@ -99,12 +99,14 @@ def test_zorder_tightens_rowgroup_stats_on_both_dims(spark, tmp_path):
 
 def test_global_windows_only_on_bounded_frames():
     """Pin the 'global windows only on bounded frames' invariant (round-5
-    verdict #8): a Window with no partitionBy funnels its whole input
-    through ONE task — acceptable only on aggregated/bounded frames (bin
-    tables, top-k outputs), fatal on corpus-sized ones at 100 TB. Every
-    global-window construction site in package source must carry a
-    'bounded-frame' / 'bounded' marker comment within the 3 preceding
-    lines, which forces a scale review on any new site."""
+    verdict #8, tightened in round 7): a Window with no partitionBy
+    funnels its whole input through ONE task — acceptable only on
+    aggregated/bounded frames (bin tables, top-k outputs), fatal on
+    corpus-sized ones at 100 TB. Every global-window construction site in
+    package source must now sit within 12 lines AFTER an
+    ``assert_bounded_frame`` call — the runtime guard that walks the
+    ACTUAL analyzed plan (plans/guards.py), so a mislabeled corpus-sized
+    frame fails at query-build time instead of passing a comment lint."""
     import re
     from pathlib import Path
 
@@ -115,10 +117,49 @@ def test_global_windows_only_on_bounded_frames():
         lines = py.read_text().splitlines()
         for i, line in enumerate(lines):
             if pattern.search(line):
-                context = "\n".join(lines[max(0, i - 3) : i + 1]).lower()
-                if "bounded" not in context:
+                context = "\n".join(lines[max(0, i - 12) : i + 1])
+                if "assert_bounded_frame(" not in context:
                     offenders.append(f"{py.name}:{i + 1}: {line.strip()}")
     assert not offenders, (
-        "unannotated global-window site(s) — confirm the input frame is "
-        "bounded and add a 'bounded-frame' comment:\n" + "\n".join(offenders)
+        "unguarded global-window site(s) — wrap the window input in "
+        "plans.guards.assert_bounded_frame within the 12 preceding "
+        "lines:\n" + "\n".join(offenders)
     )
+
+
+def test_bounded_frame_guard_accepts_and_rejects(spark):
+    """The guard itself: aggregation-derived, limited, literal and
+    range-backed frames pass; raw scans, filtered scans (mislabeling
+    candidates) and checkpointed frames are rejected."""
+    import pytest
+
+    from betfair_database_spark.plans.guards import assert_bounded_frame
+    from tests.conftest import SF_DIR
+
+    corpus = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    agg = corpus.groupBy("o_orderstatus").count()
+    assert_bounded_frame(agg)
+    assert_bounded_frame(agg.selectExpr("o_orderstatus", "count * 2 AS c"))
+    assert_bounded_frame(corpus.limit(10))
+    assert_bounded_frame(spark.range(20))
+    assert_bounded_frame(spark.sql("SELECT * FROM VALUES (1), (2) t(x)"))
+    # a join is bounded only if EVERY input path is
+    assert_bounded_frame(agg.crossJoin(spark.range(3)))
+
+    # the deliberately-mislabeled cases the comment lint could not catch
+    with pytest.raises(ValueError, match="not provably bounded"):
+        assert_bounded_frame(corpus)
+    with pytest.raises(ValueError, match="not provably bounded"):
+        assert_bounded_frame(corpus.where("o_orderkey < 100"))  # still a scan
+    with pytest.raises(ValueError, match="not provably bounded"):
+        assert_bounded_frame(corpus.select("o_orderkey").distinct())
+    with pytest.raises(ValueError, match="not provably bounded"):
+        # checkpoint severs lineage: boundedness is no longer provable
+        assert_bounded_frame(agg.localCheckpoint(eager=False))
+    with pytest.raises(ValueError, match="not provably bounded"):
+        # python-list createDataFrame is RDD-backed: same severed-lineage
+        # policy (bounded in fact, unprovable from the plan)
+        assert_bounded_frame(spark.createDataFrame([(1,)], "x int"))
+    with pytest.raises(ValueError, match="not provably bounded"):
+        assert_bounded_frame(agg.unionByName(corpus.select(
+            F.col("o_orderstatus"), F.col("o_orderkey").alias("count"))))

@@ -86,10 +86,16 @@ iterate-resolution inside the 1-2 h DST gap/overlap windows are
 documented residuals (we use the earlier-offset/roll-forward rule both
 engines' java.time/PEP-495 agree on).
 
+Round 7 also bridges ``LIKE ... ESCAPE`` exactly for literal
+pattern+escape operands (escape makes the FOLLOWING char literal,
+dangling escape matches nothing, single-char escape enforced — pinned
+and fuzzed against sqlite3); computed operands keep the ILIKE fallback.
+
 Residual deltas (documented, not bridged): ``||`` on FLOATING values
 whose text renderings differ (SQLite ``1.0e+20`` vs Spark ``1.0E20``;
 integers and ordinary decimals agree — probed both engines);
-``LIKE ... ESCAPE`` clauses (fall back to ``ILIKE``); strftime codes the
+``LIKE ... ESCAPE`` with COMPUTED pattern/escape operands (ILIKE
+fallback); strftime codes the
 reference-era SQLite (3.40) itself returns NULL for (``%e %u %k %l %I %T
 %R %F %p %P %G %g %U %V``); ``%%`` immediately followed by another code
 letter (``%%Y``); the ``auto`` modifier (raises);
@@ -705,7 +711,7 @@ def glob_to_regex(pat: str) -> str:
     return "".join(out)
 
 
-def like_to_regex(pat: str) -> str:
+def like_to_regex(pat: str, esc: str | None = None) -> str:
     """SQLite LIKE pattern → anchored Java regex.
 
     ``(?i)`` WITHOUT ``(?u)`` is Java's ASCII-only case folding — exactly
@@ -714,15 +720,29 @@ def like_to_regex(pat: str) -> str:
     two wildcards is a literal — including backslash, which escape-less
     SQLite LIKE treats as an ordinary character (Spark LIKE would treat it
     as an escape; ADVICE round-5 delta, now bridged).
+
+    ``esc`` bridges ``LIKE ... ESCAPE`` (round 7, pinned against
+    sqlite3): the escape char makes its FOLLOWING char a literal —
+    wildcard, the escape char itself, or any ordinary char alike — and a
+    dangling escape at the end makes the pattern match nothing.
     """
     out: list[str] = ["(?is)^"]
-    for c in pat:
+    i, n = 0, len(pat)
+    while i < n:
+        c = pat[i]
+        if esc is not None and c == esc:
+            if i + 1 >= n:  # dangling escape: SQLite matches nothing
+                return _NEVER_MATCHES
+            out.append(re.escape(pat[i + 1]))
+            i += 2
+            continue
         if c == "%":
             out.append(".*")
         elif c == "_":
             out.append(".")
         else:
             out.append(re.escape(c))
+        i += 1
     out.append("$")
     return "".join(out)
 
@@ -1639,10 +1659,37 @@ def translate_where(
             while j < n and where[j].isspace():
                 j += 1
             kind, value, j2 = _parse_pattern_operand(where, j, resolve_double_quoted)
-            # LIKE ... ESCAPE has user-defined escape semantics the regex
-            # rewrite does not model — fall back to ILIKE (documented
-            # delta: Unicode fold + Spark escape handling).
-            if kind is None or _ESCAPE_KW.match(where[j2:]):
+            if kind is None:
+                out.append("ILIKE")
+                i += m.end()
+                continue
+            mesc = _ESCAPE_KW.match(where[j2:])
+            if mesc:
+                # LIKE ... ESCAPE (round 7): a literal pattern + literal
+                # single-char escape compiles to the exact regex (escape
+                # makes the following char a literal; dangling escape
+                # matches nothing — pinned against sqlite3). Computed
+                # pattern/escape operands keep the documented ILIKE
+                # fallback (Unicode fold + Spark escape handling).
+                k = j2 + mesc.end()
+                while k < n and where[k].isspace():
+                    k += 1
+                ekind, evalue, j3 = _parse_pattern_operand(
+                    where, k, resolve_double_quoted
+                )
+                if kind == "literal" and ekind == "literal":
+                    if len(evalue) != 1:
+                        raise ValueError(
+                            "ESCAPE expression must be a single character"
+                        )
+                    lit = (
+                        like_to_regex(value, evalue)
+                        .replace("\\", "\\\\")
+                        .replace("'", "''")
+                    )
+                    out.append(f"RLIKE '{lit}'")
+                    i = j3
+                    continue
                 out.append("ILIKE")
                 i += m.end()
                 continue

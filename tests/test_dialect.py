@@ -285,7 +285,11 @@ def test_like_rewrite_forms():
     assert translate_where("a LIKE 'R' || '%'") == (
         "a RLIKE sqlite_like_regex('R' || '%')"
     )
-    assert translate_where("a LIKE 'x%' ESCAPE '\\'").startswith("a ILIKE")
+    # round 7: literal ESCAPE clauses compile to the exact regex now
+    assert (
+        translate_where("a LIKE 'x!%' ESCAPE '!'") == "a RLIKE '(?is)^x%$'"
+    )
+    assert translate_where("a LIKE 'x%' ESCAPE ecol").startswith("a ILIKE")
     # inside string literals the keyword is untouched
     assert translate_where("a = 'LIKE x'") == "a = 'LIKE x'"
 
@@ -345,3 +349,89 @@ def test_string_literal_backslash_bridge(spark):
     tw = translate_where("v = 'C:\\temp'")
     rows = spark.sql(f"SELECT v FROM bs_vals WHERE {tw}").collect()
     assert [r.v for r in rows] == ["C:\\temp"]
+
+
+def test_like_escape_matrix_matches_sqlite(spark):
+    """Round 7: LIKE ... ESCAPE with literal pattern + escape compiles to
+    the exact regex — pinned against stdlib sqlite3 (escape makes the
+    following char literal; dangling escape matches nothing; ASCII fold
+    still applies; single-char escape enforced)."""
+    import sqlite3
+
+    import pytest as _pytest
+
+    from betfair_database_spark.plans.dialect import register_sqlite_functions
+
+    register_sqlite_functions(spark)
+    con = sqlite3.connect(":memory:")
+    cases = [
+        ("100%", "100\\%", "\\"), ("100x", "100\\%", "\\"),
+        ("a_b", "a!_b", "!"), ("axb", "a!_b", "!"),
+        ("a!b", "a!!b", "!"), ("ab", "a!bb", "!"), ("abb", "a!bb", "!"),
+        ("ab", "ab!", "!"), ("ab!", "ab!", "!"),
+        ("AB", "a%", "!"), ("A!B", "a!!b", "!"),
+        ("a%b", "a!%b", "!"), ("a!%b", "a!!!%b", "!"),
+        ("abc", "abc", "c"), ("abc", "abcc", "c"),
+        ("a.b", "a.b", "!"), ("axb", "a.b", "!"),
+        ("50%", "%!%%", "!"), ("505", "%!%%", "!"),
+    ]
+    mism = []
+    for val, pat, esc in cases:
+        v = val.replace("'", "''")
+        p = pat.replace("'", "''")
+        e = esc.replace("'", "''")
+        sql = f"'{v}' LIKE '{p}' ESCAPE '{e}'"
+        want = con.execute(f"select {sql}").fetchone()[0]
+        got = spark.sql(
+            f"SELECT CASE WHEN {translate_where(sql)} THEN 1 ELSE 0 END"
+        ).first()[0]
+        if int(want) != int(got):
+            mism.append(f"{sql}: sqlite={want} spark={got}")
+    assert not mism, "\n".join(mism)
+    # single-char enforcement (sqlite raises; the bridge raises too)
+    with _pytest.raises(ValueError, match="single character"):
+        translate_where("x LIKE 'a' ESCAPE 'xy'")
+    with _pytest.raises(ValueError, match="single character"):
+        translate_where("x LIKE 'a' ESCAPE ''")
+    # computed operands keep the ILIKE fallback
+    assert "ILIKE" in translate_where("x LIKE col ESCAPE '!'")
+    assert "ILIKE" in translate_where("x LIKE 'a%' ESCAPE ecol")
+
+
+def test_like_escape_fuzz_matches_sqlite(spark):
+    """Randomized LIKE ESCAPE patterns vs sqlite3 — values and patterns
+    over a small alphabet plus wildcards/escapes so collisions happen."""
+    import random
+    import sqlite3
+
+    from betfair_database_spark.plans.dialect import register_sqlite_functions
+
+    register_sqlite_functions(spark)
+    con = sqlite3.connect(":memory:")
+    rng = random.Random(20260815)
+    alphabet = "abAB%_!."
+    checks = []
+    for _ in range(120):
+        val = "".join(rng.choice("abAB%_!.x") for _ in range(rng.randint(0, 6)))
+        pat = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 6)))
+        esc = rng.choice("!.b")
+        checks.append((val, pat, esc))
+    exprs = []
+    wants = []
+    for val, pat, esc in checks:
+        sql = "'{}' LIKE '{}' ESCAPE '{}'".format(
+            val.replace("'", "''"), pat.replace("'", "''"), esc
+        )
+        wants.append(int(con.execute(f"select {sql}").fetchone()[0]))
+        exprs.append(
+            f"CASE WHEN {translate_where(sql)} THEN 1 ELSE 0 END"
+        )
+    row = spark.sql(
+        "SELECT " + ", ".join(f"({e}) AS c{i}" for i, e in enumerate(exprs))
+    ).first()
+    mism = [
+        f"{checks[i]}: sqlite={wants[i]} spark={row[f'c{i}']}"
+        for i in range(len(checks))
+        if int(row[f"c{i}"]) != wants[i]
+    ]
+    assert not mism, "\n".join(mism[:10])

@@ -126,6 +126,10 @@ HEADLINE = [
     "sample_leakage_safe_split",
     "sample_temperature_mix",
     "sample_balanced_shards",
+    # round-7 batch: conditional-LM scoring, greedy packing, cluster balance
+    "text_bigram_lm_logprob",
+    "pack_nextfit_decreasing",
+    "pipeline_cluster_balance",
 ]
 
 

@@ -493,3 +493,56 @@ def dsir_importance_topk(
         .orderBy(F.col("importance").desc(), id_col)
         .limit(k)
     )
+
+
+def pack_greedy_nextfit(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Next-fit-DECREASING sequence packing: within each group, documents
+    are taken in (tokens desc, id) order and appended to the current bin
+    while they fit, else a new bin opens — the greedy packer that
+    minimizes padding waste far better than pack_sequences' streaming
+    cumulative-window split (which never reorders), at the price of a
+    per-group sequential pass.
+
+    The sequential state (current bin, current fill) is inherently
+    imperative, so each group packs inside one Arrow-batched
+    applyInPandas task — groups are the parallel unit (shards/sources at
+    scale), exactly the layout a training-data packer wants. A document
+    larger than the budget occupies a bin alone. Deterministic at any
+    parallelism (total order within the group); the DuckDB oracle
+    replays the identical walk as a recursive CTE.
+
+    Output: (group, key, tokens, bin) with bin 0-based per group."""
+    import pandas as pd
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            [tokens_col, key_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        bins = []
+        fill = None
+        b = 0
+        for t in pdf[tokens_col]:
+            t = int(t)
+            if fill is None:
+                b, fill = 0, t
+            elif fill + t <= budget:
+                fill += t
+            else:
+                b, fill = b + 1, t
+            bins.append(b)
+        return pdf.assign(bin=bins)[
+            [group_col, key_col, tokens_col, "bin"]
+        ]
+
+    schema = (
+        f"{group_col} string, {key_col} long, {tokens_col} long, bin long"
+    )
+    return df.select(group_col, key_col, tokens_col).groupBy(
+        group_col
+    ).applyInPandas(pack, schema)

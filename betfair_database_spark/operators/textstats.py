@@ -453,3 +453,61 @@ def hashed_classifier_score(
             "label", F.when(F.col("score") > 0, "keep").otherwise("drop")
         )
     )
+
+
+def bigram_logprob_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean CONDITIONAL log-probability ln P(w_i | w_{i-1})
+    — the KenLM-style quality proxy one order up from
+    unigram_logprob_scores (word-salad documents whose unigrams are all
+    common still score low, because their transitions are rare).
+
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V) with add-one smoothing:
+    c(w1,w2) and the prefix count c(w1,·) come from THIS corpus's bigram
+    stream, V is the corpus vocabulary size. Documents with fewer than 2
+    tokens have no transitions and are excluded.
+
+    Plan shape: one tokenize pass; the bigram stream feeds (a) the
+    bigram-count table, (b) the prefix-count table — both vocab-bounded
+    and pre-joined into ONE rate table so the corpus-sized stream
+    shuffles once on the bigram key, not twice; V rides along as a 1-row
+    broadcast. Output: (id, n_bigrams, logprob)."""
+    ws = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda w: w != F.lit(""),
+    )
+    docs = df.select(F.col(id_col), ws.alias("ws"))
+    bi = (
+        docs.where(F.size("ws") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(ws[i - 1] AS w1, ws[i] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select(id_col, "b.w1", "b.w2")
+        .localCheckpoint(eager=False)  # feeds counts AND the score join
+    )
+    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    rates = c2.join(c1, "w1")  # distinct-bigram-sized
+    vocab = (
+        docs.select(F.explode("ws").alias("w"))
+        .agg(F.count_distinct("w").cast("double").alias("v"))
+    )
+    return (
+        bi.join(rates, ["w1", "w2"])
+        .join(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log((F.col("c2") + 1) / (F.col("c1") + F.col("v")))),
+                4,
+            ).alias("logprob"),
+        )
+    )

@@ -419,6 +419,10 @@ def _kmeans_fit_oracle(k: int = 4, iters: int = 3, dims: int = 64) -> str:
     seed set (kmeans_seeds), a{n} assigns against c{n-1} by max cosine
     (smallest cid on ties), c{n} is the member mean. Cells that lose every
     member drop out (the documented kmeans_fit semantics)."""
+    return _kmeans_fit_oracle_impl(k, iters, dims)
+
+
+def _kmeans_fit_parts(k: int = 4, iters: int = 3, dims: int = 64) -> list:
     parts = [
         f"""
 c0 AS (
@@ -474,9 +478,19 @@ aF AS (
   ) WHERE rn = 1
 )"""
     )
+    return parts
+
+
+def _kmeans_fit_ctes(k: int = 4, iters: int = 3, dims: int = 64) -> str:
+    """The WITH-chain of _kmeans_fit_oracle without its final SELECT —
+    composed rows (round-7 pipeline_cluster_balance) append their own
+    tail over the trained assignment ``aF``."""
+    return "WITH " + ",".join(_kmeans_fit_parts(k, iters, dims))
+
+
+def _kmeans_fit_oracle_impl(k: int, iters: int, dims: int) -> str:
     return (
-        "WITH "
-        + ",".join(parts)
+        _kmeans_fit_ctes(k, iters, dims)
         + f"""
 SELECT a.cid AS cell, CAST(count(*) AS BIGINT) AS n, round(c.w, 6) AS c1
 FROM aF a JOIN c{iters} c ON c.cid = a.cid AND c.i = 1

@@ -1,0 +1,168 @@
+"""Suite extension 7: conditional-LM quality scoring (the KenLM-style
+perplexity proxy one order above unigrams), greedy next-fit-decreasing
+sequence packing (the padding-waste-minimizing packer, with a recursive-
+CTE oracle), and a composed cluster-balance resampling pipeline over the
+trained k-means assignment.
+
+Registered into :data:`betfair_database_spark.suite.SUITE` via ``_q``;
+same hash-matching conventions as ``suite.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from betfair_database_spark.operators import sampling, textstats
+from betfair_database_spark.suite import _q, _t
+from betfair_database_spark.suite_ext2 import _kmeans_fit_ctes
+
+_BIGRAM_LM_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(2, len(ws) + 1),
+                i -> struct_pack(w1 := ws[i - 1], w2 := ws[i]))) AS b
+  FROM d WHERE len(ws) >= 2
+),
+bb AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bb GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bb GROUP BY 1),
+voc AS (SELECT count(DISTINCT w) AS v
+        FROM (SELECT unnest(ws) AS w FROM d))
+SELECT bb.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln((c2.c2 + 1.0) / (c1.c1 + voc.v))), 4) AS logprob
+FROM bb JOIN c2 USING (w1, w2) JOIN c1 USING (w1), voc
+GROUP BY bb.doc_id
+"""
+
+
+@_q("text_bigram_lm_logprob", _BIGRAM_LM_ORACLE)
+def text_bigram_lm_logprob(spark, sf):
+    """Per-document mean conditional log-probability ln P(w_i|w_{i-1})
+    with add-one smoothing over this corpus's bigram table — the quality
+    filter that catches fluent-unigram word salad. One tokenize pass;
+    the corpus-sized bigram stream shuffles once on the bigram key (the
+    prefix counts are pre-joined into the vocab-bounded rate table).
+    See textstats.bigram_logprob_scores."""
+    return textstats.bigram_logprob_scores(_t(spark, sf, "documents"))
+
+
+_PACK_NF_ORACLE = r"""
+WITH RECURSIVE t AS (
+  SELECT source, doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+              END AS BIGINT) AS n_tokens,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                    END DESC, doc_id) AS rn
+  FROM documents
+),
+walk AS (
+  SELECT source, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN w.fill + t.n_tokens <= 500
+              THEN w.bin ELSE w.bin + 1 END,
+         CASE WHEN w.fill + t.n_tokens <= 500
+              THEN w.fill + t.n_tokens ELSE t.n_tokens END
+  FROM walk w JOIN t ON t.source = w.source AND t.rn = w.rn + 1
+)
+SELECT source, bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+FROM walk GROUP BY source, bin
+"""
+
+
+@_q("pack_nextfit_decreasing", _PACK_NF_ORACLE)
+def pack_nextfit_decreasing(spark, sf):
+    """Greedy next-fit-DECREASING packing into 500-token bins per source,
+    summarized per bin — the waste-minimizing packer beside
+    pack_sequences' streaming split. The per-group sequential walk runs
+    in one Arrow-batched applyInPandas task per group; the oracle replays
+    the identical walk as a recursive CTE. See
+    sampling.pack_greedy_nextfit."""
+    d = _t(spark, sf, "documents").select(
+        "source",
+        "doc_id",
+        textstats.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    packed = sampling.pack_greedy_nextfit(
+        d, group_col="source", key_col="doc_id",
+        tokens_col="n_tokens", budget=500,
+    )
+    return packed.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
+
+
+_CLUSTER_BALANCE_ORACLE = (
+    _kmeans_fit_ctes()
+    + """,
+sized AS (
+  SELECT a.cid AS cell, a.vec_id,
+         count(*) OVER (PARTITION BY a.cid) AS n_cell,
+         row_number() OVER (
+           PARTITION BY a.cid
+           ORDER BY md5(CAST(a.vec_id AS VARCHAR)), a.vec_id) AS rk
+  FROM aF a
+),
+floor_n AS (SELECT min(n_cell) AS m FROM (SELECT DISTINCT cell, n_cell
+                                          FROM sized))
+SELECT cell, CAST(max(n_cell) AS BIGINT) AS n_orig,
+       CAST(count(*) FILTER (WHERE rk <= floor_n.m) AS BIGINT) AS n_kept
+FROM sized, floor_n
+GROUP BY cell
+"""
+)
+
+
+@_q("pipeline_cluster_balance", _CLUSTER_BALANCE_ORACLE)
+def pipeline_cluster_balance(spark, sf):
+    """Topic-balanced resampling composed over the trained k-means
+    assignment (SemDeDup's cousin on the SELECTION side): train k=4 for
+    3 Lloyd iterations, then downsample every cluster to the SMALLEST
+    cluster's size in deterministic md5 order — the cluster-proportional
+    cap that stops one dominant topic from flooding a training mix.
+    Reported per cell as (n_orig, n_kept). The balance stage is one
+    cell-keyed window over the assignment; the md5 take is the same
+    engine-independent order every sampling operator here uses."""
+    from betfair_database_spark.operators import similarity
+
+    emb = _t(spark, sf, "embeddings")
+    _, assigned = similarity.kmeans_fit(emb, k=4, max_iters=3, tol=0.0)
+    sized = assigned.select(
+        "cell",
+        "vec_id",
+        F.count("*").over(Window.partitionBy("cell")).alias("n_cell"),
+        F.row_number()
+        .over(
+            Window.partitionBy("cell").orderBy(
+                F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+            )
+        )
+        .alias("rk"),
+    )
+    floor_n = sized.select("cell", "n_cell").distinct().agg(
+        F.min("n_cell").alias("m")
+    )
+    return (
+        sized.join(F.broadcast(floor_n))
+        .groupBy("cell")
+        .agg(
+            F.max("n_cell").alias("n_orig"),
+            F.count(F.when(F.col("rk") <= F.col("m"), 1)).alias("n_kept"),
+        )
+    )

@@ -388,3 +388,153 @@ def streaming_dedup_events(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         id_cols or ["event_id"]
     )
+
+
+def streaming_minhash_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    max_reps_per_bucket: int = 64,
+) -> DataFrame:
+    """CONTINUOUS near-duplicate detection on an unbounded document
+    stream — the ingest-time companion of the batch MinHash-LSH pipeline
+    (operators/dedup.py), sharing its EXACT hash family: md5-derived
+    32-bit shingle hashes, the (a*x+b) mod p lanes of MINHASH_AB, and
+    the banded md5 bucket keys, so a document gets the same signature
+    whether it arrives in a batch rebuild or on the stream.
+
+    Stage 1 is STATELESS per-row projection (no streaming aggregate —
+    signatures fold inside higher-order functions over the shingle
+    array), which keeps the query a single stateful operator. Stage 2
+    keys by (band, bucket) and holds up to ``max_reps_per_bucket``
+    representative signatures per bucket in the state store (bounded:
+    reps × num_hashes bigints per bucket). An arrival whose signature
+    agrees with a representative on >= threshold of lanes is emitted as
+    a duplicate of that rep (est_sim = agreeing-lane fraction, the
+    unbiased MinHash Jaccard estimate at 1/num_hashes granularity —
+    batch verification stays exact-Jaccard; this is the stream-side
+    screen); otherwise it becomes a representative itself. Each document
+    reports once per band — identical texts collide in EVERY band with
+    est_sim 1.0; the consumer treats "dup in any band" as the drop rule,
+    exactly like the batch band-join.
+
+    Output per arrival (append semantics): (band, doc_id, dup_of,
+    est_sim) with dup_of NULL for new representatives.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from betfair_database_spark.operators.dedup import MINHASH_AB, MINHASH_P
+
+    rows_per_band = num_hashes // bands
+    lowered = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.lower(F.col(text_col)).alias("_lt"),
+    )
+    harr = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length(_lt) - {shingle_k - 1},"
+            " 0)), i -> CAST(conv(substr(md5(substring(_lt, i,"
+            f" {shingle_k})), 1, 8), 16, 10) AS BIGINT))"
+        )
+    )
+    sigs = lowered.select("doc_id", harr.alias("hs")).where(
+        F.size("hs") > 0
+    )
+    def _lane(a, b):
+        # closure factory: a default-arg lambda would read as a 3-arg
+        # higher-order-function lambda to PySpark's arity inspection
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P)
+
+    lanes = [
+        F.array_min(F.transform(F.col("hs"), _lane(a, b))).alias(f"h{s}")
+        for s, (a, b) in enumerate(MINHASH_AB[:num_hashes])
+    ]
+    sigs = sigs.select("doc_id", *lanes)
+    banded = sigs.select(
+        "doc_id",
+        F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(
+                                        f"h{band * rows_per_band + r}"
+                                    ).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.bh")
+
+    out_schema = StructType(
+        [
+            StructField("band", IntegerType()),
+            StructField("doc_id", LongType()),
+            StructField("dup_of", LongType()),
+            StructField("est_sim", DoubleType()),
+        ]
+    )
+    from pyspark.sql.types import StringType
+
+    state_schema = StructType([StructField("reps", StringType())])
+    need = int(-(-threshold * num_hashes // 1))  # ceil(threshold * K)
+
+    def update(key, pdfs, state: "GroupState"):
+        import json as _json
+
+        import pandas as pd
+
+        band, _bh = key
+        reps = _json.loads(state.get[0]) if state.exists else []
+        out = {"band": [], "doc_id": [], "dup_of": [], "est_sim": []}
+        for pdf in pdfs:
+            # deterministic within-batch order
+            pdf = pdf.sort_values("doc_id")
+            for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
+                sig = [int(v) for v in sig]
+                dup_of, est = None, None
+                for rep_id, rep_sig in reps:
+                    agree = sum(
+                        1 for a, b in zip(sig, rep_sig) if a == b
+                    )
+                    if agree >= need:
+                        dup_of, est = rep_id, agree / len(sig)
+                        break
+                if dup_of is None and len(reps) < max_reps_per_bucket:
+                    reps.append([int(doc_id), sig])
+                out["band"].append(int(band))
+                out["doc_id"].append(int(doc_id))
+                out["dup_of"].append(dup_of)
+                out["est_sim"].append(est)
+        state.update((_json.dumps(reps),))
+        yield pd.DataFrame(out)
+
+    return banded.groupBy("band", "bh").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

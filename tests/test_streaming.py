@@ -801,3 +801,69 @@ def test_streaming_classifier_quality_gate_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_minhash_dedup_flags_arriving_duplicates(spark, tmp_path):
+    """Round 7: the stateful MinHash near-dup ingest filter. Batch 1
+    seeds representatives; batch 2 re-sends an identical text (must
+    collide in EVERY band with est_sim 1.0), a lightly-edited near-copy
+    (must collide in at least one band), and a fresh text (must collide
+    in none). Signatures share the batch operator's exact hash family,
+    so the same document gets the same signature on both paths."""
+    import json
+    import random
+
+    from betfair_database_spark.streaming.analytics import (
+        streaming_minhash_dedup,
+    )
+    from betfair_database_spark.streaming.mcm import run_to_memory
+
+    rng = random.Random(7)
+    words = [f"w{int(i)}" for i in range(60)]
+    base = {
+        i: " ".join(rng.choice(words) for _ in range(120))
+        for i in range(1, 9)
+    }
+    root = tmp_path / "docs"
+    root.mkdir()
+    b1 = [{"doc_id": i, "text": t} for i, t in base.items()]
+    near = base[2][:-12] + " zz extra tail"  # small suffix edit
+    b2 = [
+        {"doc_id": 101, "text": base[1]},  # exact re-send
+        {"doc_id": 102, "text": near},  # near-copy
+        {"doc_id": 103, "text": " ".join(f"x{i}" for i in range(150))},
+    ]
+    (root / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+    (root / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(root))
+    )
+    run_to_memory(
+        streaming_minhash_dedup(stream, bands=4, threshold=0.8),
+        "mh_stream",
+        "append",
+    )
+    rows = spark.table("mh_stream").collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    # every doc reports once per band
+    assert all(len(v) == 4 for v in by_doc.values()), {
+        k: len(v) for k, v in by_doc.items()
+    }
+    # the exact re-send collides in EVERY band with est_sim 1.0
+    assert all(
+        r.dup_of == 1 and r.est_sim == 1.0 for r in by_doc[101]
+    ), by_doc[101]
+    # the near-copy collides in at least one band, against doc 2
+    hits = [r for r in by_doc[102] if r.dup_of is not None]
+    assert hits and all(r.dup_of == 2 for r in hits), by_doc[102]
+    # the fresh text collides nowhere
+    assert all(r.dup_of is None for r in by_doc[103]), by_doc[103]
+    # batch-1 distinct docs seeded as representatives (no false dups)
+    for i in base:
+        assert all(r.dup_of is None for r in by_doc[i]), by_doc[i]

@@ -130,6 +130,7 @@ HEADLINE = [
     "text_bigram_lm_logprob",
     "pack_nextfit_decreasing",
     "pipeline_cluster_balance",
+    "text_logreg_train_weights",
 ]
 
 

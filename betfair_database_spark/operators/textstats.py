@@ -511,3 +511,106 @@ def bigram_logprob_scores(
             ).alias("logprob"),
         )
     )
+
+
+def train_logreg_hashed(
+    docs: DataFrame,
+    label: Column,
+    n_buckets: int = 64,
+    iters: int = 3,
+    lr: float = 0.01,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TRAIN the fastText-style hashed linear quality filter in-engine —
+    batch gradient descent on logistic loss over hashed bag-of-words
+    counts (the companion of hashed_classifier_score, which is the
+    inference half with a fixed weight table).
+
+    Features: token bucket = int(first 8 md5 hex chars) mod n_buckets,
+    x_{d,b} = integer token count — built once as a (doc, bucket, cnt)
+    frame and checkpointed; every iteration reuses it. Per iteration:
+    one doc-keyed aggregation computes z_d = sum_b w_b x_{d,b} against
+    the current weights as a broadcast literal map (kmeans_fit's centroid
+    pattern — no lineage growth), the sigmoid residuals feed one
+    bucket-keyed gradient aggregation (n_buckets rows to the driver),
+    and the weight update happens on bounded driver state. Determinism
+    follows the suite's established recipe: every cross-engine float
+    (z, p, gradient, weight) is rounded to 9 decimals at the same chain
+    points the unrolled SQL oracle rounds.
+
+    Returns the trained weights as a DataFrame (bucket, weight) with the
+    intercept at bucket -1, weights rounded to 6 for reporting.
+    """
+    spark = docs.sparkSession
+    toks = F.explode(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda t: t != "",
+        )
+    ).alias("t")
+    feats = (
+        docs.select(F.col(id_col), toks)
+        .select(
+            id_col,
+            (
+                F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast(
+                    "long"
+                )
+                % n_buckets
+            )
+            .cast("int")
+            .alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
+    )
+    labels = docs.select(
+        F.col(id_col), label.cast("int").alias("y")
+    ).localCheckpoint()
+    n_docs = labels.count()
+
+    w = {b: 0.0 for b in range(n_buckets)}
+    b0 = 0.0
+    for _ in range(max(1, iters)):
+        wmap = F.create_map(
+            *[F.lit(x) for b in range(n_buckets) for x in (b, w[b])]
+        )
+        z = feats.groupBy(id_col).agg(
+            F.round(F.sum(F.col("cnt") * wmap[F.col("bucket")]), 9).alias(
+                "z"
+            )
+        )
+        resid = (
+            labels.join(z, id_col, "left")
+            .select(
+                id_col,
+                (
+                    F.col("y")
+                    - F.round(
+                        F.lit(1.0)
+                        / (
+                            F.lit(1.0)
+                            + F.exp(-(F.lit(b0) + F.coalesce("z", F.lit(0.0))))
+                        ),
+                        9,
+                    )
+                ).alias("r"),
+            )
+        )
+        grads = {
+            r["bucket"]: r["g"]
+            for r in feats.join(resid, id_col)
+            .groupBy("bucket")
+            .agg(F.round(F.sum(F.col("cnt") * F.col("r")), 9).alias("g"))
+            .collect()
+        }
+        g0 = resid.agg(F.round(F.sum("r"), 9).alias("g")).first()["g"]
+        for b in range(n_buckets):
+            w[b] = round(w[b] + lr * grads.get(b, 0.0) / n_docs, 9)
+        b0 = round(b0 + lr * (g0 or 0.0) / n_docs, 9)
+
+    rows = [(-1, b0)] + [(b, w[b]) for b in range(n_buckets)]
+    out = spark.createDataFrame(rows, "bucket int, weight double")
+    return out.select("bucket", F.round("weight", 6).alias("weight"))

@@ -166,3 +166,78 @@ def pipeline_cluster_balance(spark, sf):
             F.count(F.when(F.col("rk") <= F.col("m"), 1)).alias("n_kept"),
         )
     )
+
+
+def _logreg_oracle(n_buckets: int = 64, iters: int = 3, lr: float = 0.01) -> str:
+    """Unrolled batch-gradient-descent logistic regression as a CTE chain
+    (the kmeans_fit_3iter pattern for a TRAINED model): zero-initialized
+    weights make iteration 1's sigmoid exactly 0.5; every subsequent
+    cross-engine float (z, p, gradient, weight) rounds to 9 decimals at
+    the same chain points the Spark trainer rounds."""
+    head = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS t
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % {n_buckets}
+              AS INT) AS bucket,
+         count(*) AS cnt
+  FROM tok GROUP BY 1, 2
+),
+lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents),
+nn AS (SELECT count(*) AS n FROM documents),
+spine AS (SELECT CAST(unnest(range(0, {n_buckets})) AS INT) AS bucket),
+r1 AS (SELECT doc_id, y - 0.5 AS r FROM lab),
+g1 AS (SELECT f.bucket, round(sum(f.cnt * r.r), 9) AS g
+       FROM feat f JOIN r1 r USING (doc_id) GROUP BY f.bucket),
+w1 AS (SELECT s.bucket,
+              round({lr} * coalesce(g1.g, 0) / nn.n, 9) AS w
+       FROM spine s LEFT JOIN g1 USING (bucket), nn),
+b1 AS (SELECT round({lr} * round(sum(r1.r), 9) / max(nn.n), 9) AS b
+       FROM r1 CROSS JOIN nn)"""
+    parts = [head]
+    for i in range(2, iters + 1):
+        parts.append(f""",
+z{i} AS (SELECT f.doc_id, round(sum(f.cnt * w.w), 9) AS z
+        FROM feat f JOIN w{i - 1} w USING (bucket) GROUP BY f.doc_id),
+r{i} AS (SELECT l.doc_id,
+               l.y - round(1.0 / (1.0 + exp(-(b{i - 1}.b
+                     + coalesce(z{i}.z, 0.0)))), 9) AS r
+        FROM lab l LEFT JOIN z{i} USING (doc_id), b{i - 1}),
+g{i} AS (SELECT f.bucket, round(sum(f.cnt * r.r), 9) AS g
+        FROM feat f JOIN r{i} r USING (doc_id) GROUP BY f.bucket),
+w{i} AS (SELECT w.bucket,
+               round(w.w + {lr} * coalesce(g{i}.g, 0) / nn.n, 9) AS w
+        FROM w{i - 1} w LEFT JOIN g{i} USING (bucket), nn),
+b{i} AS (SELECT round(max(b.b) + {lr} * round(sum(r.r), 9)
+                     / max(nn.n), 9) AS b
+        FROM r{i} r CROSS JOIN b{i - 1} b CROSS JOIN nn)""")
+    parts.append(f"""
+SELECT -1 AS bucket, round(b, 6) AS weight FROM b{iters}
+UNION ALL
+SELECT bucket, round(w, 6) AS weight FROM w{iters}
+""")
+    return "".join(parts)
+
+
+@_q("text_logreg_train_weights", _logreg_oracle())
+def text_logreg_train_weights(spark, sf):
+    """Train the hashed-bag-of-words logistic quality filter in-engine
+    (label: lang = 'en') — 3 batch-gradient iterations, weights reported
+    per bucket with the intercept at bucket -1. The iterative trainer is
+    exactly oracle-checkable the same way kmeans_fit is: fixed trip
+    count, floats rounded at pinned chain points. (This row checks the
+    training MATH; the synthetic corpus's lang label is independent of
+    its text, so the learned weights are near-zero here — the
+    learns-on-learnable-data property is pinned in
+    test_operators.test_train_logreg_hashed_learns_separation.) See
+    textstats.train_logreg_hashed."""
+    d = _t(spark, sf, "documents")
+    return textstats.train_logreg_hashed(
+        d, label=(F.col("lang") == "en"), n_buckets=64, iters=3, lr=0.01
+    )

@@ -1517,3 +1517,71 @@ def test_ann_index_incremental_append(spark, tmp_path):
     assert sum(len(v) for v in manifest["cells"].values()) == len(
         list(Path(path).glob("cell=*/*.parquet"))
     )
+
+
+def test_train_logreg_hashed_learns_separation(spark):
+    """Round 7: the in-engine logistic trainer actually LEARNS — on a
+    corpus whose classes use disjoint-ish vocabularies, the trained
+    weights rank-order the training docs nearly perfectly. (The oracle
+    row trains on the testdata's lang label, which is independent of its
+    synthetic text by construction — that row checks the MATH; this test
+    checks the LEARNING on learnable data.)"""
+    import bisect
+    import random
+
+    from pyspark.sql import functions as F
+
+    from betfair_database_spark.operators import textstats
+
+    rng = random.Random(11)
+    pos_vocab = [f"alpha{i}" for i in range(20)]
+    neg_vocab = [f"beta{i}" for i in range(20)]
+    shared = [f"common{i}" for i in range(10)]
+    rows = []
+    for d in range(200):
+        y = d % 2
+        own = pos_vocab if y else neg_vocab
+        words = [rng.choice(own if rng.random() < 0.7 else shared)
+                 for _ in range(60)]
+        rows.append((d, " ".join(words), y))
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+
+    w = textstats.train_logreg_hashed(
+        df, label=F.col("y") == 1, n_buckets=64, iters=6, lr=0.05
+    )
+    weights = {r.bucket: r.weight for r in w.collect()}
+    assert set(weights) == {-1, *range(64)}
+
+    wmap = F.create_map(
+        *[F.lit(x) for b in range(64) for x in (b, weights[b])]
+    )
+    toks = F.explode(
+        F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != "")
+    )
+    feats = (
+        df.select("doc_id", toks.alias("t"))
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+                % 64
+            ).cast("int").alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    z = feats.groupBy("doc_id").agg(
+        F.sum(F.col("c") * wmap[F.col("b")]).alias("z")
+    )
+    scored = (
+        df.select("doc_id", "y")
+        .join(z, "doc_id")
+        .select("y", (F.lit(weights[-1]) + F.col("z")).alias("s"))
+        .collect()
+    )
+    pos = sorted(r.s for r in scored if r.y == 1)
+    neg = sorted(r.s for r in scored if r.y == 0)
+    auc = sum(bisect.bisect_left(neg, x) for x in pos) / (
+        len(pos) * len(neg)
+    )
+    assert auc > 0.95, auc

@@ -131,6 +131,7 @@ HEADLINE = [
     "pack_nextfit_decreasing",
     "pipeline_cluster_balance",
     "text_logreg_train_weights",
+    "dedup_cdc_chunk_stats",
 ]
 
 

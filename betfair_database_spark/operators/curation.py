@@ -237,3 +237,60 @@ def repetition_score(
             F.round(top_bigram_run(F.col("_w")).cast("double") / n, 4),
         ).alias("top_bigram_ratio"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+    mask_bits: int = 6,
+) -> DataFrame:
+    """Content-defined chunking: split each document at positions where
+    the hash of the ``window``-char context is 0 mod 2^mask_bits — the
+    rsync/CDC boundary rule that makes chunk identity ROBUST TO
+    INSERTIONS. Fixed spans (span_dedup) shift every downstream boundary
+    when one token is inserted; content-defined boundaries re-synchronize
+    within ~window chars, so shared text between near-identical documents
+    still yields identical chunks — the primitive behind chunk-level
+    corpus dedup and delta storage.
+
+    Boundary hash = first 8 md5 hex chars of the lowercased window (the
+    engine-portable hash every operator here uses), giving expected chunk
+    length 2^mask_bits. Pure per-row array expressions — zero shuffle, no
+    Python; documents shorter than the window are one chunk; empty
+    documents yield no rows.
+
+    Output: (id, chunk_ix, chunk) with chunk_ix 0-based in document
+    order.
+    """
+    m = 1 << mask_bits
+    lt = F.lower(F.col(text_col))
+    pre = df.select(F.col(id_col), lt.alias("_lt")).where(
+        F.length("_lt") > 0
+    )
+    # guard the candidate range: Spark's sequence(2, 1) is DESCENDING,
+    # not empty, so short documents must produce array() explicitly
+    cuts = F.expr(
+        "concat(array(1), "
+        f" if(length(_lt) >= {window + 1},"
+        f"  filter(sequence(2, length(_lt) - {window - 1}),"
+        f"   i -> CAST(conv(substr(md5(substring(_lt, i, {window})), 1, 8),"
+        f"   16, 10) AS BIGINT) % {m} = 0),"
+        "  array()),"
+        " array(length(_lt) + 1))"
+    )
+    staged = pre.select(F.col(id_col), F.col("_lt"), cuts.alias("_cuts"))
+    return (
+        staged.select(
+            F.col(id_col),
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(_cuts) - 1),"
+                    " k -> substring(_lt, _cuts[k - 1],"
+                    " _cuts[k] - _cuts[k - 1]))"
+                )
+            ).alias("chunk_ix", "chunk"),
+        )
+        .where(F.col("chunk") != "")
+    )

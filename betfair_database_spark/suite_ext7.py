@@ -241,3 +241,64 @@ def text_logreg_train_weights(spark, sf):
     return textstats.train_logreg_hashed(
         d, label=(F.col("lang") == "en"), n_buckets=64, iters=3, lr=0.01
     )
+
+
+_CDC_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, lower(text) AS lt FROM documents WHERE length(text) > 0
+),
+cuts AS (
+  SELECT doc_id, lt,
+         list_concat(list_concat(
+           [CAST(1 AS BIGINT)],
+           list_filter(range(2, greatest(length(lt) - 15 + 1, 2)),
+             i -> CAST('0x' || substr(md5(substr(lt, CAST(i AS INT), 16)),
+                       1, 8) AS BIGINT) % 64 = 0)),
+           [CAST(length(lt) + 1 AS BIGINT)]) AS c
+  FROM d
+),
+ch AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(c)),
+           k -> struct_pack(
+             ix := k - 1,
+             chunk := substr(lt, CAST(c[CAST(k AS INT)] AS INT),
+                             CAST(c[CAST(k + 1 AS INT)]
+                                  - c[CAST(k AS INT)] AS INT))))) AS s
+  FROM cuts
+),
+chunks AS (SELECT doc_id, s.ix AS chunk_ix, s.chunk AS chunk
+           FROM ch WHERE s.chunk <> ''),
+cnt AS (SELECT chunk, count(*) AS n FROM chunks GROUP BY 1)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(*) FILTER (WHERE cnt.n > 1) AS BIGINT) AS n_dup_chunks,
+       CAST(sum(length(c.chunk)) AS BIGINT) AS n_chars
+FROM chunks c JOIN cnt USING (chunk)
+GROUP BY c.doc_id
+"""
+
+
+@_q("dedup_cdc_chunk_stats", _CDC_ORACLE)
+def dedup_cdc_chunk_stats(spark, sf):
+    """Content-defined chunking dedup stats: split every document at
+    rolling-context hash boundaries (expected chunk ~64 chars), count
+    each document's chunks and how many of them are duplicated anywhere
+    in the corpus. The insertion-robust sibling of the fixed-span C4
+    dedup — shared text between near-identical documents re-synchronizes
+    to identical chunks within ~one window of an edit. Chunking is a
+    pure per-row projection (zero shuffle); the dedup count is one
+    chunk-keyed aggregation. See curation.cdc_chunks."""
+    from betfair_database_spark.operators import curation
+
+    chunks = curation.cdc_chunks(_t(spark, sf, "documents"))
+    cnt = chunks.groupBy("chunk").agg(F.count("*").alias("n"))
+    return (
+        chunks.join(cnt, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count(F.when(F.col("n") > 1, 1)).alias("n_dup_chunks"),
+            F.sum(F.length("chunk")).alias("n_chars"),
+        )
+    )

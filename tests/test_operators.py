@@ -1585,3 +1585,38 @@ def test_train_logreg_hashed_learns_separation(spark):
         len(pos) * len(neg)
     )
     assert auc > 0.95, auc
+
+
+def test_cdc_chunks_resynchronize_after_insertion(spark):
+    """Content-defined chunking's defining property: inserting text near
+    the front of a document leaves the TAIL chunks identical (boundaries
+    re-synchronize), where fixed-width spans would shift every downstream
+    boundary."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from betfair_database_spark.operators.curation import cdc_chunks
+
+    rng = random.Random(3)
+    body = " ".join(f"tok{rng.randint(0, 500)}" for _ in range(400))
+    edited = "INSERTED PREFIX CHANGES EVERYTHING " + body
+    df = spark.createDataFrame(
+        [(1, body), (2, edited)], "doc_id long, text string"
+    )
+    chunks = cdc_chunks(df).collect()
+    a = [r.chunk for r in sorted(
+        (r for r in chunks if r.doc_id == 1), key=lambda r: r.chunk_ix)]
+    b = [r.chunk for r in sorted(
+        (r for r in chunks if r.doc_id == 2), key=lambda r: r.chunk_ix)]
+    shared = set(a) & set(b)
+    # all but the first ~window-worth of original chunks survive verbatim
+    assert len(shared) >= max(1, len(a) - 2), (len(a), len(b), len(shared))
+    # reassembly invariant: chunks concatenate back to the text
+    assert "".join(a) == body.lower()
+    assert "".join(b) == edited.lower()
+    # short docs: single chunk, no descending-sequence artifacts
+    tiny = cdc_chunks(
+        spark.createDataFrame([(9, "abc")], "doc_id long, text string")
+    ).collect()
+    assert [(r.chunk_ix, r.chunk) for r in tiny] == [(0, "abc")]

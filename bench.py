@@ -132,6 +132,7 @@ HEADLINE = [
     "pipeline_cluster_balance",
     "text_logreg_train_weights",
     "dedup_cdc_chunk_stats",
+    "text_char_entropy",
 ]
 
 

@@ -10,6 +10,8 @@ same hash-matching conventions as ``suite.py``.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -300,5 +302,52 @@ def dedup_cdc_chunk_stats(spark, sf):
             F.count("*").alias("n_chunks"),
             F.count(F.when(F.col("n") > 1, 1)).alias("n_dup_chunks"),
             F.sum(F.length("chunk")).alias("n_chars"),
+        )
+    )
+
+
+_ENTROPY_ORACLE = r"""
+WITH ch AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text) + 1),
+                i -> substr(lower(text), CAST(i AS INT), 1))) AS c
+  FROM documents WHERE length(text) > 0
+),
+freq AS (SELECT doc_id, c, count(*) AS f FROM ch GROUP BY 1, 2),
+tot AS (SELECT doc_id, sum(f) AS n FROM freq GROUP BY 1)
+SELECT f.doc_id,
+       CAST(max(t.n) AS BIGINT) AS n_chars,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(-sum((f.f * 1.0 / t.n) * ln(f.f * 1.0 / t.n) / ln(2)), 4)
+         AS entropy_bits
+FROM freq f JOIN tot t USING (doc_id)
+GROUP BY f.doc_id
+"""
+
+
+@_q("text_char_entropy", _ENTROPY_ORACLE)
+def text_char_entropy(spark, sf):
+    """Per-document character-distribution Shannon entropy (bits) — the
+    classic cheap quality signal: binary junk scores high, repetitive
+    boilerplate scores low, natural text sits in a narrow band. One
+    explode + two doc-keyed aggregations; the alphabet bounds the
+    frequency table at ~doc_count x charset."""
+    d = _t(spark, sf, "documents").where(F.length("text") > 0)
+    ch = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "(?!^)")).alias("c"),
+    ).where(F.col("c") != "")
+    freq = ch.groupBy("doc_id", "c").agg(F.count("*").alias("f"))
+    tot = freq.groupBy("doc_id").agg(F.sum("f").alias("n"))
+    p = F.col("f") / F.col("n")
+    return (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_chars"),
+            F.count("*").alias("n_distinct"),
+            F.round(
+                -F.sum(p * F.log(p) / F.lit(math.log(2.0))), 4
+            ).alias("entropy_bits"),
         )
     )

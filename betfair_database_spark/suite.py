@@ -505,14 +505,12 @@ def p8_strftime_time_shim(spark, sf):
     # (round 7: the segmented emitter keeps the whole stage inside one
     # compiled WholeStageCodegen — the generic macro in the SELECT list
     # used to push the shared stage method past the JVM's 64 KB limit).
-    # The small-SF parquet arrives as ONE split; widen the compute-dense
-    # filter to cluster parallelism first (FilterExec has no codegen CSE,
-    # so each predicate re-parses the column — parallelism is the lever).
+    # No repartition: Catalyst pushes the filter to the scan (the right
+    # plan at 100 TB — filter early, and real tables arrive in many
+    # splits); the remaining bench cost is the single-split scan running
+    # the 4-parse predicate serially, priced in PLANS.md.
     register_sqlite_functions(spark)
-    width = spark.sparkContext.defaultParallelism
-    _t(spark, sf, "orders").repartition(width).createOrReplaceTempView(
-        "orders_v"
-    )
+    _t(spark, sf, "orders").createOrReplaceTempView("orders_v")
     where = translate_where(
         "strftime('%m', o_orderdate) = '03' AND time(o_orderdate) == '00:00:00'"
     )

@@ -86,7 +86,11 @@ iterate-resolution inside the 1-2 h DST gap/overlap windows are
 documented residuals (we use the earlier-offset/roll-forward rule both
 engines' java.time/PEP-495 agree on).
 
-Round 7 also bridges ``LIKE ... ESCAPE`` exactly for literal
+Round 7 also bridges numeric utc-offset suffixes in time values
+(``'2023-01-01 10:00:00+02:00'`` — hour 00-14, minute 00-59, only after
+a time component, exactly sqlite 3.40.1's grammar; date-only values now
+also reject a bare ``Z``, matching SQLite — both pinned in the matrix),
+and ``LIKE ... ESCAPE`` exactly for literal
 pattern+escape operands (escape makes the FOLLOWING char literal,
 dangling escape matches nothing, single-char escape enforced — pinned
 and fuzzed against sqlite3); computed operands keep the ILIKE fallback.
@@ -98,8 +102,7 @@ integers and ordinary decimals agree — probed both engines);
 fallback); strftime codes the
 reference-era SQLite (3.40) itself returns NULL for (``%e %u %k %l %I %T
 %R %F %p %P %G %g %U %V``); ``%%`` immediately followed by another code
-letter (``%%Y``); the ``auto`` modifier (raises);
-numeric timezone offsets in time strings (``...+02:00``); results/inputs
+letter (``%%Y``); the ``auto`` modifier (raises); results/inputs
 outside years 0001-9999 (SQLite spans -4713..9999; we render NULL there);
 single ms shifts beyond ±8e15 ms ≈ ±250k years NULL early (SQLite's own
 second/minute/hour limits run to ~14.7M years, values only ever visible
@@ -202,13 +205,20 @@ _JULIAN_TEXT = _julian_text_of("t")
 # instead of a CASE re-reading every component twice — the value
 # expressions below reference each component exactly once, which halves
 # the inlined WHERE-clause tree (see the 64 KB notes further down).
+# suffix after a TIME component: Z/z, or a numeric utc offset
+# [+-]HH:MM with hour 00-14 and minute 00-59 (pinned against sqlite
+# 3.40.1: +14:59 parses, +15:00 is NULL; date-only values accept NO
+# suffix — '2023-07-28Z' is NULL, which round 7 also fixed here)
+_TZ_SUFFIX = r"[Zz]|[+-](0\\d|1[0-4]):[0-5]\\d"
 _ISO_GATE = (
     r"'^(?!0000)\\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\\d|3[01])"
-    r"(([ T])([01]\\d|2[0-4]):([0-5]\\d)(:([0-5]\\d)(\\.\\d+)?)?)?"
-    r"\\s*[Zz]?\\s*$'"
+    r"(([ T])([01]\\d|2[0-4]):([0-5]\\d)(:([0-5]\\d)(\\.\\d+)?)?"
+    r"\\s*(" + _TZ_SUFFIX + r")?)?\\s*$'"
 )
-_ISO_STRIP = r"'\\s*[Zz]?\\s*$'"
-_TIME_GATE = r"'^([01]\\d|2[0-4]):([0-5]\\d)(:([0-5]\\d)(\\.\\d+)?)?\\s*$'"
+_TIME_GATE = (
+    r"'^([01]\\d|2[0-4]):([0-5]\\d)(:([0-5]\\d)(\\.\\d+)?)?"
+    r"\\s*(" + _TZ_SUFFIX + r")?\\s*$'"
+)
 _NUM_GATE = r"'^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$'"
 # fast-path shape, checked INSIDE the (already validating) ISO gate: no
 # fraction (SQLite rounds fractions to ms; Spark's cast keeps micros), no
@@ -391,20 +401,29 @@ _MO = "cast(substring(x, 6, 2) as int)"
 _D = "cast(substring(x, 9, 2) as int)"
 _H = "coalesce(try_cast(nullif(substring(x, 12, 2), '') as int), 0)"
 _MI = "coalesce(try_cast(nullif(substring(x, 15, 2), '') as int), 0)"
+# seconds exist iff ':' sits at offset 17; extract ONLY the leading
+# digits+fraction (a trailing Z / utc-offset / whitespace never reaches
+# the cast — and absent seconds with a tz suffix would otherwise read
+# the offset's hour digits as seconds)
 _SEC = (
-    "coalesce(cast(nullif(regexp_replace(substring(x, 18), "
-    f"{_ISO_STRIP}, ''), '') as double), 0.0d)"
+    "(CASE WHEN substring(x, 17, 1) = ':' THEN"
+    " coalesce(cast(nullif(regexp_extract(substring(x, 18),"
+    " '^[0-9]{2}([.][0-9]+)?', 0), '') as double), 0.0d)"
+    " ELSE 0.0d END)"
 )
 # time-only strings ('HH:MM[:SS[.frac]]', date 2000-01-01): same fixed
 # offsets rebased to 1/4/7, no Z possible (the time gate rejects it)
 _TH = "cast(substring(x, 1, 2) as int)"
 _TMI = "cast(substring(x, 4, 2) as int)"
 _TSEC = (
-    "coalesce(cast(nullif(regexp_replace(substring(x, 7), "
-    f"{_ISO_STRIP}, ''), '') as double), 0.0d)"
+    "(CASE WHEN substring(x, 6, 1) = ':' THEN"
+    " coalesce(cast(nullif(regexp_extract(substring(x, 7),"
+    " '^[0-9]{2}([.][0-9]+)?', 0), '') as double), 0.0d)"
+    " ELSE 0.0d END)"
 )
 # epoch-days of 2000-01-01 (the date SQLite assigns to time-only values)
 _TIMEONLY_DAYS = 10957
+_TIMEONLY_DAYS_PY = _TIMEONLY_DAYS
 
 _SQL_FUNCTIONS = [
     # Raw gated ISO string -> epoch ms. Component ranges are already
@@ -430,6 +449,22 @@ _SQL_FUNCTIONS = [
            + ({_TH} * 3600L + {_TMI} * 60L) * 1000L
            + cast(round({_TSEC} * 1000.0d) as bigint)
     """,
+    # numeric utc-offset suffix -> SIGNED offset ms (0 when absent); the
+    # cheap leading RLIKE short-circuits the three regexp_extracts for
+    # the overwhelmingly common unsuffixed values
+    r"""
+    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_tzoff(x STRING)
+    RETURNS BIGINT
+    RETURN CASE WHEN x RLIKE '[+-]\\d{2}:\\d{2}\\s*$' THEN
+        (CASE WHEN regexp_extract(x,
+                   '([+-])(\\d{2}):(\\d{2})\\s*$', 1) = '-'
+              THEN -1L ELSE 1L END)
+        * (cast(regexp_extract(x, '([+-])(\\d{2}):(\\d{2})\\s*$', 2)
+                as bigint) * 60L
+           + cast(regexp_extract(x, '([+-])(\\d{2}):(\\d{2})\\s*$', 3)
+                  as bigint)) * 60000L
+        ELSE 0L END
+    """,
     # THE time-value parser: SQLite's accepted grammar -> epoch ms, NULL
     # for the rest. A bare number (quoted or not — SQLite treats
     # '2460000.5' the same as 2460000.5) is a julian day; gated to years
@@ -445,8 +480,8 @@ _SQL_FUNCTIONS = [
             CASE WHEN x RLIKE {_FAST_GATE}
                  THEN (timestampdiff(MICROSECOND, {_EPOCH},
                        try_cast(x as timestamp_ntz)) div 1000) END,
-            sqlite_ms_iso(x))
-        WHEN x RLIKE {_TIME_GATE} THEN sqlite_ms_hms(x)
+            sqlite_ms_iso(x) - sqlite_tzoff(x))
+        WHEN x RLIKE {_TIME_GATE} THEN sqlite_ms_hms(x) - sqlite_tzoff(x)
         WHEN trim(x) RLIKE {_NUM_GATE} THEN
             CASE WHEN cast(trim(x) as double)
                       BETWEEN 1721425.5d AND 5373484.5d
@@ -858,11 +893,16 @@ def _c_round(v: float) -> int:
 
 _MS_VALID_LO, _MS_VALID_HI = -210866760000000, 253402300799999
 _MS_RENDER_LO = -62135596800000  # 0001-01-01 00:00:00
+_PY_TZ = r"(?:[Zz]|(?P<tzs>[+-])(?P<tzh>0\d|1[0-4]):(?P<tzm>[0-5]\d))"
 _PY_ISO = re.compile(
     r"^(\d{4})-(\d{2})-(\d{2})"
-    r"([ T](\d{2}):(\d{2})(:(\d{2}(?:\.\d+)?))?)?\s*[Zz]?\s*$"
+    r"([ T](\d{2}):(\d{2})(:(\d{2}(?:\.\d+)?))?\s*" + _PY_TZ + r"?)?"
+    r"\s*$"
 )
-_PY_TIME = re.compile(r"^(\d{2}):(\d{2})(:(\d{2}(?:\.\d+)?))?\s*$")
+_PY_TIME = re.compile(
+    r"^(\d{2}):(\d{2})(:(\d{2}(?:\.\d+)?))?\s*"
+    + _PY_TZ + r"?\s*$"
+)
 _DAY_MS = 86400000
 
 
@@ -891,6 +931,14 @@ def _civil_from_days(z: int) -> tuple[int, int, int]:
     return y + (1 if m <= 2 else 0), m, d
 
 
+def _py_tzoff_ms(m: "re.Match") -> int:
+    """Signed offset ms of a matched _PY_TZ suffix (0 for Z/absent)."""
+    if m.group("tzs") is None:
+        return 0
+    sign = -1 if m.group("tzs") == "-" else 1
+    return sign * (int(m.group("tzh")) * 60 + int(m.group("tzm"))) * 60000
+
+
 def _py_parse(txt: str) -> int | None:
     """sqlite_ts in Python: literal time value -> epoch ms (or None)."""
     m = _PY_ISO.match(txt)
@@ -903,10 +951,24 @@ def _py_parse(txt: str) -> int | None:
                 and h <= 24 and mi <= 59 and s < 60.0):
             return None
         days = _days_from_civil(y, mo, 1) + (d - 1)  # Feb-31 rolls
-        return days * _DAY_MS + (h * 3600 + mi * 60) * 1000 + _c_round(s * 1000.0)
+        return (
+            days * _DAY_MS
+            + (h * 3600 + mi * 60) * 1000
+            + _c_round(s * 1000.0)
+            - _py_tzoff_ms(m)
+        )
     m = _PY_TIME.match(txt)
     if m:
-        return _py_parse("2000-01-01 " + txt.strip())
+        h, mi = int(m.group(1)), int(m.group(2))
+        s = float(m.group(4)) if m.group(4) else 0.0
+        if not (h <= 24 and mi <= 59 and s < 60.0):
+            return None
+        return (
+            _TIMEONLY_DAYS_PY * _DAY_MS
+            + (h * 3600 + mi * 60) * 1000
+            + _c_round(s * 1000.0)
+            - _py_tzoff_ms(m)
+        )
     t = txt.strip()
     if _BARE_NUMBER.match(t):
         jd = float(t)

@@ -120,6 +120,23 @@ MATRIX = [
     "datetime('2023-01-01','+3000000 days','+1 month')",
     "datetime('2023-01-01','+5373484 days','-5373484 days')",
     "unixepoch(1092941466,'unixepoch','+1 minute')",
+    # round 7: numeric utc-offset suffixes (hour 00-14, minute 00-59,
+    # only after a time component) + the date-only-Z rejection fix
+    "datetime('2023-01-01 10:00:00+02:00')",
+    "datetime('2023-01-01 10:00+02:00','+1 day')",
+    "datetime('2023-01-01T10:00:00-05:30')",
+    "datetime('2023-01-01 10:00:00 +02:00','start of day')",
+    "datetime('2023-01-01 10:00:00.5+02:00')",
+    "time('10:00:00+02:00')",
+    "datetime('2023-01-01 10:00:00+14:59')",
+    "datetime('2023-01-01 10:00:00+15:00')",
+    "datetime('2023-01-01 10:00:00+02:60')",
+    "datetime('2023-01-01+02:00')",
+    "datetime('2023-07-28Z')",
+    "datetime('2023-07-28 Z')",
+    "datetime('10:00Z','+30 minutes')",
+    "unixepoch('2023-02-31 10:00+02:00')",
+    "julianday('2023-01-01 10:00:00-00:30')",
 ]
 
 

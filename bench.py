@@ -133,6 +133,7 @@ HEADLINE = [
     "text_logreg_train_weights",
     "dedup_cdc_chunk_stats",
     "text_char_entropy",
+    "pipeline_video_frame_dedup",
 ]
 
 

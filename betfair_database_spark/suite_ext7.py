@@ -351,3 +351,59 @@ def text_char_entropy(spark, sf):
             ).alias("entropy_bits"),
         )
     )
+
+
+_FRAME_DEDUP_ORACLE = """
+WITH base AS (SELECT doc_id, n_chars % 50 + 1 AS n FROM documents),
+idx AS (SELECT doc_id, unnest(range(0, n, 4)) AS i FROM base),
+cnt AS (SELECT i, count(*) AS c FROM idx GROUP BY i)
+SELECT x.doc_id,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(count(*) FILTER (WHERE cnt.c > 1) AS BIGINT) AS n_dup_frames
+FROM idx x JOIN cnt USING (i)
+GROUP BY x.doc_id
+"""
+
+
+@_q("pipeline_video_frame_dedup", _FRAME_DEDUP_ORACLE)
+def pipeline_video_frame_dedup(spark, sf):
+    """Cross-video frame dedup over BINARY media columns end to end:
+    synthesize AVIs with real movi frame chunks, container-walk +
+    every-4th frame sampling (no codec), then dedupe the sampled frames
+    corpus-wide by content hash — the multimodal twin of the text dedup
+    family (near-identical videos share frame bytes; the hash groupBy
+    finds them without decoding). The oracle is the closed form the
+    synthetic frames guarantee: frame bytes are a function of the frame
+    index, so a sampled frame is duplicated iff >= 2 videos are long
+    enough to sample that index."""
+    from betfair_database_spark.operators import multimodal
+
+    d = _t(spark, sf, "documents")
+
+    def _make(batches):
+        import pandas as pd
+
+        for batch in batches:
+            payloads = [
+                multimodal.encode_avi_frames(int(s) % 50 + 1, 32)
+                for s in batch["n_chars"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"], "payload": payloads}
+            )
+
+    media = d.select("doc_id", "n_chars").mapInPandas(
+        _make, schema="doc_id long, payload binary"
+    )
+    fr = multimodal.sample_frames(media, every_n=4).select(
+        "doc_id", F.md5(F.col("frame")).alias("h")
+    )
+    cnt = fr.groupBy("h").agg(F.count("*").alias("c"))
+    return (
+        fr.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.count(F.when(F.col("c") > 1, 1)).alias("n_dup_frames"),
+        )
+    )

@@ -867,3 +867,57 @@ def test_streaming_minhash_dedup_flags_arriving_duplicates(spark, tmp_path):
     # batch-1 distinct docs seeded as representatives (no false dups)
     for i in base:
         assert all(r.dup_of is None for r in by_doc[i]), by_doc[i]
+
+
+def test_streaming_minhash_dedup_state_survives_restart(spark, tmp_path):
+    """The near-dup filter's representatives live in the checkpointed
+    state store: stop the query after batch 1, restart a NEW query from
+    the same checkpoint for batch 2 — a text re-sent in batch 2 must be
+    flagged against the batch-1 representative."""
+    import json
+    import random
+
+    from pyspark.sql import functions as F
+
+    from betfair_database_spark.streaming.analytics import (
+        streaming_minhash_dedup,
+    )
+
+    rng = random.Random(13)
+    words = [f"w{int(i)}" for i in range(40)]
+    text1 = " ".join(rng.choice(words) for _ in range(100))
+    root = tmp_path / "docs"
+    root.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (root / "b1.json").write_text(json.dumps({"doc_id": 1, "text": text1}))
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string").json(
+            str(root)
+        )
+        q = (
+            streaming_minhash_dedup(stream, bands=4, threshold=0.8)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()  # batch 1: doc 1 becomes the representative
+    (root / "b2.json").write_text(
+        json.dumps({"doc_id": 2, "text": text1})
+    )
+    run_once()  # restarted query, same checkpoint
+
+    rows = spark.read.parquet(out).collect()
+    d1 = [r for r in rows if r.doc_id == 1]
+    d2 = [r for r in rows if r.doc_id == 2]
+    assert len(d1) == 4 and all(r.dup_of is None for r in d1)
+    # the restart recovered the batch-1 representatives from state
+    assert len(d2) == 4 and all(
+        r.dup_of == 1 and r.est_sim == 1.0 for r in d2
+    ), d2

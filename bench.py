@@ -134,6 +134,7 @@ HEADLINE = [
     "dedup_cdc_chunk_stats",
     "text_char_entropy",
     "pipeline_video_frame_dedup",
+    "graph_pagerank_top20",
 ]
 
 

@@ -210,3 +210,54 @@ def triangle_count(
     return tri.agg(F.count("*").alias("n_triangles")).join(
         F.broadcast(e.agg(F.count("*").alias("n_edges")))
     ).select("n_edges", "n_triangles")
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Fixed-iteration PageRank over an UNDIRECTED edge set (each edge
+    contributes both directions, so no dangling nodes exist by
+    construction). Per iteration: one join of the rank frame onto the
+    out-edge list and one destination-keyed sum — the textbook
+    power-iteration as two hash exchanges, with the rank frame
+    localCheckpointed so lineage stays flat across iterations.
+
+    Determinism follows the suite convention for iterative float
+    algorithms: ranks round to 9 decimals after every iteration (the
+    same chain points the unrolled SQL oracle rounds), so the
+    destination-sum's float ordering noise (~1e-13) never crosses a
+    rounding boundary in practice. Returns (node, rank) with the
+    UNNORMALIZED 0.15 + d*sum form (ranks sum to ~N)."""
+    both = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
+        edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    ).localCheckpoint()
+    deg = both.groupBy("src").agg(F.count("*").alias("deg"))
+    out = both.join(deg, "src").localCheckpoint()
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(1.0).alias("rank")
+    ).localCheckpoint()
+    base = 1.0 - damping
+    for _ in range(max(1, iters)):
+        contrib = (
+            out.join(
+                ranks.select(
+                    F.col("node").alias("src"), F.col("rank")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping)
+                    * F.sum(F.col("rank") / F.col("deg")),
+                    9,
+                ).alias("rank")
+            )
+        )
+        ranks = contrib.localCheckpoint()
+    return ranks

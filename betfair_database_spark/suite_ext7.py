@@ -407,3 +407,71 @@ def pipeline_video_frame_dedup(spark, sf):
             F.count(F.when(F.col("c") > 1, 1)).alias("n_dup_frames"),
         )
     )
+
+
+def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
+    """Unrolled PageRank power iterations over the cohort co-activity
+    graph (the triangle row's edge build), rounding ranks to 9 decimals
+    per iteration exactly where the Spark operator rounds."""
+    head = f"""
+WITH slots AS (
+  SELECT DISTINCT user_id AS u, date_trunc('hour', ts) AS slot
+  FROM events WHERE user_id < 1000
+),
+e AS (
+  SELECT a.u AS a, b.u AS b
+  FROM slots a JOIN slots b ON a.slot = b.slot AND a.u < b.u
+  GROUP BY 1, 2 HAVING count(*) >= 8
+),
+dirs AS (SELECT a AS src, b AS dst FROM e
+         UNION ALL SELECT b AS src, a AS dst FROM e),
+deg AS (SELECT src, count(*) AS deg FROM dirs GROUP BY src),
+r0 AS (SELECT src AS node, 1.0 AS rank FROM deg)"""
+    parts = [head]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+r{i} AS (
+  SELECT bo.dst AS node,
+         round({1.0 - damping} + {damping}
+               * sum(r.rank / d.deg), 9) AS rank
+  FROM dirs bo JOIN deg d ON d.src = bo.src
+       JOIN r{i - 1} r ON r.node = bo.src
+  GROUP BY bo.dst
+)""")
+    parts.append(f"""
+SELECT node, round(rank, 6) AS rank
+FROM r{iters}
+ORDER BY rank DESC, node LIMIT 20
+""")
+    return "".join(parts)
+
+
+@_q("graph_pagerank_top20", _pagerank_oracle())
+def graph_pagerank_top20(spark, sf):
+    """Three PageRank power iterations over the bounded-cohort
+    co-activity graph (same edge build as graph_triangle_count), top-20
+    nodes. Iterative-but-oracle-exact via the unrolled-CTE + pinned
+    rounding pattern (kmeans_fit, train_logreg). Per iteration: one
+    rank-onto-out-edges join + one destination-keyed sum. See
+    graph.pagerank."""
+    from betfair_database_spark.operators.graph import pagerank
+
+    ev = _t(spark, sf, "events").where(F.col("user_id") < 1000)
+    slots = ev.select(
+        F.col("user_id").alias("u"),
+        F.date_trunc("hour", F.col("ts")).alias("slot"),
+    ).distinct()
+    a = slots.select(F.col("u").alias("a"), "slot")
+    b = slots.select(F.col("u").alias("b"), "slot")
+    edges = (
+        a.join(b, "slot")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= 8)
+        .select("a", "b")
+    )
+    ranks = pagerank(edges, iters=3)
+    return ranks.select(
+        "node", F.round("rank", 6).alias("rank")
+    ).orderBy(F.desc("rank"), F.asc("node")).limit(20)

@@ -154,6 +154,15 @@ class BetfairDatabase:
             frame.repartition(F.col("eventTypeId"))
             .sortWithinPartitions("marketStartTime")
             .write.mode("overwrite")
+            # marketId is the point-lookup key (the reference's README
+            # queries select single markets); a parquet bloom filter lets
+            # a 100 TB scan skip every row group that provably lacks the
+            # id — the sort key covers RANGE predicates, blooms cover
+            # EQUALITY on the high-cardinality column the sort cannot
+            .option("parquet.bloom.filter.enabled#marketId", "true")
+            .option(
+                "parquet.bloom.filter.expected.ndv#marketId", "1000000"
+            )
             .partitionBy("eventTypeId")
             .parquet(path)
         )
@@ -555,6 +564,12 @@ class BetfairDatabase:
             repl.repartition(F.col("eventTypeId"))
             .sortWithinPartitions("marketStartTime")
             .write.mode("append")
+            # same bloom filters as _write_index: appended part-files
+            # must prune point lookups like the originals
+            .option("parquet.bloom.filter.enabled#marketId", "true")
+            .option(
+                "parquet.bloom.filter.expected.ndv#marketId", "1000000"
+            )
             .partitionBy("eventTypeId")
             .parquet(str(self._index_path))
         )

@@ -102,8 +102,8 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame
 def _hashed_shingle_arrays(
     df: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
-    """One row per doc: ``(id, hs)`` where ``hs`` is the distinct xxhash64
-    k-gram shingle array — the shared SSJoin primitive. Checkpointed: the
+    """One row per doc: ``(id, hs)`` where ``hs`` is the distinct hashed
+    k-gram shingle array (vectorized polynomial hash, round 7) — the shared SSJoin primitive. Checkpointed: the
     explode for ranking, the tier-0/1 verify lanes, per-doc counts
     (``size(hs)``) and the global ``n_min`` all derive from it with no
     further shuffle. Dedup happens on the 8-byte hashes, not the strings;
@@ -519,7 +519,7 @@ def jaccard_ssjoin(
         )
 
     # Every stage between shingling and the final exact verify runs on the
-    # 8-byte xxhash64 of each shingle ("hw"), not the 9+-char string: the
+    # 8-byte hash of each shingle ("hw"), not the 9+-char string: the
     # freq join, the rank window sort, and the prefix equi-join all shuffle
     # fixed-width longs. Distinct strings colliding to one hw merge tokens —
     # which can only be handled safely by relaxing every candidate bound by
@@ -630,7 +630,7 @@ def jaccard_ssjoin(
         .select("a", "b")
     )
     # TWO-TIER verification (the 100 TB cost center: candidates x doc-length
-    # array bytes). Tier 1 intersects 8-byte xxhash64 lanes — primitive long
+    # array bytes). Tier 1 intersects 8-byte hashed lanes — primitive long
     # arrays are ~3x smaller on the wire than 9-char string elements (8 B
     # fixed vs offset+padded payload) and long equality beats UTF8String
     # hashing inside array_intersect. A cross-doc hash collision only
@@ -752,7 +752,7 @@ def containment_ssjoin(
     array_intersect as jaccard_ssjoin.
 
     No false negatives; the final containment is computed on exact string
-    shingles (hashed lanes are a pruning tier only — carrying xxhash64 as
+    shingles (hashed lanes are a pruning tier only — carrying the hash as
     the sole representation was rejected for 64-bit birthday collisions,
     see PLANS; as a slack-relaxed pre-filter it cannot change results).
     """

@@ -125,3 +125,39 @@ def test_bulk_duplicate_market_id_last_entry_wins(indexed_db):
     assert rows[0]["marketName"] == "Match Odds"
     assert rows[0]["eventTypeId"] == "1"
     assert rows[0]["eventTypeName"] == "Soccer"
+
+
+def test_index_parquet_has_marketid_bloom_filters(indexed_db):
+    """Round 7: the index writer enables parquet bloom filters on
+    marketId — the point-lookup key the sort order (marketStartTime)
+    cannot prune. Assert the footers actually carry bloom offsets."""
+    from pathlib import Path
+
+    files = list(
+        Path(indexed_db._index_path).glob("eventTypeId=*/*.parquet")
+    )
+    assert files
+    spark = indexed_db.spark
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    found = False
+    for f in files:
+        hpath = jvm.org.apache.hadoop.fs.Path(str(f))
+        infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            hpath, conf
+        )
+        reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+        try:
+            blocks = reader.getFooter().getBlocks()
+            for bi in range(blocks.size()):
+                cols = blocks.get(bi).getColumns()
+                for ci in range(cols.size()):
+                    col = cols.get(ci)
+                    if (
+                        col.getPath().toDotString() == "marketId"
+                        and col.getBloomFilterOffset() > 0
+                    ):
+                        found = True
+        finally:
+            reader.close()
+    assert found, "no bloom filter offsets recorded for marketId"

@@ -135,6 +135,7 @@ HEADLINE = [
     "text_char_entropy",
     "pipeline_video_frame_dedup",
     "graph_pagerank_top20",
+    "dedup_cdc_rewrite",
 ]
 
 

@@ -475,3 +475,93 @@ def graph_pagerank_top20(spark, sf):
     return ranks.select(
         "node", F.round("rank", 6).alias("rank")
     ).orderBy(F.desc("rank"), F.asc("node")).limit(20)
+
+
+_CDC_REWRITE_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, lower(text) AS lt FROM documents WHERE length(text) > 0
+),
+cuts AS (
+  SELECT doc_id, lt,
+         list_concat(list_concat(
+           [CAST(1 AS BIGINT)],
+           list_filter(range(2, greatest(length(lt) - 15 + 1, 2)),
+             i -> CAST('0x' || substr(md5(substr(lt, CAST(i AS INT), 16)),
+                       1, 8) AS BIGINT) % 64 = 0)),
+           [CAST(length(lt) + 1 AS BIGINT)]) AS c
+  FROM d
+),
+ch AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(c)),
+           k -> struct_pack(
+             ix := k - 1,
+             chunk := substr(lt, CAST(c[CAST(k AS INT)] AS INT),
+                             CAST(c[CAST(k + 1 AS INT)]
+                                  - c[CAST(k AS INT)] AS INT))))) AS s
+  FROM cuts
+),
+chunks AS (SELECT doc_id, s.ix AS chunk_ix, s.chunk AS chunk
+           FROM ch WHERE s.chunk <> ''),
+keep AS (
+  SELECT doc_id, chunk_ix, chunk,
+         row_number() OVER (PARTITION BY md5(chunk)
+                            ORDER BY doc_id, chunk_ix) AS rn
+  FROM chunks
+)
+SELECT k.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+       md5(string_agg(CASE WHEN rn = 1 THEN chunk ELSE '' END, ''
+                      ORDER BY chunk_ix)) AS rewrite_md5
+FROM keep k
+GROUP BY k.doc_id
+"""
+
+
+@_q("dedup_cdc_rewrite", _CDC_REWRITE_ORACLE)
+def dedup_cdc_rewrite(spark, sf):
+    """CDC-based corpus rewrite: drop every content-defined chunk that
+    already occurred earlier in the corpus (first occurrence in
+    (doc_id, chunk_ix) order wins) and reassemble what is left of each
+    document — span_dedup's rewrite semantics on insertion-robust
+    boundaries. The keeper window partitions on md5(chunk) (uniform
+    shuffle key regardless of text skew, same trick as span_dedup);
+    reassembly is one doc-keyed ordered fold."""
+    from pyspark.sql import Window as W
+
+    from betfair_database_spark.operators import curation
+
+    chunks = curation.cdc_chunks(_t(spark, sf, "documents"))
+    keep = chunks.select(
+        "doc_id",
+        "chunk_ix",
+        "chunk",
+        F.row_number()
+        .over(
+            W.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_ix")
+        )
+        .alias("rn"),
+    )
+    return keep.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "chunk_ix",
+                                F.when(F.col("rn") == 1, F.col("chunk"))
+                                .otherwise(F.lit(""))
+                                .alias("chunk"),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                "",
+            )
+        ).alias("rewrite_md5"),
+    )

@@ -1620,3 +1620,45 @@ def test_cdc_chunks_resynchronize_after_insertion(spark):
         spark.createDataFrame([(9, "abc")], "doc_id long, text string")
     ).collect()
     assert [(r.chunk_ix, r.chunk) for r in tiny] == [(0, "abc")]
+
+
+def test_pack_greedy_nextfit_matches_python_reference(spark):
+    """Randomized parity with a pure-Python next-fit-decreasing walk,
+    including the edges the oracle corpus never hits: zero-token docs,
+    docs larger than the budget, single-doc groups, and ties."""
+    import random
+
+    from betfair_database_spark.operators.sampling import pack_greedy_nextfit
+
+    rng = random.Random(29)
+    rows = []
+    did = 0
+    for g in range(6):
+        for _ in range(rng.randint(1, 40)):
+            t = rng.choice([0, 1, 7, 99, 100, 101, 250, 500, 777])
+            rows.append((f"g{g}", did, t))
+            did += 1
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    got = {
+        (r.source, r.doc_id): r.bin
+        for r in pack_greedy_nextfit(
+            df, "source", "doc_id", "n_tokens", budget=100
+        ).collect()
+    }
+
+    want = {}
+    by_group: dict = {}
+    for g, i, t in rows:
+        by_group.setdefault(g, []).append((i, t))
+    for g, docs in by_group.items():
+        docs.sort(key=lambda x: (-x[1], x[0]))
+        fill, b = None, 0
+        for i, t in docs:
+            if fill is None:
+                b, fill = 0, t
+            elif fill + t <= 100:
+                fill += t
+            else:
+                b, fill = b + 1, t
+            want[(g, i)] = b
+    assert got == want

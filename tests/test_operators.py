@@ -1662,3 +1662,71 @@ def test_pack_greedy_nextfit_matches_python_reference(spark):
                 b, fill = b + 1, t
             want[(g, i)] = b
     assert got == want
+
+
+def test_bigram_logprob_matches_python_reference(spark):
+    """Randomized parity of the conditional-LM scorer with a pure-Python
+    reference (tokenization, add-one smoothing, prefix counts, vocab)."""
+    import math
+    import random
+    import re as _re
+    from collections import Counter
+
+    from betfair_database_spark.operators.textstats import (
+        bigram_logprob_scores,
+    )
+
+    rng = random.Random(41)
+    vocab = [f"t{i}" for i in range(12)] + ["", "  "]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.logprob)
+        for r in bigram_logprob_scores(df).collect()
+    }
+
+    toks = {
+        i: [w for w in _re.split(r"\s+", t.strip().lower()) if w]
+        for i, t in rows
+    }
+    bigrams = {
+        i: list(zip(ws, ws[1:])) for i, ws in toks.items() if len(ws) >= 2
+    }
+    c2 = Counter(b for bs in bigrams.values() for b in bs)
+    c1 = Counter(b[0] for bs in bigrams.values() for b in bs)
+    v = len({w for ws in toks.values() for w in ws})
+    want = {}
+    for i, bs in bigrams.items():
+        lps = [math.log((c2[b] + 1) / (c1[b[0]] + v)) for b in bs]
+        want[i] = (len(bs), round(sum(lps) / len(lps), 4))
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert abs(got[i][1] - want[i][1]) <= 1e-4, (i, got[i], want[i])
+
+
+def test_pagerank_invariants(spark):
+    """Rank mass is conserved on an undirected graph (no dangling mass:
+    sum of ranks stays ~N every iteration) and the result is
+    deterministic across repartitionings."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from betfair_database_spark.operators.graph import pagerank
+
+    rng = random.Random(5)
+    edges = {(rng.randint(0, 49), rng.randint(0, 49)) for _ in range(200)}
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "a long, b long")
+    r1 = pagerank(df, iters=3).collect()
+    n_nodes = len({n for e in edges for n in e})
+    total = sum(r.rank for r in r1)
+    assert abs(total - n_nodes) < 1e-3 * n_nodes
+    r2 = pagerank(df.repartition(7), iters=3).collect()
+    assert sorted((r.node, r.rank) for r in r1) == sorted(
+        (r.node, r.rank) for r in r2
+    )

@@ -145,6 +145,10 @@ def pipeline_cluster_balance(spark, sf):
 
     emb = _t(spark, sf, "embeddings")
     _, assigned = similarity.kmeans_fit(emb, k=4, max_iters=3, tol=0.0)
+    # the assignment plan feeds the window, the floor agg AND the final
+    # join — checkpoint so the literal-argmax job runs once, not three
+    # times
+    assigned = assigned.localCheckpoint()
     sized = assigned.select(
         "cell",
         "vec_id",

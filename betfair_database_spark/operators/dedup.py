@@ -127,12 +127,13 @@ def _hashed_shingle_arrays(
         import numpy as np
         import pandas as pd
 
-        b = np.uint64(1099511628211)  # odd 64-bit multiplier (FNV prime)
-        powers = np.empty(k, dtype=np.uint64)
-        acc = np.uint64(1)
-        for j in range(k - 1, -1, -1):
-            powers[j] = acc
-            acc = acc * b
+        # odd 64-bit multiplier (FNV prime); powers computed in Python
+        # ints mod 2^64 (numpy scalar wraparound is intended but warns)
+        b = 1099511628211
+        powers = np.array(
+            [pow(b, k - 1 - j, 1 << 64) for j in range(k)],
+            dtype=np.uint64,
+        )
         for pdf in batches:
             outs = []
             for txt in pdf["_lt"]:

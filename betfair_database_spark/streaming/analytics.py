@@ -538,3 +538,99 @@ def streaming_minhash_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_kmv_distinct(
+    items: DataFrame,
+    key_col: str = "item",
+    k: int = 64,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """CONTINUOUS distinct-count estimation over an unbounded key stream
+    — the streaming twin of sketches.kmv_distinct, with the SAME
+    md5-derived k-minimum-values sketch so per-bucket results are
+    bit-reproducible against the batch operator on identical data.
+
+    Keys hash-partition across ``n_buckets`` state buckets (the
+    heavy-hitters layout); each bucket keeps the k SMALLEST uniform hash
+    values of ITS keys in keyed state (bounded: k doubles per bucket)
+    and re-emits its estimate every trigger. Because the buckets
+    partition the key space, the GLOBAL distinct count is the SUM of
+    bucket estimates — no sketch-merge step, and per-bucket error bounds
+    carry through. Output per trigger (update mode):
+    (bucket, kmv_estimate, n_kept).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    keyed = items.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets))
+        .cast("int")
+        .alias("bucket"),
+        # the SAME uniform hash the batch sketch's md5 form uses
+        (
+            F.conv(
+                F.substring(F.md5(F.col(key_col).cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    ).where(F.col("key").isNotNull())
+
+    out_schema = StructType(
+        [
+            StructField("bucket", IntegerType()),
+            StructField("kmv_estimate", LongType()),
+            StructField("n_kept", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("mins", StringType())])
+
+    def update(key, pdfs, state: "GroupState"):
+        import json as _json
+
+        import pandas as pd
+
+        (bucket,) = key
+        mins = _json.loads(state.get[0]) if state.exists else []
+        seen = set(mins)
+        for pdf in pdfs:
+            for u in pdf["u"]:
+                u = float(u)
+                if u not in seen:
+                    seen.add(u)
+                    mins.append(u)
+        mins = sorted(set(mins))[:k]
+        state.update((_json.dumps(mins),))
+        if len(mins) < k:
+            est = len(mins)
+        else:
+            import math
+
+            # HALF_UP like Spark's round() — the batch operator's exact
+            # estimate formula, so per-bucket parity is bit-exact
+            est = int(math.floor((k - 1) / mins[-1] + 0.5))
+        yield pd.DataFrame(
+            {
+                "bucket": [int(bucket)],
+                "kmv_estimate": [est],
+                "n_kept": [len(mins)],
+            }
+        )
+
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -921,3 +921,59 @@ def test_streaming_minhash_dedup_state_survives_restart(spark, tmp_path):
     assert len(d2) == 4 and all(
         r.dup_of == 1 and r.est_sim == 1.0 for r in d2
     ), d2
+
+
+def test_streaming_kmv_distinct_matches_batch_per_bucket(spark, tmp_path):
+    """Round 7: the continuous KMV distinct sketch is bit-identical to
+    the batch operator per bucket (same md5 k-min sketch, same HALF_UP
+    estimate), and the global distinct is the sum of bucket estimates
+    because the buckets partition the key space."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from betfair_database_spark.operators.sketches import kmv_distinct
+    from betfair_database_spark.streaming.analytics import (
+        streaming_kmv_distinct,
+    )
+    from betfair_database_spark.streaming.mcm import run_to_memory
+
+    rng = random.Random(17)
+    keys = [f"user{rng.randint(0, 3000)}" for _ in range(9000)]
+    root = tmp_path / "keys"
+    root.mkdir()
+    for i in range(3):
+        (root / f"p{i}.txt").write_text("\n".join(keys[i::3]))
+
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(str(root))
+        .select(F.col("value").alias("item"))
+    )
+    run_to_memory(
+        streaming_kmv_distinct(stream, "item", k=64, n_buckets=4),
+        "kmv_stream",
+        "update",
+    )
+    # last emission per bucket = the full-stream sketch (update-mode
+    # memory sink appends every trigger's rows in order)
+    final = {}
+    for r in spark.table("kmv_stream").collect():
+        final[r.bucket] = (r.kmv_estimate, r.n_kept)
+
+    batch = spark.createDataFrame([(x,) for x in keys], "item string")
+    batch = batch.withColumn(
+        "bucket",
+        F.pmod(F.xxhash64(F.col("item")), F.lit(4)).cast("int"),
+    )
+    for bucket in sorted(final):
+        b = kmv_distinct(
+            batch.where(F.col("bucket") == bucket), "item", k=64,
+            hasher="md5",
+        ).first()
+        assert final[bucket] == (b.kmv_estimate, b.n_kept), (
+            bucket, final[bucket], (b.kmv_estimate, b.n_kept))
+    # global distinct = sum of bucket estimates (disjoint key spaces)
+    exact = len(set(keys))
+    est = sum(v[0] for v in final.values())
+    assert abs(est - exact) / exact < 0.35, (est, exact)

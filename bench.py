@@ -136,6 +136,7 @@ HEADLINE = [
     "pipeline_video_frame_dedup",
     "graph_pagerank_top20",
     "dedup_cdc_rewrite",
+    "curation_corpus_diff",
 ]
 
 

@@ -294,3 +294,43 @@ def cdc_chunks(
         )
         .where(F.col("chunk") != "")
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dataset-version diff: compare two corpus snapshots by id and
+    content hash — the release-engineering primitive behind "what
+    changed between data v1 and v2" (additions, removals, in-place
+    edits, untouched documents).
+
+    One full-outer join on the id with md5 content fingerprints computed
+    in the scan projections; counts are a single aggregation. At scale
+    this is one shuffle of (id, 16-byte hash) pairs — text bytes never
+    cross the exchange. Returns one row: (n_added, n_removed,
+    n_modified, n_unchanged)."""
+    o = old.select(
+        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_ho")
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_hn")
+    )
+    j = o.join(n, "_id", "full_outer")
+    return j.agg(
+        F.count(F.when(F.col("_ho").isNull(), 1)).alias("n_added"),
+        F.count(F.when(F.col("_hn").isNull(), 1)).alias("n_removed"),
+        F.count(
+            F.when(
+                F.col("_ho").isNotNull()
+                & F.col("_hn").isNotNull()
+                & (F.col("_ho") != F.col("_hn")),
+                1,
+            )
+        ).alias("n_modified"),
+        F.count(F.when(F.col("_ho") == F.col("_hn"), 1)).alias(
+            "n_unchanged"
+        ),
+    )

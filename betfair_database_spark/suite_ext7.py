@@ -569,3 +569,44 @@ def dedup_cdc_rewrite(spark, sf):
             )
         ).alias("rewrite_md5"),
     )
+
+
+_CORPUS_DIFF_ORACLE = """
+WITH old AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 0
+),
+new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' edited' ELSE text END)
+           AS h
+  FROM documents WHERE doc_id % 11 <> 3
+),
+j AS (SELECT o.doc_id AS od, o.h AS ho, n.doc_id AS nd, n.h AS hn
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+SELECT CAST(count(*) FILTER (WHERE ho IS NULL) AS BIGINT) AS n_added,
+       CAST(count(*) FILTER (WHERE hn IS NULL) AS BIGINT) AS n_removed,
+       CAST(count(*) FILTER (WHERE ho IS NOT NULL AND hn IS NOT NULL
+                             AND ho <> hn) AS BIGINT) AS n_modified,
+       CAST(count(*) FILTER (WHERE ho = hn) AS BIGINT) AS n_unchanged
+FROM j
+"""
+
+
+@_q("curation_corpus_diff", _CORPUS_DIFF_ORACLE)
+def curation_corpus_diff(spark, sf):
+    """Snapshot diff between two corpus versions derived deterministically
+    from the documents table (v1 drops every 7th doc; v2 drops every
+    11th-mod-3 and edits every 5th) — added/removed/modified/unchanged
+    counts from one (id, hash) full-outer join. See
+    curation.corpus_diff."""
+    from betfair_database_spark.operators import curation
+
+    d = _t(spark, sf, "documents")
+    old = d.where(F.col("doc_id") % 7 != 0)
+    new = d.where(F.col("doc_id") % 11 != 3).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" edited"))
+        ).otherwise(F.col("text")),
+    )
+    return curation.corpus_diff(old, new)

@@ -199,7 +199,21 @@ def test_modifier_chain_fuzz_matches_sqlite(spark):
         fn = rng.choice(
             ["datetime", "date", "time", "julianday", "unixepoch"]
         )
-        arg = f"'{base.strftime('%Y-%m-%d %H:%M:%S')}.{base.microsecond // 1000:03d}'"
+        # round 7: a third of the bases carry a suffix — Z, a valid
+        # [+-]HH:MM utc offset, or a deliberately-invalid one
+        suffix = ""
+        r = rng.random()
+        if r < 0.15:
+            suffix = rng.choice(["Z", "z", " Z"])
+        elif r < 0.35:
+            sign = rng.choice("+-")
+            h = rng.randint(0, 16)  # 15/16 are invalid on purpose
+            m = rng.choice([0, 30, 59, 60])  # 60 invalid
+            suffix = f"{sign}{h:02d}:{m:02d}"
+        arg = (
+            f"'{base.strftime('%Y-%m-%d %H:%M:%S')}"
+            f".{base.microsecond // 1000:03d}{suffix}'"
+        )
         exprs.append(f"{fn}({arg}, {', '.join(mods)})")
     _compare(spark, exprs)
 

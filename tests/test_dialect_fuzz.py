@@ -104,6 +104,19 @@ def _gen_atom(rng: random.Random, rows) -> str:
             # single-char wildcard mid-pattern
             mid = rng.randint(1, len(pat) - 2)
             pat = pat[:mid] + "_" + pat[mid + 1 :]
+        if rng.random() < 0.25:
+            # round 7: LIKE ... ESCAPE is bridged exactly for literal
+            # operands — escape a wildcard or inject a literal escape char
+            esc = rng.choice(["!", "#"])
+            if rng.random() < 0.5 and len(pat) > 1:
+                mid = rng.randint(0, len(pat) - 1)
+                pat = pat[:mid] + esc + rng.choice(["%", "_", esc]) + pat[mid:]
+            else:
+                pat = esc + rng.choice(["%", "_"]) + pat
+            return (
+                f"marketName {'NOT ' if rng.random() < 0.3 else ''}"
+                f"LIKE {_sq(pat)} ESCAPE {_sq(esc)}"
+            )
         return f"marketName {'NOT ' if rng.random() < 0.3 else ''}LIKE {_sq(pat)}"
     if kind == "glob":
         pat = rng.choice(["1.2220000*", "*Mdn*", "?.*", "[12].*", "*[0-9]"])

@@ -1730,3 +1730,38 @@ def test_pagerank_invariants(spark):
     assert sorted((r.node, r.rank) for r in r1) == sorted(
         (r.node, r.rank) for r in r2
     )
+
+
+def test_round7_operators_prune_scan_columns(spark):
+    """Plan contract for the round-7 text operators: each reads ONLY the
+    columns it needs from the parquet scan (ReadSchema pruning) — a scan
+    that drags unused columns through a 100 TB corpus is a plan bug."""
+    from tests.conftest import SF_DIR
+
+    from betfair_database_spark.operators.curation import cdc_chunks
+    from betfair_database_spark.operators.textstats import (
+        bigram_logprob_scores,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    def read_schema(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReadSchema" in plan, plan[:400]
+        return plan.split("ReadSchema:")[1].split("\n")[0]
+
+    rs = read_schema(cdc_chunks(d))
+    assert "text" in rs and "doc_id" in rs
+    assert "lang" not in rs and "source" not in rs and "n_chars" not in rs
+
+    # bigram scorer: the bigram stream is checkpointed, so the one
+    # parquet scan left in the plan is the vocab branch — it must read
+    # ONLY the text column
+    rs = read_schema(bigram_logprob_scores(d))
+    assert "text" in rs
+    assert (
+        "lang" not in rs
+        and "source" not in rs
+        and "n_chars" not in rs
+        and "doc_id" not in rs
+    )

@@ -137,6 +137,7 @@ HEADLINE = [
     "graph_pagerank_top20",
     "dedup_cdc_rewrite",
     "curation_corpus_diff",
+    "sample_waterfill_budget",
 ]
 
 

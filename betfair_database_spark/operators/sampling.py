@@ -546,3 +546,83 @@ def pack_greedy_nextfit(
     return df.select(group_col, key_col, tokens_col).groupBy(
         group_col
     ).applyInPandas(pack, schema)
+
+
+def waterfill_budget(
+    supplies: DataFrame,
+    budget_col: str = "budget",
+    group_col: str = "source",
+    supply_col: str = "supply",
+) -> DataFrame:
+    """Water-filling budget allocation: give every group min(supply, λ)
+    tokens where the integer level λ is the largest making the total fit
+    the budget — the standard "spend B training tokens across sources
+    without letting the big sources starve the small ones" planner
+    (small sources are taken whole, large ones are capped at a common
+    level).
+
+    ``supplies`` must carry one row per group with an integer supply and
+    a (constant) integer budget column. ALL arithmetic is integer —
+    prefix sums, floor divisions, clamps — so the result is
+    bit-identical on any engine; the remainder B - Σ alloc < m tokens is
+    deliberately left unallocated (documented; a rank-order tiebreak for
+    the remainder is presentation, not planning). The group table is
+    aggregation-derived and group-count-sized, so the global sort window
+    is a bounded frame (plans/guards.assert_bounded_frame enforces it).
+
+    Output: (group, supply, allocation).
+    """
+    from betfair_database_spark.plans.guards import assert_bounded_frame
+
+    sized = assert_bounded_frame(supplies, "waterfill supply table")
+    w = Window.orderBy(F.col(supply_col).asc(), F.col(group_col).asc())
+    # bounded-frame global window: one row per GROUP by contract
+    # (plan-guarded above)
+    ranked = sized.select(
+        group_col,
+        supply_col,
+        budget_col,
+        F.row_number().over(w).alias("_j"),
+        (
+            F.sum(supply_col).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            )
+        ).alias("_prefix"),
+        F.count("*").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_m"),
+        F.lag(supply_col, 1, 0).over(w).alias("_prev"),
+    ).withColumn("_prefix", F.coalesce("_prefix", F.lit(0)))
+    # candidate level for "groups before j taken whole, the rest capped":
+    # lam_j = (B - prefix_{j-1}) div (m - j + 1), feasible when it sits in
+    # [s_{j-1}, s_j); the 'everything fits' case is lam >= s_m at j = m+1,
+    # folded in via the total check
+    cand = ranked.select(
+        F.expr(
+            f"(({budget_col}) - _prefix) div (_m - _j + 1)"
+        ).alias("_lam"),
+        "_prev",
+        supply_col,
+    ).where(
+        (F.col("_lam") >= F.col("_prev")) & (F.col("_lam") < F.col(supply_col))
+    )
+    level = cand.agg(F.max("_lam").alias("_level"))
+    total = sized.agg(F.sum(supply_col).alias("_total"))
+    return (
+        sized.join(F.broadcast(level))
+        .join(F.broadcast(total))
+        .select(
+            group_col,
+            F.col(supply_col).alias("supply"),
+            F.when(
+                F.col("_total") <= F.col(budget_col), F.col(supply_col)
+            )
+            .otherwise(
+                F.least(F.col(supply_col), F.coalesce("_level", F.lit(0)))
+            )
+            .cast("long")
+            .alias("allocation"),
+        )
+    )

@@ -610,3 +610,62 @@ def curation_corpus_diff(spark, sf):
         ).otherwise(F.col("text")),
     )
     return curation.corpus_diff(old, new)
+
+
+_WATERFILL_ORACLE = r"""
+WITH sup AS (
+  SELECT source,
+         CAST(sum(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+              END) AS BIGINT) AS supply
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(supply) AS total, count(*) AS m,
+               CAST(sum(supply) * 6 // 10 AS BIGINT) AS b FROM sup),
+rk AS (
+  SELECT source, supply,
+         row_number() OVER (ORDER BY supply, source) AS j,
+         coalesce(sum(supply) OVER (ORDER BY supply, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
+         coalesce(lag(supply) OVER (ORDER BY supply, source), 0) AS prev
+  FROM sup
+),
+cand AS (
+  SELECT (tot.b - rk.prefix) // (tot.m - rk.j + 1) AS lam,
+         rk.prev, rk.supply
+  FROM rk, tot
+),
+lev AS (SELECT max(lam) AS level FROM cand
+        WHERE lam >= prev AND lam < supply)
+SELECT s.source, s.supply,
+       CAST(CASE WHEN tot.total <= tot.b THEN s.supply
+            ELSE least(s.supply, coalesce(lev.level, 0)) END AS BIGINT)
+         AS allocation
+FROM sup s, tot, lev
+"""
+
+
+@_q("sample_waterfill_budget", _WATERFILL_ORACLE)
+def sample_waterfill_budget(spark, sf):
+    """Water-filling token-budget allocation across sources (budget =
+    60% of total supply): small sources taken whole, large ones capped
+    at the common integer level — the training-mix planner. All
+    arithmetic integer, so cross-engine bit-exact; the global sort
+    window runs on the per-source table (bounded frame, plan-guarded).
+    See sampling.waterfill_budget."""
+    from betfair_database_spark.operators import sampling
+
+    sup = (
+        _t(spark, sf, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(textstats.token_count(F.col("text")).cast("long")).alias(
+                "supply"
+            )
+        )
+    )
+    tot = sup.agg(
+        F.expr("(sum(supply) * 6) div 10").cast("long").alias("budget")
+    )
+    supplied = sup.join(F.broadcast(tot))
+    return sampling.waterfill_budget(supplied)

@@ -1765,3 +1765,56 @@ def test_round7_operators_prune_scan_columns(spark):
         and "n_chars" not in rs
         and "doc_id" not in rs
     )
+
+
+def test_waterfill_budget_matches_python_reference(spark):
+    """Water-filling property vs a pure-Python reference across edge
+    shapes: budget below m (level 0), budget over total (take all),
+    exact-fit budgets, ties, single group."""
+    from pyspark.sql import functions as F
+
+    from betfair_database_spark.operators.sampling import waterfill_budget
+
+    def py_waterfill(supplies, budget):
+        total = sum(supplies.values())
+        if total <= budget:
+            return dict(supplies)
+        lam = None
+        items = sorted(supplies.items(), key=lambda kv: (kv[1], kv[0]))
+        m = len(items)
+        prefix, prev = 0, 0
+        for j, (_, s) in enumerate(items, start=1):
+            cand = (budget - prefix) // (m - j + 1)
+            if prev <= cand < s:
+                lam = cand if lam is None else max(lam, cand)
+            prefix += s
+            prev = s
+        lam = lam or 0
+        return {g: min(s, lam) for g, s in supplies.items()}
+
+    cases = [
+        ({"a": 100, "b": 200, "c": 700}, 600),
+        ({"a": 100, "b": 200, "c": 700}, 2000),   # over total
+        ({"a": 100, "b": 200, "c": 700}, 2),      # below m-ish
+        ({"a": 50, "b": 50, "c": 50}, 100),       # ties
+        ({"only": 500}, 300),
+        ({"a": 1, "b": 10, "c": 100, "d": 1000}, 500),
+    ]
+    for supplies, budget in cases:
+        df = spark.createDataFrame(
+            [(g, s, budget) for g, s in supplies.items()],
+            "source string, supply long, budget long",
+        )
+        # build the frame the operator contract expects: an aggregated
+        # per-group table (the guard rejects raw frames)
+        agg = df.groupBy("source").agg(
+            F.max("supply").alias("supply"), F.max("budget").alias("budget")
+        )
+        got = {
+            r.source: r.allocation
+            for r in waterfill_budget(agg).collect()
+        }
+        want = py_waterfill(supplies, budget)
+        total_alloc = sum(got.values())
+        assert got == want, (supplies, budget, got, want)
+        assert total_alloc <= budget or sum(supplies.values()) <= budget

@@ -1580,3 +1580,55 @@ def query_ann_index(
         .orderBy("adc_d2", id_col)
         .limit(k)
     )
+
+
+def _sqdist_lit(col: str, vec: list[float]) -> Column:
+    """Squared euclidean distance of an array column to a PYTHON-literal
+    vector, expanded to (get()-lit)^2 multiply-adds in one parsed SQL
+    string (same rationale and left-to-right fold as _dot_lit — stays in
+    whole-stage codegen, no per-element interpreted lambdas)."""
+    terms = " + ".join(
+        f"(CAST(get(`{col}`, {i}) AS DOUBLE) - {float(v)!r}D)"
+        f" * (CAST(get(`{col}`, {i}) AS DOUBLE) - {float(v)!r}D)"
+        for i, v in enumerate(vec)
+    )
+    return F.expr(terms)
+
+
+def kcenter_select(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int, float]]:
+    """Greedy farthest-point (k-center / Gonzalez) diversity selection:
+    seed with the lowest-id vector, then repeatedly pick the point whose
+    min squared distance to the chosen set is LARGEST — the classic
+    coreset/diversity sampler for training-data curation (pick maximally
+    spread exemplars, the dual of dedup).
+
+    Determinism across engines: every per-center distance is rounded to 4
+    decimals BEFORE the running least() and the argmax breaks ties on
+    ascending id, so sub-1e-4 summation-order noise between engines
+    cannot flip a selection. Each of the k-1 selection passes is ONE
+    narrow Spark job (literal-expanded distance chain in whole-stage
+    codegen, a least() over <=k rounded terms, then a 1-row top-1);
+    driver state is k vectors — at 100 TB this is k-1 scans, never a
+    pairwise matrix. Returns [(rank, id, dist_at_selection)].
+    """
+    first = df.select(id_col, vec_col).orderBy(id_col).limit(1).collect()[0]
+    centers = [[float(v) for v in first[1]]]
+    out = [(1, first[0], 0.0)]
+    for rank in range(2, k + 1):
+        dmin = F.least(
+            *[F.round(_sqdist_lit(vec_col, c), 4) for c in centers]
+        ) if len(centers) > 1 else F.round(_sqdist_lit(vec_col, centers[0]), 4)
+        pick = (
+            df.select(F.col(id_col), F.col(vec_col), dmin.alias("dmin"))
+            .orderBy(F.desc("dmin"), F.asc(id_col))
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append([float(v) for v in pick[1]])
+        out.append((rank, pick[0], float(pick[2])))
+    return out

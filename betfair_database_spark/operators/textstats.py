@@ -614,3 +614,48 @@ def train_logreg_hashed(
     rows = [(-1, b0)] + [(b, w[b]) for b in range(n_buckets)]
     out = spark.createDataFrame(rows, "bucket int, weight double")
     return out.select("bucket", F.round("weight", 6).alias("weight"))
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wlen: float = 3.0,
+    max_mean_wlen: float = 10.0,
+    min_ttr: float = 0.2,
+) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021 repetition/
+    length heuristics adapted to this corpus): word count bounds, mean
+    word length bounds, and a type-token-ratio floor, plus the combined
+    pass/fail decision a filtering pipeline actually branches on.
+
+    All-columnar: word count and summed word length come from regex
+    arithmetic on the raw string (``length`` of the whitespace-stripped
+    text), which stays inside whole-stage codegen; only the distinct-word
+    count needs the token array (``array_distinct`` on a split — per-row,
+    no shuffle). The whole operator is a narrow projection: zero
+    exchanges, scales linearly and embarrassingly at 100 TB.
+    """
+    low = F.trim(F.lower(F.col(text_col)))
+    toks = F.filter(F.split(low, r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(toks)
+    # sum of word lengths == chars left after removing ALL whitespace
+    sum_wlen = F.length(F.regexp_replace(low, r"\s+", ""))
+    mean_wlen = sum_wlen / F.nullif(n_words, F.lit(0)).cast("double")
+    ttr = F.size(F.array_distinct(toks)) / F.nullif(n_words, F.lit(0)).cast(
+        "double"
+    )
+    passes = (
+        n_words.between(min_words, max_words)
+        & mean_wlen.between(min_mean_wlen, max_mean_wlen)
+        & (ttr >= F.lit(min_ttr))
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("int").alias("n_words"),
+        F.round(mean_wlen, 4).alias("mean_wlen"),
+        F.round(ttr, 4).alias("ttr"),
+        F.coalesce(passes, F.lit(False)).alias("passes"),
+    )

@@ -81,3 +81,76 @@ def ewma_last_per_key(
             lambda pdf: fold(pdf.drop(columns=["_kb"])), schema=out_schema
         )
     )
+
+
+def resample_ohlc(
+    df: DataFrame,
+    bucket: "F.Column",
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+) -> DataFrame:
+    """OHLC downsampling: per (bucket, keys) the open/high/low/close of
+    ``value_col`` plus count and summed volume — the canonical time-series
+    rollup (candlesticks, metric downsampling for retention tiers).
+
+    Open/close are NOT windows-over-sorted-partitions: each is a plain
+    ``min``/``max`` over a ``struct(ts, tiebreak, value)`` whose
+    lexicographic order pins the earliest/latest row deterministically
+    (ties broken by ``tiebreak_col``). That keeps the whole rollup ONE
+    hash shuffle on the group key with map-side partial aggregation —
+    no per-key sort, no window exchange — so at 100 TB it is exactly as
+    cheap as a count(*) rollup. A window/row_number formulation would add
+    a full sort per key; the struct-min trick is the scale-correct plan.
+
+    Rounding of the four price columns is left to the caller (suite rows
+    round to 2 for oracle hash-matching).
+    """
+    first = F.min(F.struct(ts_col, tiebreak_col, value_col))[value_col]
+    last = F.max(F.struct(ts_col, tiebreak_col, value_col))[value_col]
+    return df.groupBy(bucket, *key_cols).agg(
+        first.alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        last.alias("close"),
+        F.count("*").alias("n"),
+        F.sum(value_col).alias("volume"),
+    )
+
+
+def path_ngrams(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    step_col: str,
+    n: int = 3,
+    sep: str = ">",
+) -> DataFrame:
+    """Sequential path mining: n-grams of ``step_col`` over each key's
+    time-ordered event stream, counted corpus-wide — the "common user
+    journeys" query (funnel discovery, session path analysis).
+
+    Shape: one hash shuffle on the key + per-key sort for the lead()
+    window (state bounded by a single key's history), then a hash
+    aggregate on the path string. The window frame is per-user — never a
+    global sort — so the plan scales with the largest single user, not
+    the table. Returns (path, n) unordered; callers top-k it.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    steps = [F.col(step_col)] + [
+        F.lead(step_col, i).over(w) for i in range(1, n)
+    ]
+    return (
+        df.select(key_col, ts_col, tiebreak_col, step_col)
+        .withColumns({f"_s{i}": s for i, s in enumerate(steps)})
+        .where(F.col(f"_s{n - 1}").isNotNull())
+        .select(
+            F.concat_ws(sep, *[F.col(f"_s{i}") for i in range(n)]).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1,0 +1,272 @@
+"""Suite extension 8: OHLC time-series downsampling, sequential path
+mining over event streams, a Gopher-style document quality gate, greedy
+k-center diversity selection over embeddings, and exact inter-arrival
+quantiles per event type.
+
+Registered into :data:`betfair_database_spark.suite.SUITE` via ``_q``;
+same hash-matching conventions as ``suite.py`` (aliases identical on both
+sides, doubles rounded before compare, deterministic tie-breaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from betfair_database_spark.operators import similarity, textstats, timeseries
+from betfair_database_spark.suite import _q, _t
+
+# =========================================================================
+# ts_resample_ohlc — candlestick/metric downsampling (open/high/low/close)
+# =========================================================================
+
+_OHLC_ORACLE = r"""
+WITH b AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+         event_type, ts, event_id, value
+  FROM events
+),
+r AS (
+  SELECT hour, event_type, value,
+         row_number() OVER (PARTITION BY hour, event_type
+                            ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY hour, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM b
+)
+SELECT hour, event_type,
+       round(max(CASE WHEN ra = 1 THEN value END), 2) AS open,
+       round(max(value), 2) AS high,
+       round(min(value), 2) AS low,
+       round(max(CASE WHEN rd = 1 THEN value END), 2) AS close,
+       count(*) AS n,
+       round(sum(value), 2) AS volume
+FROM r GROUP BY hour, event_type
+"""
+
+
+@_q("ts_resample_ohlc", _OHLC_ORACLE)
+def ts_resample_ohlc(spark, sf):
+    """Hourly OHLC per event type. The oracle pins open/close with
+    row_number windows; the engine side is the scale-correct plan — a
+    single hash aggregate whose open/close are min/max over a
+    struct(ts, event_id, value) (deterministic lexicographic tie-break),
+    so no per-key sort and full map-side partial aggregation. See
+    timeseries.resample_ohlc."""
+    ev = _t(spark, sf, "events")
+    bucket = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias(
+        "hour"
+    )
+    out = timeseries.resample_ohlc(
+        ev, bucket, ["event_type"], "ts", "event_id", "value"
+    )
+    return out.select(
+        "hour",
+        "event_type",
+        F.round("open", 2).alias("open"),
+        F.round("high", 2).alias("high"),
+        F.round("low", 2).alias("low"),
+        F.round("close", 2).alias("close"),
+        "n",
+        F.round("volume", 2).alias("volume"),
+    )
+
+
+# =========================================================================
+# ev_path_trigrams — most common 3-step user journeys
+# =========================================================================
+
+_PATH_ORACLE = r"""
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e2,
+         lead(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e3
+  FROM events
+)
+SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
+FROM s WHERE e3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+"""
+
+
+@_q("ev_path_trigrams", _PATH_ORACLE)
+def ev_path_trigrams(spark, sf):
+    """Top-20 event-type trigrams over per-user time-ordered streams —
+    sequence mining / funnel discovery. One shuffle on user_id (per-user
+    sort bounded by a single user's history, never global), one hash agg
+    on the path, then a 20-row top-k. See timeseries.path_ngrams."""
+    ev = _t(spark, sf, "events")
+    paths = timeseries.path_ngrams(
+        ev, "user_id", "ts", "event_id", "event_type", n=3, sep=">"
+    )
+    return paths.orderBy(F.desc("n"), "path").limit(20)
+
+
+# =========================================================================
+# text_gopher_filter — Gopher-rule quality gate battery
+# =========================================================================
+
+_GOPHER_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     w -> w <> '') AS ws,
+         length(regexp_replace(trim(lower(text)), '\s+', '', 'g')) AS sum_wlen
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(ws) AS INT) AS n_words,
+         round(sum_wlen / CAST(nullif(len(ws), 0) AS DOUBLE), 4) AS mean_wlen,
+         round(len(list_distinct(ws))
+               / CAST(nullif(len(ws), 0) AS DOUBLE), 4) AS ttr
+  FROM d
+)
+SELECT doc_id, n_words, mean_wlen, ttr,
+       coalesce(n_words BETWEEN 50 AND 100000
+                AND mean_wlen BETWEEN 3.0 AND 10.0
+                AND ttr >= 0.2, FALSE) AS passes
+FROM m
+"""
+
+
+@_q("text_gopher_filter", _GOPHER_ORACLE)
+def text_gopher_filter(spark, sf):
+    """Gopher-style quality gate: word-count bounds, mean-word-length
+    bounds, type-token-ratio floor, and the combined pass decision.
+    Narrow projection, zero shuffles (the word-length sum is regex
+    arithmetic on the raw string, codegen-resident). See
+    textstats.gopher_quality.
+
+    NOTE: comparisons are on the ROUNDED mean_wlen/ttr on both sides so
+    the boolean can never disagree with the printed features.
+    """
+    docs = _t(spark, sf, "documents")
+    out = textstats.gopher_quality(docs)
+    # re-derive passes from the rounded columns (oracle does the same)
+    return out.select(
+        "doc_id",
+        "n_words",
+        "mean_wlen",
+        "ttr",
+        F.coalesce(
+            F.col("n_words").between(50, 100000)
+            & F.col("mean_wlen").between(3.0, 10.0)
+            & (F.col("ttr") >= 0.2),
+            F.lit(False),
+        ).alias("passes"),
+    )
+
+
+# =========================================================================
+# sample_kcenter_diversity — greedy farthest-point exemplar selection
+# =========================================================================
+
+
+def _sqdist_sql(e_alias: str, c_alias: str) -> str:
+    return (
+        f"round(sum((CAST({e_alias}.embedding[i] AS DOUBLE)"
+        f" - CAST({c_alias}.embedding[i] AS DOUBLE))"
+        f" * (CAST({e_alias}.embedding[i] AS DOUBLE)"
+        f" - CAST({c_alias}.embedding[i] AS DOUBLE))), 4)"
+    )
+
+
+def _kcenter_oracle(k: int = 4, dims: int = 64) -> str:
+    """Unrolled greedy k-center: the same rounded-before-least distances
+    and (dmin DESC, vec_id) argmax the engine side uses — iterative with
+    a pinned trip count, so fully oracle-able (kmeans precedent)."""
+    rng = f"range(1, {dims + 1}) t(i)"
+    parts = [
+        "e AS (SELECT vec_id, embedding FROM embeddings)",
+        "c1 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1)",
+        f"""d1 AS (
+  SELECT e.vec_id, {_sqdist_sql('e', 'c1')} AS dmin
+  FROM e, c1, {rng} GROUP BY e.vec_id)""",
+    ]
+    for j in range(2, k + 1):
+        parts.append(
+            f"s{j} AS (SELECT vec_id, dmin FROM d{j - 1} "
+            f"ORDER BY dmin DESC, vec_id LIMIT 1)"
+        )
+        if j < k:
+            parts.append(
+                f"c{j} AS (SELECT e.vec_id, e.embedding FROM e "
+                f"JOIN s{j} USING (vec_id))"
+            )
+            parts.append(
+                f"""d{j} AS (
+  SELECT d.vec_id, least(d.dmin, {_sqdist_sql('e', f'c{j}')}) AS dmin
+  FROM d{j - 1} d JOIN e USING (vec_id), c{j}, {rng}
+  GROUP BY d.vec_id, d.dmin)"""
+            )
+    tails = ["SELECT 1 AS sel_rank, vec_id, 0.0 AS dist FROM c1"] + [
+        f"SELECT {j}, vec_id, dmin FROM s{j}" for j in range(2, k + 1)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(tails)
+
+
+@_q("sample_kcenter_diversity", _kcenter_oracle(k=4, dims=64))
+def sample_kcenter_diversity(spark, sf):
+    """Greedy farthest-point (Gonzalez k-center) selection of 4 maximally
+    spread exemplars — the diversity sampler dual to dedup. k-1 narrow
+    scans with literal-expanded codegen distance chains; driver state is
+    k vectors. Distances rounded to 4 decimals BEFORE the argmax on both
+    sides so summation-order noise cannot flip a pick. See
+    similarity.kcenter_select."""
+    emb = _t(spark, sf, "embeddings")
+    sel = similarity.kcenter_select(emb, k=4)
+    return spark.createDataFrame(
+        sel, schema="sel_rank INT, vec_id BIGINT, dist DOUBLE"
+    )
+
+
+# =========================================================================
+# ev_interarrival_quantiles — exact median/p90 gap per event type
+# =========================================================================
+
+_INTERARRIVAL_ORACLE = r"""
+WITH g AS (
+  SELECT event_type,
+         date_diff('second',
+                   lag(ts) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id),
+                   ts) AS gap_s
+  FROM events
+)
+SELECT event_type,
+       CAST(count(gap_s) AS BIGINT) AS n_gaps,
+       round(quantile_cont(gap_s, 0.5), 3) AS p50_s,
+       round(quantile_cont(gap_s, 0.9), 3) AS p90_s
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@_q("ev_interarrival_quantiles", _INTERARRIVAL_ORACLE)
+def ev_interarrival_quantiles(spark, sf):
+    """Exact (linear-interpolation) median and p90 inter-arrival seconds
+    per event type — the burstiness profile. One user-keyless window on
+    event_type (sort bounded per type) then Spark's exact `percentile`
+    aggregate, which matches quantile_cont's interpolation. At 100 TB the
+    exact percentile is the honest cost; the approx twin is
+    agg_percentiles' approx_percentile path."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    secs = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " date_trunc('second', ts))"
+    )
+    gap = (secs - F.lag(secs).over(w)).alias("gap_s")
+    return (
+        ev.select("event_type", gap)
+        .where(F.col("gap_s").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.round(F.expr("percentile(gap_s, 0.5)"), 3).alias("p50_s"),
+            F.round(F.expr("percentile(gap_s, 0.9)"), 3).alias("p90_s"),
+        )
+    )

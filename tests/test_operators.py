@@ -1818,3 +1818,55 @@ def test_waterfill_budget_matches_python_reference(spark):
         total_alloc = sum(got.values())
         assert got == want, (supplies, budget, got, want)
         assert total_alloc <= budget or sum(supplies.values()) <= budget
+
+
+# ---------------------------------------------------------------------------
+# gopher_quality / kcenter_select (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_quality_features_and_gate(spark):
+    from betfair_database_spark.operators.textstats import gopher_quality
+
+    docs = spark.createDataFrame(
+        [
+            (1, "  the  cat  sat "),          # 3 words, mean 3.0, ttr 1.0
+            (2, ""),                           # empty: nulls, passes False
+            (3, "aa " * 60),                   # 60 words, ttr tiny -> fail ttr
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in gopher_quality(docs, min_words=2, max_words=100).collect()
+    }
+    assert (got[1].n_words, got[1].mean_wlen, got[1].ttr) == (3, 3.0, 1.0)
+    assert got[1].passes
+    assert got[2].n_words == 0 and got[2].mean_wlen is None
+    assert got[2].passes is False
+    assert got[3].ttr < 0.2 and got[3].passes is False
+
+
+def test_kcenter_picks_farthest_point_each_round(spark):
+    from betfair_database_spark.operators.similarity import kcenter_select
+
+    # 1-D geometry embedded in dim 2 (second coord 0): points 0, 1, 10, 4.
+    # Seed = lowest id (value 0) -> farthest is 10 -> then 4 (dmin 16 vs 1).
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [1.0, 0.0]),
+        (2, [10.0, 0.0]),
+        (3, [4.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sel = kcenter_select(df, k=3)
+    assert sel == [(1, 0, 0.0), (2, 2, 100.0), (3, 3, 16.0)]
+
+
+def test_kcenter_tie_breaks_on_ascending_id(spark):
+    from betfair_database_spark.operators.similarity import kcenter_select
+
+    rows = [(0, [0.0]), (1, [5.0]), (2, [-5.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sel = kcenter_select(df, k=2)
+    assert sel[1] == (2, 1, 25.0)  # dist ties at 25.0; id 1 < id 2 wins

@@ -48,3 +48,65 @@ def test_tiebreak_pins_order(spark):
     )
     r = ewma_last_per_key(df, "k", "ts", "v", 0.5, "tb").first()
     assert r.ewma == 0.5 * 100.0 + 0.5 * 0.0
+
+
+# ---------------------------------------------------------------------------
+# resample_ohlc / path_ngrams (round 8)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from betfair_database_spark.operators.timeseries import (  # noqa: E402
+    path_ngrams,
+    resample_ohlc,
+)
+
+
+def test_ohlc_tiebreak_on_equal_ts(spark):
+    # two rows share the earliest ts: open must come from the lower event_id;
+    # two share the latest: close from the HIGHER event_id (max of struct)
+    rows = [
+        ("k", 10, 1, 5.0),
+        ("k", 10, 2, 9.0),   # same ts as open candidate
+        ("k", 20, 3, 1.0),
+        ("k", 30, 4, 7.0),
+        ("k", 30, 5, 2.0),   # same ts as close candidate
+    ]
+    df = spark.createDataFrame(rows, "g string, ts long, event_id long, value double")
+    r = resample_ohlc(df, F.col("g"), [], "ts", "event_id", "value").first()
+    assert (r.open, r.high, r.low, r.close, r.n, r.volume) == (
+        5.0, 9.0, 1.0, 2.0, 5, 24.0,
+    )
+
+
+def test_ohlc_single_aggregate_no_window_exchange(spark):
+    df = spark.createDataFrame(
+        [("k", 1, 1, 1.0)], "g string, ts long, event_id long, value double"
+    )
+    plan = (
+        resample_ohlc(df, F.col("g"), [], "ts", "event_id", "value")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan  # struct-min/max, not row_number
+
+
+def test_path_ngrams_orders_within_key_only(spark):
+    rows = [
+        ("u1", 1, 1, "a"), ("u1", 2, 2, "b"), ("u1", 3, 3, "c"),
+        ("u1", 4, 4, "a"),
+        ("u2", 1, 5, "a"), ("u2", 2, 6, "b"), ("u2", 3, 7, "c"),
+    ]
+    df = spark.createDataFrame(rows, "u string, ts long, event_id long, et string")
+    got = {
+        r.path: r.n
+        for r in path_ngrams(df, "u", "ts", "event_id", "et", n=3).collect()
+    }
+    assert got == {"a>b>c": 2, "b>c>a": 1}
+
+
+def test_path_ngrams_short_key_yields_nothing(spark):
+    df = spark.createDataFrame(
+        [("u", 1, 1, "a"), ("u", 2, 2, "b")],
+        "u string, ts long, event_id long, et string",
+    )
+    assert path_ngrams(df, "u", "ts", "event_id", "et", n=3).count() == 0

@@ -925,3 +925,143 @@ def containment_ssjoin(
         .select("a", "b", F.round(cont, 4).alias("containment"))
         .where(F.col("containment") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better"): find every duplicated token run of
+# length >= L across the corpus and the maximal spans they merge into.
+# ---------------------------------------------------------------------------
+
+
+def _token_arrays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, ws: array<string>, n: int) with lowercased whitespace tokens."""
+    ws = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda w: w != F.lit(""),
+    )
+    return df.select(F.col(id_col), ws.alias("ws")).withColumn(
+        "n", F.size("ws")
+    )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    l: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Maximal duplicated-substring spans: every L-token gram that occurs
+    more than once corpus-wide (ANY position, same doc included) marks its
+    token interval [pos, pos+L-1]; overlapping/adjacent intervals merge
+    into maximal spans — the suffix-array dedup of Lee et al. 2022
+    re-expressed as a gram-count join + interval merge, which is the
+    shuffle-bounded distributed form (a true distributed suffix array
+    sorts the whole corpus; the gram join shuffles one row per gram and
+    grows with the duplicate mass, not O(n²)).
+
+    Gram identity here is the exact token string — at 100 TB you would
+    shuffle xxhash64(gram) instead and exact-verify survivors, exactly the
+    _HASH_SLACK + string-verify pattern jaccard_ssjoin uses; the string
+    form keeps the oracle engine-independent.
+
+    Returns (tokens_frame, spans_frame): tokens_frame is (id, ws, n);
+    spans_frame is (id, s, e) 1-based inclusive maximal spans.
+    """
+    tok = _token_arrays(df, id_col, text_col)
+    grams = tok.where(F.col("n") >= l).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - l + 1),
+                lambda i: F.array_join(F.slice("ws", i, l), " "),
+            )
+        ).alias("pos0", "gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") > 1)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram").select(
+        id_col,
+        (F.col("pos0") + 1).alias("s"),
+        (F.col("pos0") + l).alias("e"),
+    )
+    w = Window.partitionBy(id_col).orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grouped = (
+        hits.withColumn(
+            "brk",
+            F.when(
+                prev_max_e.isNull() | (F.col("s") > prev_max_e + 1), 1
+            ).otherwise(0),
+        )
+        .withColumn("gid", F.sum("brk").over(w))
+        .groupBy(id_col, "gid")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .drop("gid")
+    )
+    return tok, grouped
+
+
+def exact_substring_stats(
+    df: DataFrame, l: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document duplicated-substring accounting: token count, number
+    of maximal duplicated spans, tokens covered, covered fraction."""
+    tok, spans = exact_substring_spans(df, l, id_col, text_col)
+    agg = spans.groupBy(id_col).agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+    )
+    return (
+        tok.join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.col("n").cast("int").alias("n_tokens"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("int").alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.nullif(F.col("n"), F.lit(0)).cast("double"),
+                4,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def exact_substring_rewrite(
+    df: DataFrame, l: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus rewrite that REMOVES every duplicated span (all copies, the
+    Lee et al. default): tokens whose position falls inside any maximal
+    span are dropped, the rest are rejoined. Per-row span lists are tiny
+    (bounded by n/L), so the exists() lambda over them is per-row work —
+    the only shuffles are the gram count and the span merge window.
+    Returns (id, n_kept, kept_text)."""
+    tok, spans = exact_substring_spans(df, l, id_col, text_col)
+    span_arr = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("s", "e")).alias("spans")
+    )
+    joined = tok.join(span_arr, id_col, "left").withColumn(
+        "spans", F.coalesce("spans", F.array())
+    )
+    kept = F.filter(
+        F.transform(
+            "ws", lambda w, i: F.struct(w.alias("w"), (i + 1).alias("pos"))
+        ),
+        lambda x: ~F.exists(
+            "spans", lambda sp: (x["pos"] >= sp["s"]) & (x["pos"] <= sp["e"])
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.size(kept).alias("n_kept"),
+        F.array_join(F.transform(kept, lambda x: x["w"]), " ").alias(
+            "kept_text"
+        ),
+    )

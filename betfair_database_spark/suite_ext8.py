@@ -270,3 +270,99 @@ def ev_interarrival_quantiles(spark, sf):
             F.round(F.expr("percentile(gap_s, 0.9)"), 3).alias("p90_s"),
         )
     )
+
+
+# =========================================================================
+# Exact substring dedup (Lee et al. 2022) — spans + corpus rewrite
+# =========================================================================
+
+_ESD_CTES = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+),
+t AS (SELECT doc_id, ws, len(ws) AS n FROM d),
+g0 AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(n - 8 + 1, 0) + 1),
+                        i -> struct_pack(pos := i,
+                                         gram := array_to_string(ws[i:i+7], ' '))) AS gs
+  FROM t
+),
+g AS (SELECT doc_id, unnest(gs) AS u FROM g0),
+gg AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g),
+dup AS (SELECT gram FROM gg GROUP BY gram HAVING count(*) > 1),
+hits AS (SELECT gg.doc_id, gg.pos AS s, gg.pos + 7 AS e
+         FROM gg JOIN dup USING (gram)),
+m AS (
+  SELECT doc_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+grp AS (SELECT doc_id, s, e,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e) AS gid
+        FROM m),
+spans AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM grp GROUP BY doc_id, gid)
+"""
+
+_ESD_STATS_ORACLE = _ESD_CTES + r"""
+SELECT t.doc_id, CAST(t.n AS INT) AS n_tokens,
+       CAST(coalesce(count(spans.s), 0) AS INT) AS n_dup_spans,
+       CAST(coalesce(sum(spans.e - spans.s + 1), 0) AS BIGINT) AS dup_tokens,
+       round(coalesce(sum(spans.e - spans.s + 1), 0)
+             / CAST(nullif(t.n, 0) AS DOUBLE), 4) AS dup_frac
+FROM t LEFT JOIN spans USING (doc_id)
+GROUP BY t.doc_id, t.n
+"""
+
+
+@_q("dedup_substring_stats", _ESD_STATS_ORACLE)
+def dedup_substring_stats(spark, sf):
+    """Exact-substring dedup accounting (Lee et al. 2022): per document
+    the maximal corpus-duplicated >=8-token spans and the covered token
+    fraction. The suffix-array modality re-expressed as a gram-count join
+    + per-doc interval-merge window — shuffle volume grows with duplicate
+    mass, never O(n^2). See dedup.exact_substring_stats."""
+    from betfair_database_spark.operators import dedup
+
+    return dedup.exact_substring_stats(_t(spark, sf, "documents"), l=8)
+
+
+_ESD_REWRITE_ORACLE = _ESD_CTES + r""",
+byid AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS sp
+         FROM spans GROUP BY doc_id),
+r AS (
+  SELECT t.doc_id, t.ws, t.n,
+         coalesce(b.sp, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])) AS sp
+  FROM t LEFT JOIN byid b USING (doc_id)
+),
+k AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(range(1, n + 1),
+                       i -> len(list_filter(sp,
+                              x -> i >= x.s AND i <= x.e)) = 0),
+           i -> ws[i]) AS kept
+  FROM r
+)
+SELECT doc_id, CAST(len(kept) AS INT) AS n_kept,
+       coalesce(array_to_string(kept, ' '), '') AS kept_text
+FROM k
+"""
+
+
+@_q("dedup_substring_rewrite", _ESD_REWRITE_ORACLE)
+def dedup_substring_rewrite(spark, sf):
+    """Corpus rewrite removing every duplicated >=8-token span (all
+    copies — the Lee et al. default). Per-row exists() over the tiny
+    span list; the only shuffles are the gram count and the span merge.
+    See dedup.exact_substring_rewrite."""
+    from betfair_database_spark.operators import dedup
+
+    return dedup.exact_substring_rewrite(_t(spark, sf, "documents"), l=8)

@@ -1870,3 +1870,61 @@ def test_kcenter_tie_breaks_on_ascending_id(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     sel = kcenter_select(df, k=2)
     assert sel[1] == (2, 1, 25.0)  # dist ties at 25.0; id 1 < id 2 wins
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (round 8)
+# ---------------------------------------------------------------------------
+
+
+def _esd_docs(spark):
+    dup = "one two three four five six seven eight"  # the shared 8-gram
+    return spark.createDataFrame(
+        [
+            (1, f"intro {dup} tail"),
+            (2, f"{dup} closing words here"),
+            (3, "totally unique words that never repeat anywhere else ok"),
+            (4, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_substring_stats_marks_both_copies(spark):
+    from betfair_database_spark.operators.dedup import exact_substring_stats
+
+    got = {
+        r.doc_id: r for r in exact_substring_stats(_esd_docs(spark), l=8).collect()
+    }
+    # both owners of the duplicated run are charged 8 tokens
+    assert (got[1].n_dup_spans, got[1].dup_tokens) == (1, 8)
+    assert (got[2].n_dup_spans, got[2].dup_tokens) == (1, 8)
+    assert got[3].dup_tokens == 0 and got[3].dup_frac == 0.0
+    assert got[4].n_tokens == 2 and got[4].n_dup_spans == 0  # < L: no grams
+
+
+def test_exact_substring_spans_merge_overlaps(spark):
+    from betfair_database_spark.operators.dedup import exact_substring_spans
+
+    # 9-token duplicated run -> two overlapping 8-gram hits per doc that
+    # must merge into ONE maximal span of 9 tokens
+    dup = "a b c d e f g h i"
+    docs = spark.createDataFrame(
+        [(1, f"x {dup} y"), (2, f"{dup} z")], "doc_id long, text string"
+    )
+    _, spans = exact_substring_spans(docs, l=8)
+    got = {(r.doc_id, r.s, r.e) for r in spans.collect()}
+    assert got == {(1, 2, 10), (2, 1, 9)}
+
+
+def test_exact_substring_rewrite_removes_all_copies(spark):
+    from betfair_database_spark.operators.dedup import exact_substring_rewrite
+
+    got = {
+        r.doc_id: r
+        for r in exact_substring_rewrite(_esd_docs(spark), l=8).collect()
+    }
+    assert got[1].kept_text == "intro tail"
+    assert got[2].kept_text == "closing words here"
+    assert got[3].n_kept == 9  # untouched
+    assert got[4].kept_text == "short doc"

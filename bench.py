@@ -138,6 +138,15 @@ HEADLINE = [
     "dedup_cdc_rewrite",
     "curation_corpus_diff",
     "sample_waterfill_budget",
+    # round-8 batch: OHLC rollup, path mining, Gopher gate, k-center
+    # diversity, inter-arrival quantiles, exact-substring dedup
+    "ts_resample_ohlc",
+    "ev_path_trigrams",
+    "text_gopher_filter",
+    "sample_kcenter_diversity",
+    "ev_interarrival_quantiles",
+    "dedup_substring_stats",
+    "dedup_substring_rewrite",
 ]
 
 
@@ -161,14 +170,26 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    wall0 = time.perf_counter()
+    # the driver invokes bench under `timeout 590`; once the wall budget is
+    # tight, stop repeating and take first-run numbers for the remainder —
+    # a slightly noisy tail beats a killed process with NO output
+    wall_budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "460"))
     for name in HEADLINE:
         fn = SUITE[name].fn
         best = float("inf")
-        # best-of-3: first run pays one-time Janino codegen, and single-box
-        # timings show 2-4× run-to-run variance under external load — the
-        # min is the steady-state number (measured: dedup queries swing
-        # 2.4s-9s across back-to-back identical runs)
-        for _ in range(3):
+        # Adaptive repeats (round 8: the flat best-of-3 pushed the wall
+        # past the driver's 590 s budget at 117 queries). Two runs for
+        # everyone — the first pays one-time Janino codegen, the second is
+        # the steady-state number — and a THIRD run only when the query is
+        # heavy enough (>=1 s) for run-to-run variance to move the suite
+        # total (measured: dedup queries swing 2.4-9 s back-to-back, while
+        # sub-second queries vary by ~±0.1 s, which is noise on the sum).
+        for run in range(3):
+            if run == 2 and best < 1.0:
+                break
+            if run > 0 and time.perf_counter() - wall0 > wall_budget:
+                break
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

@@ -147,6 +147,8 @@ HEADLINE = [
     "ev_interarrival_quantiles",
     "dedup_substring_stats",
     "dedup_substring_rewrite",
+    "knn_mmr_diverse_top5",
+    "ts_rolling_zscore",
 ]
 
 

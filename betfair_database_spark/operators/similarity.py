@@ -1632,3 +1632,61 @@ def kcenter_select(
         centers.append([float(v) for v in pick[1]])
         out.append((rank, pick[0], float(pick[2])))
     return out
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int, float]]:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    greedily pick the item maximizing
+    ``lam * cos(q, x) - (1 - lam) * max_{s in S} cos(x, s)`` — the
+    standard relevance-vs-redundancy re-ranker for retrieval and RAG
+    context packing (the query-anchored cousin of kcenter_select).
+
+    Same determinism contract as kcenter_select: every cosine is rounded
+    to 4 decimals before the combine, the combined score is rounded to 4
+    before the argmax, ties break on ascending id — engine and an
+    unrolled-SQL oracle can never disagree on a pick. k-1+1 narrow scans
+    (literal-expanded dot/norm chains in whole-stage codegen), driver
+    state is k vectors. Returns [(rank, id, score_at_selection)].
+    """
+    qn = _py_norm(query_vec)
+    norm = F.sqrt(_normsq_lit(vec_col, len(query_vec)))
+    rel = F.round(
+        _dot_lit(vec_col, query_vec) / (norm * F.lit(qn)), 4
+    )
+    base = df.select(
+        F.col(id_col), F.col(vec_col), rel.alias("rel"), norm.alias("_n")
+    ).localCheckpoint(eager=False)
+    first = (
+        base.orderBy(F.desc("rel"), F.asc(id_col)).limit(1).collect()[0]
+    )
+    out = [(1, first[0], float(first[2]))]
+    centers = [( [float(v) for v in first[1]], _py_norm([float(v) for v in first[1]]) )]
+    for rank in range(2, k + 1):
+        sims = [
+            F.round(
+                _dot_lit(vec_col, cvec) / (F.col("_n") * F.lit(cn)), 4
+            )
+            for cvec, cn in centers
+        ]
+        maxsim = F.greatest(*sims) if len(sims) > 1 else sims[0]
+        score = F.round(
+            F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * maxsim, 4
+        )
+        pick = (
+            base.where(~F.col(id_col).isin([i for _, i, _s in out]))
+            .select(F.col(id_col), F.col(vec_col), score.alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(1)
+            .collect()[0]
+        )
+        vec = [float(v) for v in pick[1]]
+        centers.append((vec, _py_norm(vec)))
+        out.append((rank, pick[0], float(pick[2])))
+    return out

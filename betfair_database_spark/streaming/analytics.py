@@ -634,3 +634,49 @@ def streaming_kmv_distinct(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_ohlc(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of the batch OHLC rollup
+    (operators/timeseries.resample_ohlc, suite row ts_resample_ohlc):
+    watermarked tumbling windows with open/close as min/max over
+    struct(ts, tiebreak, value) — the same deterministic-tie-break trick,
+    so the streaming aggregate is a plain keyed agg with ONE state row
+    per open (window, key) and no per-key sorted buffers. The watermark
+    finalizes windows for append output and evicts their state; at scale
+    state is bounded by keys x windows inside the horizon, independent
+    of history."""
+    from pyspark.sql import functions as F
+
+    first = F.min(F.struct(ts_col, tiebreak_col, value_col))[value_col]
+    last = F.max(F.struct(ts_col, tiebreak_col, value_col))[value_col]
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("_w"), F.col(key_col))
+        .agg(
+            first.alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            last.alias("close"),
+            F.count("*").alias("n"),
+            F.sum(value_col).alias("volume"),
+        )
+        .select(
+            F.col("_w.start").alias("bucket_start"),
+            key_col,
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+            "volume",
+        )
+    )

@@ -366,3 +366,143 @@ def dedup_substring_rewrite(spark, sf):
     from betfair_database_spark.operators import dedup
 
     return dedup.exact_substring_rewrite(_t(spark, sf, "documents"), l=8)
+
+
+# =========================================================================
+# knn_mmr_diverse_top5 — Maximal Marginal Relevance re-ranking
+# =========================================================================
+
+
+def _mmr_oracle(k: int = 5, dims: int = 64) -> str:
+    """Unrolled greedy MMR: identical rounded cosines, identical
+    0.5*rel - 0.5*maxsim combine, identical (score DESC, vec_id) argmax
+    as similarity.mmr_rerank — the kcenter/kmeans unroll pattern."""
+    rng = f"range(1, {dims + 1}) t(i)"
+
+    def dot(a, b):
+        return (
+            f"sum(CAST({a}.embedding[i] AS DOUBLE)"
+            f" * CAST({b}.embedding[i] AS DOUBLE))"
+        )
+
+    parts = [
+        "e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0)",
+        "q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)",
+        f"""nr AS (
+  SELECT e.vec_id, sqrt({dot('e', 'e')}) AS n
+  FROM e, {rng} GROUP BY e.vec_id)""",
+        f"""qn AS (SELECT sqrt({dot('q', 'q')}) AS qn FROM q, {rng})""",
+        f"""rel AS (
+  SELECT e.vec_id, round({dot('e', 'q')} / (nr.n * qn.qn), 4) AS rel
+  FROM e JOIN nr USING (vec_id), q, qn, {rng}
+  GROUP BY e.vec_id, nr.n, qn.qn)""",
+        "s1 AS (SELECT vec_id, rel AS score FROM rel "
+        "ORDER BY rel DESC, vec_id LIMIT 1)",
+    ]
+    for j in range(2, k + 1):
+        p = j - 1  # newest selected
+        parts.append(
+            f"c{p} AS (SELECT e.vec_id, e.embedding, nr.n "
+            f"FROM e JOIN s{p} USING (vec_id) JOIN nr USING (vec_id))"
+        )
+        sim = f"round({dot('e', f'c{p}')} / (nr.n * c{p}.n), 4)"
+        if p == 1:
+            parts.append(
+                f"""ms{p} AS (
+  SELECT e.vec_id, {sim} AS ms
+  FROM e JOIN nr USING (vec_id), c{p}, {rng}
+  GROUP BY e.vec_id, nr.n, c{p}.n)"""
+            )
+        else:
+            parts.append(
+                f"""ms{p} AS (
+  SELECT e.vec_id, greatest(prev.ms, {sim}) AS ms
+  FROM e JOIN nr USING (vec_id)
+       JOIN ms{p - 1} prev ON prev.vec_id = e.vec_id, c{p}, {rng}
+  GROUP BY e.vec_id, nr.n, c{p}.n, prev.ms)"""
+            )
+        sel = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{x}" for x in range(1, j)
+        )
+        parts.append(
+            f"""s{j} AS (
+  SELECT r.vec_id, round(0.5 * r.rel - 0.5 * m.ms, 4) AS score
+  FROM rel r JOIN ms{p} m USING (vec_id)
+  WHERE r.vec_id NOT IN ({sel})
+  ORDER BY score DESC, r.vec_id LIMIT 1)"""
+        )
+    tails = [
+        f"SELECT {j} AS sel_rank, vec_id, score FROM s{j}"
+        for j in range(1, k + 1)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(tails)
+
+
+@_q("knn_mmr_diverse_top5", _mmr_oracle(k=5, dims=64))
+def knn_mmr_diverse_top5(spark, sf):
+    """MMR re-ranking (Carbonell & Goldstein 1998): greedy top-5 under
+    0.5*relevance - 0.5*max-similarity-to-selected — the standard
+    redundancy-penalizing re-ranker for retrieval/RAG. k narrow scans
+    over a checkpointed (rel, norm) frame; rounded-before-argmax on both
+    engines. See similarity.mmr_rerank."""
+    from betfair_database_spark.suite import _query_vec
+
+    emb = _t(spark, sf, "embeddings")
+    # the query vector is NOT a candidate (else rank 1 trivially picks it
+    # and every rank-2 score collapses to lam*rel - (1-lam)*rel = 0)
+    sel = similarity.mmr_rerank(
+        emb.where(F.col("vec_id") != 0), _query_vec(spark, sf), k=5, lam=0.5
+    )
+    return spark.createDataFrame(
+        sel, schema="sel_rank INT, vec_id BIGINT, score DOUBLE"
+    )
+
+
+# =========================================================================
+# ts_rolling_zscore — trailing-window anomaly detection
+# =========================================================================
+
+_ZSCORE_ORACLE = r"""
+WITH w AS (
+  SELECT event_id, event_type, value,
+         avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS mu,
+         stddev_samp(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS sd,
+         count(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS cnt
+  FROM events
+)
+SELECT event_id, event_type, round(value, 3) AS value,
+       round((value - mu) / sd, 3) AS z
+FROM w
+WHERE cnt = 20 AND sd > 0 AND abs(round((value - mu) / sd, 3)) >= 3.0
+"""
+
+
+@_q("ts_rolling_zscore", _ZSCORE_ORACLE)
+def ts_rolling_zscore(spark, sf):
+    """Trailing-window anomaly detection: z-score of each value against
+    the 20 PRECEDING rows of its event type (the streaming-friendly
+    local outlier rule, vs ev_value_outliers' global one). One per-type
+    window (sort bounded per type); the |z| >= 3 gate compares the
+    ROUNDED z on both engines so frame-sum noise cannot flip a row."""
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    z = F.round((F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w), 3)
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.round("value", 3).alias("value"),
+            z.alias("z"),
+            F.count("value").over(w).alias("_cnt"),
+            F.stddev_samp("value").over(w).alias("_sd"),
+        )
+        .where((F.col("_cnt") == 20) & (F.col("_sd") > 0) & (F.abs("z") >= 3.0))
+        .drop("_cnt", "_sd")
+    )

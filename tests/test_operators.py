@@ -1928,3 +1928,21 @@ def test_exact_substring_rewrite_removes_all_copies(spark):
     assert got[2].kept_text == "closing words here"
     assert got[3].n_kept == 9  # untouched
     assert got[4].kept_text == "short doc"
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    from betfair_database_spark.operators.similarity import mmr_rerank
+
+    # q = x-axis. b has HIGHER relevance than c but is a near-dup of the
+    # first pick a; c is well off-axis. Pure cosine top-2 = [a, b]; MMR at
+    # lam=0.5 must pick [a, c].
+    rows = [
+        (1, [0.9, 0.4359]),     # a: rel 0.90, first pick
+        (2, [0.88, 0.475]),     # b: rel 0.88, sim(a,b) ~ 0.999
+        (3, [0.85, -0.5268]),   # c: rel 0.85, sim(a,c) ~ 0.54
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sel = mmr_rerank(df, [1.0, 0.0], k=2, lam=0.5)
+    assert [(r, i) for r, i, _ in sel] == [(1, 1), (2, 3)]
+    # and the redundant near-dup scored below the diverse pick
+    assert sel[1][2] > 0.5 * 0.88 - 0.5 * 0.99

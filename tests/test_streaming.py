@@ -977,3 +977,69 @@ def test_streaming_kmv_distinct_matches_batch_per_bucket(spark, tmp_path):
     exact = len(set(keys))
     est = sum(v[0] for v in final.values())
     assert abs(est - exact) / exact < 0.35, (est, exact)
+
+
+def test_streaming_ohlc_matches_batch_rollup(spark, tmp_path):
+    """Watermarked streaming OHLC over a bounded replay equals the batch
+    struct-min/max rollup on the same rows. A far-future flush event
+    advances the watermark so append mode finalizes every real window;
+    the flush window itself is still open and so absent from the sink."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import functions as F
+
+    from betfair_database_spark.operators.timeseries import resample_ohlc
+    from betfair_database_spark.streaming.analytics import streaming_ohlc
+    from betfair_database_spark.streaming.mcm import run_to_memory
+
+    rng = random.Random(11)
+    base = dt.datetime(2024, 3, 1, 8, 0, 0)
+    rows = []
+    for i in range(400):
+        rows.append(
+            (
+                i,
+                base + dt.timedelta(seconds=rng.randint(0, 4 * 3600)),
+                rng.choice(["click", "view", "buy"]),
+                round(rng.uniform(-50, 50), 3),
+            )
+        )
+    # duplicate timestamps on one key: the event_id tie-break must decide
+    rows.append((9001, base, "click", 1.0))
+    rows.append((9002, base, "click", 2.0))
+    flush = (9999, base + dt.timedelta(days=2), "flush", 0.0)
+
+    src = tmp_path / "ohlc_events"
+    src.mkdir()
+    df = spark.createDataFrame(
+        rows + [flush], "event_id long, ts timestamp, event_type string, value double"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    out = streaming_ohlc(stream)
+    run_to_memory(out, "ohlc_sink", output_mode="append")
+    got = {
+        (r.bucket_start, r.event_type): (
+            r.open, r.high, r.low, r.close, r.n, round(r.volume, 6),
+        )
+        for r in spark.table("ohlc_sink").collect()
+    }
+
+    batch = resample_ohlc(
+        df.where(F.col("event_type") != "flush"),
+        F.date_trunc("hour", "ts").alias("bucket_start"),
+        ["event_type"],
+        "ts",
+        "event_id",
+        "value",
+    )
+    want = {
+        (r.bucket_start, r.event_type): (
+            r.open, r.high, r.low, r.close, r.n, round(r.volume, 6),
+        )
+        for r in batch.collect()
+    }
+    assert len(want) >= 12  # 5 hours x 3 types, minus any empty cells
+    assert got == want

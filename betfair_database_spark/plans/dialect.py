@@ -95,9 +95,19 @@ pattern+escape operands (escape makes the FOLLOWING char literal,
 dangling escape matches nothing, single-char escape enforced — pinned
 and fuzzed against sqlite3); computed operands keep the ILIKE fallback.
 
-Residual deltas (documented, not bridged): ``||`` on FLOATING values
-whose text renderings differ (SQLite ``1.0e+20`` vs Spark ``1.0E20``;
-integers and ordinary decimals agree — probed both engines);
+Round 8 bridges ``||`` on REAL operands: known-REAL index columns wrap
+in the ``sqlite_real_text`` macro and unsigned float literals fold at
+translate time (both %!.15g — '1.0e+20', '100.0', trailing-zero trim,
+-0.0 → '0.0', Inf/-Inf; fuzzed vs sqlite3). Exact for every value whose
+shortest repr has <= 15 significant digits (all realistic data);
+documented last-digit corners: subnormals and 16-digit shortest-repr
+doubles can differ by one unit in the 15th digit (Java formats from the
+shortest repr with HALF_UP; SQLite's pre-3.41 long-double dtoa is
+itself not correctly rounded there).
+
+Residual deltas (documented, not bridged): ``||`` on COMPUTED float
+expressions and sign-prefixed float literals (Spark's default rendering
+agrees for ordinary decimals) plus the last-digit corners above;
 ``LIKE ... ESCAPE`` with COMPUTED pattern/escape operands (ILIKE
 fallback); strftime codes the
 reference-era SQLite (3.40) itself returns NULL for (``%e %u %k %l %I %T
@@ -124,6 +134,7 @@ millisecond-rounded time model.
 
 from __future__ import annotations
 
+import math
 import re
 
 from pyspark.sql import SparkSession
@@ -690,6 +701,35 @@ _SQL_FUNCTIONS = [
             regexp_replace(pat, '([\\\\.$+(){}|\\[\\]^*?])', '\\\\$1'),
             '%', '.*'), '_', '.'),
         '$')
+    """,
+    # SQLite's REAL-to-TEXT rendering (%!.15g, date.c/printf.c, pinned
+    # against 3.40.1): 15 significant digits, trailing fraction zeros
+    # trimmed but at least one kept ('100.0', '1.0e+15'), scientific form
+    # when the decimal exponent is >= 15 or < -4 (the C %g rule, which
+    # Java's Formatter shares), -0.0 rendered '0.0', NaN -> NULL,
+    # infinities -> 'Inf'/'-Inf'. Java %.15g supplies the digits (Spark
+    # pins Locale.US); the two regexp_replaces do SQLite's '!' trim.
+    # Used by translate_where to bridge `||` on REAL columns — the
+    # previously-documented residual.
+    r"""
+    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_real_text(x DOUBLE)
+    RETURNS STRING
+    RETURN CASE
+      WHEN x IS NULL OR isnan(x) THEN NULL
+      WHEN x = 0.0d THEN '0.0'
+      WHEN x = cast('Infinity' as double) THEN 'Inf'
+      WHEN x = cast('-Infinity' as double) THEN '-Inf'
+      WHEN contains(format_string('%.15g', x), 'e') THEN
+        regexp_replace(regexp_replace(format_string('%.15g', x),
+                                      '(\\.\\d*?)0+e', '$1e'),
+                       '\\.e', '.0e')
+      WHEN NOT contains(format_string('%.15g', x), '.') THEN
+        concat(format_string('%.15g', x), '.0')
+      ELSE
+        regexp_replace(regexp_replace(format_string('%.15g', x),
+                                      '(\\.\\d*?)0+$', '$1'),
+                       '\\.$', '.0')
+    END
     """,
 ]
 
@@ -1654,6 +1694,61 @@ def _rewrite_datetime_call(fname, args, projection=False, local_tz=None):
     return f"{_TS_RENDER[fname]}({expr})"
 
 
+def sqlite_real_text_py(v: float) -> str | None:
+    """SQLite's %!.15g REAL-to-TEXT rendering in Python (the twin of the
+    sqlite_real_text SQL macro; parity fuzzed against stdlib sqlite3 in
+    tests/test_dialect.py). Used to fold float LITERALS in ``||`` chains
+    at translate time."""
+    if v != v:  # NaN: SQLite stores/renders it as NULL
+        return None
+    if v == 0:
+        return "0.0"
+    if math.isinf(v):
+        return "Inf" if v > 0 else "-Inf"
+    s = f"{v:.15g}"
+    if "e" in s:
+        m, e = s.split("e")
+        if "." in m:
+            m = m.rstrip("0")
+            if m.endswith("."):
+                m += "0"
+        else:
+            m += ".0"
+        return m + "e" + e
+    if "." in s:
+        s = s.rstrip("0")
+        if s.endswith("."):
+            s += "0"
+        return s
+    return s + ".0"
+
+
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+_NUMBER = re.compile(r"(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?")
+
+
+def _real_columns_ci() -> dict[str, str]:
+    """lower(name) -> name for the index's REAL (double) columns — the
+    operands whose ``||`` text rendering needs the SQLite bridge."""
+    from betfair_database_spark.const import INDEX_SCHEMA
+
+    return {
+        f.name.lower(): f.name
+        for f in INDEX_SCHEMA.fields
+        if f.dataType.simpleString() == "double"
+    }
+
+
+def _prev_is_concat(out: list) -> bool:
+    return "".join(out[-4:]).rstrip().endswith("||")
+
+
+def _next_is_concat(where: str, j: int) -> bool:
+    while j < len(where) and where[j].isspace():
+        j += 1
+    return where.startswith("||", j)
+
+
 def translate_where(
     where: str, projection: bool = False, local_tz: str | None = None
 ) -> str:
@@ -1679,6 +1774,7 @@ def translate_where(
 
     # SQLite resolves quoted identifiers case-insensitively
     columns_ci = {c.lower(): c for c in SQL_TABLE_COLUMNS}
+    _real_cols = _real_columns_ci()
 
     def resolve_double_quoted(span_body: str) -> str:
         """SQLite resolves "x" as an identifier when a column named x exists
@@ -1706,6 +1802,10 @@ def translate_where(
             resolved = resolve_double_quoted(where[i + 1 : j].replace('""', '"'))
             if resolved.startswith("'"):  # literal — same backslash bridge
                 resolved = resolved.replace("\\", "\\\\")
+            elif resolved[1:-1] in _real_cols.values() and (
+                _prev_is_concat(out) or _next_is_concat(where, j + 1)
+            ):  # "quoted" REAL identifier in a || chain — same bridge
+                resolved = f"sqlite_real_text({resolved})"
             out.append(resolved)
             i = j + 1
             continue
@@ -1808,6 +1908,47 @@ def translate_where(
                 continue
             out.append(rewritten)
             i = close + 1
+            continue
+        # `||` on REAL operands (round 8): SQLite renders REAL via %!.15g
+        # ('1.0e+20'), Spark via Java Double.toString ('1.0E20') — bridge
+        # the two translatable operand forms: a known-REAL index column
+        # (wrap in the sqlite_real_text macro) and an unsigned float
+        # literal (fold to its SQLite text right here). Computed float
+        # expressions and sign-prefixed literals stay documented residuals
+        # (Spark's default agrees for ordinary decimals).
+        if (ch.isalpha() or ch == "_") and boundary_ok:
+            m = _IDENT.match(where, i)
+            word = m.group(0)
+            j = m.end()
+            actual = _real_cols.get(word.lower())
+            if actual is not None and (
+                _prev_is_concat(out) or _next_is_concat(where, j)
+            ):
+                out.append(f"sqlite_real_text(`{actual}`)")
+            else:
+                out.append(word)
+            i = j
+            continue
+        if (
+            ch.isdigit() or (ch == "." and i + 1 < n and where[i + 1].isdigit())
+        ) and boundary_ok:
+            m = _NUMBER.match(where, i)
+            tok = m.group(0)
+            j = m.end()
+            is_real = "." in tok or "e" in tok.lower()
+            if not is_real and int(tok) > 2**63 - 1:
+                is_real = True  # SQLite int literals overflow to REAL
+            tail = "".join(out[-2:]).rstrip()
+            unsigned = not tail.endswith(("+", "-"))
+            if (
+                is_real
+                and unsigned
+                and (_prev_is_concat(out) or _next_is_concat(where, j))
+            ):
+                out.append("'" + sqlite_real_text_py(float(tok)) + "'")
+            else:
+                out.append(tok)
+            i = j
             continue
         out.append(ch)
         i += 1

@@ -435,3 +435,124 @@ def test_like_escape_fuzz_matches_sqlite(spark):
         if int(row[f"c{i}"]) != wants[i]
     ]
     assert not mism, "\n".join(mism[:10])
+
+
+# ---------------------------------------------------------------------------
+# `||` on REAL operands (round 8): sqlite_real_text bridge
+# ---------------------------------------------------------------------------
+
+
+def test_real_concat_translate_forms():
+    assert (
+        translate_where("eachWayDivisor || '%' = x")
+        == "sqlite_real_text(`eachWayDivisor`) || '%' = x"
+    )
+    # case-insensitive column resolution, both sides of the operator
+    assert "sqlite_real_text(`raceDistanceMeters`)" in translate_where(
+        "'d:' || racedistancemeters"
+    )
+    assert "sqlite_real_text(`eachWayDivisor`)" in translate_where(
+        '"eachWayDivisor" || marketName'
+    )
+    # unsigned float literal folds to its SQLite text
+    assert translate_where("x || 1e20") == "x || '1.0e+20'"
+    assert translate_where("x || 2.50") == "x || '2.5'"
+    # NOT in a concat chain: untouched
+    assert translate_where("eachWayDivisor = 2.0") == "eachWayDivisor = 2.0"
+    # sign-prefixed literal: documented residual, left verbatim
+    assert translate_where("x || -1.5") == "x || -1.5"
+    # non-REAL columns untouched
+    assert translate_where("marketId || '!'") == "marketId || '!'"
+    assert translate_where("runners || '!'") == "runners || '!'"
+
+
+def test_real_text_renders_match_sqlite(spark):
+    """sqlite_real_text (SQL macro) and sqlite_real_text_py (translate-time
+    fold) vs stdlib sqlite3's REAL->TEXT. Exact for every value whose
+    shortest repr has <= 15 significant digits; 16-digit/subnormal corners
+    may differ by one unit in the 15th digit (documented — Java HALF_UP on
+    the shortest repr vs SQLite's own not-correctly-rounded dtoa)."""
+    import math
+    import random
+    import re as _re
+    import sqlite3
+    import struct
+
+    from betfair_database_spark.plans.dialect import (
+        register_sqlite_functions,
+        sqlite_real_text_py,
+    )
+
+    register_sqlite_functions(spark)
+    con = sqlite3.connect(":memory:")
+    rng = random.Random(99)
+    vals = [
+        1.0, 0.1, 1 / 3, 1e15, 999999999999999.0, 1e20, 1e-4, 9.99e-5,
+        -0.0, 2.5, 100.0, 1.5e-10, 123456789.123456789,
+        1.7976931348623157e308, -1.25, 132.0, 7.75, 480.0,
+    ]
+    for _ in range(600):
+        kind = rng.randrange(4)
+        if kind == 0:
+            v = rng.uniform(-1e6, 1e6)
+        elif kind == 1:
+            v = struct.unpack("d", struct.pack("Q", rng.getrandbits(64)))[0]
+        elif kind == 2:
+            v = rng.uniform(-1, 1) * 10 ** rng.randint(-300, 300)
+        else:
+            v = float(rng.randint(-10**18, 10**18)) / 10 ** rng.randint(0, 6)
+        if v == v and not math.isinf(v):
+            vals.append(v)
+
+    df = spark.createDataFrame(list(enumerate(vals)), "i int, v double")
+    df.createOrReplaceTempView("real_text_vals")
+    got = {
+        r.i: r.t
+        for r in spark.sql(
+            "select i, sqlite_real_text(v) as t from real_text_vals"
+        ).collect()
+    }
+
+    def sig_digits(s):
+        return _re.sub(r"[^0-9]", "", s.split("e")[0]).lstrip("0").rstrip("0")
+
+    for i, v in enumerate(vals):
+        want = con.execute("select cast(? as text)", (v,)).fetchone()[0]
+        clean = len(sig_digits(repr(v))) <= 15 and -308 < (
+            0 if v == 0 else math.floor(math.log10(abs(v)))
+        )
+        for label, g in (("macro", got[i]), ("pyfold", sqlite_real_text_py(v))):
+            if g == want:
+                continue
+            assert not clean, (label, repr(v), want, g)
+            # corner case: must still agree to one unit in the 15th digit
+            dw, dg = sig_digits(want)[:15], sig_digits(g)[:15]
+            assert abs(int(dw.ljust(15, "0")) - int(dg.ljust(15, "0"))) <= 1, (
+                label, repr(v), want, g,
+            )
+
+
+def test_real_concat_end_to_end_matches_sqlite(spark):
+    """A WHERE with `eachWayDivisor || suffix` through translate_where vs
+    the identical query on sqlite3 — the user-visible contract."""
+    import sqlite3
+
+    from betfair_database_spark.plans.dialect import register_sqlite_functions
+
+    register_sqlite_functions(spark)
+    vals = [None, 1.0, 2.5, 7.75, 0.0, -0.0, 1e20, 132.0, 0.1]
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (marketId TEXT, eachWayDivisor REAL)")
+    rows = [(f"1.{i}", v) for i, v in enumerate(vals)]
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(
+        con.execute("SELECT marketId, eachWayDivisor || '!' FROM t").fetchall()
+    )
+    spark.createDataFrame(
+        rows, "marketId string, eachWayDivisor double"
+    ).createOrReplaceTempView("real_concat_t")
+    tw = translate_where("eachWayDivisor || '!'", projection=True)
+    got = dict(
+        spark.sql(f"SELECT marketId, {tw} FROM real_concat_t").collect()
+    )
+    assert got == want

@@ -149,6 +149,9 @@ HEADLINE = [
     "dedup_substring_rewrite",
     "knn_mmr_diverse_top5",
     "ts_rolling_zscore",
+    "graph_label_propagation",
+    "ev_markov_transitions",
+    "pipeline_gopher_dedup_summary",
 ]
 
 

@@ -261,3 +261,59 @@ def pagerank(
         )
         ranks = contrib.localCheckpoint()
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    iters: int = 2,
+) -> DataFrame:
+    """Synchronous majority-label propagation (Raghavan et al. 2007)
+    community detection with DETERMINISTIC tie-breaks: every node starts
+    labelled with its own id; each round every node simultaneously adopts
+    the most frequent label among its neighbours, ties broken by the
+    smallest label. The classic async/random-order LPA is
+    nondeterministic; the synchronous + pinned-tie form is reproducible
+    on any engine, so a fixed iteration count is fully oracle-able
+    (the unrolled-CTE pattern shared with pagerank/kmeans).
+
+    Distinct from connected_components: CC converges to one label per
+    connected component (min-id); majority-LPA finds DENSER-than-
+    surroundings substructure inside a component.
+
+    Per round: ONE edge-label join + a (dst, label) count + a dst-keyed
+    argmax — two shuffles, both keyed, no global structure; lineage cut
+    per round. Labels must be numeric (the argmax packs (count, -label)
+    into a struct max so majority-then-min-label is a single aggregate).
+    Returns (node, label).
+    """
+    dirs = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        dirs.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(iters):
+        nb = (
+            dirs.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            nb.groupBy("dst")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select(
+                F.col("dst").alias("node"), (-F.col("m.nl")).alias("label")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels

@@ -506,3 +506,205 @@ def ts_rolling_zscore(spark, sf):
         .where((F.col("_cnt") == 20) & (F.col("_sd") > 0) & (F.abs("z") >= 3.0))
         .drop("_cnt", "_sd")
     )
+
+
+# =========================================================================
+# graph_label_propagation — majority-LPA communities over co-activity
+# =========================================================================
+
+_EDGE_CTES = r"""
+slots AS (
+  SELECT DISTINCT user_id AS u, date_trunc('hour', ts) AS slot
+  FROM events WHERE user_id < 1000
+),
+e AS (
+  SELECT a.u AS a, b.u AS b
+  FROM slots a JOIN slots b ON a.slot = b.slot AND a.u < b.u
+  GROUP BY 1, 2 HAVING count(*) >= 8
+),
+dirs AS (SELECT a AS src, b AS dst FROM e
+         UNION ALL SELECT b AS src, a AS dst FROM e)
+"""
+
+
+def _lpa_oracle(iters: int = 2) -> str:
+    parts = [
+        "WITH " + _EDGE_CTES.strip(),
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM dirs)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""n{i} AS (
+  SELECT d.dst, l.label, count(*) AS c
+  FROM dirs d JOIN l{i - 1} l ON l.node = d.src
+  GROUP BY d.dst, l.label)"""
+        )
+        parts.append(
+            f"""l{i} AS (
+  SELECT dst AS node, label FROM (
+    SELECT dst, label,
+           row_number() OVER (PARTITION BY dst ORDER BY c DESC, label) AS rn
+    FROM n{i}) WHERE rn = 1)"""
+        )
+    tail = f"""
+SELECT CAST(label AS BIGINT) AS community,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(min(node) AS BIGINT) AS min_node
+FROM l{iters} GROUP BY label
+ORDER BY n_members DESC, community LIMIT 20
+"""
+    return ",\n".join(parts) + tail
+
+
+@_q("graph_label_propagation", _lpa_oracle(iters=2))
+def graph_label_propagation(spark, sf):
+    """Two synchronous majority-LPA rounds over the bounded-cohort
+    co-activity graph (same edge build as triangle/pagerank), reported as
+    the top-20 communities by size. Deterministic tie-breaks make the
+    normally-nondeterministic LPA oracle-able. See
+    graph.label_propagation."""
+    from betfair_database_spark.operators.graph import label_propagation
+
+    ev = _t(spark, sf, "events").where(F.col("user_id") < 1000)
+    slots = ev.select(
+        F.col("user_id").alias("u"),
+        F.date_trunc("hour", F.col("ts")).alias("slot"),
+    ).distinct()
+    a = slots.select(F.col("u").alias("a"), "slot")
+    b = slots.select(F.col("u").alias("b"), "slot")
+    edges = (
+        a.join(b, "slot")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= 8)
+        .select("a", "b")
+    )
+    labels = label_propagation(edges, iters=2)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("node").alias("min_node"),
+        )
+        .orderBy(F.desc("n_members"), "community")
+        .limit(20)
+    )
+
+
+# =========================================================================
+# ev_markov_transitions — first-order event-type transition matrix
+# =========================================================================
+
+_MARKOV_ORACLE = r"""
+WITH p AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+c AS (SELECT from_type, to_type, count(*) AS n FROM p
+      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY from_type)
+SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+       round(CAST(c.n AS DOUBLE) / t.tot, 4) AS p
+FROM c JOIN t USING (from_type)
+"""
+
+
+@_q("ev_markov_transitions", _MARKOV_ORACLE)
+def ev_markov_transitions(spark, sf):
+    """First-order Markov transition matrix of event types over per-user
+    streams — P(next | current) with counts. The unnormalized half is
+    path_ngrams at n=2; the row-normalization is a broadcast-sized re-agg
+    of the (from, to) count table."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    c = p.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    t = c.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return c.join(F.broadcast(t), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("tot"), 4).alias("p"),
+    )
+
+
+# =========================================================================
+# pipeline_gopher_dedup_summary — quality gate -> substring dedup -> totals
+# =========================================================================
+
+_GOPHER_DEDUP_ORACLE = (
+    r"""
+WITH gq AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                              w -> w <> '')) AS BIGINT) AS nw,
+         length(regexp_replace(trim(lower(text)), '\s+', '', 'g')) AS swl,
+         len(list_distinct(list_filter(
+             regexp_split_to_array(trim(lower(text)), '\s+'),
+             w -> w <> ''))) AS nd
+  FROM documents),
+passdocs AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN gq USING (doc_id)
+  WHERE gq.nw BETWEEN 50 AND 100000
+    AND swl / CAST(gq.nw AS DOUBLE) BETWEEN 3.0 AND 10.0
+    AND nd / CAST(gq.nw AS DOUBLE) >= 0.2),
+"""
+    + _ESD_CTES.strip().removeprefix("WITH").replace(
+        "FROM documents", "FROM passdocs", 1
+    )
+    + r""",
+stats AS (
+  SELECT t.doc_id, t.n,
+         coalesce(sum(spans.e - spans.s + 1), 0) AS dup
+  FROM t LEFT JOIN spans USING (doc_id)
+  GROUP BY t.doc_id, t.n)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_pass,
+       CAST(coalesce(sum(n), 0) AS BIGINT) AS tokens_in,
+       CAST(coalesce(sum(dup), 0) AS BIGINT) AS dup_tokens_removed,
+       CAST(coalesce(sum(n - dup), 0) AS BIGINT) AS tokens_kept
+FROM stats
+"""
+)
+
+
+@_q("pipeline_gopher_dedup_summary", _GOPHER_DEDUP_ORACLE)
+def pipeline_gopher_dedup_summary(spark, sf):
+    """Composed curation pipeline in the realistic order: Gopher quality
+    gate FIRST (cheap zero-shuffle projection prunes the corpus), exact
+    substring dedup SECOND (gram counts computed over survivors only —
+    at 100 TB the gate's selectivity directly shrinks the only large
+    shuffle), then a one-row corpus accounting (docs in/past gate,
+    tokens in, duplicated tokens removed, tokens kept). The n_docs
+    column rides in as a broadcast 1-row cross join, not a driver
+    collect."""
+    from betfair_database_spark.operators import dedup
+
+    docs = _t(spark, sf, "documents")
+    gq = textstats.gopher_quality(docs)
+    passing = docs.join(
+        gq.where(F.col("passes")).select("doc_id"), "doc_id"
+    )
+    stats = dedup.exact_substring_stats(passing, l=8)
+    totals = stats.agg(
+        F.count("*").alias("n_pass"),
+        F.coalesce(F.sum(F.col("n_tokens").cast("long")), F.lit(0)).alias(
+            "tokens_in"
+        ),
+        F.coalesce(F.sum("dup_tokens"), F.lit(0)).alias("dup_tokens_removed"),
+        F.coalesce(
+            F.sum(F.col("n_tokens").cast("long") - F.col("dup_tokens")),
+            F.lit(0),
+        ).alias("tokens_kept"),
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    return F.broadcast(n_docs).crossJoin(totals).select(
+        "n_docs", "n_pass", "tokens_in", "dup_tokens_removed", "tokens_kept"
+    )

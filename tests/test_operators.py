@@ -1946,3 +1946,53 @@ def test_mmr_prefers_diverse_over_redundant(spark):
     assert [(r, i) for r, i, _ in sel] == [(1, 1), (2, 3)]
     # and the redundant near-dup scored below the diverse pick
     assert sel[1][2] > 0.5 * 0.88 - 0.5 * 0.99
+
+
+def test_label_propagation_matches_python_reference(spark):
+    """Synchronous majority-LPA with (count desc, min label) tie-breaks vs
+    a direct Python replay on a random graph — and distinct from CC: a
+    sparse bridge between two dense cliques must NOT merge their labels
+    the way min-label connected components would."""
+    import random
+
+    from collections import Counter
+
+    from betfair_database_spark.operators.graph import label_propagation
+
+    rng = random.Random(5)
+    edges = set()
+    # two 6-cliques bridged by one edge + random sprinkle
+    for base in (0, 10):
+        for i in range(6):
+            for j in range(i + 1, 6):
+                edges.add((base + i, base + j))
+    edges.add((5, 10))
+    for _ in range(8):
+        a, b = rng.sample(range(20, 30), 2)
+        edges.add((min(a, b), max(a, b)))
+
+    def lpa_py(edges, iters):
+        nbrs = {}
+        for a, b in edges:
+            nbrs.setdefault(a, []).append(b)
+            nbrs.setdefault(b, []).append(a)
+        lab = {n: n for n in nbrs}
+        for _ in range(iters):
+            new = {}
+            for n, ns in nbrs.items():
+                cnt = Counter(lab[m] for m in ns)
+                best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+                new[n] = best[0]
+            lab = new
+        return lab
+
+    df = spark.createDataFrame(sorted(edges), "a long, b long")
+    for iters in (1, 2, 3):
+        got = {
+            r.node: r.label
+            for r in label_propagation(df, iters=iters).collect()
+        }
+        assert got == lpa_py(edges, iters), iters
+    # the two cliques keep separate majority labels despite the bridge
+    lab = lpa_py(edges, 2)
+    assert len({lab[0], lab[1], lab[2]} | {lab[11], lab[12]}) > 1

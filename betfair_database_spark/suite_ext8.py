@@ -624,7 +624,13 @@ def ev_markov_transitions(spark, sf):
         F.col("event_type").alias("from_type"),
         F.lead("event_type").over(w).alias("to_type"),
     ).where(F.col("to_type").isNotNull())
-    c = p.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    # types x types rows: materialize once so the row-normalization re-agg
+    # doesn't replay the corpus window (ev_type_drift_kl's pattern)
+    c = (
+        p.groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
     t = c.groupBy("from_type").agg(F.sum("n").alias("tot"))
     return c.join(F.broadcast(t), "from_type").select(
         "from_type",
@@ -689,9 +695,14 @@ def pipeline_gopher_dedup_summary(spark, sf):
 
     docs = _t(spark, sf, "documents")
     gq = textstats.gopher_quality(docs)
+    # materialize the survivors once: the substring-dedup stage branches
+    # its input three ways (grams, span join, totals), and without a cut
+    # each branch would re-scan AND re-gate the full corpus. At 100 TB
+    # this is where a pipeline writes its intermediate to storage; the
+    # lazy local checkpoint is the single-box analogue.
     passing = docs.join(
         gq.where(F.col("passes")).select("doc_id"), "doc_id"
-    )
+    ).localCheckpoint(eager=False)
     stats = dedup.exact_substring_stats(passing, l=8)
     totals = stats.agg(
         F.count("*").alias("n_pass"),

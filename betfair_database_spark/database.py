@@ -138,6 +138,10 @@ class BetfairDatabase:
         with self._writer_lock():
             frame, counters = build_index_frame(self.spark, str(self.database_dir))
             counters.rows_inserted = self._write_index(frame, str(self._index_path))
+            from betfair_database_spark.rollup import rollup_build, rollup_path
+
+            if rollup_path(self.database_dir).exists():
+                rollup_build(self)  # full index build → full rollup rebuild
         self.last_counters = counters
         return counters.rows_inserted
 
@@ -315,6 +319,29 @@ class BetfairDatabase:
         if manifest is not None:
             return sum(e["count"] for e in manifest.values())
         return self._read_index().count()
+
+    # ------------------------------------------------------- materialized rollup
+
+    def create_rollup(self) -> int:
+        """Materialize the per-(eventTypeId, start date) summary rollup and
+        keep it incrementally maintained by insert()/clean() — a
+        continuous-aggregate (hypertable-rollup) engine extension with no
+        reference analogue (see rollup.py for the maintenance and
+        consistency contract). Returns the rollup row count."""
+        from betfair_database_spark.rollup import rollup_build
+
+        with self._writer_lock():
+            if not self._index_path.exists():
+                raise IndexMissingError(self.database_dir)
+            return rollup_build(self)
+
+    def rollup(self) -> DataFrame:
+        """The committed rollup as a DataFrame. Raises RollupMissingError
+        when none was materialized, StaleRollupError when the rollup lags
+        the index (crash between index commit and rollup swap)."""
+        from betfair_database_spark.rollup import rollup_read
+
+        return rollup_read(self)
 
     # ------------------------------------------------------------ maintenance
 
@@ -606,6 +633,13 @@ class BetfairDatabase:
             gone = self._index_path / f"eventTypeId={k}"
             if gone.exists() and not any(gone.glob("*.parquet")):
                 shutil.rmtree(gone)
+        # Materialized-rollup maintenance (engine extension, rollup.py):
+        # strictly AFTER the index commit — a crash here leaves the rollup
+        # one snapshot behind, which rollup() detects (StaleRollupError)
+        # rather than serving stale aggregates.
+        from betfair_database_spark.rollup import rollup_update
+
+        rollup_update(self, repl, touched)
 
     def _reap_files(self, rel_paths) -> None:
         """Delete index part-files (and their local-FS .crc siblings) that no
@@ -645,6 +679,9 @@ class BetfairDatabase:
             gone = self._index_path / f"eventTypeId={_part_key(v)}"
             if gone.exists():
                 shutil.rmtree(gone)
+        from betfair_database_spark.rollup import rollup_update
+
+        rollup_update(self, repl, touched)
         if old is None:  # no base counts → a partial manifest would lie
             return
         merged = {k: e["count"] for k, e in old.items()}

@@ -60,6 +60,23 @@ class ConcurrentWriterError(BetfairDatabaseError):
         super().__init__(_CONCURRENT_WRITER_MSG.format(lock_path, holder))
 
 
+class RollupMissingError(BetfairDatabaseError):
+    """rollup() was called but no materialized rollup exists — call
+    create_rollup() first (engine extension; no reference analogue)."""
+
+    def __init__(self, target_dir: str | Path):
+        super().__init__(
+            f"'{target_dir}' has no materialized rollup; "
+            "call create_rollup() to build one."
+        )
+
+
+class StaleRollupError(BetfairDatabaseError):
+    """The materialized rollup lags the index (a maintenance write crashed
+    between the index commit and the rollup swap). Rebuild with
+    create_rollup() — the engine refuses to serve stale aggregates."""
+
+
 class MarketDefinitionMissingError(BetfairDatabaseError):
     """No line of the market data file carries a market definition.
 

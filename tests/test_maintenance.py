@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import csv
 import json
+import pathlib
 from pathlib import Path
 
 import pytest
@@ -661,3 +662,118 @@ class TestWriterLock:
             db.insert(src, copy=True)
         lock.unlink()
         assert db.insert(src, copy=True) == EXPECTED["rows"]
+
+
+class TestMaterializedRollup:
+    """Continuous-aggregate rollup (rollup.py): incrementally maintained by
+    insert()/clean(), never re-reads the index on an incremental update,
+    and refuses to serve stale aggregates after a simulated crash between
+    the index commit and the rollup swap."""
+
+    @pytest.fixture(scope="class")
+    def env(self, spark, tmp_path_factory):
+        from betfair_database_spark.database import BetfairDatabase
+
+        base = tmp_path_factory.mktemp("rollupenv")
+        target = base / "db"
+        target.mkdir()
+        src = base / "src"
+        build_corpus(src)
+        db = BetfairDatabase(target, spark=spark)
+        db.insert(src, copy=True)
+        return db, src
+
+    @staticmethod
+    def _recomputed(db):
+        from betfair_database_spark.rollup import summarize
+
+        return {tuple(r) for r in summarize(db._read_index()).collect()}
+
+    @staticmethod
+    def _materialized(db):
+        return {tuple(r) for r in db.rollup().collect()}
+
+    def test_missing_rollup_raises(self, spark, tmp_path):
+        from betfair_database_spark.database import BetfairDatabase
+        from betfair_database_spark.exceptions import RollupMissingError
+
+        root = tmp_path / "nodb"
+        root.mkdir()
+        (root / "1.900000003.json").write_text(
+            '{"marketId":"1.900000003","marketName":"X",'
+            '"marketStartTime":"2023-01-01T00:00:00.000Z"}'
+        )
+        (root / "1.900000003").write_text('{"marketId":"1.900000003"}')
+        db = BetfairDatabase(root, spark=spark)
+        db.index()
+        with pytest.raises(RollupMissingError):
+            db.rollup()
+
+    def test_create_and_read_back(self, env):
+        db, _ = env
+        n = db.create_rollup()
+        got = db.rollup()
+        from betfair_database_spark.rollup import ROLLUP_SCHEMA
+
+        assert got.columns == [f.name for f in ROLLUP_SCHEMA.fields]
+        rows = self._materialized(db)
+        assert len(rows) == n > 0
+        assert rows == self._recomputed(db)
+
+    def test_insert_maintains_rollup(self, env):
+        db, src = env
+        p = src / "1.222000001.json"
+        d = json.loads(p.read_text())
+        d["description"]["marketTime"] = "2023-07-28T14:30:00.000Z"
+        p.write_text(json.dumps(d))
+        assert db.insert(src, copy=True, on_duplicates="update") == 1
+        assert self._materialized(db) == self._recomputed(db)
+
+    def test_clean_maintains_rollup(self, env):
+        db, _ = env
+        # the insert above laid files out under the betfair_historical
+        # pattern; remove one data file so clean() has something to reap
+        victim = next(
+            pathlib.Path(r["marketDataFilePath"])
+            for r in db.select(["marketDataFilePath"])
+        )
+        victim.unlink()
+        assert db.clean() == 1
+        assert self._materialized(db) == self._recomputed(db)
+
+    def test_incremental_update_never_rereads_index(self, env, monkeypatch):
+        from betfair_database_spark import rollup as R
+        from betfair_database_spark.database import BetfairDatabase
+
+        db, _ = env
+        repl = db._read_index().localCheckpoint()  # captured BEFORE the patch
+        touched = [r[0] for r in repl.select("eventTypeId").distinct().collect()]
+
+        def boom(self, version=None):
+            raise AssertionError("incremental rollup update re-read the index")
+
+        monkeypatch.setattr(BetfairDatabase, "_read_index", boom)
+        R.rollup_update(db, repl, touched)  # must not touch the index
+        monkeypatch.undo()
+        assert self._materialized(db) == self._recomputed(db)
+
+    def test_stale_rollup_detected_and_healed(self, env):
+        from betfair_database_spark.exceptions import StaleRollupError
+        from betfair_database_spark.rollup import _META_NAME, rollup_path
+
+        db, _ = env
+        meta_file = rollup_path(db.database_dir) / _META_NAME
+        meta = json.loads(meta_file.read_text())
+        # simulate a crash between the index commit and the rollup swap:
+        # the rollup's recorded snapshot lags the committed index manifest
+        meta["index_snapshot"] = meta["index_snapshot"] - 1
+        meta_file.write_text(json.dumps(meta))
+        with pytest.raises(StaleRollupError):
+            db.rollup()
+        db.create_rollup()  # the documented heal
+        assert self._materialized(db) == self._recomputed(db)
+
+    def test_full_reindex_rebuilds_rollup(self, env):
+        db, _ = env
+        db.index(force=True)
+        assert self._materialized(db) == self._recomputed(db)

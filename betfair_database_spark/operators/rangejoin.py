@@ -127,3 +127,55 @@ def interval_overlap_join(
     if extra_cond is not None:
         cond = cond & extra_cond
     return lhs.join(rhs, cond).drop("_rj_bucket_l", "_rj_bucket_r")
+
+
+def merge_intervals(
+    df: DataFrame,
+    key: str,
+    start: str,
+    end: str,
+    order_tiebreak: str,
+) -> DataFrame:
+    """Union possibly-overlapping intervals per key into maximal disjoint
+    islands (gaps-and-islands). Returns one row per island:
+    (key, island_start, island_end, n_intervals).
+
+    Plan shape: ONE shuffle on ``key`` feeds both windows and the final
+    group-by (same partitioning, Catalyst reuses the exchange), per-key
+    sort only — no self-join, no O(n^2) overlap pairing. An island opens
+    where an interval's start exceeds the running max end of every
+    EARLIER interval (ROWS ... 1 PRECEDING excludes the current row);
+    touching intervals (start == prev end) merge. Deterministic for any
+    input order: the window order (start, end, tiebreak) is total.
+
+    The same interval-merge shape runs inside the substring-dedup span
+    builder (operators/dedup.py) over token offsets; this is the
+    standalone time-domain operator.
+    """
+    from pyspark.sql import Window
+
+    w_order = [F.col(start), F.col(end), F.col(order_tiebreak)]
+    w_prev = (
+        Window.partitionBy(key)
+        .orderBy(*w_order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(key)
+        .orderBy(*w_order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_max_end = F.max(F.col(end)).over(w_prev)
+    opens = F.when(
+        prev_max_end.isNull() | (F.col(start) > prev_max_end), 1
+    ).otherwise(0)
+    return (
+        df.withColumn("_island", F.sum(opens).over(w_run))
+        .groupBy(key, "_island")
+        .agg(
+            F.min(start).alias("island_start"),
+            F.max(end).alias("island_end"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .drop("_island")
+    )

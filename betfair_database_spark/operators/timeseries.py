@@ -154,3 +154,83 @@ def path_ngrams(
         .groupBy("path")
         .agg(F.count("*").alias("n"))
     )
+
+
+def interpolate_at(
+    events: DataFrame,
+    grid: DataFrame,
+    key: str,
+    ts_col: str,
+    id_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Linear interpolation of ``val_col`` at the ``grid`` timestamps.
+
+    ``events``: (key, ts, id, value) observations; ``grid``: (key, ts)
+    query points. Returns (key, ts, v_interp) for every grid point with
+    an observation on both sides (exact-hit grid points return the
+    observation value).
+
+    Plan shape: zero joins — grid markers are UNIONed into the event
+    stream and two running ``last(..., ignorenulls=True)`` windows (one
+    per direction) carry the bracketing observations to each marker, so
+    the cost is one shuffle on ``key`` + two per-key sorts regardless of
+    grid density. The forward and backward window orders are exact
+    reverses of one total order (ts, is_grid, id) — an observation at
+    exactly a grid timestamp sorts before the marker in both directions,
+    making prev == next == the observation, and the t_next == t_prev
+    guard then returns it exactly (no 0/0). Interpolation arithmetic is
+    integer-MICROsecond diffs — the storage precision, where Spark's
+    truncating timestampdiff and DuckDB's boundary-counting date_diff
+    agree exactly (at any coarser unit they differ by one whenever the
+    sub-unit part is nonzero); NTZ-safe, timezone-free.
+    """
+    from pyspark.sql import Window
+
+    ev = events.select(
+        F.col(key),
+        F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_is_grid"),
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(val_col).cast("double").alias("_v"),
+    )
+    gm = grid.select(
+        F.col(key),
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_is_grid"),
+        F.lit(None).cast("long").alias("_id"),
+        F.lit(None).cast("double").alias("_v"),
+    )
+    u = ev.unionByName(gm)
+    fwd = [F.col("_ts"), F.col("_is_grid"), F.coalesce("_id", F.lit(0))]
+    bwd = [c.desc() for c in fwd]
+    w_f = (
+        Window.partitionBy(key).orderBy(*fwd).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    w_b = (
+        Window.partitionBy(key).orderBy(*bwd).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    obs_ts = F.when(F.col("_is_grid") == 0, F.col("_ts"))
+    c = (
+        u.withColumn("_pv", F.last("_v", ignorenulls=True).over(w_f))
+        .withColumn("_pt", F.last(obs_ts, ignorenulls=True).over(w_f))
+        .withColumn("_nv", F.last("_v", ignorenulls=True).over(w_b))
+        .withColumn("_nt", F.last(obs_ts, ignorenulls=True).over(w_b))
+    )
+    num = F.expr("timestampdiff(MICROSECOND, _pt, _ts)").cast("double")
+    den = F.expr("timestampdiff(MICROSECOND, _pt, _nt)").cast("double")
+    v = F.when(F.col("_nt") == F.col("_pt"), F.col("_pv")).otherwise(
+        F.col("_pv") + (F.col("_nv") - F.col("_pv")) * (num / den)
+    )
+    return (
+        c.where(
+            (F.col("_is_grid") == 1)
+            & F.col("_pt").isNotNull()
+            & F.col("_nt").isNotNull()
+        )
+        .select(F.col(key), F.col("_ts").alias(ts_col), v.alias("v_interp"))
+    )

@@ -174,3 +174,63 @@ def test_overlap_property(spark, livs, rivs, width):
         if s1 <= e2 and s2 <= e1
     )
     assert got == want
+
+
+def test_merge_intervals_matches_python_reference(spark):
+    """Randomized parity: island merging equals a sequential sweep."""
+    import random
+
+    from betfair_database_spark.operators import rangejoin
+
+    rng = random.Random(20260815)
+    rows = []
+    for key in range(6):
+        for i in range(rng.randint(0, 40)):
+            s = rng.randint(0, 300)
+            rows.append((key, len(rows), s, s + rng.randint(0, 25)))
+    df = spark.createDataFrame(rows, "k int, id long, s long, e long")
+    got = {
+        (r["k"], r["island_start"], r["island_end"], r["n_intervals"])
+        for r in rangejoin.merge_intervals(
+            df, key="k", start="s", end="e", order_tiebreak="id"
+        ).collect()
+    }
+    # reference: sort per key, sweep, split where start > running max end
+    want = set()
+    bykey = {}
+    for k, i, s, e in rows:
+        bykey.setdefault(k, []).append((s, e, i))
+    for k, ivs in bykey.items():
+        ivs.sort()
+        cur = None  # (start, end, n)
+        for s, e, _ in ivs:
+            if cur is None or s > cur[1]:
+                if cur:
+                    want.add((k, *cur))
+                cur = (s, e, 1)
+            else:
+                cur = (cur[0], max(cur[1], e), cur[2] + 1)
+        if cur:
+            want.add((k, *cur))
+    assert got == want
+
+
+def test_merge_intervals_touching_merge_and_containment(spark):
+    from betfair_database_spark.operators import rangejoin
+
+    df = spark.createDataFrame(
+        [
+            ("u", 1, 0, 10),
+            ("u", 2, 10, 20),  # touching -> merges
+            ("u", 3, 2, 5),  # contained -> absorbed
+            ("u", 4, 25, 30),  # separate island
+        ],
+        "k string, id long, s long, e long",
+    )
+    got = sorted(
+        (r["island_start"], r["island_end"], r["n_intervals"])
+        for r in rangejoin.merge_intervals(
+            df, key="k", start="s", end="e", order_tiebreak="id"
+        ).collect()
+    )
+    assert got == [(0, 20, 3), (25, 30, 1)]

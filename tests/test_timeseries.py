@@ -110,3 +110,47 @@ def test_path_ngrams_short_key_yields_nothing(spark):
         "u string, ts long, event_id long, et string",
     )
     assert path_ngrams(df, "u", "ts", "event_id", "et", n=3).count() == 0
+
+
+def test_interpolate_at_exact_hit_and_midpoint(spark):
+    """An observation exactly at a grid point is returned verbatim; a grid
+    point between two observations is the time-weighted blend; grid
+    points outside the observation span are dropped."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from betfair_database_spark.operators import timeseries
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(minutes, micros=0):
+        return t0 + dt.timedelta(minutes=minutes, microseconds=micros)
+
+    ev = spark.createDataFrame(
+        [
+            ("a", at(0), 1, 10.0),
+            ("a", at(60), 2, 30.0),  # exact grid hit
+            ("a", at(90), 3, 50.0),
+            ("b", at(30), 4, 5.0),
+            ("b", at(150, 1), 5, 8.0),  # off-grid micros
+        ],
+        "k string, ts timestamp_ntz, id long, v double",
+    )
+    grid = spark.createDataFrame(
+        [("a", at(60)), ("a", at(75)), ("a", at(120)), ("b", at(60)), ("b", at(0))],
+        "k string, ts timestamp_ntz",
+    )
+    got = {
+        (r["k"], r["ts"], round(r["v_interp"], 6))
+        for r in timeseries.interpolate_at(
+            ev, grid, key="k", ts_col="ts", id_col="id", val_col="v"
+        ).collect()
+    }
+    frac = (30 * 60_000_000) / (120 * 60_000_000 + 1)
+    assert got == {
+        ("a", at(60), 30.0),  # exact hit
+        ("a", at(75), 40.0),  # midpoint of 30 -> 50
+        # a@120 has no next observation -> dropped; b@0 no prev -> dropped
+        ("b", at(60), round(5.0 + 3.0 * frac, 6)),
+    }

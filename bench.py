@@ -48,6 +48,8 @@ HEADLINE = [
     "ev_hourly_window",
     "ev_sessionize",
     "asof_join_last_order",
+    "ts_interpolate_linear",
+    "range_interval_union",
     "dedup_exact_stats",
     "dedup_minhash_pairs",
     "dedup_minhash_incremental",

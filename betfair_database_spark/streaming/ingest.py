@@ -180,3 +180,84 @@ def start_index_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_rollup_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    rollup_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    trigger_once: bool = False,
+):
+    """Continuous-aggregate twin of ``BetfairDatabase.create_rollup()``:
+    newly-landed metadata files fold into the per-(eventTypeId, start
+    date) rollup WITHOUT an index in between — each micro-batch runs the
+    batch parse → flatten → enrich lineage, computes the batch
+    ``rollup.summarize`` partial over its rows, and merges it into the
+    at-rest rollup additively (sums add, counts add, min/max strings
+    merge — every rollup aggregate is mergeable by construction).
+
+    State: only the file-source checkpoint (exactly-once per file) plus
+    the group-cardinality-sized rollup file itself; no custom state
+    store, so at landing-zone scale the per-batch cost is the new files'
+    parse + one merge over |sports| x |days| rows.
+
+    Contract: append-only landing zone — each market contributes once
+    (within a batch the lexicographically-last path for a marketId wins,
+    mirroring start_index_stream). A REPLACE/UPDATE re-delivery of an
+    already-folded market cannot be subtracted from an additive
+    aggregate; that path is the batch heal (``create_rollup()``), the
+    same division of labor TimescaleDB-style continuous aggregates use
+    (inserts fold incrementally, updates trigger re-materialization).
+    """
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import Window
+
+    from betfair_database_spark.rollup import ROLLUP_SCHEMA, summarize
+
+    out_cols = [f.name for f in ROLLUP_SCHEMA.fields]
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        rows = metadata_batch_to_index_rows(batch)
+        w = Window.partitionBy("marketId").orderBy(
+            F.col("marketMetadataFilePath").desc()
+        )
+        rows = (
+            rows.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        part = summarize(rows).localCheckpoint()
+        if not part.head(1):
+            return
+        spark_ = part.sparkSession
+        try:
+            old = spark_.read.schema(ROLLUP_SCHEMA).parquet(rollup_dir)
+            both = old.unionByName(part)
+        except AnalysisException:  # first batch: no rollup yet
+            both = part
+        merged = (
+            both.groupBy("eventTypeId", "startDate")
+            .agg(
+                F.sum("markets").alias("markets"),
+                F.sum("bspMarkets").alias("bspMarkets"),
+                F.sum("inPlayMarkets").alias("inPlayMarkets"),
+                F.sum("settledMarkets").alias("settledMarkets"),
+                F.sum("runnersTotal").alias("runnersTotal"),
+                F.min("firstStart").alias("firstStart"),
+                F.max("lastStart").alias("lastStart"),
+            )
+            .select(*out_cols)
+            .localCheckpoint()  # materialize before the overwrite below
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(rollup_dir)
+
+    writer = (
+        read_catalogue_stream(spark, landing_dir, max_files_per_trigger)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1043,3 +1043,49 @@ def test_streaming_ohlc_matches_batch_rollup(spark, tmp_path):
     }
     assert len(want) >= 12  # 5 hours x 3 types, minus any empty cells
     assert got == want
+
+
+def test_streaming_rollup_matches_batch_create_rollup(spark, tmp_path):
+    """Continuous-aggregate parity: replaying the paired fixture corpus
+    through start_rollup_stream (one file per micro-batch, so the
+    additive merge runs many times) produces EXACTLY the rollup the
+    batch create_rollup() materializes over the same corpus — every
+    aggregate is mergeable, so incremental fold == one-shot aggregate."""
+    import shutil
+
+    from tests.corpus import build_corpus
+
+    from betfair_database_spark.database import BetfairDatabase
+    from betfair_database_spark.rollup import ROLLUP_SCHEMA
+    from betfair_database_spark.streaming.ingest import start_rollup_stream
+
+    src = tmp_path / "full"
+    build_corpus(src)
+    corpus = tmp_path / "paired"
+    corpus.mkdir()
+    for meta in sorted(src.glob("1.*.json")):
+        for ext in ("", ".bz2", ".gz", ".zip"):
+            data = meta.with_suffix(ext) if ext else meta.with_suffix("")
+            if data.exists() and data != meta:
+                shutil.copy(meta, corpus / meta.name)
+                shutil.copy(data, corpus / data.name)
+                break
+
+    db = BetfairDatabase(corpus, spark=spark)
+    db.index()
+    db.create_rollup()
+    batch_rows = sorted(tuple(r) for r in db.rollup().collect())
+    assert batch_rows  # non-degenerate corpus
+
+    rollup_dir = str(tmp_path / "stream_rollup.parquet")
+    q = start_rollup_stream(
+        spark,
+        str(corpus),
+        rollup_dir,
+        str(tmp_path / "ckpt_rollup"),
+        max_files_per_trigger=1,  # force many incremental merges
+        trigger_once=True,
+    )
+    q.awaitTermination(180)
+    streamed = spark.read.schema(ROLLUP_SCHEMA).parquet(rollup_dir)
+    assert sorted(tuple(r) for r in streamed.collect()) == batch_rows

@@ -152,6 +152,7 @@ HEADLINE = [
     "knn_mmr_diverse_top5",
     "ts_rolling_zscore",
     "graph_label_propagation",
+    "graph_jaccard_similar_pairs",
     "ev_markov_transitions",
     "pipeline_gopher_dedup_summary",
 ]

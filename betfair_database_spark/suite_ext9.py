@@ -153,3 +153,67 @@ def range_interval_union(spark, sf):
         F.sum(dur).alias("covered_us"),
         F.max(dur).alias("longest_us"),
     )
+
+
+# =========================================================================
+# graph_jaccard_similar_pairs — common-neighbor node similarity
+# =========================================================================
+
+_JACCARD_ORACLE = """
+WITH slots AS (
+  SELECT DISTINCT user_id AS u, date_trunc('hour', ts) AS slot
+  FROM events WHERE user_id < 1000
+),
+e AS (
+  SELECT a.u AS u, b.u AS v
+  FROM slots a JOIN slots b ON a.slot = b.slot AND a.u < b.u
+  GROUP BY 1, 2 HAVING count(*) >= 8
+),
+adj AS (SELECT u AS c, v AS s FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT c AS n, count(*) AS d FROM adj GROUP BY c),
+wed AS (
+  SELECT l.s AS u, r.s AS v, count(*) AS common_neighbors
+  FROM adj l JOIN adj r ON l.c = r.c AND l.s < r.s
+  GROUP BY 1, 2
+)
+SELECT w.u, w.v,
+       CAST(w.common_neighbors AS BIGINT) AS common_neighbors,
+       round(w.common_neighbors::DOUBLE
+             / (d1.d + d2.d - w.common_neighbors), 6) AS jaccard
+FROM wed w JOIN deg d1 ON d1.n = w.u JOIN deg d2 ON d2.n = w.v
+ORDER BY jaccard DESC, u, v LIMIT 20
+"""
+
+
+@_q("graph_jaccard_similar_pairs", _JACCARD_ORACLE)
+def graph_jaccard_similar_pairs(spark, sf):
+    """Top-20 most-similar user pairs by common-neighbor Jaccard over the
+    bounded-cohort co-activity graph (same edge rule as
+    graph_triangle_count) — the link-prediction primitive: high-overlap
+    NON-edges are the candidate links. Wedge-join form with the degree
+    table broadcast (graph.jaccard_similarity); sort key is the ROUNDED
+    score on both engines so a rounding collapse at the cut boundary
+    cannot reorder them differently."""
+    from betfair_database_spark.operators.graph import jaccard_similarity
+
+    ev = _t(spark, sf, "events").where(F.col("user_id") < 1000)
+    slots = ev.select(
+        F.col("user_id").alias("u"),
+        F.date_trunc("hour", F.col("ts")).alias("slot"),
+    ).distinct()
+    a = slots.select(F.col("u").alias("a"), "slot")
+    b = slots.select(F.col("u").alias("b"), "slot")
+    edges = (
+        a.join(b, "slot")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 8)
+        .select("a", "b")
+    )
+    sim = jaccard_similarity(
+        edges, canonical=True, broadcast_degrees=True, broadcast_adjacency=True
+    ).withColumn("jaccard", F.round("jaccard", 6))
+    return sim.orderBy(
+        F.col("jaccard").desc(), F.col("u"), F.col("v")
+    ).limit(20)

@@ -62,3 +62,56 @@ def test_canonical_edges(spark):
     df = spark.createDataFrame([(2, 1), (1, 2), (3, 3)], "a long, b long")
     rows = sorted((r.u, r.v) for r in canonical_edges(df).collect())
     assert rows == [(1, 2)]
+
+
+def test_jaccard_similarity_matches_python_reference(spark):
+    """Randomized parity vs a set-based python reference, plus the hub-cap
+    contract: capped centers only remove hub-mediated commonality."""
+    import random
+
+    from betfair_database_spark.operators.graph import jaccard_similarity
+
+    rng = random.Random(8152026)
+    edges = set()
+    for _ in range(120):
+        u, v = rng.randint(0, 25), rng.randint(0, 25)
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    df = spark.createDataFrame(sorted(edges), "a long, b long")
+
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1 :]:
+            common = adj[u] & adj[v]
+            if common:
+                want[(u, v)] = (
+                    len(common),
+                    len(common) / len(adj[u] | adj[v]),
+                )
+    got = {
+        (r["u"], r["v"]): (r["common_neighbors"], round(r["jaccard"], 12))
+        for r in jaccard_similarity(df, canonical=True).collect()
+    }
+    assert got == {k: (c, round(j, 12)) for k, (c, j) in want.items()}
+
+    # hub cap: with max_center_degree=3, wedges centered on higher-degree
+    # nodes vanish; recompute the reference with capped centers only
+    capped_centers = {n for n in adj if len(adj[n]) <= 3}
+    want_cap = {}
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1 :]:
+            common = {w for w in adj[u] & adj[v] if w in capped_centers}
+            if common:
+                want_cap[(u, v)] = len(common)
+    got_cap = {
+        (r["u"], r["v"]): r["common_neighbors"]
+        for r in jaccard_similarity(
+            df, canonical=True, max_center_degree=3
+        ).collect()
+    }
+    assert got_cap == want_cap

@@ -155,6 +155,8 @@ HEADLINE = [
     "graph_jaccard_similar_pairs",
     "ev_markov_transitions",
     "pipeline_gopher_dedup_summary",
+    "text_zipf_slope",
+    "curation_dataset_card",
 ]
 
 

@@ -217,3 +217,141 @@ def graph_jaccard_similar_pairs(spark, sf):
     return sim.orderBy(
         F.col("jaccard").desc(), F.col("u"), F.col("v")
     ).limit(20)
+
+
+# =========================================================================
+# text_zipf_slope — Zipf-law exponent of the corpus token distribution
+# =========================================================================
+
+_ZIPF_ORACLE = r"""
+WITH tok AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+freq AS (SELECT w, count(*) AS f FROM tok GROUP BY w),
+ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r
+  FROM freq
+),
+pts AS (
+  SELECT CAST(round(ln(r) * 1000000) AS BIGINT) AS x,
+         CAST(round(ln(f) * 1000000) AS BIGINT) AS y
+  FROM ranked WHERE r <= 1000
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS sx,
+         CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+         CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+         CAST(CAST(sum(x * y) AS BIGINT) AS DOUBLE) AS sxy,
+         CAST(CAST(sum(y * y) AS BIGINT) AS DOUBLE) AS syy
+  FROM pts
+)
+SELECT n AS n_points,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 5) AS zipf_slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+             / 1000000.0, 5) AS intercept,
+       round(pow((n * sxy - sx * sy), 2)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 5) AS r2
+FROM m
+"""
+
+
+@_q("text_zipf_slope", _ZIPF_ORACLE)
+def text_zipf_slope(spark, sf):
+    """Zipf-law fit over the top-1000 token frequencies: slope of
+    ln(freq) on ln(rank) by closed-form least squares — the corpus-health
+    statistic (natural text ~ -1; templated/spammy corpora deviate).
+    Cross-engine determinism: built-in regr_slope is a running double
+    aggregate (merge-order-dependent), and even DECIMAL moment sums
+    diverge across engines (product-scale rounding rules + the
+    decimal->double cast differ) — measured, not theory. So the moments
+    are INTEGER: each ln() is scaled by 1e6 and rounded to a BIGINT,
+    integer sums are exact and associative, int64->double conversion is
+    correctly rounded everywhere, and the 1e6 scale cancels in the slope
+    and r2 (the intercept divides it back out). One token-count
+    exchange + a 1000-row fit."""
+    d = _t(spark, sf, "documents")
+    from pyspark.sql import Window
+
+    tok = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    ranked = freq.withColumn(
+        "r",
+        F.row_number().over(
+            Window.orderBy(F.col("f").desc(), F.col("w"))
+        ),
+    ).where(F.col("r") <= 1000)
+    pts = ranked.select(
+        F.round(F.log(F.col("r").cast("double")) * 1000000)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("f").cast("double")) * 1000000)
+        .cast("long")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / n / F.lit(1000000.0)
+    r2 = F.pow(n * F.col("sxy") - F.col("sx") * F.col("sy"), F.lit(2)) / (
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        F.col("n").alias("n_points"),
+        F.round(slope, 5).alias("zipf_slope"),
+        F.round(intercept, 5).alias("intercept"),
+        F.round(r2, 5).alias("r2"),
+    )
+
+
+# =========================================================================
+# curation_dataset_card — one-pass per-language corpus accounting
+# =========================================================================
+
+_CARD_ORACLE = r"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(avg(n_chars), 2) AS mean_chars,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents
+GROUP BY lang
+"""
+
+
+@_q("curation_dataset_card", _CARD_ORACLE)
+def curation_dataset_card(spark, sf):
+    """Per-language dataset-card accounting in ONE grouped pass: doc /
+    unique-text / duplicate counts, char and whitespace-token totals,
+    source fan-in. countDistinct over md5(text) keys the dedup tally so
+    the exchange carries 32-byte digests, never document bodies —
+    the at-scale form of 'how dirty is this corpus' accounting."""
+    d = _t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias(
+            "n_dup_docs"
+        ),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 2).alias("mean_chars"),
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("total_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )

@@ -157,6 +157,8 @@ HEADLINE = [
     "pipeline_gopher_dedup_summary",
     "text_zipf_slope",
     "curation_dataset_card",
+    "ev_anomaly_mad",
+    "pipeline_markov_eval",
 ]
 
 

@@ -355,3 +355,147 @@ def curation_dataset_card(spark, sf):
         .alias("total_tokens"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+# =========================================================================
+# ev_anomaly_mad — robust outliers via median absolute deviation
+# =========================================================================
+
+_MAD_ORACLE = r"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.event_id, e.value, abs(e.value - med.m) AS ad, med.m
+  FROM events e JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(count(*) FILTER (WHERE d.ad > 3 * 1.4826 * mad.mad) AS BIGINT)
+         AS n_outliers,
+       round(min(d.value) FILTER (WHERE d.ad > 3 * 1.4826 * mad.mad), 2)
+         AS min_outlier,
+       round(max(d.value) FILTER (WHERE d.ad > 3 * 1.4826 * mad.mad), 2)
+         AS max_outlier,
+       round(any_value(d.m), 4) AS median_value,
+       round(any_value(mad.mad), 4) AS mad
+FROM dev d JOIN mad USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+@_q("ev_anomaly_mad", _MAD_ORACLE)
+def ev_anomaly_mad(spark, sf):
+    """Robust outlier detection: |v - median| > 3 * 1.4826 * MAD per event
+    type — unlike the z-score family, one corrupted heavy tail cannot
+    inflate its own threshold. Exact interpolated medians on both engines
+    (Spark percentile == DuckDB quantile_cont); the two grouped passes
+    share one scan each and the 5-row stats sides broadcast, so events
+    shuffle zero times."""
+    ev = _t(spark, sf, "events").select("event_type", "event_id", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("m")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("m"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    d = dev.join(F.broadcast(mad), "event_type")
+    is_out = F.col("ad") > 3 * 1.4826 * F.col("mad")
+    return d.groupBy("event_type").agg(
+        F.count(F.when(is_out, 1)).alias("n_outliers"),
+        F.round(F.min(F.when(is_out, F.col("value"))), 2).alias("min_outlier"),
+        F.round(F.max(F.when(is_out, F.col("value"))), 2).alias("max_outlier"),
+        F.round(F.first("m"), 4).alias("median_value"),
+        F.round(F.first("mad"), 4).alias("mad"),
+    )
+
+
+# =========================================================================
+# pipeline_markov_eval — temporal-split next-event prediction accuracy
+# =========================================================================
+
+_MARKOV_EVAL_ORACLE = r"""
+WITH pairs AS (
+  SELECT user_id, ts, event_type AS f,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS t
+  FROM events
+),
+valid AS (SELECT * FROM pairs WHERE t IS NOT NULL),
+train AS (
+  SELECT f, t, count(*) AS c FROM valid
+  WHERE ts < TIMESTAMP '2024-01-22 00:00:00' GROUP BY f, t
+),
+pred AS (
+  SELECT f, t AS predicted
+  FROM (SELECT f, t, row_number() OVER (PARTITION BY f
+                                        ORDER BY c DESC, t) AS rn
+        FROM train)
+  WHERE rn = 1
+),
+test AS (
+  SELECT v.f, v.t, p.predicted FROM valid v
+  LEFT JOIN pred p USING (f)
+  WHERE v.ts >= TIMESTAMP '2024-01-22 00:00:00'
+)
+SELECT f AS from_type,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN predicted = t THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(sum(CASE WHEN predicted = t THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 4) AS accuracy
+FROM test GROUP BY f
+"""
+
+
+@_q("pipeline_markov_eval", _MARKOV_EVAL_ORACLE)
+def pipeline_markov_eval(spark, sf):
+    """In-engine model evaluation with a TEMPORAL split (the
+    leakage-correct protocol for sequence models): fit the first-order
+    Markov next-event predictor on days 1-21, score top-1 accuracy on the
+    rest. One lead() pass builds all transitions; the train/test split is
+    a filter on the pair's own timestamp (no second scan); the fitted
+    argmax table is |event_type|^2-bounded and broadcast to the test
+    join. Unseen test contexts count as misses on both engines (NULL
+    prediction never equals)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "user_id",
+        "ts",
+        F.col("event_type").alias("f"),
+        F.lead("event_type").over(w).alias("t"),
+    ).where(F.col("t").isNotNull())
+    cutoff = F.lit("2024-01-22 00:00:00").cast("timestamp_ntz")
+    train = (
+        pairs.where(F.col("ts") < cutoff)
+        .groupBy("f", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # argmax with the oracle's (count desc, type asc) tie rule; the fitted
+    # table is |event_type|^2 rows, so this window is trivially small
+    wp = Window.partitionBy("f").orderBy(F.col("c").desc(), F.col("t"))
+    pred = (
+        train.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") == 1)
+        .select("f", F.col("t").alias("predicted"))
+    )
+    test = pairs.where(F.col("ts") >= cutoff).join(
+        F.broadcast(pred), "f", "left"
+    )
+    hit = F.when(F.col("predicted") == F.col("t"), 1).otherwise(0)
+    return test.groupBy(F.col("f").alias("from_type")).agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(hit).alias("n_correct"),
+        F.round(
+            F.sum(hit).cast("double") / F.count(F.lit(1)), 4
+        ).alias("accuracy"),
+    )

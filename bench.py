@@ -159,6 +159,7 @@ HEADLINE = [
     "curation_dataset_card",
     "ev_anomaly_mad",
     "pipeline_markov_eval",
+    "multimodal_audio_rms",
 ]
 
 

@@ -830,3 +830,78 @@ def sample_frames(
         "frame_idx",
         F.expr(f"substring({payload_col}, offset + 1, size)").alias("frame"),
     )
+
+
+def synthesize_audio_pcm(
+    df: DataFrame, id_col: str = "doc_id", size_col: str = "n_chars"
+) -> DataFrame:
+    """Attach a real 8-bit mono PCM WAV whose SAMPLES are a deterministic
+    square-wave burst, so sample-level analysis has a closed form:
+
+      n      = (size % 50 + 1) * 80 frames at 8 kHz   (divisible by 8)
+      a      = id % 100 + 1                            (amplitude, <= 127)
+      k      = id % 7 + 1; h = k * n / 8               (burst length)
+      sample i = 128 + a (i even) / 128 - a (i odd)    for i < h; 128 after
+
+    Closed forms: peak deviation = a, sum of squared deviations = h * a^2,
+    rms = sqrt(h * a^2 / n) = a * sqrt(k / 8). Executor-side, Arrow-
+    batched, no shuffle."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = []
+            for i, size in zip(batch[id_col], batch[size_col]):
+                n = (int(size) % 50 + 1) * 80
+                a = int(i) % 100 + 1
+                h = (int(i) % 7 + 1) * n // 8
+                s = np.full(n, 128, dtype=np.uint8)
+                s[0:h:2] = 128 + a
+                s[1:h:2] = 128 - a
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(1)
+                    w.setframerate(8000)
+                    w.writeframes(s.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({id_col: batch[id_col], "payload": payloads})
+
+    return df.select(id_col, size_col).mapInPandas(
+        _make, schema=f"{id_col} long, payload binary"
+    )
+
+
+def audio_rms(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Sample-level PCM analysis: parse the WAV container (stdlib wave),
+    lift the 8-bit samples into numpy, report per-file n_samples, peak
+    absolute deviation, and RMS around the 8-bit midpoint (128). Squared
+    deviations are summed in int64 (exact), so rms = sqrt(sumsq / n) is
+    one correctly-rounded double expression — cross-engine comparable
+    against a closed-form oracle. Arrow-batched, no shuffle."""
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    def _rms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"n_samples": [], "peak": [], "rms": []}
+            for payload in batch["payload"]:
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    raw = w.readframes(w.getnframes())
+                dev = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+                n = int(dev.size)
+                sumsq = int(np.dot(dev, dev))
+                out["n_samples"].append(n)
+                out["peak"].append(int(np.max(np.abs(dev))) if n else 0)
+                out["rms"].append(math.sqrt(sumsq / n) if n else 0.0)
+            yield pd.DataFrame({id_col: batch[id_col], **out})
+
+    return media.mapInPandas(
+        _rms, schema=f"{id_col} long, n_samples long, peak long, rms double"
+    )

@@ -499,3 +499,41 @@ def pipeline_markov_eval(spark, sf):
             F.sum(hit).cast("double") / F.count(F.lit(1)), 4
         ).alias("accuracy"),
     )
+
+
+# =========================================================================
+# multimodal_audio_rms — sample-level PCM analysis vs closed form
+# =========================================================================
+
+_AUDIO_RMS_ORACLE = r"""
+WITH p AS (
+  SELECT doc_id,
+         (n_chars % 50 + 1) * 80 AS n,
+         doc_id % 100 + 1 AS a,
+         (doc_id % 7 + 1) * ((n_chars % 50 + 1) * 80) // 8 AS h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(a AS BIGINT) AS peak,
+       round(sqrt((h * a * a)::DOUBLE / n), 6) AS rms
+FROM p
+"""
+
+
+@_q("multimodal_audio_rms", _AUDIO_RMS_ORACLE)
+def multimodal_audio_rms(spark, sf):
+    """PCM sample-level round trip: synthesize a real 8-bit WAV square-
+    wave burst per document (multimodal.synthesize_audio_pcm), decode the
+    container and compute peak/RMS from the actual samples
+    (multimodal.audio_rms — int64-exact squared sums, one double sqrt),
+    verify against the closed form. The engine side does real signal
+    processing over binary columns; the oracle knows only the synthesis
+    parameters."""
+    from betfair_database_spark.operators import multimodal
+
+    media = multimodal.synthesize_audio_pcm(_t(spark, sf, "documents"))
+    out = multimodal.audio_rms(media)
+    return out.select(
+        "doc_id", "n_samples", "peak", F.round("rms", 6).alias("rms")
+    )

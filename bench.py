@@ -160,6 +160,7 @@ HEADLINE = [
     "ev_anomaly_mad",
     "pipeline_markov_eval",
     "multimodal_audio_rms",
+    "ts_autocorrelation",
 ]
 
 

@@ -537,3 +537,122 @@ def multimodal_audio_rms(spark, sf):
     return out.select(
         "doc_id", "n_samples", "peak", F.round("rms", 6).alias("rms")
     )
+
+
+# =========================================================================
+# ts_autocorrelation — ACF of the hourly count series at lags 1..3
+# =========================================================================
+
+_ACF_ORACLE = r"""
+WITH b AS (
+  SELECT event_type,
+         date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events GROUP BY event_type
+),
+grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM b
+),
+cnt AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT g.event_type, g.h, coalesce(cnt.c, 0) AS c
+  FROM grid g LEFT JOIN cnt ON g.event_type = cnt.event_type AND g.h = cnt.h
+),
+led AS (
+  SELECT event_type, c,
+         lead(c, 1) OVER w AS c1,
+         lead(c, 2) OVER w AS c2,
+         lead(c, 3) OVER w AS c3
+  FROM series WINDOW w AS (PARTITION BY event_type ORDER BY h)
+),
+pairs AS (
+  SELECT event_type, 1 AS lag, c AS x, c1 AS y FROM led WHERE c1 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 2, c, c2 FROM led WHERE c2 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 3, c, c3 FROM led WHERE c3 IS NOT NULL
+),
+m AS (
+  SELECT event_type, lag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS sx,
+         CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+         CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+         CAST(CAST(sum(y * y) AS BIGINT) AS DOUBLE) AS syy,
+         CAST(CAST(sum(x * y) AS BIGINT) AS DOUBLE) AS sxy
+  FROM pairs GROUP BY event_type, lag
+)
+SELECT event_type, lag,
+       n AS n_pairs,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 5) AS acf
+FROM m
+"""
+
+
+@_q("ts_autocorrelation", _ACF_ORACLE)
+def ts_autocorrelation(spark, sf):
+    """Autocorrelation of the per-type hourly volume series at lags 1-3 —
+    the seasonality/burstiness diagnostic. The series is gap-FILLED onto
+    the full hourly grid (missing hours are real zeros; skipping them
+    would corrupt every lag), three lead() columns stack into (lag, x, y)
+    pairs, and the Pearson formula runs on exact INTEGER moments (counts
+    are ints, BIGINT sums are associative) so the one double expression
+    matches cross-engine bit-for-bit. One window sort per type; the grid
+    union and moments reuse the same event_type partitioning."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h"),
+    )
+    cnt = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    series = grid.join(cnt, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    led = series.select(
+        "event_type",
+        "c",
+        F.lead("c", 1).over(w).alias("c1"),
+        F.lead("c", 2).over(w).alias("c2"),
+        F.lead("c", 3).over(w).alias("c3"),
+    )
+    pairs = None
+    for k in (1, 2, 3):
+        p = led.where(F.col(f"c{k}").isNotNull()).select(
+            "event_type",
+            F.lit(k).alias("lag"),
+            F.col("c").alias("x"),
+            F.col(f"c{k}").alias("y"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    m = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    acf = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "event_type",
+        "lag",
+        F.col("n").alias("n_pairs"),
+        F.round(acf, 5).alias("acf"),
+    )

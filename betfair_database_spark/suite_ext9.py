@@ -277,12 +277,19 @@ def text_zipf_slope(spark, sf):
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
     )
     freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
-    ranked = freq.withColumn(
+    # distributed TakeOrdered bounds the frame to 1000 rows BEFORE the
+    # global rank window (an unpartitioned window over the raw vocabulary
+    # would funnel millions of tokens through one task at corpus scale —
+    # caught by the repo's bounded-frame guard, test_layout.py)
+    from betfair_database_spark.plans.guards import assert_bounded_frame
+
+    top = freq.orderBy(F.col("f").desc(), F.col("w")).limit(1000)
+    ranked = assert_bounded_frame(top, "zipf top-1000 tokens").withColumn(
         "r",
         F.row_number().over(
             Window.orderBy(F.col("f").desc(), F.col("w"))
         ),
-    ).where(F.col("r") <= 1000)
+    )
     pts = ranked.select(
         F.round(F.log(F.col("r").cast("double")) * 1000000)
         .cast("long")

@@ -161,6 +161,7 @@ HEADLINE = [
     "pipeline_markov_eval",
     "multimodal_audio_rms",
     "ts_autocorrelation",
+    "text_rake_keywords",
 ]
 
 

@@ -663,3 +663,99 @@ def ts_autocorrelation(spark, sf):
         F.col("n").alias("n_pairs"),
         F.round(acf, 5).alias("acf"),
     )
+
+
+# =========================================================================
+# text_rake_keywords — RAKE keyword extraction (stopword-delimited phrases)
+# =========================================================================
+
+_RAKE_STOPS = "the|and|of|to|a"
+
+_RAKE_ORACLE = rf"""
+WITH ph AS (
+  SELECT trim(p) AS phrase
+  FROM (SELECT unnest(regexp_split_to_array(lower(text),
+                      '\b(?:{_RAKE_STOPS})\b')) AS p
+        FROM documents)
+  WHERE trim(p) <> ''
+),
+pw AS (
+  SELECT phrase, w,
+         len(list_filter(string_split(phrase, ' '), x -> x <> '')) AS plen
+  FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS w FROM ph)
+  WHERE w <> ''
+),
+ws AS (
+  SELECT w,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(plen) AS BIGINT) AS degree,
+         (CAST(sum(plen) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+           AS score_fp
+  FROM pw GROUP BY w
+),
+ps AS (
+  SELECT pw.phrase, CAST(sum(ws.score_fp) AS BIGINT) AS fp
+  FROM (SELECT DISTINCT phrase, w FROM pw) pw JOIN ws USING (w)
+  GROUP BY pw.phrase
+),
+occ AS (SELECT phrase, count(*) AS n_occ FROM ph GROUP BY phrase)
+SELECT o.phrase,
+       CAST(o.n_occ AS BIGINT) AS n_occ,
+       round(ps.fp / 1000000.0, 4) AS rake_score
+FROM occ o JOIN ps USING (phrase)
+ORDER BY rake_score DESC, phrase LIMIT 20
+"""
+
+
+@_q("text_rake_keywords", _RAKE_ORACLE)
+def text_rake_keywords(spark, sf):
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs; word score = degree/freq where
+    degree sums the lengths of phrases containing the word; a phrase
+    scores the sum of its DISTINCT member-word scores. Word scores are
+    FIXED-POINT (degree*1e6 // freq): summing exact integers instead of
+    double ratios keeps the phrase score associative and cross-engine
+    identical (same reason the zipf/acf rows use integer moments). The
+    word-score table is vocabulary-bounded and broadcast to the phrase
+    join; top-20 by (score desc, phrase)."""
+    d = _t(spark, sf, "documents")
+    ph = (
+        d.select(
+            F.explode(
+                F.split(F.lower("text"), rf"\b(?:{_RAKE_STOPS})\b")
+            ).alias("p")
+        )
+        .select(F.trim("p").alias("phrase"))
+        .where(F.col("phrase") != "")
+    )
+    words = ph.select(
+        "phrase",
+        F.explode(F.split("phrase", " ")).alias("w"),
+        F.size(
+            F.filter(F.split("phrase", " "), lambda x: x != "")
+        ).alias("plen"),
+    ).where(F.col("w") != "")
+    ws = words.groupBy("w").agg(
+        F.sum("plen").alias("degree"), F.count(F.lit(1)).alias("freq")
+    )
+    # integer floor-div semantics to mirror the oracle's // exactly
+    ws = ws.select(
+        "w",
+        F.floor(
+            (F.col("degree") * F.lit(1000000)) / F.col("freq")
+        ).cast("long").alias("score_fp"),
+    )
+    ps = (
+        words.select("phrase", "w")
+        .distinct()
+        .join(F.broadcast(ws), "w")
+        .groupBy("phrase")
+        .agg(F.sum("score_fp").alias("fp"))
+    )
+    occ = ph.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occ"))
+    out = occ.join(ps, "phrase").select(
+        "phrase",
+        "n_occ",
+        F.round(F.col("fp") / F.lit(1000000.0), 4).alias("rake_score"),
+    )
+    return out.orderBy(F.col("rake_score").desc(), "phrase").limit(20)

@@ -406,8 +406,10 @@ def ev_anomaly_mad(spark, sf):
     med = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("m")
     )
-    dev = ev.join(F.broadcast(med), "event_type").withColumn(
-        "ad", F.abs(F.col("value") - F.col("m"))
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .withColumn("ad", F.abs(F.col("value") - F.col("m")))
+        .localCheckpoint(eager=False)  # two consumers (mad agg + final) share one scan
     )
     mad = dev.groupBy("event_type").agg(
         F.expr("percentile(ad, 0.5)").alias("mad")
@@ -475,12 +477,16 @@ def pipeline_markov_eval(spark, sf):
 
     ev = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = ev.select(
-        "user_id",
-        "ts",
-        F.col("event_type").alias("f"),
-        F.lead("event_type").over(w).alias("t"),
-    ).where(F.col("t").isNotNull())
+    pairs = (
+        ev.select(
+            "user_id",
+            "ts",
+            F.col("event_type").alias("f"),
+            F.lead("event_type").over(w).alias("t"),
+        )
+        .where(F.col("t").isNotNull())
+        .localCheckpoint(eager=False)  # train and test split one lead() pass
+    )
     cutoff = F.lit("2024-01-22 00:00:00").cast("timestamp_ntz")
     train = (
         pairs.where(F.col("ts") < cutoff)
@@ -624,8 +630,10 @@ def ts_autocorrelation(spark, sf):
     cnt = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.count(F.lit(1)).alias("c"))
-    series = grid.join(cnt, ["event_type", "h"], "left").select(
-        "event_type", "h", F.coalesce("c", F.lit(0)).alias("c")
+    series = (
+        grid.join(cnt, ["event_type", "h"], "left")
+        .select("event_type", "h", F.coalesce("c", F.lit(0)).alias("c"))
+        .localCheckpoint(eager=False)  # the 3-lag union consumes it three times
     )
     w = Window.partitionBy("event_type").orderBy("h")
     led = series.select(
@@ -727,6 +735,7 @@ def text_rake_keywords(spark, sf):
         )
         .select(F.trim("p").alias("phrase"))
         .where(F.col("phrase") != "")
+        .localCheckpoint(eager=False)  # words + occurrence counts share the split
     )
     words = ph.select(
         "phrase",
@@ -734,7 +743,7 @@ def text_rake_keywords(spark, sf):
         F.size(
             F.filter(F.split("phrase", " "), lambda x: x != "")
         ).alias("plen"),
-    ).where(F.col("w") != "")
+    ).where(F.col("w") != "").localCheckpoint(eager=False)  # ws + ps consumers
     ws = words.groupBy("w").agg(
         F.sum("plen").alias("degree"), F.count(F.lit(1)).alias("freq")
     )

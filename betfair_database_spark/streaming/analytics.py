@@ -680,3 +680,44 @@ def streaming_ohlc(
             "volume",
         )
     )
+
+
+def streaming_interval_coverage(
+    events: DataFrame,
+    duration: str = "cast(round(value * 60) as bigint)",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming twin of the batch interval union
+    (operators/rangejoin.py::merge_intervals): each event opens a
+    [ts, ts + duration-seconds) interval and overlapping intervals merge
+    into islands. The built-in ``session_window`` with a DYNAMIC
+    per-event gap implements exactly that merge — an event's window is
+    its interval, Spark coalesces overlapping windows per key, holds one
+    state row per OPEN island (never per event), and the watermark
+    finalizes islands for append output.
+
+    Boundary semantics: session windows are half-open, so an interval
+    STARTING exactly at another's end opens a new island, where the
+    batch rule (start > prev_end opens) merges the touch — the same
+    single documented divergence streaming_sessionize has; everything
+    else is equal, which the replay parity test pins row-for-row on the
+    fixture data (no exact-touch pairs exist at microsecond timestamps).
+
+    At scale: state is hash-partitioned by key; islands per key inside
+    the watermark horizon bound the state, independent of history."""
+    from pyspark.sql import functions as F
+
+    gap = F.expr(f"make_interval(0, 0, 0, 0, 0, 0, {duration})")
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_intervals"))
+        .select(
+            key_col,
+            F.col("session_window.start").alias("island_start"),
+            F.col("session_window.end").alias("island_end"),
+            "n_intervals",
+        )
+    )

@@ -1089,3 +1089,86 @@ def test_streaming_rollup_matches_batch_create_rollup(spark, tmp_path):
     q.awaitTermination(180)
     streamed = spark.read.schema(ROLLUP_SCHEMA).parquet(rollup_dir)
     assert sorted(tuple(r) for r in streamed.collect()) == batch_rows
+
+
+def test_streaming_interval_coverage_matches_batch_islands(spark, tmp_path):
+    """Dynamic-gap session_window == batch merge_intervals, row-for-row:
+    each event opens a [ts, ts + value-seconds) interval; the streamed
+    islands (start, end, n) must equal the batch gaps-and-islands
+    operator over the same rows. Random sub-second timestamps make
+    exact-touch pairs (the one half-open-boundary divergence)
+    impossible. A sentinel event advances the watermark so append mode
+    finalizes every island."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import functions as F
+
+    from betfair_database_spark.operators.rangejoin import merge_intervals
+    from betfair_database_spark.streaming.analytics import (
+        streaming_interval_coverage,
+    )
+    from betfair_database_spark.streaming.mcm import run_to_memory
+
+    rng = random.Random(20260816)
+    base = dt.datetime(2024, 3, 1, 8, 0, 0)
+    rows = []
+    eid = 0
+    for user in range(1, 10):
+        t = base + dt.timedelta(seconds=rng.randint(0, 1800))
+        for _ in range(rng.randint(4, 20)):
+            rows.append((user, eid, t, float(rng.randint(1, 40))))
+            eid += 1
+            t += dt.timedelta(seconds=rng.randint(30, 3000), microseconds=rng.randint(1, 999_999))
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+
+    batch = merge_intervals(
+        df.select(
+            "user_id",
+            "event_id",
+            F.col("ts").alias("s"),
+            F.expr("timestampadd(SECOND, cast(round(value * 60) as bigint), ts)").alias("e"),
+        ),
+        key="user_id", start="s", end="e", order_tiebreak="event_id",
+    )
+    want = sorted(
+        (r["user_id"], r["island_start"], r["island_end"], r["n_intervals"])
+        for r in batch.collect()
+    )
+
+    src = tmp_path / "cov_events"
+    src.mkdir()
+    # TIME-ORDERED replay (the landing-zone arrival contract): each file
+    # holds a contiguous time slice, so no event arrives after the
+    # watermark passed it. Islands spanning slice boundaries must merge
+    # across micro-batches — the state-continuation behavior under test.
+    # (A time-interleaved split is correct streaming behavior too, but
+    # then late events are watermark-DROPPED and parity cannot hold.)
+    cuts = [dt.datetime(2024, 3, 1, 10), dt.datetime(2024, 3, 1, 14)]
+    slices = [
+        df.where(F.col("ts") < cuts[0]),
+        df.where((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        df.where(F.col("ts") >= cuts[1]),
+    ]
+    for part in slices:
+        part.coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(
+        [(999, 10**9, base + dt.timedelta(days=30), 1.0)],
+        "user_id long, event_id long, ts timestamp, value double",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_to_memory(
+        streaming_interval_coverage(stream), "coverage_out", "append"
+    )
+    got = sorted(
+        (r["user_id"], r["island_start"], r["island_end"], r["n_intervals"])
+        for r in spark.table("coverage_out").where(F.col("user_id") != 999).collect()
+    )
+    assert got == want

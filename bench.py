@@ -162,6 +162,7 @@ HEADLINE = [
     "multimodal_audio_rms",
     "ts_autocorrelation",
     "text_rake_keywords",
+    "ev_burstiness",
 ]
 
 

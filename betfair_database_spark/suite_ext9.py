@@ -768,3 +768,71 @@ def text_rake_keywords(spark, sf):
         F.round(F.col("fp") / F.lit(1000000.0), 4).alias("rake_score"),
     )
     return out.orderBy(F.col("rake_score").desc(), "phrase").limit(20)
+
+
+# =========================================================================
+# ev_burstiness — inter-arrival burstiness / CV per event type
+# =========================================================================
+
+_BURST_ORACLE = r"""
+WITH g AS (
+  SELECT event_type,
+         date_diff('microsecond', ts,
+                   lead(ts) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id)) // 1000 AS gap_ms
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(CAST(sum(gap_ms) AS BIGINT) AS DOUBLE) AS s,
+         CAST(CAST(sum(gap_ms * gap_ms) AS BIGINT) AS DOUBLE) AS q
+  FROM g WHERE gap_ms IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, n AS n_gaps,
+       round(s / n / 1000.0, 3) AS mean_gap_s,
+       round(sqrt((n * q - s * s) / (n * (n - 1.0))) / 1000.0, 3) AS std_gap_s,
+       round((sqrt((n * q - s * s) / (n * (n - 1.0))) - s / n)
+             / (sqrt((n * q - s * s) / (n * (n - 1.0))) + s / n), 5)
+         AS burstiness
+FROM m
+"""
+
+
+@_q("ev_burstiness", _BURST_ORACLE)
+def ev_burstiness(spark, sf):
+    """Goh-Barabasi burstiness B = (sigma - mu)/(sigma + mu) of the
+    inter-arrival gaps per event type (B ~ -1 periodic, 0 Poisson, -> 1
+    bursty) — the traffic-shape diagnostic behind rate-limiter and
+    capacity decisions. Gaps are exact integer milliseconds
+    (microsecond diff // 1000, both engines floor); moments are BIGINT
+    sums, so the double formula is cross-engine identical. One window
+    sort + one grouped aggregate."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    # `div` is exact integer division, mirroring the oracle's // (gaps
+    # are non-negative so floor == trunc)
+    g = ev.select(
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND, ts, lead(ts) over "
+            "(partition by event_type order by ts, event_id)) div 1000"
+        ).alias("gap_ms"),
+    )
+    m = g.where(F.col("gap_ms").isNotNull()).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("gap_ms").cast("double").alias("s"),
+        F.sum(F.col("gap_ms") * F.col("gap_ms")).cast("double").alias("q"),
+    )
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    std = F.sqrt((n * q - s * s) / (n * (n - F.lit(1.0))))
+    mu = s / n
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        F.round(mu / 1000.0, 3).alias("mean_gap_s"),
+        F.round(std / 1000.0, 3).alias("std_gap_s"),
+        F.round((std - mu) / (std + mu), 5).alias("burstiness"),
+    )

@@ -154,3 +154,48 @@ def test_interpolate_at_exact_hit_and_midpoint(spark):
         # a@120 has no next observation -> dropped; b@0 no prev -> dropped
         ("b", at(60), round(5.0 + 3.0 * frac, 6)),
     }
+
+
+def test_ffill_scalable_matches_single_window_fill(spark):
+    """Randomized parity: the two-phase bucketed forward-fill equals the
+    plain per-key running-last window, including nulls before any value
+    (stay null), null-only buckets (carry crosses them), and values on
+    bucket boundaries."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import Window, functions as F
+
+    from betfair_database_spark.operators import timeseries
+
+    rng = random.Random(81521)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for k in ("a", "b", "c"):
+        for i in range(300):
+            ts = base + dt.timedelta(
+                minutes=rng.randint(0, 60 * 24 * 10), seconds=i % 60
+            )
+            val = None if rng.random() < 0.6 else float(rng.randint(1, 99))
+            rows.append((k, len(rows), ts, val))
+    df = spark.createDataFrame(
+        rows, "k string, id long, ts timestamp_ntz, v double"
+    )
+    got = {
+        (r["k"], r["id"]): r["filled"]
+        for r in timeseries.ffill_scalable(
+            df, key="k", ts_col="ts", id_col="id", val_col="v", bucket="day"
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ts", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        (r["k"], r["id"]): r["filled"]
+        for r in df.withColumn(
+            "filled", F.last("v", ignorenulls=True).over(w)
+        ).collect()
+    }
+    assert got == want

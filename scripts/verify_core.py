@@ -103,6 +103,31 @@ def main() -> int:
         print(f"insert update irrelevant: {upd2}")
         assert upd2 == 0
 
+        # materialized rollup (round 8): build, read back, incremental
+        # maintenance under insert, staleness heal path
+        from betfair_database_spark.database import BetfairDatabase
+        from betfair_database_spark.rollup import summarize
+
+        db = BetfairDatabase(ins_db)
+        n_roll = db.create_rollup()
+        print(f"rollup rows: {n_roll}")
+        assert n_roll > 0
+        got = {tuple(r) for r in db.rollup().collect()}
+        want = {tuple(r) for r in summarize(db._read_index()).collect()}
+        assert got == want, "rollup != from-scratch recompute"
+        # mutate + insert → rollup must follow without create_rollup()
+        cat.write_text(
+            cat.read_text(encoding="utf-8").replace(
+                "R1 320m Mdn Renamed", "R1 320m Mdn Again"
+            ),
+            encoding="utf-8",
+        )
+        assert bfdb.insert(ins_db, src, copy=True, on_duplicates="update") == 1
+        got = {tuple(r) for r in db.rollup().collect()}
+        want = {tuple(r) for r in summarize(db._read_index()).collect()}
+        assert got == want, "rollup stale after insert"
+        print("rollup: incremental maintenance verified")
+
         print("VERIFY CORE: all checks passed")
         return 0
     finally:

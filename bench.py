@@ -163,6 +163,7 @@ HEADLINE = [
     "ts_autocorrelation",
     "text_rake_keywords",
     "ev_burstiness",
+    "ml_quantile_binning",
 ]
 
 

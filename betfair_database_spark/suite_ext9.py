@@ -836,3 +836,58 @@ def ev_burstiness(spark, sf):
         F.round(std / 1000.0, 3).alias("std_gap_s"),
         F.round((std - mu) / (std + mu), 5).alias("burstiness"),
     )
+
+
+# =========================================================================
+# ml_quantile_binning — decile discretization with exact boundaries
+# =========================================================================
+
+_QBIN_ORACLE = r"""
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+  FROM events GROUP BY event_type
+),
+assigned AS (
+  SELECT e.event_type, e.value,
+         (SELECT count(*) FROM unnest(b.qs) AS t(q) WHERE e.value > q)
+           AS bucket
+  FROM events e JOIN b USING (event_type)
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(value), 2) AS lo,
+       round(max(value), 2) AS hi
+FROM assigned GROUP BY event_type, bucket
+"""
+
+
+@_q("ml_quantile_binning", _QBIN_ORACLE)
+def ml_quantile_binning(spark, sf):
+    """Decile feature discretization with EXACT interpolated boundaries
+    (Spark percentile == DuckDB quantile_cont, the pairing the
+    inter-arrival row established) — unlike ntile(), boundary-based
+    buckets are a pure function of the VALUE, so they reproduce across
+    engines, runs, and partitionings (ntile ties break by row position).
+    Bucket = how many boundaries the value exceeds; the 5-row boundary
+    table broadcasts, events shuffle once for the final rollup."""
+    ev = _t(spark, sf, "events").select("event_type", "value")
+    b = ev.groupBy("event_type").agg(
+        F.expr(
+            "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("qs")
+    )
+    assigned = ev.join(F.broadcast(b), "event_type").select(
+        "event_type",
+        "value",
+        F.aggregate(
+            F.filter("qs", lambda q: F.col("value") > q),
+            F.lit(0),
+            lambda acc, _: acc + 1,
+        ).alias("bucket"),
+    )
+    return assigned.groupBy("event_type", F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )

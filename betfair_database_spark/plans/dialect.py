@@ -59,8 +59,11 @@ sqlite 3.40 and property-fuzzed in ``test_dialect_modifiers.py`` /
     shifts, whose intermediates may leave the domain and return). An
     UNRECOGNIZED modifier folds the whole call to NULL — exactly SQLite
     (this also covers 3.42's ``subsec``, which 3.40 NULLs).
-    ``localtime``/``utc``/``auto`` raise loudly instead (they need the
+    ``localtime``/``utc`` raise loudly instead (they need the
     reference host's timezone, which Spark sessions don't share);
+    ``auto`` is BRIDGED (round 8 — it needs no timezone: numeric values
+    in [0, 5373484.5) stay julian, other numerics are epoch seconds,
+    text parses normally; legal only first, NULL past position 0);
     non-literal modifier expressions and >500-modifier calls raise too.
   - **Time values**: SQLite's exact accepted set — strict
     ``YYYY-MM-DD[ HH:MM[:SS[.frac]]]`` (strict 0-padding; ``T``
@@ -78,7 +81,9 @@ Round 7: ``localtime``/``utc`` are BRIDGED when the caller supplies the
 capture timezone — ``translate_where(..., local_tz='<IANA zone>')`` /
 ``select(..., local_tz=...)`` — the reference's host-tz semantics with
 the host made explicit (tested against sqlite3 under a pinned process
-TZ). Without ``local_tz`` they still raise; ``auto`` always raises.
+TZ). Without ``local_tz`` they still raise. Round 8: ``auto`` is fully
+bridged (no timezone involved — numeric-range dispatch between julian
+and unixepoch interpretations, first-position-only, pinned vs sqlite3).
 Bridged window: years 1-9999; offsets come from IANA tzdata on both
 paths (zoneinfo on the literal fold, convert_timezone on the column
 chain), so SQLite's pre-1971/post-2038 proxy-year clamp and its
@@ -112,7 +117,7 @@ agrees for ordinary decimals) plus the last-digit corners above;
 fallback); strftime codes the
 reference-era SQLite (3.40) itself returns NULL for (``%e %u %k %l %I %T
 %R %F %p %P %G %g %U %V``); ``%%`` immediately followed by another code
-letter (``%%Y``); the ``auto`` modifier (raises); results/inputs
+letter (``%%Y``); results/inputs
 outside years 0001-9999 (SQLite spans -4713..9999; we render NULL there);
 single ms shifts beyond ±8e15 ms ≈ ±250k years NULL early (SQLite's own
 second/minute/hour limits run to ~14.7M years, values only ever visible
@@ -731,6 +736,23 @@ _SQL_FUNCTIONS = [
                        '\\.$', '.0')
     END
     """,
+    # 'auto' modifier base parse (first position only): numeric values in
+    # the julian-day window [0, 5373484.5) keep the default julian
+    # interpretation; numeric outside it are unix epoch seconds (same
+    # C-rounding + magnitude gate as 'unixepoch'); non-numeric text
+    # parses normally. Pinned against sqlite3 in the modifier matrix.
+    f"""
+    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_ms_auto(x STRING)
+    RETURNS BIGINT
+    RETURN CASE WHEN trim(x) RLIKE {_NUM_GATE} THEN
+        CASE WHEN cast(trim(x) as double) >= 0.0d
+                  AND cast(trim(x) as double) < 5373484.5d
+             THEN sqlite_msparse(x)
+             WHEN abs(cast(trim(x) as double)) <= 300000000000.0d
+             THEN cast(round(cast(trim(x) as double) * 1000.0d) as bigint)
+        END
+    ELSE sqlite_msparse(x) END
+    """,
 ]
 
 _RENAMED_FUNCS = re.compile(
@@ -1333,6 +1355,19 @@ def _py_fold_call(fname, base_lit, mod_lits, fmt_lit, local_tz=None):
         sec = float(t)
         v = _c_round(sec * 1000.0) if abs(sec) <= 3e11 else None
         mods = mods[1:]
+    elif mods and mods[0].lower() == "auto":
+        # numeric in [0, 5373484.5) -> julian default; numeric outside ->
+        # unix epoch seconds; text -> ordinary parse (sqlite's 'auto')
+        t = base_lit.strip()
+        if _BARE_NUMBER.match(t):
+            sec = float(t)
+            if 0.0 <= sec < 5373484.5:
+                v = _py_parse(base_lit)
+            else:
+                v = _c_round(sec * 1000.0) if abs(sec) <= 3e11 else None
+        else:
+            v = _py_parse(base_lit)
+        mods = mods[1:]
     else:
         v = _py_parse(base_lit)
         if mods and mods[0].lower() == "julianday":
@@ -1340,9 +1375,8 @@ def _py_fold_call(fname, base_lit, mod_lits, fmt_lit, local_tz=None):
                 return _py_render(fname, None, fmt_lit)
             mods = mods[1:]
     for mod in mods:
-        if _MOD_TZ.match(mod) and (
-            local_tz is None or mod.lower() == "auto"
-        ):
+        m_tz = _MOD_TZ.match(mod)
+        if m_tz and m_tz.group(1).lower() != "auto" and local_tz is None:
             return None  # let the chain path raise the loud error
         v = _py_modify(v, mod, local_tz)
         if v is None:
@@ -1444,14 +1478,18 @@ def _modifier_op(
     m = _MOD_TZ.match(mod)
     if m:
         kind = m.group(1).lower()
-        if kind != "auto" and local_tz is not None:
+        if kind == "auto":
+            # first-position 'auto' is consumed by the chain base before
+            # modifiers are parsed; past position 0 SQLite NULLs it
+            return None
+        if local_tz is not None:
             return (kind,)
         raise ValueError(
             f"SQLite datetime modifier {mod!r} is not bridged: it depends "
             "on the reference host's local timezone, which a Spark session "
             "does not share. Pass local_tz='<IANA zone>' to "
             "translate_where()/select() to bridge 'localtime'/'utc' with "
-            "an explicit capture timezone ('auto' stays unbridged)."
+            "an explicit capture timezone."
         )
     return None
 
@@ -1612,7 +1650,18 @@ def _rewrite_datetime_call(fname, args, projection=False, local_tz=None):
                 return folded
 
     raw_base = True  # 'julianday' is a no-op only right after a raw number
-    if mod_lits and mod_lits[0].lower() == "unixepoch":
+    if mod_lits and mod_lits[0].lower() == "auto":
+        mod_lits = mod_lits[1:]
+        raw_base = False  # 'julianday' after 'auto' is NULL (pinned)
+        if is_now:  # 'now' is text: 'auto' is a no-op
+            expr = "sqlite_ms_now()"
+        else:
+            expr = (
+                "sqlite_ms_auto(cast(("
+                f"{translate_where(base_raw, projection, local_tz)})"
+                " as string))"
+            )
+    elif mod_lits and mod_lits[0].lower() == "unixepoch":
         mod_lits = mod_lits[1:]
         raw_base = False
         if is_now:  # 'now' is not a bare number: SQLite NULLs this

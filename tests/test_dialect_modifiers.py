@@ -231,9 +231,10 @@ def test_now_default_and_literal(spark):
 
 
 def test_tz_modifiers_raise_loudly(spark):
-    """localtime/utc/auto need the reference host's timezone — the bridge
-    refuses rather than silently diverging."""
-    for mod in ("localtime", "utc", "auto"):
+    """localtime/utc need the reference host's timezone — the bridge
+    refuses rather than silently diverging ('auto' is bridged: it never
+    involves a timezone)."""
+    for mod in ("localtime", "utc"):
         with pytest.raises(ValueError, match="not bridged"):
             translate_where(f"datetime(marketStartTime, '{mod}')")
 
@@ -411,8 +412,72 @@ def test_tz_modifiers_raise_without_local_tz():
         translate_where("datetime('2023-01-01','localtime')")
     with pytest.raises(ValueError, match="not bridged"):
         translate_where("datetime('2023-01-01','utc')")
-    # 'auto' stays unbridged even with a zone
-    with pytest.raises(ValueError, match="not bridged"):
-        translate_where(
-            "datetime('2023-01-01','auto')", local_tz="Europe/London"
-        )
+    # 'auto' is bridged (round 8): literal bases fold at translate time,
+    # column bases take the sqlite_ms_auto macro — neither raises
+    assert translate_where("datetime('2023-01-01','auto')")
+    assert "sqlite_ms_auto" in translate_where(
+        "datetime(marketStartTime,'auto')"
+    )
+
+
+AUTO_MATRIX = [
+    # 'auto' (round 8): numeric in [0, 5373484.5) stays julian, other
+    # numerics are epoch seconds, text parses normally; first-position
+    # only (NULL past position 0); render window years 1-9999 as
+    # everywhere else in the bridge.
+    "datetime(2460000.5, 'auto')",
+    "datetime(1700000000, 'auto')",
+    "datetime('2023-01-01 10:00', 'auto')",
+    "datetime('  1700000000  ', 'auto')",
+    "datetime(5373484.49, 'auto')",
+    "datetime(5373484.5, 'auto')",
+    "datetime(-1, 'auto')",
+    "datetime(1.7e9, 'auto')",
+    "datetime(1700000000, 'auto', '+1 day')",
+    "datetime(1700000000, 'auto', 'start of month')",
+    "datetime(1700000000, '+1 day', 'auto')",  # past position 0 -> NULL
+    "datetime(2460000.5, 'auto', 'julianday')",  # julianday after auto -> NULL
+    "date(1.7e9, 'auto')",
+    "time(1700000000, 'auto')",
+    "julianday(1700000000, 'auto')",
+    "unixepoch(2460000.5, 'auto')",
+    "unixepoch('2023-01-01', 'auto')",
+    "strftime('%Y-%m-%d %H:%M', 1700000000, 'auto')",
+    "datetime(300000000001, 'auto')",  # beyond the epoch magnitude gate
+    "datetime('2460000.5x', 'auto')",
+]
+
+
+def test_auto_modifier_matrix_matches_sqlite(spark):
+    _compare(spark, AUTO_MATRIX)
+
+
+def test_auto_modifier_on_columns(spark):
+    """Column-path 'auto': per-row numeric-range dispatch (mixed julian /
+    epoch / text / garbage values in one column)."""
+    import sqlite3
+
+    register_sqlite_functions(spark)
+
+    vals = [
+        "2460000.5", "1700000000", "2023-01-01 10:00", "2440587.5",
+        "5373484.49", "5373484.5", "-1", "garbage", "", "1.7e9",
+    ]
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (v)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    want = [r[0] for r in con.execute(
+        "SELECT datetime(v, 'auto') FROM t ORDER BY rowid"
+    )]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, v string"
+    )
+    df.createOrReplaceTempView("t_auto")
+    shim = translate_where("datetime(v, 'auto')")
+    got = [
+        r[0]
+        for r in spark.sql(
+            f"SELECT {shim} FROM t_auto ORDER BY i"
+        ).collect()
+    ]
+    assert got == want

@@ -481,3 +481,44 @@ def test_auto_modifier_on_columns(spark):
         ).collect()
     ]
     assert got == want
+
+
+def test_auto_chain_fuzz_matches_sqlite(spark):
+    """Randomized 'auto'-led chains: numeric bases straddling the julian
+    window boundary (julian-range, epoch-range, negative, fractional,
+    scientific notation, quoted and bare) followed by 0-2 ordinary
+    modifiers, rendered through every output function."""
+    rng = random.Random(20260815)
+    units = ["days", "hours", "minutes", "seconds", "months", "years"]
+    exprs = []
+    for _ in range(90):
+        r = rng.random()
+        if r < 0.35:  # julian-range (renders inside years 1-9999)
+            base = f"{rng.uniform(1721426.0, 5373484.4):.6f}"
+        elif r < 0.7:  # epoch-range
+            base = f"{rng.uniform(5373485.0, 4e9):.3f}"
+        elif r < 0.8:  # negative epoch
+            base = f"{rng.uniform(-2e9, -1):.3f}"
+        elif r < 0.9:  # scientific notation
+            base = f"{rng.uniform(1.0, 4.0):.6f}e9"
+        else:  # text base: 'auto' must be a no-op
+            d = _dt.datetime(2000, 1, 1) + _dt.timedelta(
+                days=rng.randint(0, 9000), seconds=rng.randint(0, 86399)
+            )
+            base = f"'{d.strftime('%Y-%m-%d %H:%M:%S')}'"
+        if rng.random() < 0.5 and not base.startswith("'"):
+            base = f"'{base}'"  # quoted numerics behave identically
+        mods = ["'auto'"]
+        for _k in range(rng.randint(0, 2)):
+            if rng.random() < 0.6:
+                v = round(rng.uniform(-40, 40), rng.choice([0, 1, 3]))
+                mods.append(f"'{v:+g} {rng.choice(units)}'")
+            else:
+                mods.append(
+                    f"'start of {rng.choice(['day', 'month', 'year'])}'"
+                )
+        fn = rng.choice(
+            ["datetime", "date", "time", "julianday", "unixepoch"]
+        )
+        exprs.append(f"{fn}({base}, {', '.join(mods)})")
+    _compare(spark, exprs)

@@ -164,6 +164,7 @@ HEADLINE = [
     "text_rake_keywords",
     "ev_burstiness",
     "ml_quantile_binning",
+    "pipeline_entity_resolution",
 ]
 
 

@@ -891,3 +891,86 @@ def ml_quantile_binning(spark, sf):
         F.round(F.min("value"), 2).alias("lo"),
         F.round(F.max("value"), 2).alias("hi"),
     )
+
+
+# =========================================================================
+# pipeline_entity_resolution — blocked fuzzy match -> clusters -> canonical
+# =========================================================================
+
+_ER_ORACLE = r"""
+WITH RECURSIVE pairs AS (
+  SELECT a.p_partkey AS a, b.p_partkey AS b
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 3
+),
+sym AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),
+nodes AS (SELECT DISTINCT s AS node FROM sym),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, sym.d FROM reach JOIN sym ON sym.s = reach.r
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+clusters AS (
+  SELECT component, count(*) AS n_members, max(node) AS max_member
+  FROM comp GROUP BY component
+)
+SELECT CAST(c.component AS BIGINT) AS canonical_id,
+       p.p_name AS canonical_name,
+       CAST(c.n_members AS BIGINT) AS n_members,
+       CAST(c.max_member AS BIGINT) AS max_member
+FROM clusters c JOIN part p ON p.p_partkey = c.component
+"""
+
+
+@_q("pipeline_entity_resolution", _ER_ORACLE)
+def pipeline_entity_resolution(spark, sf):
+    """The classic entity-resolution pipeline composed from existing
+    operators: MULTI-KEY-blocked edit-distance matching, connected
+    components over the match graph (min-label propagation, one shuffle
+    per round), then canonical-record selection (min id per cluster)
+    enriched with its name. Clusters are size >= 2 by construction
+    (singletons have no edges — the dedup-report contract).
+
+    Blocking is the ER scale decision, made explicitly here: a single
+    brand block densifies quadratically with catalog size (measured:
+    15.6 s at sf0.1, minutes at 10x — 800M candidate pairs), so the
+    block key is (brand, size) — the standard multi-key refinement
+    that keeps per-block comparison sets bounded as the catalog grows.
+    The oracle recomputes components with a recursive reachability CTE
+    over the identical pair set."""
+    from betfair_database_spark.operators import graph
+
+    part = _t(spark, sf, "part")
+    a = part.select(
+        F.col("p_partkey").alias("a"),
+        F.col("p_name").alias("na"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("b"),
+        F.col("p_name").alias("nb"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+    )
+    pairs = (
+        a.join(b, ["brand", "size"])
+        .where(F.col("a") < F.col("b"))
+        .where(F.levenshtein("na", "nb") <= 3)
+        .select("a", "b")
+    )
+    comp = graph.connected_components(pairs, "a", "b")
+    clusters = comp.groupBy(F.col("component").cast("long").alias("canonical_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("node").cast("long").alias("max_member"),
+    )
+    names = part.select(
+        F.col("p_partkey").cast("long").alias("canonical_id"),
+        F.col("p_name").alias("canonical_name"),
+    )
+    return clusters.join(names, "canonical_id").select(
+        "canonical_id", "canonical_name", "n_members", "max_member"
+    )

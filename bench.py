@@ -165,6 +165,7 @@ HEADLINE = [
     "ev_burstiness",
     "ml_quantile_binning",
     "pipeline_entity_resolution",
+    "unpivot_lineitem_measures",
 ]
 
 

@@ -974,3 +974,57 @@ def pipeline_entity_resolution(spark, sf):
     return clusters.join(names, "canonical_id").select(
         "canonical_id", "canonical_name", "n_members", "max_member"
     )
+
+
+# =========================================================================
+# unpivot_lineitem_measures — relational UNPIVOT (wide -> long)
+# =========================================================================
+
+_UNPIVOT_ORACLE = r"""
+WITH long AS (
+  SELECT l_returnflag, measure, value FROM (
+    SELECT l_returnflag, 'quantity' AS measure, l_quantity AS value
+    FROM lineitem
+    UNION ALL
+    SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_returnflag, 'discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_returnflag, 'tax', l_tax FROM lineitem
+  )
+)
+SELECT l_returnflag, measure,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 2)
+         AS total,
+       round(min(value), 2) AS lo,
+       round(max(value), 2) AS hi
+FROM long GROUP BY l_returnflag, measure
+"""
+
+
+@_q("unpivot_lineitem_measures", _UNPIVOT_ORACLE)
+def unpivot_lineitem_measures(spark, sf):
+    """Relational UNPIVOT (wide -> long): the four lineitem measures melt
+    into (measure, value) rows via the native unpivot operator — ONE scan
+    (the oracle's 4-way UNION ALL re-reads the table per measure; Spark's
+    Expand node emits 4 rows per input row in the same pass), then a
+    grouped profile per measure. Money sums in DECIMAL (exact,
+    order-free) rendered as rounded doubles."""
+    li = _t(spark, sf, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).withColumn(
+        "measure", F.expr("substring(measure, 3)")  # drop the 'l_' prefix
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 2
+        ).alias("total"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )

@@ -99,6 +99,18 @@ def make_parser() -> argparse.ArgumentParser:
         help="number of newest snapshots to keep readable (default 1)",
     )
 
+    p_roll = sub.add_parser(
+        "rollup",
+        description="Materialize or show the per-(sport, day) continuous "
+        "aggregate (engine extension; insert/clean keep it consistent).",
+    )
+    p_roll.add_argument("database_dir")
+    p_roll.add_argument(
+        "action",
+        choices=["create", "show"],
+        help="create = (re)build from the index; show = print the rows",
+    )
+
     return parser
 
 
@@ -145,6 +157,18 @@ def _run(args: argparse.Namespace) -> int:
             print(f"v{s['version']}\t{s['rows']} rows\t{flags.strip()}")
     elif args.command == "vacuum":
         say(f"Reaped {db.vacuum(retain_last=args.retain_last)} files.")
+    elif args.command == "rollup":
+        if args.action == "create":
+            say(f"Rollup materialized: {db.create_rollup()} rows.")
+        else:
+            for r in sorted(
+                db.rollup().collect(),
+                key=lambda r: (str(r["eventTypeId"]), str(r["startDate"])),
+            ):
+                print(
+                    f"{r['eventTypeId']}	{r['startDate']}	"
+                    f"{r['markets']} markets	{r['runnersTotal']} runners"
+                )
     return 0
 
 

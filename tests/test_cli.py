@@ -55,3 +55,19 @@ def test_cli_parser_shapes():
         p.parse_args(["insert", "db", "src", "-d", "bogus"])
     with pytest.raises(SystemExit):
         p.parse_args([])  # subcommand required
+
+
+def test_cli_rollup_create_and_show(spark, tmp_path, capsys):
+    from tests.corpus import build_corpus
+
+    from betfair_database_spark.cli import main
+
+    root = tmp_path / "clidb"
+    build_corpus(root)
+    assert main(["index", str(root)]) == 0
+    assert main(["rollup", str(root), "create"]) == 0
+    out1 = capsys.readouterr().out
+    assert "Rollup materialized:" in out1
+    assert main(["rollup", str(root), "show"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out and all("\t" in line and "markets" in line for line in out)

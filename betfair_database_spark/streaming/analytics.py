@@ -721,3 +721,35 @@ def streaming_interval_coverage(
             "n_intervals",
         )
     )
+
+
+def streaming_scd2_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Stream-static SCD2 enrichment: each streamed event picks the
+    dimension row valid AT ITS OWN EVENT TIME — equi-join on the key plus
+    the half-open validity predicate ``valid_from <= ts < valid_to``.
+    The canonical "enrich facts against a slowly-changing dimension"
+    shape: stateless (no watermark needed — the static side is not a
+    stream), so it composes under any downstream stateful operator.
+
+    At scale: the static side joins per micro-batch with the usual
+    batch planning (broadcast when small); note Spark caches file
+    LISTINGS for static sides — a dimension UPDATED in place needs the
+    rewritten-path/refreshed-view pattern, while an SCD2 dim is
+    append-only by construction, which is exactly why SCD2 is the
+    streaming-friendly dimension shape.
+    """
+    from pyspark.sql import functions as F
+
+    cond = (
+        (events[key] == dim[key])
+        & (events[ts_col] >= dim[valid_from])
+        & (events[ts_col] < dim[valid_to])
+    )
+    return events.join(dim, cond, "inner").drop(dim[key])

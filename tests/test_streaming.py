@@ -1172,3 +1172,70 @@ def test_streaming_interval_coverage_matches_batch_islands(spark, tmp_path):
         for r in spark.table("coverage_out").where(F.col("user_id") != 999).collect()
     )
     assert got == want
+
+
+def test_streaming_scd2_enrich_matches_batch_interval_join(spark, tmp_path):
+    """Stream-static SCD2 enrichment == the batch point-in-interval join
+    row-for-row: each event gets the tier valid at its own event time;
+    events outside every validity window drop (inner join)."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import functions as F
+
+    from betfair_database_spark.streaming.analytics import (
+        streaming_scd2_enrich,
+    )
+    from betfair_database_spark.streaming.mcm import run_to_memory
+
+    rng = random.Random(442026)
+    base = dt.datetime(2024, 4, 1)
+    far = dt.datetime(2100, 1, 1)
+    dim_rows = []
+    for user in range(1, 9):
+        cuts = sorted(rng.randint(1, 29) for _ in range(rng.randint(0, 3)))
+        bounds = [base] + [base + dt.timedelta(days=c) for c in cuts] + [far]
+        for i in range(len(bounds) - 1):
+            dim_rows.append((user, f"tier{i}", bounds[i], bounds[i + 1]))
+    dim = spark.createDataFrame(
+        dim_rows,
+        "user_id long, tier string, valid_from timestamp, valid_to timestamp",
+    )
+
+    ev_rows = [
+        (
+            i,
+            rng.randint(0, 9),  # user 0/9 have no dim rows -> dropped
+            base + dt.timedelta(days=rng.uniform(-1, 31)),
+        )
+        for i in range(400)
+    ]
+    ev = spark.createDataFrame(ev_rows, "event_id long, user_id long, ts timestamp")
+
+    batch = streaming_scd2_enrich(ev, dim)
+    want = sorted(
+        (r["event_id"], r["tier"]) for r in batch.select("event_id", "tier").collect()
+    )
+    assert want  # non-degenerate
+    assert len(want) < len(ev_rows)  # some events matched no interval
+
+    src = tmp_path / "scd2_events"
+    src.mkdir()
+    for i in range(3):
+        ev.where(F.pmod(F.col("event_id") + i, 3) == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_to_memory(
+        streaming_scd2_enrich(stream, dim).select("event_id", "tier"),
+        "scd2_out",
+        "append",
+    )
+    got = sorted(
+        (r["event_id"], r["tier"]) for r in spark.table("scd2_out").collect()
+    )
+    assert got == want

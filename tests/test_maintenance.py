@@ -777,3 +777,40 @@ class TestMaterializedRollup:
         db, _ = env
         db.index(force=True)
         assert self._materialized(db) == self._recomputed(db)
+
+
+def test_rollup_stays_fresh_under_time_travel_and_vacuum(spark, tmp_path):
+    """Rollup + snapshot retention interplay: with retain_snapshots > 1,
+    maintenance keeps the rollup at the LIVE snapshot while older index
+    snapshots stay readable; vacuum() reaps history without touching
+    rollup freshness."""
+    from betfair_database_spark.database import BetfairDatabase
+    from betfair_database_spark.rollup import summarize
+
+    base = tmp_path
+    target = base / "db"
+    target.mkdir()
+    src = base / "src"
+    build_corpus(src)
+    db = BetfairDatabase(target, spark=spark, retain_snapshots=3)
+    db.insert(src, copy=True)
+    db.create_rollup()
+    v0 = db.snapshots()[-1]["version"]
+
+    p = src / "1.222000001.json"
+    d = json.loads(p.read_text())
+    d["description"]["marketTime"] = "2023-07-28T15:45:00.000Z"
+    p.write_text(json.dumps(d))
+    assert db.insert(src, copy=True, on_duplicates="update") == 1
+
+    # rollup followed the live snapshot...
+    got = {tuple(r) for r in db.rollup().collect()}
+    want = {tuple(r) for r in summarize(db._read_index()).collect()}
+    assert got == want
+    # ...while the PRE-update snapshot is still readable (time travel)
+    old = db.select_df(version=v0)
+    assert old.count() == db.size()
+
+    assert db.vacuum(retain_last=1) > 0  # history reaped
+    got = {tuple(r) for r in db.rollup().collect()}  # rollup untouched
+    assert got == want

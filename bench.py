@@ -166,6 +166,7 @@ HEADLINE = [
     "ml_quantile_binning",
     "pipeline_entity_resolution",
     "unpivot_lineitem_measures",
+    "graph_negative_samples",
 ]
 
 

@@ -1034,3 +1034,85 @@ def unpivot_lineitem_measures(spark, sf):
         F.round(F.min("value"), 2).alias("lo"),
         F.round(F.max("value"), 2).alias("hi"),
     )
+
+
+# =========================================================================
+# graph_negative_samples — deterministic non-edge sampling (training data
+# for link prediction: the complement set is sampled, never materialized)
+# =========================================================================
+
+_NEG_ORACLE = """
+WITH slots AS (
+  SELECT DISTINCT user_id AS u, date_trunc('hour', ts) AS slot
+  FROM events WHERE user_id < 1000
+),
+e AS (
+  SELECT a.u AS u, b.u AS v
+  FROM slots a JOIN slots b ON a.slot = b.slot AND a.u < b.u
+  GROUP BY 1, 2 HAVING count(*) >= 8
+),
+cand AS (
+  SELECT i,
+         CAST('0x' || substr(md5('u' || i), 1, 8) AS BIGINT) % 1000 AS u,
+         CAST('0x' || substr(md5('v' || i), 1, 8) AS BIGINT) % 1000 AS v
+  FROM (SELECT unnest(generate_series(0, 4999)) AS i)
+),
+pairs AS (
+  SELECT i, least(u, v) AS u, greatest(u, v) AS v FROM cand WHERE u <> v
+),
+neg AS (
+  SELECT p.i, p.u, p.v FROM pairs p
+  LEFT JOIN e ON e.u = p.u AND e.v = p.v
+  WHERE e.u IS NULL
+)
+SELECT CAST(i AS BIGINT) AS draw, CAST(u AS BIGINT) AS u,
+       CAST(v AS BIGINT) AS v
+FROM neg ORDER BY i LIMIT 100
+"""
+
+
+@_q("graph_negative_samples", _NEG_ORACLE)
+def graph_negative_samples(spark, sf):
+    """Negative sampling for link-prediction training: 100 deterministic
+    NON-edges of the cohort co-activity graph (same edge rule as the
+    jaccard/triangle rows). The complement graph is never materialized —
+    candidate pairs come from an md5 hash stream (engine-independent,
+    reproducible across runs and partitionings, like every sampler in
+    this repo), rejected by an anti-join against the edge set, first 100
+    by draw index. At scale the edge side is the big relation and the
+    candidate stream is O(k) — the anti-join shuffles candidates, never
+    the complement."""
+    ev = _t(spark, sf, "events").where(F.col("user_id") < 1000)
+    slots = ev.select(
+        F.col("user_id").alias("u"),
+        F.date_trunc("hour", F.col("ts")).alias("slot"),
+    ).distinct()
+    a = slots.select(F.col("u").alias("a"), "slot")
+    b = slots.select(F.col("u").alias("b"), "slot")
+    edges = (
+        a.join(b, "slot")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 8)
+        .select(F.col("a").alias("u"), F.col("b").alias("v"))
+    )
+    h = lambda pfx: (  # noqa: E731 — first-8-hex-md5 as long, mod cohort
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(pfx), F.col("i"))), 1, 8), 16, 10
+        ).cast("long")
+        % 1000
+    )
+    cand = (
+        spark.range(0, 5000)
+        .select(F.col("id").cast("string").alias("i"))
+        .select("i", h("u").alias("cu"), h("v").alias("cv"))
+        .where(F.col("cu") != F.col("cv"))
+        .select(
+            F.col("i").cast("long").alias("draw"),
+            F.least("cu", "cv").alias("u"),
+            F.greatest("cu", "cv").alias("v"),
+        )
+    )
+    neg = cand.join(edges, ["u", "v"], "left_anti")
+    return neg.orderBy("draw").limit(100).select("draw", "u", "v")

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from betfair_database_spark.const import (
     INDEX_DIRNAME,
+    MARKET_METADATA_FILE_PATH,
     SQL_TABLE_COLUMNS,
     SQL_TABLE_NAME,
     DuplicatePolicy,
@@ -269,6 +270,41 @@ class BetfairDatabase:
                 }
             )
         return out
+
+    def diff(self, version: int, to_version: int | None = None) -> DataFrame:
+        """What changed between two committed index snapshots (engine
+        extension on the time-travel surface; the reference has no
+        versioning at all): one row per difference with ``change_type``
+        in {added, removed, changed}, keyed by ``marketMetadataFilePath``
+        (the index's unique market key). ``to_version=None`` compares
+        against the live index.
+
+        Plan: two snapshot reads full-outer-joined on the key — O(both
+        snapshots' touched partitions), no driver-side row loops; the
+        'changed' test compares the remaining 36 columns as one struct
+        (null-safe). Snapshot readability rules are _read_index's
+        (vacuumed history raises with the retained-version list)."""
+        key = MARKET_METADATA_FILE_PATH
+        old = self._read_index(version=version)
+        new = self._read_index(version=to_version)
+        rest = [c for c in SQL_TABLE_COLUMNS if c != key]
+        o = old.select(
+            F.col(key), F.struct(*rest).alias("_o"), F.lit(1).alias("_ol")
+        )
+        n = new.select(
+            F.col(key), F.struct(*rest).alias("_n"), F.lit(1).alias("_nl")
+        )
+        j = o.join(n, key, "full_outer")
+        change = (
+            F.when(F.col("_ol").isNull(), F.lit("added"))
+            .when(F.col("_nl").isNull(), F.lit("removed"))
+            .when(~F.col("_o").eqNullSafe(F.col("_n")), F.lit("changed"))
+        )
+        return (
+            j.withColumn("change_type", change)
+            .where(F.col("change_type").isNotNull())
+            .select(key, "change_type")
+        )
 
     def vacuum(self, retain_last: int | None = None) -> int:
         """Prune snapshot history to the newest ``retain_last`` (defaults

@@ -814,3 +814,51 @@ def test_rollup_stays_fresh_under_time_travel_and_vacuum(spark, tmp_path):
     assert db.vacuum(retain_last=1) > 0  # history reaped
     got = {tuple(r) for r in db.rollup().collect()}  # rollup untouched
     assert got == want
+
+
+def test_snapshot_diff_reports_added_removed_changed(spark, tmp_path):
+    """diff(v_old[, v_new]): one row per difference across two committed
+    snapshots — an update is 'changed', a clean is 'removed', a new
+    market is 'added'; identical rows never appear."""
+    from betfair_database_spark.database import BetfairDatabase
+
+    base = tmp_path
+    target = base / "db"
+    target.mkdir()
+    src = base / "src"
+    build_corpus(src)
+    db = BetfairDatabase(target, spark=spark, retain_snapshots=10)
+    db.insert(src, copy=True)
+    v1 = db.snapshots()[-1]["version"]
+
+    # change one market's metadata
+    p = src / "1.222000001.json"
+    d = json.loads(p.read_text())
+    d["description"]["marketTime"] = "2023-07-28T16:20:00.000Z"
+    p.write_text(json.dumps(d))
+    assert db.insert(src, copy=True, on_duplicates="update") == 1
+    v2 = db.snapshots()[-1]["version"]
+
+    d12 = {
+        (r["change_type"], r["marketMetadataFilePath"].rsplit("/", 1)[-1])
+        for r in db.diff(v1, v2).collect()
+    }
+    assert d12 == {("changed", "1.222000001.json")}
+
+    # remove a market's data file -> clean() drops the row
+    victim = next(
+        pathlib.Path(r["marketDataFilePath"])
+        for r in db.select(
+            ["marketDataFilePath"], where="marketId = '1.222000002'"
+        )
+    )
+    victim.unlink()
+    assert db.clean() == 1
+    d2live = {
+        (r["change_type"], r["marketMetadataFilePath"].rsplit("/", 1)[-1])
+        for r in db.diff(v2).collect()  # vs live
+    }
+    assert d2live == {("removed", "1.222000002.json")}
+
+    # no self-diff noise
+    assert db.diff(v1, v1).count() == 0

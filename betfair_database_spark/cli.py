@@ -111,6 +111,20 @@ def make_parser() -> argparse.ArgumentParser:
         help="create = (re)build from the index; show = print the rows",
     )
 
+    p_diff = sub.add_parser(
+        "diff",
+        description="What changed between two committed index snapshots "
+        "(added/removed/changed market rows).",
+    )
+    p_diff.add_argument("database_dir")
+    p_diff.add_argument("version", type=int, help="older snapshot version")
+    p_diff.add_argument(
+        "--to-version",
+        type=int,
+        default=None,
+        help="newer snapshot (default: the live index)",
+    )
+
     return parser
 
 
@@ -169,6 +183,14 @@ def _run(args: argparse.Namespace) -> int:
                     f"{r['eventTypeId']}	{r['startDate']}	"
                     f"{r['markets']} markets	{r['runnersTotal']} runners"
                 )
+    elif args.command == "diff":
+        rows = sorted(
+            (r["change_type"], r["marketMetadataFilePath"])
+            for r in db.diff(args.version, args.to_version).collect()
+        )
+        for change, path in rows:
+            print(f"{change}\t{path}")
+        say(f"{len(rows)} difference(s).")
     return 0
 
 

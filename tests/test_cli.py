@@ -71,3 +71,30 @@ def test_cli_rollup_create_and_show(spark, tmp_path, capsys):
     assert main(["rollup", str(root), "show"]) == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert out and all("\t" in line and "markets" in line for line in out)
+
+
+def test_cli_diff_between_snapshots(spark, tmp_path, capsys):
+    import json as _json
+
+    from tests.corpus import build_corpus
+
+    from betfair_database_spark.cli import main
+    from betfair_database_spark.database import BetfairDatabase
+
+    root = tmp_path / "diffdb"
+    root.mkdir()
+    src = tmp_path / "diffsrc"
+    build_corpus(src)
+    db = BetfairDatabase(root, spark=spark, retain_snapshots=5)
+    db.insert(src, copy=True)
+    v1 = db.snapshots()[-1]["version"]
+    p = src / "1.222000001.json"
+    d = _json.loads(p.read_text())
+    d["description"]["marketTime"] = "2023-07-28T17:00:00.000Z"
+    p.write_text(_json.dumps(d))
+    db.insert(src, copy=True, on_duplicates="update")
+
+    assert main(["diff", str(root), str(v1)]) == 0
+    out = capsys.readouterr().out
+    assert "changed\t" in out and "1.222000001.json" in out
+    assert "1 difference(s)." in out

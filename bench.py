@@ -167,6 +167,7 @@ HEADLINE = [
     "pipeline_entity_resolution",
     "unpivot_lineitem_measures",
     "graph_negative_samples",
+    "asof_join_tolerance",
 ]
 
 

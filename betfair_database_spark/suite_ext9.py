@@ -1116,3 +1116,55 @@ def graph_negative_samples(spark, sf):
     )
     neg = cand.join(edges, ["u", "v"], "left_anti")
     return neg.orderBy("draw").limit(100).select("draw", "u", "v")
+
+
+# =========================================================================
+# asof_join_tolerance — as-of with a max-staleness bound
+# =========================================================================
+
+_ASOF_TOL_ORACLE = """
+WITH r AS (
+  SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id,
+       CASE WHEN date_diff('microsecond', r.o_orderdate, e.ts)
+                 <= 30 * 86400 * 1000000::BIGINT
+            THEN r.o_orderkey END AS recent_order_key
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+"""
+
+
+@_q("asof_join_tolerance", _ASOF_TOL_ORACLE)
+def asof_join_tolerance(spark, sf):
+    """As-of join with a STALENESS TOLERANCE (pandas merge_asof's
+    ``tolerance=``): the latest order at each event's time counts only if
+    it is at most 30 days old — the market-data rule that a quote older
+    than the tolerance window is no quote at all. The bound applies AFTER
+    the as-of match (null, not next-older), so it is a projection over
+    the existing union+window as-of plan: zero extra joins or shuffles.
+    Duration test in exact microseconds (the round-8 cross-engine rule)."""
+    from betfair_database_spark.operators import asof
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp_ntz").alias("_ts")
+    )
+    r = (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    joined = asof.asof_join(
+        ev, r, on="user_id", left_ts="_ts", right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_orderdate"],
+    )
+    fresh = F.expr(
+        "timestampdiff(MICROSECOND, o_orderdate, _ts)"
+    ) <= F.lit(30 * 86400 * 1_000_000)
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.when(fresh, F.col("o_orderkey")).alias("recent_order_key"),
+    )

@@ -168,6 +168,7 @@ HEADLINE = [
     "unpivot_lineitem_measures",
     "graph_negative_samples",
     "asof_join_tolerance",
+    "ev_peak_concurrency",
 ]
 
 

@@ -1168,3 +1168,68 @@ def asof_join_tolerance(spark, sf):
         "user_id",
         F.when(fresh, F.col("o_orderkey")).alias("recent_order_key"),
     )
+
+
+# =========================================================================
+# ev_peak_concurrency — max simultaneous open intervals (endpoint sweep)
+# =========================================================================
+
+_PEAK_ORACLE = r"""
+WITH iv AS (
+  SELECT event_type, ts AS s,
+         ts + (CAST(round(value * 60) AS BIGINT) * INTERVAL 1 SECOND) AS e
+  FROM events
+),
+pts AS (
+  SELECT event_type, s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT event_type, e, -1 FROM iv
+),
+sweep AS (
+  SELECT event_type, t, d,
+         sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+                      ROWS UNBOUNDED PRECEDING) AS open_now
+  FROM pts
+)
+SELECT event_type,
+       CAST(max(open_now) AS BIGINT) AS peak_concurrency,
+       CAST(count(*) / 2 AS BIGINT) AS n_intervals
+FROM sweep GROUP BY event_type
+"""
+
+
+@_q("ev_peak_concurrency", _PEAK_ORACLE)
+def ev_peak_concurrency(spark, sf):
+    """Peak concurrency per event type — the endpoint sweep: every
+    interval contributes (+1 at start, -1 at end), a running sum over the
+    time-ordered endpoints is the live count, its max the peak. One
+    shuffle on the type key + a per-key sort; no interval self-join (the
+    naive overlap-count pairing is O(n^2) per key). Half-open semantics:
+    at an instant where one interval ends exactly as another starts, the
+    -1 sorts first (ORDER BY t, d with d=-1 < 1), so they never count as
+    concurrent — identical tie rule on both engines."""
+    ev = _t(spark, sf, "events")
+    iv = ev.select(
+        "event_type",
+        F.col("ts").alias("s"),
+        F.expr(
+            "timestampadd(SECOND, cast(round(value * 60) as bigint), ts)"
+        ).alias("e"),
+    )
+    pts = iv.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionAll(
+        iv.select("event_type", F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sweep = pts.withColumn("open_now", F.sum("d").over(w))
+    return sweep.groupBy("event_type").agg(
+        F.max("open_now").cast("long").alias("peak_concurrency"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+    )

@@ -717,8 +717,8 @@ class BetfairDatabase:
                 shutil.rmtree(gone)
         from betfair_database_spark.rollup import rollup_update
 
-        rollup_update(self, repl, touched)
         if old is None:  # no base counts → a partial manifest would lie
+            rollup_update(self, repl, touched)
             return
         merged = {k: e["count"] for k, e in old.items()}
         for v in touched:
@@ -735,6 +735,11 @@ class BetfairDatabase:
                 for k, n in merged.items()
             },
         )
+        # Rollup maintenance strictly AFTER the manifest commit (mirrors
+        # _upsert_partitions): the manifest was unlinked at the top of this
+        # method, so calling earlier would stamp the rollup with snapshot 0
+        # and the real commit below it would immediately read as stale.
+        rollup_update(self, repl, touched)
 
 
 def _index_schema():

@@ -175,11 +175,14 @@ def interpolate_at(
     stream and two running ``last(..., ignorenulls=True)`` windows (one
     per direction) carry the bracketing observations to each marker, so
     the cost is one shuffle on ``key`` + two per-key sorts regardless of
-    grid density. The forward and backward window orders are exact
-    reverses of one total order (ts, is_grid, id) — an observation at
-    exactly a grid timestamp sorts before the marker in both directions,
-    making prev == next == the observation, and the t_next == t_prev
-    guard then returns it exactly (no 0/0). Interpolation arithmetic is
+    grid density. The forward order is (ts, is_grid, id); the backward
+    order is (ts DESC, is_grid ASC, id DESC) — is_grid stays ASCENDING in
+    both so an observation at exactly a grid timestamp is processed
+    before the marker in BOTH directions, making prev == next == the
+    observation, and the t_next == t_prev guard then returns it exactly
+    (no 0/0) — including at a key's LAST observation, where a fully
+    reversed order would leave the marker's backward frame empty and
+    drop the exact hit. Interpolation arithmetic is
     integer-MICROsecond diffs — the storage precision, where Spark's
     truncating timestampdiff and DuckDB's boundary-counting date_diff
     agree exactly (at any coarser unit they differ by one whenever the
@@ -203,7 +206,13 @@ def interpolate_at(
     )
     u = ev.unionByName(gm)
     fwd = [F.col("_ts"), F.col("_is_grid"), F.coalesce("_id", F.lit(0))]
-    bwd = [c.desc() for c in fwd]
+    # NOT the full reverse: _is_grid stays ascending so obs-before-marker
+    # holds at equal ts in both directions (see docstring).
+    bwd = [
+        F.col("_ts").desc(),
+        F.col("_is_grid").asc(),
+        F.coalesce("_id", F.lit(0)).desc(),
+    ]
     w_f = (
         Window.partitionBy(key).orderBy(*fwd).rowsBetween(
             Window.unboundedPreceding, 0

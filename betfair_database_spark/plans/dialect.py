@@ -1789,7 +1789,20 @@ def _real_columns_ci() -> dict[str, str]:
 
 
 def _prev_is_concat(out: list) -> bool:
-    return "".join(out[-4:]).rstrip().endswith("||")
+    # Whitespace is appended one char per element, so skip blank TRAILING
+    # elements first — a fixed out[-4:] window would miss `||` behind 3+
+    # spaces or a newline+indent and silently skip the sqlite_real_text
+    # bridge. `||` itself spans two single-char "|" elements, so after the
+    # skip accumulate contiguous elements until two substantive chars are
+    # in hand (keeping interior whitespace, so `| |` is NOT concat).
+    i = len(out) - 1
+    while i >= 0 and not out[i].strip():
+        i -= 1
+    tail = ""
+    while i >= 0 and len(tail) < 2:
+        tail = out[i] + tail
+        i -= 1
+    return tail.endswith("||")
 
 
 def _next_is_concat(where: str, j: int) -> bool:

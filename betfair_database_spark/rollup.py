@@ -147,11 +147,24 @@ def rollup_update(db, repl: DataFrame, touched: list) -> None:
     live = rollup_path(db.database_dir)
     if not live.exists() or not touched:
         return
+    snap = _manifest_snapshot_no(db._index_path)
+    meta = _meta_read(live)
+    if meta is None or meta.get("index_snapshot") not in (snap - 1, snap):
+        # Snapshot numbers are sequential, so the only safe incremental
+        # bases are snap-1 (the normal post-commit call: rollup was fresh
+        # at the previous snapshot) and snap itself (an idempotent re-fold:
+        # touched partitions are recomputed from ``repl`` either way). Any
+        # other value means a prior maintenance op crashed between its
+        # index commit and rollup swap (or the index was force-rebuilt);
+        # carrying those rows over and stamping ``snap`` would launder the
+        # staleness past the StaleRollupError guard. Heal by a full
+        # rebuild from the live index instead.
+        rollup_build(db)
+        return
     keep = db.spark.read.schema(ROLLUP_SCHEMA).parquet(str(live)).where(
         ~db._partition_filter(touched)
     )
     fresh = summarize(repl.where(db._partition_filter(touched)))
-    snap = _manifest_snapshot_no(db._index_path)
     _atomic_swap(db, keep.unionByName(fresh).localCheckpoint(), snap)
 
 

@@ -182,6 +182,100 @@ def start_index_stream(
     return writer.start()
 
 
+_STREAM_META_NAME = "_stream_meta.json"
+
+
+def _stream_meta_read(d) -> dict | None:
+    import json
+
+    try:
+        return json.loads((d / _STREAM_META_NAME).read_text())
+    except (OSError, ValueError):
+        return None
+
+
+def rollup_merge_batch(batch: DataFrame, batch_id: int, rollup_dir: str) -> None:
+    """One idempotent micro-batch fold for ``start_rollup_stream``.
+
+    ``foreachBatch`` is at-least-once (a micro-batch is re-run after a
+    failure between the sink write and the checkpoint commit) and an
+    additive fold is not naturally idempotent, so the sink makes itself
+    so: every swap records the applied ``batch_id`` in
+    ``_stream_meta.json`` inside the rollup directory (underscore-hidden
+    from Spark's file listing) and a replayed batch with
+    ``batch_id <= recorded`` no-ops. The swap is write-aside + rename:
+    data parquet first, then the meta file (a complete meta implies
+    complete data), then replace the live dir; a crash between the
+    rmtree and the rename is healed on the next invocation by adopting
+    the completed ``.swap`` dir — no window loses history or
+    double-counts. Module-level so tests can drive replay directly.
+    """
+    import json
+    import os
+    import shutil
+    from pathlib import Path
+
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import Window
+
+    from betfair_database_spark.rollup import ROLLUP_SCHEMA, summarize
+
+    out_cols = [f.name for f in ROLLUP_SCHEMA.fields]
+    live = Path(rollup_dir)
+    swap = live.with_suffix(".swap")
+    # Crash recovery: a previous batch completed its swap write but died
+    # between removing the live dir and renaming — adopt it (a complete
+    # meta file implies the parquet written before it is complete).
+    if not live.exists() and _stream_meta_read(swap) is not None:
+        os.rename(swap, live)
+    meta = _stream_meta_read(live)
+    if meta is not None and batch_id <= meta.get("last_batch_id", -1):
+        return  # replayed micro-batch: already folded, no-op
+    rows = metadata_batch_to_index_rows(batch)
+    w = Window.partitionBy("marketId").orderBy(
+        F.col("marketMetadataFilePath").desc()
+    )
+    rows = (
+        rows.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    part = summarize(rows).localCheckpoint()
+    if not part.head(1):
+        return
+    spark_ = part.sparkSession
+    try:
+        old = spark_.read.schema(ROLLUP_SCHEMA).parquet(str(live))
+        both = old.unionByName(part)
+    except AnalysisException:  # first batch: no rollup yet
+        both = part
+    merged = (
+        both.groupBy("eventTypeId", "startDate")
+        .agg(
+            F.sum("markets").alias("markets"),
+            F.sum("bspMarkets").alias("bspMarkets"),
+            F.sum("inPlayMarkets").alias("inPlayMarkets"),
+            F.sum("settledMarkets").alias("settledMarkets"),
+            F.sum("runnersTotal").alias("runnersTotal"),
+            F.min("firstStart").alias("firstStart"),
+            F.max("lastStart").alias("lastStart"),
+        )
+        .select(*out_cols)
+        .localCheckpoint()  # materialize before the swap below
+    )
+    # Idempotent swap: parquet into .swap, meta (recording batch_id) last,
+    # then replace live. Any crash before the rename leaves the old live
+    # dir serving and the replay re-merges from it; a crash between rmtree
+    # and rename is the adoption case handled above.
+    merged.coalesce(1).write.mode("overwrite").parquet(str(swap))
+    (swap / _STREAM_META_NAME).write_text(
+        json.dumps({"last_batch_id": batch_id})
+    )
+    if live.exists():
+        shutil.rmtree(live)
+    os.rename(swap, live)
+
+
 def start_rollup_stream(
     spark: SparkSession,
     landing_dir: str,
@@ -198,10 +292,23 @@ def start_rollup_stream(
     at-rest rollup additively (sums add, counts add, min/max strings
     merge — every rollup aggregate is mergeable by construction).
 
-    State: only the file-source checkpoint (exactly-once per file) plus
-    the group-cardinality-sized rollup file itself; no custom state
-    store, so at landing-zone scale the per-batch cost is the new files'
-    parse + one merge over |sports| x |days| rows.
+    State: the file-source checkpoint plus the group-cardinality-sized
+    rollup file itself; no custom state store, so at landing-zone scale
+    the per-batch cost is the new files' parse + one merge over
+    |sports| x |days| rows.
+
+    Exactly-once: ``foreachBatch`` is at-least-once — Structured
+    Streaming re-runs a micro-batch after a failure between the sink
+    write and the checkpoint commit — and an additive fold is NOT
+    naturally idempotent, so the sink makes itself so: every swap
+    records the applied ``batch_id`` in ``_stream_meta.json`` inside the
+    rollup directory (underscore-hidden from Spark's file listing) and a
+    replayed batch with ``batch_id <= recorded`` no-ops. The swap is
+    write-aside + rename: data parquet first, then the meta file (a
+    complete meta implies complete data), then replace the live dir; a
+    crash between the rmtree and the rename is healed on the next batch
+    by adopting the completed ``.swap`` dir, so no window loses history
+    or double-counts.
 
     Contract: append-only landing zone — each market contributes once
     (within a batch the lexicographically-last path for a marketId wins,
@@ -211,47 +318,8 @@ def start_rollup_stream(
     same division of labor TimescaleDB-style continuous aggregates use
     (inserts fold incrementally, updates trigger re-materialization).
     """
-    from pyspark.errors import AnalysisException
-    from pyspark.sql import Window
-
-    from betfair_database_spark.rollup import ROLLUP_SCHEMA, summarize
-
-    out_cols = [f.name for f in ROLLUP_SCHEMA.fields]
-
     def _merge(batch: DataFrame, batch_id: int) -> None:
-        rows = metadata_batch_to_index_rows(batch)
-        w = Window.partitionBy("marketId").orderBy(
-            F.col("marketMetadataFilePath").desc()
-        )
-        rows = (
-            rows.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        part = summarize(rows).localCheckpoint()
-        if not part.head(1):
-            return
-        spark_ = part.sparkSession
-        try:
-            old = spark_.read.schema(ROLLUP_SCHEMA).parquet(rollup_dir)
-            both = old.unionByName(part)
-        except AnalysisException:  # first batch: no rollup yet
-            both = part
-        merged = (
-            both.groupBy("eventTypeId", "startDate")
-            .agg(
-                F.sum("markets").alias("markets"),
-                F.sum("bspMarkets").alias("bspMarkets"),
-                F.sum("inPlayMarkets").alias("inPlayMarkets"),
-                F.sum("settledMarkets").alias("settledMarkets"),
-                F.sum("runnersTotal").alias("runnersTotal"),
-                F.min("firstStart").alias("firstStart"),
-                F.max("lastStart").alias("lastStart"),
-            )
-            .select(*out_cols)
-            .localCheckpoint()  # materialize before the overwrite below
-        )
-        merged.coalesce(1).write.mode("overwrite").parquet(rollup_dir)
+        rollup_merge_batch(batch, batch_id, rollup_dir)
 
     writer = (
         read_catalogue_stream(spark, landing_dir, max_files_per_trigger)

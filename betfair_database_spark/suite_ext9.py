@@ -45,7 +45,7 @@ c AS (
            ORDER BY ts, is_grid, coalesce(event_id, 0)
            ROWS UNBOUNDED PRECEDING),
     wb AS (PARTITION BY event_type
-           ORDER BY ts DESC, is_grid DESC, coalesce(event_id, 0) DESC
+           ORDER BY ts DESC, is_grid ASC, coalesce(event_id, 0) DESC
            ROWS UNBOUNDED PRECEDING)
 )
 SELECT event_type,

@@ -464,6 +464,22 @@ def test_real_concat_translate_forms():
     # non-REAL columns untouched
     assert translate_where("marketId || '!'") == "marketId || '!'"
     assert translate_where("runners || '!'") == "runners || '!'"
+    # 3+ spaces / newline+indent after `||` (whitespace is appended one
+    # char per element — a fixed lookback window missed these, silently
+    # skipping the bridge on formatted SQL)
+    assert (
+        translate_where("'x' ||   eachWayDivisor")
+        == "'x' ||   sqlite_real_text(`eachWayDivisor`)"
+    )
+    assert (
+        translate_where("'x' ||\n    eachWayDivisor")
+        == "'x' ||\n    sqlite_real_text(`eachWayDivisor`)"
+    )
+    assert translate_where("'x' ||     2.50") == "'x' ||     '2.5'"
+    # single `|` (bitwise) with interior space is NOT a concat chain
+    assert translate_where("runners | 1 = eachWayDivisor") == (
+        "runners | 1 = eachWayDivisor"
+    )
 
 
 def test_real_text_renders_match_sqlite(spark):

@@ -773,6 +773,41 @@ class TestMaterializedRollup:
         db.create_rollup()  # the documented heal
         assert self._materialized(db) == self._recomputed(db)
 
+    def test_crashed_swap_staleness_not_laundered(self, env):
+        """A rollup whose recorded snapshot is MORE than one behind the
+        commit being maintained (a prior op crashed between its index
+        commit and rollup swap) must NOT be carried over and re-stamped
+        fresh by the next incremental update — rollup_update detects the
+        gap (sequential snapshots: only snap-1/snap are safe bases) and
+        heals with a full rebuild. Pinned by tampering an UNTOUCHED
+        partition's rollup row: laundering would preserve the tamper and
+        stamp it fresh; the rebuild discards it."""
+        from pyspark.sql import functions as F
+
+        from betfair_database_spark import rollup as R
+        from betfair_database_spark.database import _manifest_snapshot_no
+
+        db, _ = env
+        live = R.rollup_path(db.database_dir)
+        rows = db.spark.read.schema(R.ROLLUP_SCHEMA).parquet(str(live))
+        parts = sorted(
+            r[0] for r in rows.select("eventTypeId").distinct().collect()
+        )
+        assert len(parts) >= 2
+        tampered_part, touched_part = parts[0], parts[-1]
+        bad = rows.withColumn(
+            "markets",
+            F.when(
+                F.col("eventTypeId") == tampered_part, F.col("markets") + 999
+            ).otherwise(F.col("markets")),
+        ).localCheckpoint()
+        snap = _manifest_snapshot_no(db._index_path)
+        R._atomic_swap(db, bad, snap - 2)  # stale by 2: crashed prior swap
+        repl = db._read_index().localCheckpoint()
+        R.rollup_update(db, repl, [touched_part])
+        # healed: tamper gone, stamped current, serves without raising
+        assert self._materialized(db) == self._recomputed(db)
+
     def test_full_reindex_rebuilds_rollup(self, env):
         db, _ = env
         db.index(force=True)

@@ -1091,6 +1091,67 @@ def test_streaming_rollup_matches_batch_create_rollup(spark, tmp_path):
     assert sorted(tuple(r) for r in streamed.collect()) == batch_rows
 
 
+def test_streaming_rollup_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a micro-batch re-runs after a crash
+    between the sink write and the checkpoint commit. The additive rollup
+    fold records the applied batch_id, so replaying the SAME batch (same
+    id) must be a no-op — byte-identical rollup, no double-count — while
+    the next id still folds. Also pins the crash window between the live
+    rmtree and the swap rename: a missing live dir with a completed .swap
+    is adopted, losing nothing."""
+    import os
+    import shutil
+
+    from tests.corpus import build_corpus
+
+    from betfair_database_spark.rollup import ROLLUP_SCHEMA
+    from betfair_database_spark.streaming.ingest import rollup_merge_batch
+
+    src = tmp_path / "corpus"
+    build_corpus(src)
+    metas = sorted(str(p) for p in src.glob("1.*.json"))
+    assert len(metas) >= 2
+    mk = lambda paths: spark.createDataFrame(
+        [(p, open(p).read()) for p in paths], "path string, content string"
+    )
+    rollup_dir = str(tmp_path / "roll.parquet")
+
+    def snap():
+        return sorted(
+            tuple(r)
+            for r in spark.read.schema(ROLLUP_SCHEMA)
+            .parquet(rollup_dir)
+            .collect()
+        )
+
+    rollup_merge_batch(mk(metas[:1]), 0, rollup_dir)
+    after_b0 = snap()
+    rollup_merge_batch(mk(metas[:1]), 0, rollup_dir)  # replayed batch 0
+    assert snap() == after_b0  # no double-count
+    rollup_merge_batch(mk(metas[1:]), 1, rollup_dir)
+    after_b1 = snap()
+    assert after_b1 != after_b0
+    rollup_merge_batch(mk(metas[1:]), 1, rollup_dir)  # replayed batch 1
+    assert snap() == after_b1
+    # one-shot fold over everything agrees with the incremental chain
+    oneshot_dir = str(tmp_path / "oneshot.parquet")
+    rollup_merge_batch(mk(metas), 0, oneshot_dir)
+    assert (
+        sorted(
+            tuple(r)
+            for r in spark.read.schema(ROLLUP_SCHEMA)
+            .parquet(oneshot_dir)
+            .collect()
+        )
+        == after_b1
+    )
+    # crash between rmtree(live) and rename(swap): live gone, swap whole
+    swap = rollup_dir[: -len(".parquet")] + ".swap"
+    os.rename(rollup_dir, swap)
+    rollup_merge_batch(mk(metas[1:]), 1, rollup_dir)  # adopt + replay no-op
+    assert snap() == after_b1
+
+
 def test_streaming_interval_coverage_matches_batch_islands(spark, tmp_path):
     """Dynamic-gap session_window == batch merge_intervals, row-for-row:
     each event opens a [ts, ts + value-seconds) interval; the streamed

@@ -156,6 +156,36 @@ def test_interpolate_at_exact_hit_and_midpoint(spark):
     }
 
 
+def test_interpolate_at_exact_hit_at_last_observation(spark):
+    """A grid point coinciding exactly with a key's LAST observation must
+    return that observation's value — the backward window order keeps
+    observations before markers at equal ts (is_grid ASC in both
+    directions), so prev == next == the observation even with nothing
+    after it. A fully reversed backward order dropped this row."""
+    import datetime as dt
+
+    from betfair_database_spark.operators import timeseries
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    ev = spark.createDataFrame(
+        [("a", at(0), 1, 10.0), ("a", at(60), 2, 30.0)],
+        "k string, ts timestamp_ntz, id long, v double",
+    )
+    grid = spark.createDataFrame(
+        [("a", at(60))], "k string, ts timestamp_ntz"
+    )
+    got = timeseries.interpolate_at(
+        ev, grid, key="k", ts_col="ts", id_col="id", val_col="v"
+    ).collect()
+    assert [(r["k"], r["ts"], r["v_interp"]) for r in got] == [
+        ("a", at(60), 30.0)
+    ]
+
+
 def test_ffill_scalable_matches_single_window_fill(spark):
     """Randomized parity: the two-phase bucketed forward-fill equals the
     plain per-key running-last window, including nulls before any value

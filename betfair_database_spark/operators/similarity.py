@@ -1448,11 +1448,12 @@ def append_ann_index(
     centroids and codebook (retraining here would silently invalidate
     every already-written code), appends part-files into the touched
     cell partitions (append never deletes — untouched cells stay
-    byte-identical, appended cells keep their old files), then commits
-    by atomic manifest rename. A crash before the commit leaves the new
-    files unreferenced and therefore invisible to manifest-resolving
-    readers; the next append reaps them. Returns the number of vectors
-    appended."""
+    byte-identical, appended cells keep their old files; repeated appends
+    therefore fragment touched cells, and ``compact_ann_cells`` is the
+    maintenance pass that rewrites them), then commits by atomic manifest
+    rename. A crash before the commit leaves the new files unreferenced
+    and therefore invisible to manifest-resolving readers; the next
+    append reaps them. Returns the number of vectors appended."""
     manifest = ann_manifest_read(path)
     if manifest is None:
         raise ValueError(
@@ -1462,19 +1463,8 @@ def append_ann_index(
     anchors = manifest["anchors"]
     centroids = [(int(cid), c) for cid, c in manifest["centroids"]]
     m = int(manifest["m"])
-    # reap uncommitted garbage from a previously crashed append
-    committed = {
-        (cell, name)
-        for cell, names in manifest["cells"].items()
-        for name in names
-    }
-    from pathlib import Path
-
-    root = Path(path)
-    for cell, names in _ann_list_files(path).items():
-        for name in names:
-            if (cell, name) not in committed:
-                (root / f"cell={cell}" / name).unlink(missing_ok=True)
+    # reap uncommitted garbage from a previously crashed append/compact
+    _ann_reap_uncommitted(path, manifest)
 
     assigned = ivf_assign(emb_new, centroids, id_col, vec_col)
     coded = pq_encode(
@@ -1494,6 +1484,106 @@ def append_ann_index(
     )
     _ann_manifest_commit(path, {**manifest, "cells": _ann_list_files(path)})
     return n
+
+
+def _ann_reap_uncommitted(path: str, manifest: dict) -> None:
+    """Delete cell part-files the committed manifest does not reference —
+    garbage from a crashed append/compact (pre-commit new files, or
+    post-commit files whose reap was interrupted). Shared by
+    ``append_ann_index`` and ``compact_ann_cells``."""
+    from pathlib import Path
+
+    committed = {
+        (cell, name)
+        for cell, names in manifest["cells"].items()
+        for name in names
+    }
+    root = Path(path)
+    for cell, names in _ann_list_files(path).items():
+        for name in names:
+            if (cell, name) not in committed:
+                p = root / f"cell={cell}" / name
+                p.unlink(missing_ok=True)
+                (p.parent / ("." + p.name + ".crc")).unlink(missing_ok=True)
+
+
+def compact_ann_cells(
+    spark, path: str, max_files_per_cell: int = 1
+) -> int:
+    """Rewrite every ANN cell holding more than ``max_files_per_cell``
+    committed part-files into a single fresh file per cell, under the same
+    atomic manifest commit ``append_ann_index`` uses. Returns the number
+    of cells compacted.
+
+    ``append_ann_index`` deliberately never deletes, so N appends leave up
+    to N+1 part-files in every touched cell — at scale the probe path
+    degrades into a small-files scan (the index side's analogue is the
+    upsert's one-live-file-per-partition hygiene, database.py). This is
+    the maintenance pass that restores it:
+
+      reap uncommitted garbage → read ONLY the manifest's committed files
+      of the fragmented cells → write-alongside (append never deletes;
+      one shuffle keyed on the cell, one writer and so one file per
+      cell) → commit by atomic manifest rename → reap the replaced files.
+
+    A crash before the commit leaves the rewritten files unreferenced and
+    therefore invisible to manifest-resolving readers (the old manifest
+    keeps serving, byte-identical results); a crash after the commit
+    leaves the replaced files unreferenced; both are reaped by the next
+    append/compact. Untouched cells are never read or written. Query
+    results are identical by construction — same rows, same manifest
+    resolution, fewer files."""
+    manifest = ann_manifest_read(path)
+    if manifest is None:
+        raise ValueError(
+            f"no committed ANN index manifest at {path}; build the index "
+            "with write_ann_index first"
+        )
+    _ann_reap_uncommitted(path, manifest)
+    todo = {
+        cell: names
+        for cell, names in manifest["cells"].items()
+        if len(names) > max_files_per_cell
+    }
+    if not todo:
+        return 0
+    from pathlib import Path
+
+    root = Path(path)
+    paths = [
+        f"{path}/cell={cell}/{name}"
+        for cell, names in todo.items()
+        for name in names
+    ]
+    # Materialize before the append below: the write lands in the very
+    # directory this read is scanning.
+    df = (
+        spark.read.option("basePath", path).parquet(*paths).localCheckpoint()
+    )
+    pre = {
+        cell: set(_ann_list_files(path).get(cell, ())) for cell in todo
+    }
+    (
+        df.repartition(F.col("cell"))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    after = _ann_list_files(path)
+    new_cells = dict(manifest["cells"])
+    for cell in todo:
+        new_cells[cell] = [
+            n for n in after.get(cell, ()) if n not in pre[cell]
+        ]
+    # COMMIT: atomic manifest rename — the one instant results switch from
+    # the fragmented file set to the compacted one.
+    _ann_manifest_commit(path, {**manifest, "cells": new_cells})
+    for cell, names in todo.items():
+        for name in names:
+            p = root / f"cell={cell}" / name
+            p.unlink(missing_ok=True)
+            (p.parent / ("." + p.name + ".crc")).unlink(missing_ok=True)
+    return len(todo)
 
 
 def query_ann_index(

@@ -1,0 +1,73 @@
+"""Suite extension 10 (round 9): the at-rest ANN index's INCREMENTAL
+lifecycle under the oracle gate — build, append, compact, query.
+
+Registered into :data:`betfair_database_spark.suite.SUITE` via ``_q``;
+same hash-matching conventions as ``suite.py`` (aliases identical on both
+sides, doubles rounded before compare, deterministic tie-breaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from betfair_database_spark.operators import similarity
+from betfair_database_spark.suite import _q, _t
+
+# =========================================================================
+# knn_ann_index_appended_top10 — build → append → append → compact → query
+# =========================================================================
+#
+# The pytest layer pins the mechanics (manifest commit atomicity, byte
+# identity, crash reap); this row puts the SAME lifecycle under DuckDB
+# hash scrutiny: the index is built from one third of the vectors,
+# extended by two appends with the persisted centroids/codebook, then
+# compacted, and the probe reads the final manifest-resolved file set
+# with EVERY cell probed — so the expected answer is the exact cosine
+# top-10 over the unioned vector set, which the oracle computes
+# relationally. Any row lost or duplicated by append bookkeeping,
+# compaction rewrite, or manifest resolution changes the hash.
+
+_ANN_APPEND_ORACLE = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         round(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+               / (sqrt(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                  * sqrt(sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))), 4) AS cos_sim
+  FROM embeddings e, q, range(1, 65) t(i)
+  GROUP BY e.vec_id
+)
+SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+@_q("knn_ann_index_appended_top10", _ANN_APPEND_ORACLE)
+def knn_ann_index_appended_top10(spark, sf):
+    """Exact top-10 served through the at-rest ANN index after its full
+    incremental lifecycle (write one third, append the other two thirds
+    in two batches, compact the fragmented cells), probing all cells so
+    the result is exact over the union. ``train_iters=0`` keeps the raw
+    codebook seed — rerank is exact-cosine, so PQ training cost would buy
+    nothing here. The result is localCheckpointed before the scratch
+    index directory is removed."""
+    import shutil
+    import tempfile
+
+    emb = _t(spark, sf, "embeddings")
+    base = emb.where(F.col("vec_id") % 3 == 0)
+    centroids = similarity.kmeans_seeds(base, 4)
+    row = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    q = [float(v) for v in row[0]]
+
+    path = tempfile.mkdtemp(prefix="bfdb_ann_gate_")
+    try:
+        similarity.write_ann_index(base, path, centroids, train_iters=0)
+        similarity.append_ann_index(emb.where(F.col("vec_id") % 3 == 1), path)
+        similarity.append_ann_index(emb.where(F.col("vec_id") % 3 == 2), path)
+        similarity.compact_ann_cells(spark, path)
+        out = similarity.query_ann_index(
+            spark, path, None, None, q, k=10, nprobe=4, rerank="exact"
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out

@@ -1519,6 +1519,85 @@ def test_ann_index_incremental_append(spark, tmp_path):
     )
 
 
+def test_ann_compact_cells_restores_one_file_per_cell(spark, tmp_path, monkeypatch):
+    """compact_ann_cells (round 9): repeated appends fragment touched
+    cells (append never deletes); compaction rewrites multi-file cells
+    under the same atomic manifest commit. Query results before == after,
+    untouched cells keep their part-files byte-identical, a crash between
+    the rewrite and the commit leaves the OLD manifest serving identical
+    results, and the next compact reaps the orphans and finishes the job."""
+    import random
+    from pathlib import Path
+
+    from betfair_database_spark.operators import similarity as sim
+
+    rng = random.Random(23)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(240)]
+    mk = lambda chunk: spark.createDataFrame(
+        chunk, "vec_id long, embedding array<float>"
+    )
+    centroids = sim.kmeans_seeds(mk(rows[:120]), 4)
+    q = [float(v) for v in rows[5][1]]
+    path = str(tmp_path / "ann_cmp")
+    sim.write_ann_index(mk(rows[:120]), path, centroids)
+    for lo in (120, 160, 200):  # 3 appends -> up to 4 files per hot cell
+        assert sim.append_ann_index(mk(rows[lo : lo + 40]), path) == 40
+
+    def results():
+        out = []
+        for rerank in ("exact", "adc"):
+            out.append(
+                [
+                    tuple(r)
+                    for r in sim.query_ann_index(
+                        spark, path, None, None, q, k=9, nprobe=4,
+                        rerank=rerank,
+                    ).collect()
+                ]
+            )
+        return out
+
+    before = results()
+    manifest0 = sim.ann_manifest_read(path)
+    frag = {c: n for c, n in manifest0["cells"].items() if len(n) > 1}
+    assert frag  # the appends really fragmented some cells
+    intact_bytes = {
+        str(p): p.read_bytes()
+        for cell in manifest0["cells"]
+        if cell not in frag
+        for p in Path(path).glob(f"cell={cell}/*.parquet")
+    }
+
+    # crash mid-compact: rewrite done, commit never happens
+    def boom(path_, manifest_):
+        raise RuntimeError("crash before manifest commit")
+
+    monkeypatch.setattr(sim, "_ann_manifest_commit", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        sim.compact_ann_cells(spark, path)
+    monkeypatch.undo()
+    # old manifest still serving: identical results, orphans invisible
+    assert sim.ann_manifest_read(path) == manifest0
+    assert results() == before
+
+    # the real compact reaps the orphans and rewrites fragmented cells
+    assert sim.compact_ann_cells(spark, path) == len(frag)
+    manifest1 = sim.ann_manifest_read(path)
+    assert all(len(n) == 1 for n in manifest1["cells"].values())
+    # on-disk files == committed files exactly (orphans + replaced reaped)
+    assert sum(len(v) for v in manifest1["cells"].values()) == len(
+        list(Path(path).glob("cell=*/*.parquet"))
+    )
+    assert results() == before
+    # untouched cells byte-identical
+    for p, blob in intact_bytes.items():
+        assert Path(p).read_bytes() == blob
+    # idempotent: nothing left to compact
+    assert sim.compact_ann_cells(spark, path) == 0
+
+
 def test_train_logreg_hashed_learns_separation(spark):
     """Round 7: the in-engine logistic trainer actually LEARNS — on a
     corpus whose classes use disjoint-ish vocabularies, the trained

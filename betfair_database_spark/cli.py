@@ -101,14 +101,36 @@ def make_parser() -> argparse.ArgumentParser:
 
     p_roll = sub.add_parser(
         "rollup",
-        description="Materialize or show the per-(sport, day) continuous "
-        "aggregate (engine extension; insert/clean keep it consistent).",
+        description="Materialize or show a continuous aggregate (engine "
+        "extension; insert/clean keep it consistent). Default: the "
+        "built-in per-(sport, day) rollup; --name + --dims + --agg "
+        "declare a custom spec rollup.",
     )
     p_roll.add_argument("database_dir")
     p_roll.add_argument(
         "action",
-        choices=["create", "show"],
-        help="create = (re)build from the index; show = print the rows",
+        choices=["create", "show", "drop"],
+        help="create = (re)build from the index; show = print the rows; "
+        "drop = remove a named rollup",
+    )
+    p_roll.add_argument(
+        "--name", help="named spec rollup (default: the built-in rollup)"
+    )
+    p_roll.add_argument(
+        "--dim",
+        action="append",
+        dest="dims",
+        help="group-by dim: an index column or alias=SQL_EXPR; repeatable "
+        "(e.g. --dim countryCode --dim "
+        "'day=to_date(substring(marketStartTime,1,10))')",
+    )
+    p_roll.add_argument(
+        "--agg",
+        action="append",
+        dest="aggs",
+        help="alias=op(col) with op in count/sum/min/max/"
+        "approx_count_distinct; repeatable (e.g. --agg 'markets=count()' "
+        "--agg 'runnersTotal=sum(runners)')",
     )
 
     p_diff = sub.add_parser(
@@ -173,7 +195,25 @@ def _run(args: argparse.Namespace) -> int:
         say(f"Reaped {db.vacuum(retain_last=args.retain_last)} files.")
     elif args.command == "rollup":
         if args.action == "create":
-            say(f"Rollup materialized: {db.create_rollup()} rows.")
+            n = db.create_rollup(
+                name=args.name, dims=args.dims, aggs=args.aggs
+            )
+            label = f"Rollup {args.name!r}" if args.name else "Rollup"
+            say(f"{label} materialized: {n} rows.")
+        elif args.action == "drop":
+            if not args.name:
+                raise SystemExit("rollup drop requires --name")
+            say(
+                f"Rollup {args.name!r} "
+                + ("dropped." if db.drop_rollup(args.name) else "not found.")
+            )
+        elif args.name:
+            df = db.rollup(args.name)
+            cols = df.columns
+            for r in sorted(
+                df.collect(), key=lambda r: tuple(str(r[c]) for c in cols)
+            ):
+                print("\t".join(str(r[c]) for c in cols))
         else:
             for r in sorted(
                 db.rollup().collect(),

@@ -50,6 +50,7 @@ class BetfairDatabase:
         database_dir: str | Path,
         spark: SparkSession | None = None,
         retain_snapshots: int = 1,
+        lock_lease_seconds: float | None = None,
     ):
         self.database_dir = Path(database_dir)
         if not self.database_dir.exists():
@@ -69,6 +70,16 @@ class BetfairDatabase:
         if retain_snapshots < 1:
             raise ValueError("retain_snapshots must be >= 1")
         self.retain_snapshots = retain_snapshots
+        # Cross-host lock liveness: while held, a daemon thread refreshes
+        # the lock file's mtime every lease/3; a lock whose heartbeat is
+        # older than the lease is taken over regardless of host (see
+        # _writer_lock). The default trades promptly-unwedged maintenance
+        # against clock skew on shared storage; skew must stay << lease.
+        if lock_lease_seconds is None:
+            lock_lease_seconds = LOCK_LEASE_SECONDS
+        if lock_lease_seconds <= 0:
+            raise ValueError("lock_lease_seconds must be > 0")
+        self.lock_lease_seconds = float(lock_lease_seconds)
         self._lock_depth = 0
 
     # ------------------------------------------------------------- writer lock
@@ -85,11 +96,23 @@ class BetfairDatabase:
         here an O_EXCL-created lock file beside the index carries
         ``pid host epoch``. Contention raises a loud ConcurrentWriterError
         rather than queueing: maintenance batches are operator actions, not
-        a multi-writer workload. A lock whose pid is dead ON THIS HOST is
-        stale (the holder crashed before its ``finally``) and is taken
-        over; a different host's lock is never stolen — liveness cannot be
-        probed across machines. Re-entrant within one handle (insert()
+        a multi-writer workload.
+
+        Liveness (two independent signals, either suffices for takeover):
+        (1) the lock names a dead pid ON THIS HOST — the holder crashed
+        before its ``finally``; (2) the lock's HEARTBEAT (its mtime, which
+        a daemon thread refreshes every lease/3 while the lock is held)
+        is older than ``lock_lease_seconds`` — the holder died on ANY
+        host, including one whose pid this process cannot probe. A fresh
+        heartbeat from a foreign host is never stolen. The lease is the
+        standard shared-storage trade: a live-but-wedged holder that
+        cannot refresh for a whole lease loses the lock, so the heartbeat
+        interval is lease/3 and the refresher touches the file only while
+        its contents still name this process (it never resurrects a lock
+        someone else took over). Re-entrant within one handle (insert()
         auto-indexes via index())."""
+        import threading
+
         if self._lock_depth:
             self._lock_depth += 1
             try:
@@ -105,24 +128,49 @@ class BetfairDatabase:
                 break
             except FileExistsError:
                 holder = _lock_holder(lock)
-                if attempt or not _lock_is_stale(holder):
+                if attempt or not (
+                    _lock_is_stale(holder)
+                    or _lock_lease_expired(lock, self.lock_lease_seconds)
+                ):
                     raise ConcurrentWriterError(
                         lock, holder or "unreadable lock"
                     ) from None
-                # stale: dead pid on this host — take over (the O_EXCL
-                # retry above arbitrates if two waiters race the unlink)
+                # stale: dead pid on this host, or heartbeat past the
+                # lease on any host — take over (the O_EXCL retry above
+                # arbitrates if two waiters race the unlink)
                 lock.unlink(missing_ok=True)
+        stop = threading.Event()
+        beat = None
         try:
-            os.write(
-                fd,
-                f"{os.getpid()} {socket.gethostname()} {time.time()}".encode(),
-            )
+            mine = f"{os.getpid()} {socket.gethostname()} {time.time()}"
+            os.write(fd, mine.encode())
             os.close(fd)
+
+            def _heartbeat():
+                interval = max(self.lock_lease_seconds / 3.0, 0.05)
+                while not stop.wait(interval):
+                    if _lock_holder(lock) != mine:
+                        return  # taken over past our lease: never touch it
+                    try:
+                        os.utime(lock, None)
+                    except OSError:
+                        return
+
+            beat = threading.Thread(
+                target=_heartbeat, name="bfdb-lock-heartbeat", daemon=True
+            )
+            beat.start()
             self._lock_depth = 1
             yield
         finally:
             self._lock_depth = 0
-            lock.unlink(missing_ok=True)
+            stop.set()
+            if beat is not None:
+                beat.join(timeout=5)
+            # release only if still ours — a lease takeover means the file
+            # now belongs to the new holder
+            if _lock_holder(lock) == mine:
+                lock.unlink(missing_ok=True)
 
     # ------------------------------------------------------------------ build
 
@@ -139,10 +187,21 @@ class BetfairDatabase:
         with self._writer_lock():
             frame, counters = build_index_frame(self.spark, str(self.database_dir))
             counters.rows_inserted = self._write_index(frame, str(self._index_path))
-            from betfair_database_spark.rollup import rollup_build, rollup_path
+            from betfair_database_spark.rollup import (
+                rollup_build,
+                rollup_path,
+                spec_rollup_build,
+                spec_rollup_list,
+                spec_rollup_path,
+            )
 
             if rollup_path(self.database_dir).exists():
                 rollup_build(self)  # full index build → full rollup rebuild
+            for nm in spec_rollup_list(self):
+                from betfair_database_spark.rollup import _meta_read
+
+                meta = _meta_read(spec_rollup_path(self.database_dir, nm))
+                spec_rollup_build(self, nm, meta["spec"])
         self.last_counters = counters
         return counters.rows_inserted
 
@@ -358,26 +417,81 @@ class BetfairDatabase:
 
     # ------------------------------------------------------- materialized rollup
 
-    def create_rollup(self) -> int:
-        """Materialize the per-(eventTypeId, start date) summary rollup and
-        keep it incrementally maintained by insert()/clean() — a
-        continuous-aggregate (hypertable-rollup) engine extension with no
-        reference analogue (see rollup.py for the maintenance and
-        consistency contract). Returns the rollup row count."""
-        from betfair_database_spark.rollup import rollup_build
+    def create_rollup(
+        self,
+        name: str | None = None,
+        dims: list[str] | None = None,
+        aggs: list[str] | None = None,
+    ) -> int:
+        """Materialize a summary rollup and keep it incrementally
+        maintained by insert()/clean() — a continuous-aggregate
+        (hypertable-rollup) engine extension with no reference analogue
+        (see rollup.py for the maintenance and consistency contract).
+
+        No arguments → the built-in per-(eventTypeId, start date) rollup
+        (unchanged behavior). With ``name`` + ``dims`` + ``aggs`` → a
+        NAMED user-spec rollup (round 9): ``dims`` are index columns or
+        ``alias=SQL_EXPR`` derived dims, ``aggs`` are ``alias=op(col)``
+        with op in count/sum/min/max/approx_count_distinct. Any number of
+        named rollups coexist; every one is maintained by the same
+        partition-incremental protocol and guarded by StaleRollupError.
+        Returns the stored row count."""
+        from betfair_database_spark.rollup import (
+            parse_spec,
+            rollup_build,
+            spec_rollup_build,
+            spec_rollup_path,
+        )
 
         with self._writer_lock():
             if not self._index_path.exists():
                 raise IndexMissingError(self.database_dir)
-            return rollup_build(self)
+            if name is None:
+                if dims or aggs:
+                    raise ValueError("dims/aggs require a rollup name")
+                return rollup_build(self)
+            if dims is None or aggs is None:
+                # re-create from the persisted spec (the heal path)
+                from betfair_database_spark.rollup import _meta_read
 
-    def rollup(self) -> DataFrame:
-        """The committed rollup as a DataFrame. Raises RollupMissingError
-        when none was materialized, StaleRollupError when the rollup lags
-        the index (crash between index commit and rollup swap)."""
-        from betfair_database_spark.rollup import rollup_read
+                meta = _meta_read(spec_rollup_path(self.database_dir, name))
+                if meta is None or "spec" not in meta:
+                    raise ValueError(
+                        f"no persisted spec for rollup {name!r}; pass "
+                        "dims= and aggs="
+                    )
+                spec = meta["spec"]
+            else:
+                spec = parse_spec(dims, aggs)
+            return spec_rollup_build(self, name, spec)
 
-        return rollup_read(self)
+    def rollup(self, name: str | None = None) -> DataFrame:
+        """The committed rollup as a DataFrame — the built-in per-(sport,
+        day) one by default, a named spec rollup when ``name`` is given
+        (served at USER grain: partials merged at read time). Raises
+        RollupMissingError when none was materialized, StaleRollupError
+        when the rollup lags the index (crash between index commit and
+        rollup swap)."""
+        from betfair_database_spark.rollup import rollup_read, spec_rollup_read
+
+        if name is None:
+            return rollup_read(self)
+        return spec_rollup_read(self, name)
+
+    def drop_rollup(self, name: str) -> bool:
+        """Remove a named spec rollup (stops its maintenance). Returns
+        whether it existed."""
+        from betfair_database_spark.rollup import spec_rollup_path
+
+        with self._writer_lock():
+            p = spec_rollup_path(self.database_dir, name)
+            existed = p.exists()
+            if existed:
+                shutil.rmtree(p)
+            swap = p.with_suffix(".swap")
+            if swap.exists():
+                shutil.rmtree(swap)
+            return existed
 
     # ------------------------------------------------------------ maintenance
 
@@ -672,10 +786,15 @@ class BetfairDatabase:
         # Materialized-rollup maintenance (engine extension, rollup.py):
         # strictly AFTER the index commit — a crash here leaves the rollup
         # one snapshot behind, which rollup() detects (StaleRollupError)
-        # rather than serving stale aggregates.
-        from betfair_database_spark.rollup import rollup_update
+        # rather than serving stale aggregates. Named spec rollups get the
+        # same treatment.
+        from betfair_database_spark.rollup import (
+            rollup_update,
+            spec_rollup_update,
+        )
 
         rollup_update(self, repl, touched)
+        spec_rollup_update(self, repl, touched)
 
     def _reap_files(self, rel_paths) -> None:
         """Delete index part-files (and their local-FS .crc siblings) that no
@@ -715,10 +834,14 @@ class BetfairDatabase:
             gone = self._index_path / f"eventTypeId={_part_key(v)}"
             if gone.exists():
                 shutil.rmtree(gone)
-        from betfair_database_spark.rollup import rollup_update
+        from betfair_database_spark.rollup import (
+            rollup_update,
+            spec_rollup_update,
+        )
 
         if old is None:  # no base counts → a partial manifest would lie
             rollup_update(self, repl, touched)
+            spec_rollup_update(self, repl, touched)
             return
         merged = {k: e["count"] for k, e in old.items()}
         for v in touched:
@@ -740,6 +863,7 @@ class BetfairDatabase:
         # method, so calling earlier would stamp the rollup with snapshot 0
         # and the real commit below it would immediately read as stale.
         rollup_update(self, repl, touched)
+        spec_rollup_update(self, repl, touched)
 
 
 def _index_schema():
@@ -752,6 +876,11 @@ def _index_schema():
 _HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
 _MANIFEST_NAME = "_manifest.json"  # leading _ → invisible to Spark file listing
 _SNAPSHOT_DIRNAME = "_snapshots"  # versioned manifest copies (time travel)
+# Writer-lock lease: a lock whose heartbeat (file mtime, refreshed every
+# lease/3 by the holder) is older than this is taken over on any host. Must
+# dwarf both the heartbeat interval and cross-host clock skew on the shared
+# filesystem; BetfairDatabase(lock_lease_seconds=) overrides per handle.
+LOCK_LEASE_SECONDS = 300.0
 
 
 def _part_key(value: str | None) -> str:
@@ -764,6 +893,18 @@ def _lock_holder(lock: Path) -> str:
         return lock.read_text().strip()
     except OSError:
         return ""
+
+
+def _lock_lease_expired(lock: Path, lease_seconds: float) -> bool:
+    """True iff the lock file's heartbeat (mtime, refreshed every lease/3
+    by the holder's daemon thread) is older than the lease — the holder
+    died, on ANY host. False for a missing file (just released; the
+    caller's O_EXCL retry arbitrates)."""
+    try:
+        age = time.time() - lock.stat().st_mtime
+    except OSError:
+        return False
+    return age > lease_seconds
 
 
 def _lock_is_stale(holder: str) -> bool:

@@ -327,6 +327,7 @@ def jaccard_similarity(
     broadcast_adjacency: bool = False,
     canonical: bool = False,
     max_center_degree: int | None = None,
+    unbounded: bool = False,
 ) -> DataFrame:
     """Common-neighbor Jaccard node similarity — the classic link-
     prediction / entity-resolution score: for every node pair sharing at
@@ -343,6 +344,13 @@ def jaccard_similarity(
     ``max_center_degree``: centers above the cap are excluded, which
     LOWERS common counts for hub-mediated pairs only (documented
     approximation, exact when the graph's max degree is under the cap).
+
+    A hub policy is REQUIRED (round 9, same spirit as the bounded-frame
+    window guard): pass ``max_center_degree=<cap>`` or acknowledge the
+    quadratic default with ``unbounded=True`` — an open-world caller must
+    not be able to OOM on one hub by omission. ``unbounded=True`` is the
+    right call exactly when the caller has already bounded the graph
+    (a cohort, a pre-capped edge list).
     ``broadcast_degrees`` ships the node-sized degree table to the two
     enrichment joins (right whenever the node set is bounded).
     ``broadcast_adjacency`` additionally checkpoints the adjacency and
@@ -354,6 +362,13 @@ def jaccard_similarity(
     Returns (u, v, common_neighbors, jaccard) with u < v, exact rational
     jaccard evaluated in double.
     """
+    if max_center_degree is None and not unbounded:
+        raise ValueError(
+            "jaccard_similarity enumerates deg(center)^2 wedges per center"
+            " — one hub node can explode the plan. Pass"
+            " max_center_degree=<cap> (documented approximation) or"
+            " unbounded=True if the graph is already bounded."
+        )
     e = (
         edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
         if canonical

@@ -83,6 +83,92 @@ def ewma_last_per_key(
     )
 
 
+def ewma_last_per_key_scalable(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    tiebreak_col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """Two-phase EWMA for the one-huge-key regime — the form to reach for
+    when a single key's history exceeds an Arrow batch (the documented
+    limit of ``ewma_last_per_key``). Same (key, n, ewma) output.
+
+    EWMA is a linear recurrence, so a time bucket composes to
+    ``s_out = A * s_in + B`` with ``A = (1-alpha)^n`` and ``B`` the fold
+    seeded from 0: phase 1 computes (A, B, seeded-first-fold) per
+    (key, bucket) in parallel — each task holds ONE bucket's history, not
+    a whole key's — and phase 2 chains the per-bucket affine maps in
+    bucket order over the |key| x |buckets|-sized frame (tiny).
+
+    NOT bit-identical to the sequential fold: IEEE multiplication does
+    not distribute over addition, so composing ``A*s + B`` reassociates
+    the arithmetic (relative error ~1e-12 observed; parity-tested with
+    tolerance). That is exactly why ``ewma_last_per_key`` does NOT
+    auto-dispatch here the way interpolate_at/ffill do: its result is
+    pinned bit-for-bit by the ts_ewma_user_value oracle row, and a silent
+    plan change must never change bytes. Callers in the huge-key regime
+    opt in explicitly and accept the last-ulp difference.
+    """
+    import numpy as np
+    import pandas as pd
+
+    a = float(alpha)
+    key_field = df.schema[key_col]
+    kt = key_field.dataType.simpleString()
+    # _bkt rides as its ISO string: chronological == lexicographic, and it
+    # sidesteps timestamp vs timestamp_ntz schema coupling in Arrow.
+    part_schema = (
+        f"`{key_col}` {kt}, _bkt string, n long, A double, B double,"
+        " y double"
+    )
+
+    def partials(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([key_col, "_bkt", ts_col, tiebreak_col])
+        out = []
+        for (k, b), g in pdf.groupby([key_col, "_bkt"], sort=False):
+            x = g[value_col].to_numpy(dtype=np.float64)
+            n = len(x)
+            w = (1.0 - a) ** np.arange(n - 1, -1, -1, dtype=np.float64)
+            B = float(np.dot(x, a * w))
+            # seeded fold: s0 = x0, then the pure-a tail
+            y = float(x[0] * w[0] + np.dot(x[1:], a * w[1:])) if n else None
+            out.append((k, b, n, float((1.0 - a) ** n), B, y))
+        return pd.DataFrame(
+            out, columns=[key_col, "_bkt", "n", "A", "B", "y"]
+        )
+
+    out_schema = f"`{key_col}` {kt}, n long, ewma double"
+
+    def compose(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([key_col, "_bkt"])
+        rows = []
+        for k, g in pdf.groupby(key_col, sort=False):
+            s = None
+            for _, r in g.iterrows():
+                s = r["y"] if s is None else r["A"] * s + r["B"]
+            rows.append((k, int(g["n"].sum()), s))
+        return pd.DataFrame(rows, columns=[key_col, "n", "ewma"])
+
+    bkt = F.date_trunc(bucket, F.col(ts_col)).cast("string")
+    bucketed = df.select(
+        key_col, ts_col, value_col, tiebreak_col,
+        bkt.alias("_bkt"),
+        F.pmod(F.xxhash64(key_col, bkt), F.lit(256)).alias("_kb"),
+    )
+    parts = bucketed.groupBy("_kb").applyInPandas(
+        lambda p: partials(p.drop(columns=["_kb"])), schema=part_schema
+    )
+    tiny = parts.withColumn(
+        "_kb", F.pmod(F.xxhash64(key_col), F.lit(64))
+    )
+    return tiny.groupBy("_kb").applyInPandas(
+        lambda p: compose(p.drop(columns=["_kb"])), schema=out_schema
+    )
+
+
 def resample_ohlc(
     df: DataFrame,
     bucket: "F.Column",
@@ -156,6 +242,70 @@ def path_ngrams(
     )
 
 
+# Cardinality dispatch for per-key ORDERED operators (round 9): a plain
+# per-key window concentrates each key's ENTIRE history into one task —
+# fine at market-level key counts, pathological when one key's history
+# exceeds what a task sorts comfortably. Below this keys-per-core ratio
+# AND above this rows-per-key count, interpolate_at switches to the
+# two-phase bucketed form that restores |key| x |buckets| parallelism.
+# Crossover MEASURED on the sf10 replica (SCALE.md round 9): at 2M and
+# even 5M rows/key the plain window still wins on 32 cores (13-17 s vs
+# ~21 s — in-memory sorts are cheap and the two-phase form pays an extra
+# exchange + aggregate); at 10M rows in ONE key the bucketed form wins
+# ~2x (16.9 s vs 32.7 s). The threshold sits just under the measured win
+# and far above the measured loss; at real cluster scale it maps to "a
+# single key no longer sorts in one task".
+DISPATCH_MAX_KEYS_PER_CORE = 2.0
+DISPATCH_MIN_ROWS_PER_KEY = 8_000_000
+# Bucket-granularity pick: finer buckets balance better (hour beat day
+# 16.9 vs 24.9 s on the 1-key run) — target ~10k rows per (key, bucket)
+# but keep the carried-seeds frame broadcastable.
+_TARGET_ROWS_PER_BUCKET = 10_000
+_SEED_FRAME_CAP = 2_000_000
+
+
+def _dispatch_stats(events: DataFrame, key: str, ts_col: str):
+    """One map-side-partial aggregate over the event frame: row count,
+    approximate key cardinality, and the time span — everything the
+    dispatch heuristic and bucket-granularity pick need. O(scan) with
+    tiny state; amortized against the per-key sort it prevents."""
+    r = events.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(key).alias("k"),
+        F.min(ts_col).alias("lo"),
+        F.max(ts_col).alias("hi"),
+    ).first()
+    span = 0.0
+    if r["lo"] is not None and r["hi"] is not None:
+        span = (r["hi"] - r["lo"]).total_seconds()
+    return int(r["n"]), max(int(r["k"]), 1), span
+
+
+_BUCKET_SECONDS = [
+    ("year", 31_536_000.0),
+    ("month", 2_592_000.0),
+    ("day", 86_400.0),
+    ("hour", 3_600.0),
+    ("minute", 60.0),
+]
+
+
+def _pick_bucket(n_rows: int, n_keys: int, span_seconds: float) -> str:
+    """Coarsest date_trunc granularity that still hits the target rows
+    per (key, bucket) — subject to the seeds frame (|key| x |buckets|)
+    staying broadcast-sized. Falls back to the finest allowed unit."""
+    want_buckets = max(n_rows / _TARGET_ROWS_PER_BUCKET, 1.0)
+    chosen = _BUCKET_SECONDS[0][0]
+    for unit, sec in _BUCKET_SECONDS:
+        n_buckets = n_keys * (span_seconds / sec + 1) if span_seconds > 0 else 1
+        if n_buckets > _SEED_FRAME_CAP:
+            break
+        chosen = unit
+        if n_buckets >= want_buckets:
+            break
+    return chosen
+
+
 def interpolate_at(
     events: DataFrame,
     grid: DataFrame,
@@ -163,6 +313,7 @@ def interpolate_at(
     ts_col: str,
     id_col: str,
     val_col: str,
+    bucket: str | None = "auto",
 ) -> DataFrame:
     """Linear interpolation of ``val_col`` at the ``grid`` timestamps.
 
@@ -171,25 +322,38 @@ def interpolate_at(
     an observation on both sides (exact-hit grid points return the
     observation value).
 
-    Plan shape: zero joins — grid markers are UNIONed into the event
-    stream and two running ``last(..., ignorenulls=True)`` windows (one
-    per direction) carry the bracketing observations to each marker, so
-    the cost is one shuffle on ``key`` + two per-key sorts regardless of
-    grid density. The forward order is (ts, is_grid, id); the backward
-    order is (ts DESC, is_grid ASC, id DESC) — is_grid stays ASCENDING in
-    both so an observation at exactly a grid timestamp is processed
-    before the marker in BOTH directions, making prev == next == the
-    observation, and the t_next == t_prev guard then returns it exactly
-    (no 0/0) — including at a key's LAST observation, where a fully
-    reversed order would leave the marker's backward frame empty and
-    drop the exact hit. Interpolation arithmetic is
-    integer-MICROsecond diffs — the storage precision, where Spark's
-    truncating timestampdiff and DuckDB's boundary-counting date_diff
-    agree exactly (at any coarser unit they differ by one whenever the
-    sub-unit part is nonzero); NTZ-safe, timezone-free.
-    """
-    from pyspark.sql import Window
+    Plan shape (window path): zero joins — grid markers are UNIONed into
+    the event stream and two running ``last(..., ignorenulls=True)``
+    windows (one per direction) carry the bracketing observations to each
+    marker, so the cost is one shuffle on ``key`` + two per-key sorts
+    regardless of grid density. The forward order is (ts, is_grid, id);
+    the backward order is (ts DESC, is_grid ASC, id DESC) — is_grid stays
+    ASCENDING in both so an observation at exactly a grid timestamp is
+    processed before the marker in BOTH directions, making prev == next
+    == the observation, and the t_next == t_prev guard then returns it
+    exactly (no 0/0) — including at a key's LAST observation, where a
+    fully reversed order would leave the marker's backward frame empty
+    and drop the exact hit. Interpolation arithmetic is integer-
+    MICROsecond diffs — the storage precision, where Spark's truncating
+    timestampdiff and DuckDB's boundary-counting date_diff agree exactly
+    (at any coarser unit they differ by one whenever the sub-unit part is
+    nonzero); NTZ-safe, timezone-free.
 
+    ``bucket`` picks the physical strategy — results are identical:
+      * ``"auto"`` (default): one cheap stats aggregate dispatches — the
+        two-phase bucketed form when the observed key count is under
+        ~2 per core AND histories exceed the MEASURED crossover
+        (DISPATCH_MIN_ROWS_PER_KEY — the regime where a single key's sort
+        stops fitting one task; below it the plain window measurably
+        wins), else the window form. The engine no longer depends on the
+        caller knowing the cardinality constraint (round-9 verdict #3).
+      * ``None``: force the per-key window form.
+      * a ``date_trunc`` unit (``"day"``, ``"hour"``, ...): force the
+        two-phase form at that granularity — per-(key, bucket) windows
+        (parallelism |key| x |buckets|), with per-bucket boundary
+        observations carried across buckets on a |key| x |buckets|-sized
+        frame (broadcast back), so no task ever sorts a whole key.
+    """
     ev = events.select(
         F.col(key),
         F.col(ts_col).alias("_ts"),
@@ -205,6 +369,43 @@ def interpolate_at(
         F.lit(None).cast("double").alias("_v"),
     )
     u = ev.unionByName(gm)
+    if bucket == "auto":
+        sc = events.sparkSession.sparkContext
+        cores = max(sc.defaultParallelism, 1)
+        n, k, span = _dispatch_stats(ev, key, "_ts")
+        if (
+            k <= cores * DISPATCH_MAX_KEYS_PER_CORE
+            and n / k >= DISPATCH_MIN_ROWS_PER_KEY
+        ):
+            bucket = _pick_bucket(n, k, span)
+        else:
+            bucket = None
+    if bucket is None:
+        return _interpolate_windowed(u, key, ts_col)
+    return _interpolate_bucketed(u, key, ts_col, bucket)
+
+
+def _interp_result(c: DataFrame, key: str, ts_col: str) -> DataFrame:
+    """Shared tail of both interpolate paths: the lerp over the carried
+    (_pt,_pv,_nt,_nv) brackets, exact-hit guard included."""
+    num = F.expr("timestampdiff(MICROSECOND, _pt, _ts)").cast("double")
+    den = F.expr("timestampdiff(MICROSECOND, _pt, _nt)").cast("double")
+    v = F.when(F.col("_nt") == F.col("_pt"), F.col("_pv")).otherwise(
+        F.col("_pv") + (F.col("_nv") - F.col("_pv")) * (num / den)
+    )
+    return (
+        c.where(
+            (F.col("_is_grid") == 1)
+            & F.col("_pt").isNotNull()
+            & F.col("_nt").isNotNull()
+        )
+        .select(F.col(key), F.col("_ts").alias(ts_col), v.alias("v_interp"))
+    )
+
+
+def _interpolate_windowed(u: DataFrame, key: str, ts_col: str) -> DataFrame:
+    from pyspark.sql import Window
+
     fwd = [F.col("_ts"), F.col("_is_grid"), F.coalesce("_id", F.lit(0))]
     # NOT the full reverse: _is_grid stays ascending so obs-before-marker
     # holds at equal ts in both directions (see docstring).
@@ -230,18 +431,149 @@ def interpolate_at(
         .withColumn("_nv", F.last("_v", ignorenulls=True).over(w_b))
         .withColumn("_nt", F.last(obs_ts, ignorenulls=True).over(w_b))
     )
-    num = F.expr("timestampdiff(MICROSECOND, _pt, _ts)").cast("double")
-    den = F.expr("timestampdiff(MICROSECOND, _pt, _nt)").cast("double")
-    v = F.when(F.col("_nt") == F.col("_pt"), F.col("_pv")).otherwise(
-        F.col("_pv") + (F.col("_nv") - F.col("_pv")) * (num / den)
+    return _interp_result(c, key, ts_col)
+
+
+def _interpolate_bucketed(
+    u: DataFrame, key: str, ts_col: str, bucket: str
+) -> DataFrame:
+    """Two-phase carry/boundary-merge form of the interpolation windows:
+    within-bucket running lasts partitioned by (key, bucket) — so
+    parallelism is |key| x |buckets|, never |key| — plus per-bucket
+    boundary observations (last/first obs ts, last/first non-null value)
+    carried across buckets on the tiny |key| x |buckets| frame and
+    broadcast back as seeds. ``date_trunc`` is monotone, so the global
+    (ts, is_grid, id) order is compatible with (bucket, ts, is_grid, id)
+    and coalesce(within-bucket carry, cross-bucket seed) is EXACTLY the
+    global running last — parity-pinned on randomized data in
+    tests/test_timeseries.py. Null-valued observations keep the window
+    path's semantics bit-for-bit: they advance the bracket TIMESTAMP but
+    not the carried value (ts and value are carried separately in both
+    phases)."""
+    from pyspark.sql import Window
+
+    ub = u.withColumn("_bkt", F.date_trunc(bucket, F.col("_ts")))
+    is_obs = F.col("_is_grid") == 0
+    # Phase 1: per-(key, bucket) boundary observations — one hash
+    # aggregate with map-side partials, no sort. max/min over structs pin
+    # the (ts, id)-last/first deterministically; value carried only from
+    # non-null-v observations (matching last(_v, ignorenulls)).
+    obs_t = F.when(is_obs, F.struct("_ts", "_id"))
+    obs_v = F.when(is_obs & F.col("_v").isNotNull(), F.struct("_ts", "_id", "_v"))
+    bounds = ub.groupBy(key, "_bkt").agg(
+        F.max(obs_t).alias("_lt"),
+        F.max(obs_v).alias("_lv"),
+        F.min(obs_t).alias("_ft"),
+        F.min(obs_v).alias("_fv"),
     )
-    return (
-        c.where(
-            (F.col("_is_grid") == 1)
-            & F.col("_pt").isNotNull()
-            & F.col("_nt").isNotNull()
+    # Phase 2: carry boundaries across buckets per key — the frame is
+    # |key| x |buckets| rows, so the per-key window here is trivial.
+    w_prev = (
+        Window.partitionBy(key)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_bkt").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seeds = bounds.select(
+        key,
+        "_bkt",
+        F.last("_lt", ignorenulls=True).over(w_prev)["_ts"].alias("_spt"),
+        F.last("_lv", ignorenulls=True).over(w_prev)["_v"].alias("_spv"),
+        F.last("_ft", ignorenulls=True).over(w_next)["_ts"].alias("_snt"),
+        F.last("_fv", ignorenulls=True).over(w_next)["_v"].alias("_snv"),
+    )
+    # Phase 3: ordinary running lasts, but partitioned by (key, bucket) —
+    # full parallelism — seeded by the broadcast cross-bucket carries.
+    fwd = [F.col("_ts"), F.col("_is_grid"), F.coalesce("_id", F.lit(0))]
+    bwd = [
+        F.col("_ts").desc(),
+        F.col("_is_grid").asc(),
+        F.coalesce("_id", F.lit(0)).desc(),
+    ]
+    w_f = (
+        Window.partitionBy(key, "_bkt").orderBy(*fwd).rowsBetween(
+            Window.unboundedPreceding, 0
         )
-        .select(F.col(key), F.col("_ts").alias(ts_col), v.alias("v_interp"))
+    )
+    w_b = (
+        Window.partitionBy(key, "_bkt").orderBy(*bwd).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    obs_ts = F.when(is_obs, F.col("_ts"))
+    c = (
+        ub.join(F.broadcast(seeds), [key, "_bkt"])
+        .withColumn(
+            "_pv",
+            F.coalesce(F.last("_v", ignorenulls=True).over(w_f), F.col("_spv")),
+        )
+        .withColumn(
+            "_pt",
+            F.coalesce(
+                F.last(obs_ts, ignorenulls=True).over(w_f), F.col("_spt")
+            ),
+        )
+        .withColumn(
+            "_nv",
+            F.coalesce(F.last("_v", ignorenulls=True).over(w_b), F.col("_snv")),
+        )
+        .withColumn(
+            "_nt",
+            F.coalesce(
+                F.last(obs_ts, ignorenulls=True).over(w_b), F.col("_snt")
+            ),
+        )
+    )
+    return _interp_result(c, key, ts_col)
+
+
+def ffill(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    id_col: str,
+    val_col: str,
+    out_col: str = "filled",
+    bucket: str | None = "auto",
+) -> DataFrame:
+    """Forward-fill (last non-null carry) with the round-9 cardinality
+    dispatch: ``bucket="auto"`` (default) runs one cheap stats aggregate
+    and picks the plain per-key running-last window — the measured winner
+    whenever per-key histories sort comfortably in one task — or the
+    two-phase ``ffill_scalable`` form (parallelism |key| x |buckets|)
+    when the key count is under ~2 per core AND histories exceed the
+    measured crossover (DISPATCH_MIN_ROWS_PER_KEY). ``bucket=None``
+    forces the window form; a ``date_trunc`` unit forces the two-phase
+    form at that granularity. Results are identical on every path
+    (parity-pinned); total order inside a key is (ts, id)."""
+    if bucket == "auto":
+        sc = df.sparkSession.sparkContext
+        cores = max(sc.defaultParallelism, 1)
+        n, k, span = _dispatch_stats(df.select(key, ts_col), key, ts_col)
+        if (
+            k <= cores * DISPATCH_MAX_KEYS_PER_CORE
+            and n / k >= DISPATCH_MIN_ROWS_PER_KEY
+        ):
+            bucket = _pick_bucket(n, k, span)
+        else:
+            bucket = None
+    if bucket is None:
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy(key)
+            .orderBy(ts_col, id_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return df.withColumn(
+            out_col, F.last(val_col, ignorenulls=True).over(w)
+        )
+    return ffill_scalable(
+        df, key, ts_col, id_col, val_col, bucket=bucket, out_col=out_col
     )
 
 

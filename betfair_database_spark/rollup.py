@@ -168,6 +168,250 @@ def rollup_update(db, repl: DataFrame, touched: list) -> None:
     _atomic_swap(db, keep.unionByName(fresh).localCheckpoint(), snap)
 
 
+# =========================================================================
+# Generalized rollup specs (round 9): user-declared dims + additive aggs
+# =========================================================================
+#
+# The single hard-coded per-(sport, day) rollup above serves one query
+# shape; reference users group by venue, country, marketType just as often
+# (reference README query shapes). A spec declares group-by dims (index
+# columns, or alias=EXPR derived columns) and mergeable aggregates —
+# count / sum / min / max / approx_count_distinct (HLL sketch) — and gets
+# the SAME machinery: materialized beside the index under a name,
+# partition-incrementally maintained by insert()/clean() (never re-reads
+# the index), snapshot-stamped, StaleRollupError-guarded.
+#
+# Storage grain: the at-rest frame always includes eventTypeId (the index
+# partition key) in front of the user dims, with PARTIAL aggregates per
+# (partition, dims) cell — so maintenance can drop-and-recompute touched
+# partitions and carry the rest, even when the user's dims don't contain
+# the partition key. ``rollup(name)`` re-aggregates the partials to the
+# user grain at read time (rollup-sized input: cheap). count/sum merge by
+# sum, min/max by min/max, HLL sketches by hll_union_agg — all exact
+# merges of exact partials except HLL, which is the standard mergeable
+# approximate-distinct synopsis.
+
+import re as _re
+
+_SPEC_AGG_RE = _re.compile(
+    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*"
+    r"(count|sum|min|max|approx_count_distinct)\s*\(\s*([^)]*?)\s*\)\s*$"
+)
+
+
+def parse_spec(dims: list[str], aggs: list[str]) -> dict:
+    """Validate/normalize a rollup spec. ``dims`` entries are index column
+    names or ``alias=SQL_EXPR`` derived dims; ``aggs`` entries are
+    ``alias=op(col)`` with op in count/sum/min/max/approx_count_distinct
+    (count takes no column). Returns the canonical JSON-able spec dict."""
+    from betfair_database_spark.const import SQL_TABLE_COLUMNS
+
+    cols = set(SQL_TABLE_COLUMNS)
+    nd = []
+    for d in dims:
+        if "=" in d:
+            alias, expr = d.split("=", 1)
+            alias, expr = alias.strip(), expr.strip()
+            if not alias.isidentifier():
+                raise ValueError(f"bad dim alias {alias!r}")
+            nd.append({"alias": alias, "expr": expr})
+        else:
+            d = d.strip()
+            if d not in cols:
+                raise ValueError(f"unknown index column {d!r} in dims")
+            nd.append({"alias": d, "expr": None})
+    if not nd:
+        raise ValueError("a rollup spec needs at least one dim")
+    na = []
+    for a in aggs:
+        m = _SPEC_AGG_RE.match(a)
+        if not m:
+            raise ValueError(
+                f"bad agg {a!r}; expected alias=op(col) with op in "
+                "count/sum/min/max/approx_count_distinct"
+            )
+        alias, op, col = m.group(1), m.group(2), m.group(3) or None
+        if op == "count":
+            col = None
+        elif col is None or col not in cols:
+            raise ValueError(f"agg {a!r} needs a known index column")
+        na.append({"alias": alias, "op": op, "col": col})
+    if not na:
+        raise ValueError("a rollup spec needs at least one agg")
+    names = [d["alias"] for d in nd] + [x["alias"] for x in na]
+    if len(set(names)) != len(names):
+        raise ValueError("duplicate alias in rollup spec")
+    if any(d["expr"] is not None and d["alias"] == "eventTypeId" for d in nd):
+        raise ValueError(
+            "a derived dim cannot shadow eventTypeId (the storage grain's "
+            "partition key)"
+        )
+    return {"dims": nd, "aggs": na}
+
+
+def _spec_dim_cols(spec: dict):
+    return [
+        F.expr(d["expr"]).alias(d["alias"]) if d["expr"] else F.col(d["alias"])
+        for d in spec["dims"]
+    ]
+
+
+def _spec_partial_aggs(spec: dict):
+    """Aggregate expressions at the internal (eventTypeId, dims) grain."""
+    out = []
+    for a in spec["aggs"]:
+        al, op, col = "_p_" + a["alias"], a["op"], a["col"]
+        if op == "count":
+            out.append(F.count(F.lit(1)).alias(al))
+        elif op == "sum":
+            out.append(F.sum(col).alias(al))
+        elif op == "min":
+            out.append(F.min(col).alias(al))
+        elif op == "max":
+            out.append(F.max(col).alias(al))
+        else:  # approx_count_distinct: mergeable HLL sketch partial
+            out.append(F.hll_sketch_agg(F.col(col).cast("string")).alias(al))
+    return out
+
+
+def _spec_merge_aggs(spec: dict):
+    """Merge the partials to the user grain (read time, rollup-sized)."""
+    out = []
+    for a in spec["aggs"]:
+        al, op = a["alias"], a["op"]
+        p = "_p_" + al
+        if op in ("count", "sum"):
+            out.append(F.sum(p).alias(al))
+        elif op == "min":
+            out.append(F.min(p).alias(al))
+        elif op == "max":
+            out.append(F.max(p).alias(al))
+        else:
+            out.append(
+                F.hll_sketch_estimate(F.hll_union_agg(p)).alias(al)
+            )
+    return out
+
+
+def summarize_spec(index_df: DataFrame, spec: dict) -> DataFrame:
+    """The internal at-rest frame: partials per (eventTypeId, user dims).
+    Pure function of index rows — full build, touched-partition recompute,
+    and the from-scratch reference in tests all use it."""
+    has_etid = any(
+        d["expr"] is None and d["alias"] == "eventTypeId" for d in spec["dims"]
+    )
+    keys = ([] if has_etid else [F.col("eventTypeId")]) + _spec_dim_cols(spec)
+    return index_df.groupBy(*keys).agg(*_spec_partial_aggs(spec))
+
+
+def spec_view(internal: DataFrame, spec: dict) -> DataFrame:
+    """User-grain view of the internal frame: drop the partition key,
+    merge the partials."""
+    dims = [d["alias"] for d in spec["dims"]]
+    return internal.groupBy(*dims).agg(*_spec_merge_aggs(spec))
+
+
+def spec_rollup_path(database_dir: Path, name: str) -> Path:
+    if not name.isidentifier():
+        raise ValueError(f"rollup name {name!r} must be an identifier")
+    return Path(database_dir) / f".betfairdatabaserollup-{name}.parquet"
+
+
+def _spec_atomic_swap(db, path: Path, frame: DataFrame, meta: dict) -> int:
+    """Same temp-write + directory-replace commit as the default rollup,
+    but schema-free (spec schemas vary) and carrying the spec in meta."""
+    tmp = path.with_suffix(".swap")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    frame.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+    n = db.spark.read.parquet(str(tmp)).count()
+    (tmp / _META_NAME).write_text(json.dumps({**meta, "rows": n}))
+    if path.exists():
+        shutil.rmtree(path)
+    tmp.rename(path)
+    return n
+
+
+def spec_rollup_build(db, name: str, spec: dict) -> int:
+    """Full (re)build of a named spec rollup from the live index. Returns
+    the stored internal (eventTypeId x dims) row count; the user view is
+    a cheap re-aggregate of it."""
+    from betfair_database_spark.database import _manifest_snapshot_no
+
+    snap = _manifest_snapshot_no(db._index_path)
+    internal = summarize_spec(db._read_index(), spec)
+    return _spec_atomic_swap(
+        db,
+        spec_rollup_path(db.database_dir, name),
+        internal,
+        {"index_snapshot": snap, "spec": spec, "name": name},
+    )
+
+
+def spec_rollup_list(db) -> list[str]:
+    """Names of materialized spec rollups (directory scan, no Spark)."""
+    out = []
+    for p in Path(db.database_dir).glob(".betfairdatabaserollup-*.parquet"):
+        meta = _meta_read(p)
+        if meta and "spec" in meta:
+            out.append(meta["name"])
+    return sorted(out)
+
+
+def spec_rollup_update(db, repl: DataFrame, touched: list) -> None:
+    """Partition-incremental maintenance of EVERY named spec rollup —
+    same contract as rollup_update (called strictly after the index
+    commit, never re-reads the index, heals snapshot gaps by rebuild)."""
+    from betfair_database_spark.database import _manifest_snapshot_no
+
+    if not touched:
+        return
+    snap = _manifest_snapshot_no(db._index_path)
+    for name in spec_rollup_list(db):
+        path = spec_rollup_path(db.database_dir, name)
+        meta = _meta_read(path)
+        if meta is None:
+            continue
+        spec = meta["spec"]
+        if meta.get("index_snapshot") not in (snap - 1, snap):
+            spec_rollup_build(db, name, spec)  # heal: see rollup_update
+            continue
+        keep = db.spark.read.parquet(str(path)).where(
+            ~db._partition_filter(touched)
+        )
+        fresh = summarize_spec(
+            repl.where(db._partition_filter(touched)), spec
+        )
+        _spec_atomic_swap(
+            db,
+            path,
+            keep.unionByName(fresh).localCheckpoint(),
+            {"index_snapshot": snap, "spec": spec, "name": name},
+        )
+
+
+def spec_rollup_read(db, name: str) -> DataFrame:
+    """The committed named rollup at USER grain, freshness-checked."""
+    from betfair_database_spark.database import _manifest_snapshot_no
+    from betfair_database_spark.exceptions import (
+        RollupMissingError,
+        StaleRollupError,
+    )
+
+    path = spec_rollup_path(db.database_dir, name)
+    meta = _meta_read(path)
+    if meta is None:
+        raise RollupMissingError(f"{db.database_dir} (rollup {name!r})")
+    current = _manifest_snapshot_no(db._index_path)
+    if meta.get("index_snapshot") != current:
+        raise StaleRollupError(
+            f"rollup {name!r} was built at index snapshot "
+            f"{meta.get('index_snapshot')} but the index is at snapshot "
+            f"{current} — call create_rollup(name=...) to rebuild"
+        )
+    return spec_view(db.spark.read.parquet(str(path)), meta["spec"])
+
+
 def rollup_read(db) -> DataFrame:
     """The committed rollup, freshness-checked against the index manifest."""
     from betfair_database_spark.database import _manifest_snapshot_no

@@ -212,7 +212,13 @@ def graph_jaccard_similar_pairs(spark, sf):
         .select("a", "b")
     )
     sim = jaccard_similarity(
-        edges, canonical=True, broadcast_degrees=True, broadcast_adjacency=True
+        edges,
+        canonical=True,
+        broadcast_degrees=True,
+        broadcast_adjacency=True,
+        # the >=8-shared-slots screen above bounds the cohort's degree
+        # distribution (measured), so the quadratic wedge join is safe
+        unbounded=True,
     ).withColumn("jaccard", F.round("jaccard", 6))
     return sim.orderBy(
         F.col("jaccard").desc(), F.col("u"), F.col("v")

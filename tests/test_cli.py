@@ -71,6 +71,25 @@ def test_cli_rollup_create_and_show(spark, tmp_path, capsys):
     assert main(["rollup", str(root), "show"]) == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert out and all("\t" in line and "markets" in line for line in out)
+    # named spec rollup (round 9): create with --dim/--agg, show, drop
+    assert (
+        main(
+            [
+                "rollup", str(root), "create", "--name", "bytype",
+                "--dim", "marketType",
+                "--dim", "day=to_date(substring(marketStartTime, 1, 10))",
+                "--agg", "markets=count()",
+                "--agg", "runnersTotal=sum(runners)",
+            ]
+        )
+        == 0
+    )
+    assert "Rollup 'bytype' materialized:" in capsys.readouterr().out
+    assert main(["rollup", str(root), "show", "--name", "bytype"]) == 0
+    shown = capsys.readouterr().out.strip().splitlines()
+    assert shown and all(len(l.split("\t")) == 4 for l in shown)
+    assert main(["rollup", str(root), "drop", "--name", "bytype"]) == 0
+    assert "dropped" in capsys.readouterr().out
 
 
 def test_cli_diff_between_snapshots(spark, tmp_path, capsys):

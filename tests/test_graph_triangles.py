@@ -7,6 +7,8 @@ from __future__ import annotations
 import itertools
 import random
 
+import pytest
+
 from betfair_database_spark.operators.graph import canonical_edges, triangle_count
 
 
@@ -95,9 +97,14 @@ def test_jaccard_similarity_matches_python_reference(spark):
                 )
     got = {
         (r["u"], r["v"]): (r["common_neighbors"], round(r["jaccard"], 12))
-        for r in jaccard_similarity(df, canonical=True).collect()
+        for r in jaccard_similarity(df, canonical=True, unbounded=True).collect()
     }
     assert got == {k: (c, round(j, 12)) for k, (c, j) in want.items()}
+
+    # hub policy is REQUIRED: no cap and no explicit unbounded=True raises
+    # before any job runs
+    with pytest.raises(ValueError, match="max_center_degree"):
+        jaccard_similarity(df, canonical=True)
 
     # hub cap: with max_center_degree=3, wedges centered on higher-degree
     # nodes vanish; recompute the reference with capped centers only

@@ -663,6 +663,60 @@ class TestWriterLock:
         lock.unlink()
         assert db.insert(src, copy=True) == EXPECTED["rows"]
 
+    def test_foreign_lock_expired_heartbeat_taken_over(self, spark, env):
+        """Cross-host liveness (round 9): a lock whose HEARTBEAT (mtime)
+        is older than the lease is taken over even when its contents name
+        a live-looking pid on another host — a crashed driver elsewhere
+        no longer wedges maintenance forever. Strictly after the lease:
+        the same foreign lock with a fresh heartbeat still raises."""
+        import os
+        import socket
+        import time as _time
+
+        from betfair_database_spark.exceptions import ConcurrentWriterError
+
+        db, src, _ = env
+        lock = db.database_dir / ".betfairdatabaseindex.parquet.lock"
+        foreign = f"{os.getpid()} other-{socket.gethostname()} 0.0"
+        # fresh heartbeat: NEVER stolen, regardless of lease
+        lock.write_text(foreign)
+        with pytest.raises(ConcurrentWriterError):
+            db.insert(src, copy=True)
+        # heartbeat one lease + epsilon in the past: taken over
+        old = _time.time() - db.lock_lease_seconds - 5
+        os.utime(lock, (old, old))
+        assert db.insert(src, copy=True) == EXPECTED["rows"]
+        assert not lock.exists()
+
+    def test_heartbeat_keeps_live_holder_unstolen(self, spark, env):
+        """The holder's daemon thread refreshes the lock mtime every
+        lease/3, so a LIVE foreign-looking holder is never expired: with
+        a sub-second lease, a second handle contends (loudly) for several
+        lease durations while the first sits inside the context."""
+        import time as _time
+
+        from betfair_database_spark.database import BetfairDatabase
+        from betfair_database_spark.exceptions import ConcurrentWriterError
+
+        db, src, _ = env
+        holder = BetfairDatabase(
+            db.database_dir, spark=spark, lock_lease_seconds=0.4
+        )
+        contender = BetfairDatabase(
+            db.database_dir, spark=spark, lock_lease_seconds=0.4
+        )
+        lock = db.database_dir / ".betfairdatabaseindex.parquet.lock"
+        with holder._writer_lock():
+            m0 = lock.stat().st_mtime
+            _time.sleep(1.6)  # 4 lease durations; heartbeat every ~0.13 s
+            assert lock.stat().st_mtime > m0  # the heartbeat really beats
+            with pytest.raises(ConcurrentWriterError):
+                with contender._writer_lock():
+                    pass
+        assert not lock.exists()  # released on exit
+        with contender._writer_lock():  # now freely acquirable
+            assert lock.exists()
+
 
 class TestMaterializedRollup:
     """Continuous-aggregate rollup (rollup.py): incrementally maintained by
@@ -812,6 +866,143 @@ class TestMaterializedRollup:
         db, _ = env
         db.index(force=True)
         assert self._materialized(db) == self._recomputed(db)
+
+
+class TestSpecRollups:
+    """User-declared rollup specs (round 9): named rollups with arbitrary
+    index-column/derived dims and mergeable aggregates share the default
+    rollup's whole protocol — partition-incremental maintenance through
+    insert()/clean(), snapshot stamping, StaleRollupError on the crash
+    window — and serve the USER grain even when the dims don't contain
+    the partition key (internal partials merged at read time)."""
+
+    SPEC_A = dict(
+        name="bytype",
+        dims=["eventTypeId", "marketType"],
+        aggs=["markets=count()", "runnersTotal=sum(runners)"],
+    )
+    SPEC_B = dict(  # dims WITHOUT the partition key + derived dim + HLL
+        name="bycountry",
+        dims=[
+            "eventCountryCode",
+            "startDay=to_date(substring(marketStartTime, 1, 10))",
+        ],
+        aggs=[
+            "markets=count()",
+            "firstStart=min(marketStartTime)",
+            "lastStart=max(marketStartTime)",
+            "venues=approx_count_distinct(eventVenue)",
+        ],
+    )
+
+    @pytest.fixture(scope="class")
+    def env(self, spark, tmp_path_factory):
+        from betfair_database_spark.database import BetfairDatabase
+
+        base = tmp_path_factory.mktemp("specrollup")
+        target = base / "db"
+        target.mkdir()
+        src = base / "src"
+        build_corpus(src)
+        db = BetfairDatabase(target, spark=spark)
+        db.insert(src, copy=True)
+        db.create_rollup(**self.SPEC_A)
+        db.create_rollup(**self.SPEC_B)
+        return db, src
+
+    @staticmethod
+    def _from_scratch(db, spec):
+        from betfair_database_spark.rollup import (
+            parse_spec,
+            spec_view,
+            summarize_spec,
+        )
+
+        s = parse_spec(spec["dims"], spec["aggs"])
+        return {
+            tuple(r)
+            for r in spec_view(
+                summarize_spec(db._read_index(), s), s
+            ).collect()
+        }
+
+    def _served(self, db, name):
+        return {tuple(r) for r in db.rollup(name).collect()}
+
+    def test_create_and_read_back_both_specs(self, env):
+        db, _ = env
+        for spec in (self.SPEC_A, self.SPEC_B):
+            got = self._served(db, spec["name"])
+            assert got and got == self._from_scratch(db, spec)
+
+    def test_insert_maintains_both_specs(self, env):
+        db, src = env
+        p = src / "1.222000001.json"
+        d = json.loads(p.read_text())
+        d["description"]["marketTime"] = "2023-08-02T10:00:00.000Z"
+        p.write_text(json.dumps(d))
+        assert db.insert(src, copy=True, on_duplicates="update") == 1
+        for spec in (self.SPEC_A, self.SPEC_B):
+            assert self._served(db, spec["name"]) == self._from_scratch(
+                db, spec
+            )
+
+    def test_clean_maintains_both_specs(self, env):
+        db, _ = env
+        victim = next(
+            pathlib.Path(r["marketDataFilePath"])
+            for r in db.select(["marketDataFilePath"])
+        )
+        victim.unlink()
+        assert db.clean() == 1
+        for spec in (self.SPEC_A, self.SPEC_B):
+            assert self._served(db, spec["name"]) == self._from_scratch(
+                db, spec
+            )
+
+    def test_stale_named_rollup_detected(self, env):
+        from betfair_database_spark.exceptions import StaleRollupError
+        from betfair_database_spark.rollup import _META_NAME, spec_rollup_path
+
+        db, _ = env
+        meta_file = (
+            spec_rollup_path(db.database_dir, "bytype") / _META_NAME
+        )
+        meta = json.loads(meta_file.read_text())
+        meta["index_snapshot"] -= 1  # crash between index commit and swap
+        meta_file.write_text(json.dumps(meta))
+        with pytest.raises(StaleRollupError):
+            db.rollup("bytype")
+        db.create_rollup(name="bytype")  # heal from the persisted spec
+        assert self._served(db, "bytype") == self._from_scratch(
+            db, self.SPEC_A
+        )
+
+    def test_bad_specs_rejected(self, env):
+        db, _ = env
+        with pytest.raises(ValueError):
+            db.create_rollup(
+                name="x", dims=["noSuchColumn"], aggs=["n=count()"]
+            )
+        with pytest.raises(ValueError):
+            db.create_rollup(
+                name="x", dims=["marketType"], aggs=["n=median(runners)"]
+            )
+        with pytest.raises(ValueError):
+            db.create_rollup(name="x", dims=["marketType"], aggs=[])
+
+    def test_drop_rollup(self, env):
+        from betfair_database_spark.exceptions import RollupMissingError
+
+        db, _ = env
+        assert db.drop_rollup("bycountry") is True
+        assert db.drop_rollup("bycountry") is False
+        with pytest.raises(RollupMissingError):
+            db.rollup("bycountry")
+        # the other spec (and the default machinery) is untouched
+        assert self._served(db, "bytype") == self._from_scratch(
+            db, self.SPEC_A
+        )
 
 
 def test_rollup_stays_fresh_under_time_travel_and_vacuum(spark, tmp_path):

@@ -186,6 +186,209 @@ def test_interpolate_at_exact_hit_at_last_observation(spark):
     ]
 
 
+def test_interpolate_bucketed_matches_windowed(spark):
+    """Cardinality dispatch (round 9): the two-phase bucketed
+    interpolation must equal the per-key window form BIT-FOR-BIT on
+    randomized data — few huge keys and many small keys, null values
+    (advance the bracket ts but not the carried value), exact-hit grid
+    points, duplicate timestamps, marker-only buckets, and grid points
+    outside the span. Also pins that bucket='auto' dispatches: low-key
+    high-volume frames take the bucketed plan (visible as the _bkt
+    partitioning in the optimized plan), high-key frames the window plan."""
+    import datetime as dt
+    import random
+
+    from betfair_database_spark.operators import timeseries
+
+    rng = random.Random(99)
+    t0 = dt.datetime(2024, 3, 1)
+
+    def make(n_keys, rows_per_key):
+        ev, gr = [], []
+        eid = 0
+        for k in range(n_keys):
+            kk = f"k{k}"
+            for _ in range(rows_per_key):
+                ts = t0 + dt.timedelta(
+                    seconds=rng.randrange(0, 6 * 86_400),
+                    microseconds=rng.randrange(0, 1_000_000),
+                )
+                v = None if rng.random() < 0.15 else round(rng.uniform(-5, 5), 3)
+                ev.append((kk, ts, eid, v))
+                eid += 1
+            for _ in range(rows_per_key // 2):
+                if rng.random() < 0.3 and ev:  # exact hits incl. span edges
+                    gr.append((kk, rng.choice(ev)[1]))
+                else:
+                    gr.append(
+                        (
+                            kk,
+                            t0
+                            + dt.timedelta(
+                                seconds=rng.randrange(-3600, 7 * 86_400)
+                            ),
+                        )
+                    )
+        e = spark.createDataFrame(
+            ev, "k string, ts timestamp_ntz, id long, v double"
+        )
+        g = spark.createDataFrame(gr, "k string, ts timestamp_ntz")
+        return e, g
+
+    def run(e, g, bucket):
+        return sorted(
+            (r["k"], r["ts"], r["v_interp"])
+            for r in timeseries.interpolate_at(
+                e, g, key="k", ts_col="ts", id_col="id", val_col="v",
+                bucket=bucket,
+            ).collect()
+        )
+
+    for n_keys, rows in ((3, 400), (40, 25)):
+        e, g = make(n_keys, rows)
+        base = run(e, g, None)
+        assert base  # non-degenerate
+        for bucket in ("day", "hour"):
+            assert run(e, g, bucket) == base
+        assert run(e, g, "auto") == base
+
+    # dispatch really dispatches: force the regime thresholds around a
+    # small frame by monkey-tweaking the constants via module attributes
+    old_rows = timeseries.DISPATCH_MIN_ROWS_PER_KEY
+    try:
+        timeseries.DISPATCH_MIN_ROWS_PER_KEY = 10
+        e, g = make(2, 60)  # 2 keys >= 10 rows/key -> bucketed
+        plan = timeseries.interpolate_at(
+            e, g, key="k", ts_col="ts", id_col="id", val_col="v",
+            bucket="auto",
+        )._jdf.queryExecution().optimizedPlan().toString()
+        assert "_bkt" in plan
+        e2, g2 = make(200, 3)  # 200 keys, tiny histories -> window path
+        plan2 = timeseries.interpolate_at(
+            e2, g2, key="k", ts_col="ts", id_col="id", val_col="v",
+            bucket="auto",
+        )._jdf.queryExecution().optimizedPlan().toString()
+        assert "_bkt" not in plan2
+    finally:
+        timeseries.DISPATCH_MIN_ROWS_PER_KEY = old_rows
+
+
+def test_ffill_dispatch_parity_both_regimes(spark):
+    """ffill (round 9): the auto-dispatching wrapper equals the plain
+    window form row-for-row in both key regimes, and the dispatch picks
+    the two-phase plan only in the low-cardinality/huge-history regime."""
+    import datetime as dt
+    import random
+
+    from betfair_database_spark.operators import timeseries
+
+    rng = random.Random(31)
+    t0 = dt.datetime(2024, 5, 1)
+
+    def make(n_keys, rows_per_key):
+        rows = []
+        rid = 0
+        for k in range(n_keys):
+            for _ in range(rows_per_key):
+                rows.append(
+                    (
+                        f"k{k}",
+                        t0 + dt.timedelta(seconds=rng.randrange(0, 5 * 86_400)),
+                        rid,
+                        None if rng.random() < 0.4 else round(rng.uniform(0, 9), 3),
+                    )
+                )
+                rid += 1
+        return spark.createDataFrame(
+            rows, "k string, ts timestamp_ntz, id long, v double"
+        )
+
+    def run(df, bucket):
+        return sorted(
+            tuple(r)
+            for r in timeseries.ffill(
+                df, "k", "ts", "id", "v", bucket=bucket
+            ).collect()
+        )
+
+    for n_keys, rows in ((2, 500), (50, 20)):
+        df = make(n_keys, rows)
+        base = run(df, None)
+        assert run(df, "day") == base
+        assert run(df, "auto") == base
+
+    old = timeseries.DISPATCH_MIN_ROWS_PER_KEY
+    try:
+        timeseries.DISPATCH_MIN_ROWS_PER_KEY = 10
+        df = make(2, 80)
+        plan = timeseries.ffill(
+            df, "k", "ts", "id", "v", bucket="auto"
+        )._jdf.queryExecution().optimizedPlan().toString()
+        assert "_bucket" in plan  # ffill_scalable's helper column
+        df2 = make(300, 2)
+        plan2 = timeseries.ffill(
+            df2, "k", "ts", "id", "v", bucket="auto"
+        )._jdf.queryExecution().optimizedPlan().toString()
+        assert "_bucket" not in plan2
+    finally:
+        timeseries.DISPATCH_MIN_ROWS_PER_KEY = old
+
+
+def test_ewma_scalable_matches_sequential_fold(spark):
+    """The two-phase affine-composition EWMA equals the sequential pandas
+    fold to ~1e-12 relative error (IEEE reassociation is the documented
+    delta — it is why ewma_last_per_key does not auto-dispatch), with
+    exact n counts, across both key regimes and bucket granularities."""
+    import datetime as dt
+    import math
+    import random
+
+    from betfair_database_spark.operators.timeseries import (
+        ewma_last_per_key,
+        ewma_last_per_key_scalable,
+    )
+
+    rng = random.Random(17)
+    t0 = dt.datetime(2024, 2, 1)
+
+    for n_keys, rows_per_key in ((3, 300), (40, 12)):
+        rows = []
+        rid = 0
+        for k in range(n_keys):
+            for _ in range(rows_per_key):
+                rows.append(
+                    (
+                        f"k{k}",
+                        t0
+                        + dt.timedelta(
+                            seconds=rng.randrange(0, 10 * 86_400)
+                        ),
+                        rid,
+                        round(rng.uniform(-3, 3), 4),
+                    )
+                )
+                rid += 1
+        df = spark.createDataFrame(
+            rows, "k string, ts timestamp_ntz, id long, v double"
+        )
+        exact = {
+            r["k"]: (r["n"], r["ewma"])
+            for r in ewma_last_per_key(df, "k", "ts", "v", 0.3, "id").collect()
+        }
+        for bucket in ("day", "hour"):
+            got = {
+                r["k"]: (r["n"], r["ewma"])
+                for r in ewma_last_per_key_scalable(
+                    df, "k", "ts", "v", 0.3, "id", bucket=bucket
+                ).collect()
+            }
+            assert got.keys() == exact.keys()
+            for k, (n, y) in exact.items():
+                gn, gy = got[k]
+                assert gn == n
+                assert math.isclose(gy, y, rel_tol=1e-9, abs_tol=1e-12)
+
+
 def test_ffill_scalable_matches_single_window_fill(spark):
     """Randomized parity: the two-phase bucketed forward-fill equals the
     plain per-key running-last window, including nulls before any value

@@ -192,6 +192,7 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    stats: dict[str, dict] = {}
     wall0 = time.perf_counter()
     # the driver invokes bench under `timeout 590`; once the wall budget is
     # tight, stop repeating and take first-run numbers for the remainder —
@@ -199,7 +200,7 @@ def main() -> None:
     wall_budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "460"))
     for name in HEADLINE:
         fn = SUITE[name].fn
-        best = float("inf")
+        runs: list[float] = []
         # Adaptive repeats (round 8: the flat best-of-3 pushed the wall
         # past the driver's 590 s budget at 117 queries). Two runs for
         # everyone — the first pays one-time Janino codegen, the second is
@@ -208,14 +209,32 @@ def main() -> None:
         # total (measured: dedup queries swing 2.4-9 s back-to-back, while
         # sub-second queries vary by ~±0.1 s, which is noise on the sum).
         for run in range(3):
-            if run == 2 and best < 1.0:
+            if run == 2 and min(runs) < 1.0:
                 break
             if run > 0 and time.perf_counter() - wall0 > wall_budget:
                 break
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
+        # Per-query dispersion (round 9): median/spread/n make a
+        # sub-second "regression" falsifiable from the artifact alone —
+        # a real plan change moves the MEDIAN beyond the recorded SPREAD;
+        # box noise does not. `queries` keeps best-of semantics so
+        # cross-round comparisons stay apples-to-apples.
+        runs.sort()
+        mid = len(runs) // 2
+        median = (
+            runs[mid]
+            if len(runs) % 2
+            else (runs[mid - 1] + runs[mid]) / 2.0
+        )
+        stats[name] = {
+            "median": round(median, 3),
+            "spread": round(runs[-1] - runs[0], 3),
+            "n": len(runs),
+            "runs": [round(r, 3) for r in runs],
+        }
 
     total = round(sum(timings.values()), 3)
     # The driver's stdout capture truncated the 93-query JSON line two
@@ -227,6 +246,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "stats": stats,
         "sf": sf,
         "n_queries": len(timings),
     }

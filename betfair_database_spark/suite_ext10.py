@@ -41,6 +41,84 @@ SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
 
+# =========================================================================
+# ts_ffill_user_value — forward-fill through synthetic gaps, per user
+# =========================================================================
+#
+# Puts the round-9 `timeseries.ffill` dispatcher (auto path) under DuckDB
+# hash scrutiny: every 3rd event's value is masked to NULL, the fill
+# carries the last non-null value in (ts, event_id) order per user, and
+# the per-user summary uses FIXED-POINT sums (value*1e6 as BIGINT — the
+# recorded cross-engine rule: double sums reassociate, integer sums
+# don't). Rows before a user's first observation stay null and are
+# excluded from the sum on both engines via the filled IS NOT NULL
+# filter inside the conditional aggregation.
+
+_FFILL_ORACLE = """
+WITH masked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+  FROM events WHERE user_id % 10 = 0
+),
+filled AS (
+  SELECT user_id, event_id, v,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS fv
+  FROM masked
+)
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(count(*) FILTER (WHERE v IS NULL AND fv IS NOT NULL) AS BIGINT)
+         AS n_filled_gaps,
+       CAST(count(*) FILTER (WHERE fv IS NULL) AS BIGINT) AS n_leading_nulls,
+       CAST(sum(CASE WHEN fv IS NULL THEN 0
+                     ELSE CAST(round(fv * 1e6) AS BIGINT) END) AS BIGINT)
+         AS sum_fv_micros
+FROM filled GROUP BY user_id
+"""
+
+
+@_q("ts_ffill_user_value", _FFILL_ORACLE)
+def ts_ffill_user_value(spark, sf):
+    """Per-user forward-fill over a masked value series through the
+    dispatching ``timeseries.ffill`` (auto picks the window form at this
+    cardinality — parity with the two-phase form is pytest-pinned), then
+    a per-user fill summary with fixed-point sums."""
+    from betfair_database_spark.operators import timeseries
+
+    ev = (
+        _t(spark, sf, "events")
+        .where(F.col("user_id") % 10 == 0)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_id") % 3 != 0, F.col("value")).alias("v"),
+        )
+    )
+    filled = timeseries.ffill(
+        ev, key="user_id", ts_col="ts", id_col="event_id", val_col="v",
+        out_col="fv",
+    )
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("v").isNull() & F.col("fv").isNotNull(), 1))
+        .cast("long")
+        .alias("n_filled_gaps"),
+        F.count(F.when(F.col("fv").isNull(), 1))
+        .cast("long")
+        .alias("n_leading_nulls"),
+        F.sum(
+            F.when(F.col("fv").isNull(), F.lit(0)).otherwise(
+                F.round(F.col("fv") * 1e6).cast("long")
+            )
+        )
+        .cast("long")
+        .alias("sum_fv_micros"),
+    )
+
+
 @_q("knn_ann_index_appended_top10", _ANN_APPEND_ORACLE)
 def knn_ann_index_appended_top10(spark, sf):
     """Exact top-10 served through the at-rest ANN index after its full

@@ -293,6 +293,27 @@ def _spec_merge_aggs(spec: dict):
     return out
 
 
+def _spec_fold_partials(spec: dict):
+    """Fold partials INTO partials (same column names/types) — the
+    streaming additive merge: counts/sums add, min/max re-extremize, HLL
+    sketches union without estimating. Register-max semantics make every
+    one of these order-independent, so an incremental fold equals the
+    one-shot aggregate bit-for-bit (HLL: sketch-for-sketch)."""
+    out = []
+    for a in spec["aggs"]:
+        p = "_p_" + a["alias"]
+        op = a["op"]
+        if op in ("count", "sum"):
+            out.append(F.sum(p).alias(p))
+        elif op == "min":
+            out.append(F.min(p).alias(p))
+        elif op == "max":
+            out.append(F.max(p).alias(p))
+        else:
+            out.append(F.hll_union_agg(p).alias(p))
+    return out
+
+
 def summarize_spec(index_df: DataFrame, spec: dict) -> DataFrame:
     """The internal at-rest frame: partials per (eventTypeId, user dims).
     Pure function of index rows — full build, touched-partition recompute,

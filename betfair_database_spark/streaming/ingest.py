@@ -276,6 +276,111 @@ def rollup_merge_batch(batch: DataFrame, batch_id: int, rollup_dir: str) -> None
     os.rename(swap, live)
 
 
+def spec_rollup_merge_batch(
+    batch: DataFrame, batch_id: int, rollup_dir: str, spec: dict
+) -> None:
+    """Idempotent micro-batch fold for a USER-SPEC rollup (round 9): the
+    spec's partials are all mergeable (counts/sums add, min/max
+    re-extremize, HLL sketches union), so the batch partial folds into
+    the at-rest frame with one groupBy — the same at-rest grain
+    (eventTypeId x dims x partial columns) the batch ``create_rollup(
+    name=, dims=, aggs=)`` stores, so ``rollup.spec_view`` serves either
+    one identically. Same batch-id-recorded swap + crash adoption as
+    ``rollup_merge_batch``."""
+    import json
+    import os
+    import shutil
+    from pathlib import Path
+
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import Window
+
+    from betfair_database_spark.rollup import (
+        _spec_fold_partials,
+        summarize_spec,
+    )
+
+    live = Path(rollup_dir)
+    swap = live.with_suffix(".swap")
+    if not live.exists() and _stream_meta_read(swap) is not None:
+        os.rename(swap, live)
+    meta = _stream_meta_read(live)
+    if meta is not None and batch_id <= meta.get("last_batch_id", -1):
+        return  # replayed micro-batch: already folded, no-op
+    rows = metadata_batch_to_index_rows(batch)
+    w = Window.partitionBy("marketId").orderBy(
+        F.col("marketMetadataFilePath").desc()
+    )
+    rows = (
+        rows.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    part = summarize_spec(rows, spec).localCheckpoint()
+    if not part.head(1):
+        return
+    spark_ = part.sparkSession
+    try:
+        old = spark_.read.parquet(str(live))
+        both = old.unionByName(part)
+    except AnalysisException:  # first batch: no rollup yet
+        both = part
+    keys = [c for c in part.columns if not c.startswith("_p_")]
+    merged = (
+        both.groupBy(*keys)
+        .agg(*_spec_fold_partials(spec))
+        .select(*part.columns)
+        .localCheckpoint()  # materialize before the swap below
+    )
+    merged.coalesce(1).write.mode("overwrite").parquet(str(swap))
+    (swap / _STREAM_META_NAME).write_text(
+        json.dumps({"last_batch_id": batch_id, "spec": spec})
+    )
+    if live.exists():
+        shutil.rmtree(live)
+    os.rename(swap, live)
+
+
+def read_spec_stream_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
+    """Serve a streamed spec rollup at USER grain (partials merged, HLL
+    estimated) — the same view ``BetfairDatabase.rollup(name)`` serves
+    for the batch-maintained twin."""
+    from pathlib import Path
+
+    from betfair_database_spark.rollup import spec_view
+
+    spec = _stream_meta_read(Path(rollup_dir))["spec"]
+    return spec_view(spark.read.parquet(rollup_dir), spec)
+
+
+def start_spec_rollup_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    rollup_dir: str,
+    checkpoint_dir: str,
+    spec: dict,
+    max_files_per_trigger: int | None = None,
+    trigger_once: bool = False,
+):
+    """Continuous-aggregate twin of ``create_rollup(name=, dims=, aggs=)``:
+    newly-landed metadata folds into a user-spec rollup without an index
+    in between. ``spec`` is ``rollup.parse_spec`` output. Same
+    append-only landing-zone contract and idempotent replay-safe sink as
+    ``start_rollup_stream``."""
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        spec_rollup_merge_batch(batch, batch_id, rollup_dir, spec)
+
+    writer = (
+        read_catalogue_stream(spark, landing_dir, max_files_per_trigger)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_rollup_stream(
     spark: SparkSession,
     landing_dir: str,

@@ -1152,6 +1152,81 @@ def test_streaming_rollup_replay_is_idempotent(spark, tmp_path):
     assert snap() == after_b1
 
 
+def test_streaming_spec_rollup_matches_batch_named_rollup(spark, tmp_path):
+    """User-spec continuous aggregate (round 9): streaming the paired
+    corpus one file per micro-batch through start_spec_rollup_stream —
+    counts/sums add, min/max re-extremize, HLL sketches UNION across
+    many folds — serves exactly the view the batch-maintained named
+    rollup serves over the same corpus, HLL estimates included
+    (register-max union is order-independent). Replaying a batch id
+    into the spec sink is a no-op."""
+    import shutil
+
+    from tests.corpus import build_corpus
+
+    from betfair_database_spark.database import BetfairDatabase
+    from betfair_database_spark.rollup import parse_spec
+    from betfair_database_spark.streaming.ingest import (
+        read_spec_stream_rollup,
+        spec_rollup_merge_batch,
+        start_spec_rollup_stream,
+    )
+
+    src = tmp_path / "full"
+    build_corpus(src)
+    corpus = tmp_path / "paired"
+    corpus.mkdir()
+    for meta in sorted(src.glob("1.*.json")):
+        for ext in ("", ".bz2", ".gz", ".zip"):
+            data = meta.with_suffix(ext) if ext else meta.with_suffix("")
+            if data.exists() and data != meta:
+                shutil.copy(meta, corpus / meta.name)
+                shutil.copy(data, corpus / data.name)
+                break
+
+    dims = ["marketType"]
+    aggs = [
+        "markets=count()",
+        "runnersTotal=sum(runners)",
+        "firstStart=min(marketStartTime)",
+        "venues=approx_count_distinct(eventVenue)",
+    ]
+    db = BetfairDatabase(corpus, spark=spark)
+    db.index()
+    db.create_rollup(name="bytype", dims=dims, aggs=aggs)
+    batch_rows = sorted(tuple(r) for r in db.rollup("bytype").collect())
+    assert batch_rows
+
+    spec = parse_spec(dims, aggs)
+    rollup_dir = str(tmp_path / "stream_spec.parquet")
+    q = start_spec_rollup_stream(
+        spark,
+        str(corpus),
+        rollup_dir,
+        str(tmp_path / "ckpt_spec"),
+        spec,
+        max_files_per_trigger=1,  # force many incremental folds
+        trigger_once=True,
+    )
+    q.awaitTermination(180)
+    streamed = sorted(
+        tuple(r) for r in read_spec_stream_rollup(spark, rollup_dir).collect()
+    )
+    assert streamed == batch_rows
+    # replayed batch id: no-op (idempotent sink shared with the default)
+    stale = spark.createDataFrame(
+        [(str(corpus / "x.json"), "{}")], "path string, content string"
+    )
+    spec_rollup_merge_batch(stale, 0, rollup_dir, spec)
+    assert (
+        sorted(
+            tuple(r)
+            for r in read_spec_stream_rollup(spark, rollup_dir).collect()
+        )
+        == batch_rows
+    )
+
+
 def test_streaming_interval_coverage_matches_batch_islands(spark, tmp_path):
     """Dynamic-gap session_window == batch merge_intervals, row-for-row:
     each event opens a [ts, ts + value-seconds) interval; the streamed

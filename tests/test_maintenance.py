@@ -960,6 +960,29 @@ class TestSpecRollups:
                 db, spec
             )
 
+    def test_spec_incremental_update_never_rereads_index(self, env, monkeypatch):
+        """The named-rollup incremental update has the same no-reread
+        contract as the default rollup: touched partitions come from the
+        in-memory replacement frame, untouched rows from the previous
+        rollup file — the index parquet is never scanned."""
+        from betfair_database_spark import rollup as R
+        from betfair_database_spark.database import BetfairDatabase
+
+        db, _ = env
+        repl = db._read_index().localCheckpoint()  # captured BEFORE the patch
+        touched = [r[0] for r in repl.select("eventTypeId").distinct().collect()]
+
+        def boom(self, version=None):
+            raise AssertionError("spec rollup update re-read the index")
+
+        monkeypatch.setattr(BetfairDatabase, "_read_index", boom)
+        R.spec_rollup_update(db, repl, touched)
+        monkeypatch.undo()
+        for spec in (self.SPEC_A, self.SPEC_B):
+            assert self._served(db, spec["name"]) == self._from_scratch(
+                db, spec
+            )
+
     def test_stale_named_rollup_detected(self, env):
         from betfair_database_spark.exceptions import StaleRollupError
         from betfair_database_spark.rollup import _META_NAME, spec_rollup_path

@@ -191,38 +191,52 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    stats: dict[str, dict] = {}
     wall0 = time.perf_counter()
     # the driver invokes bench under `timeout 590`; once the wall budget is
     # tight, stop repeating and take first-run numbers for the remainder —
     # a slightly noisy tail beats a killed process with NO output
     wall_budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "460"))
+
+    def timed(name: str) -> float:
+        t0 = time.perf_counter()
+        SUITE[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
+    # Pass-based scheduling (round 9). Round 8's per-query repeat loop
+    # had a structural tail bias: once the wall budget ran out, every
+    # REMAINING query kept its first-run number (one-time Janino codegen
+    # included) — a loaded box inflated the tail by several seconds
+    # each. Now pass 1 gives every query its codegen-paying first run;
+    # refresh passes then re-run queries in DESCENDING first-run order
+    # (heaviest first — where absolute variance lives), so budget
+    # exhaustion costs sub-second steady-state refreshes (~0.1-0.3 s
+    # bias each), never multi-second cold numbers. Third runs only for
+    # >=1 s queries (measured: dedup queries swing seconds back-to-back,
+    # sub-second queries are noise on the sum).
+    runs_by: dict[str, list[float]] = {}
     for name in HEADLINE:
-        fn = SUITE[name].fn
-        runs: list[float] = []
-        # Adaptive repeats (round 8: the flat best-of-3 pushed the wall
-        # past the driver's 590 s budget at 117 queries). Two runs for
-        # everyone — the first pays one-time Janino codegen, the second is
-        # the steady-state number — and a THIRD run only when the query is
-        # heavy enough (>=1 s) for run-to-run variance to move the suite
-        # total (measured: dedup queries swing 2.4-9 s back-to-back, while
-        # sub-second queries vary by ~±0.1 s, which is noise on the sum).
-        for run in range(3):
-            if run == 2 and min(runs) < 1.0:
+        runs_by[name] = [timed(name)]
+    refresh = sorted(HEADLINE, key=lambda n: -runs_by[n][0])
+    for passno in (2, 3):
+        for name in refresh:
+            if time.perf_counter() - wall0 > wall_budget:
                 break
-            if run > 0 and time.perf_counter() - wall0 > wall_budget:
-                break
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(min(runs), 3)
+            if passno == 3 and min(runs_by[name]) < 1.0:
+                continue
+            runs_by[name].append(timed(name))
+
+    timings: dict[str, float] = {}
+    stats: dict[str, dict] = {}
+    for name in HEADLINE:
+        runs = sorted(runs_by[name])
+        timings[name] = round(runs[0], 3)
         # Per-query dispersion (round 9): median/spread/n make a
         # sub-second "regression" falsifiable from the artifact alone —
         # a real plan change moves the MEDIAN beyond the recorded SPREAD;
         # box noise does not. `queries` keeps best-of semantics so
         # cross-round comparisons stay apples-to-apples.
-        runs.sort()
         mid = len(runs) // 2
         median = (
             runs[mid]

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from betfair_database_spark.operators import similarity
-from betfair_database_spark.suite import _q, _t
+from betfair_database_spark.suite import _MINHASH_ORACLE, _q, _t
 
 # =========================================================================
 # knn_ann_index_appended_top10 — build → append → append → compact → query
@@ -149,3 +149,82 @@ def knn_ann_index_appended_top10(spark, sf):
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return out
+
+
+# =========================================================================
+# pipeline_neardup_canonicalize — pick one survivor per duplicate cluster
+# =========================================================================
+#
+# The production consolidation step after near-dup detection: MinHash
+# candidate pairs -> connected components -> ONE canonical document per
+# cluster (longest text wins, doc_id breaks ties — the "keep the fullest
+# variant" heuristic). Returns one row per clustered doc with its
+# canonical assignment, so a lost edge, a wrong component label, or a
+# flipped tie-break all change the hash. Singleton docs never enter the
+# pair graph and are implicitly kept — the row covers the clustered
+# subset, where all the decisions live.
+
+_CANON_ORACLE = f"""
+WITH RECURSIVE pairs AS (SELECT a, b FROM ({_MINHASH_ORACLE}) mp),
+sym AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),
+nodes AS (SELECT DISTINCT s AS node FROM sym),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, sym.d FROM reach JOIN sym ON sym.s = reach.r
+),
+comp AS (
+  SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node
+),
+ranked AS (
+  SELECT c.doc_id, c.component, length(d.text) AS n_chars,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY length(d.text) DESC, c.doc_id) AS rk
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT r.doc_id,
+       CAST(first(r2.doc_id) AS BIGINT) AS canonical_id,
+       CAST(count(*) OVER (PARTITION BY r.component) AS BIGINT)
+         AS cluster_size,
+       CAST(r.doc_id != first(r2.doc_id) AS BOOLEAN) AS dropped
+FROM ranked r JOIN ranked r2 ON r2.component = r.component AND r2.rk = 1
+GROUP BY r.doc_id, r.component, r2.doc_id
+"""
+
+
+@_q("pipeline_neardup_canonicalize", _CANON_ORACLE)
+def pipeline_neardup_canonicalize(spark, sf):
+    """Near-dup consolidation: MinHash pairs → components → canonical
+    per cluster by (text length DESC, doc_id) — a min over one struct
+    whose order encodes the rule, so the pick shares the components'
+    exchange instead of adding a window sort. Emits (doc_id,
+    canonical_id, cluster_size, dropped) for every clustered doc."""
+    from betfair_database_spark.operators import dedup, graph
+
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.minhash_near_dups(
+        docs, num_hashes=16, bands=2, threshold=0.8
+    )
+    comp = graph.connected_components(pairs, "a", "b").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    sized = comp.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        "component",
+        F.length("text").alias("_len"),
+    )
+    canon = sized.groupBy("component").agg(
+        F.min(F.struct((-F.col("_len")).alias("_nl"), F.col("doc_id")))[
+            "doc_id"
+        ].alias("canonical_id"),
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+    )
+    return (
+        sized.join(canon, "component")
+        .select(
+            "doc_id",
+            F.col("canonical_id").cast("long"),
+            "cluster_size",
+            (F.col("doc_id") != F.col("canonical_id")).alias("dropped"),
+        )
+    )

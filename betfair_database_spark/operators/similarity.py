@@ -1532,7 +1532,11 @@ def compact_ann_cells(
     leaves the replaced files unreferenced; both are reaped by the next
     append/compact. Untouched cells are never read or written. Query
     results are identical by construction — same rows, same manifest
-    resolution, fewer files."""
+    resolution, fewer files. Same concurrent-reader caveat as the index
+    protocol (database.py): a reader that resolved its file list from
+    the PRE-compact manifest can hit deleted files once the post-commit
+    reap runs — the snapshot guarantee is for reads started after the
+    commit; single maintenance writer assumed."""
     manifest = ann_manifest_read(path)
     if manifest is None:
         raise ValueError(

@@ -257,6 +257,32 @@ def path_ngrams(
 # single key no longer sorts in one task".
 DISPATCH_MAX_KEYS_PER_CORE = 2.0
 DISPATCH_MIN_ROWS_PER_KEY = 8_000_000
+
+
+def _dispatch_thresholds(spark) -> tuple[float, float]:
+    """Dispatch thresholds, overridable per cluster: the defaults are
+    MEASURED on local[32] with in-memory sorts; a cluster with different
+    executor memory/task sizing shifts the crossover, so operators read
+    ``spark.bfdb.dispatch.maxKeysPerCore`` and
+    ``spark.bfdb.dispatch.minRowsPerKey`` from the session conf first
+    (module constants remain the test hook and the default source)."""
+    conf = spark.conf
+    try:
+        max_kpc = float(
+            conf.get(
+                "spark.bfdb.dispatch.maxKeysPerCore",
+                str(DISPATCH_MAX_KEYS_PER_CORE),
+            )
+        )
+        min_rpk = float(
+            conf.get(
+                "spark.bfdb.dispatch.minRowsPerKey",
+                str(DISPATCH_MIN_ROWS_PER_KEY),
+            )
+        )
+    except ValueError:
+        return DISPATCH_MAX_KEYS_PER_CORE, float(DISPATCH_MIN_ROWS_PER_KEY)
+    return max_kpc, min_rpk
 # Bucket-granularity pick: finer buckets balance better (hour beat day
 # 16.9 vs 24.9 s on the 1-key run) — target ~10k rows per (key, bucket)
 # but keep the carried-seeds frame broadcastable.
@@ -372,11 +398,9 @@ def interpolate_at(
     if bucket == "auto":
         sc = events.sparkSession.sparkContext
         cores = max(sc.defaultParallelism, 1)
+        max_kpc, min_rpk = _dispatch_thresholds(events.sparkSession)
         n, k, span = _dispatch_stats(ev, key, "_ts")
-        if (
-            k <= cores * DISPATCH_MAX_KEYS_PER_CORE
-            and n / k >= DISPATCH_MIN_ROWS_PER_KEY
-        ):
+        if k <= cores * max_kpc and n / k >= min_rpk:
             bucket = _pick_bucket(n, k, span)
         else:
             bucket = None
@@ -553,11 +577,9 @@ def ffill(
     if bucket == "auto":
         sc = df.sparkSession.sparkContext
         cores = max(sc.defaultParallelism, 1)
+        max_kpc, min_rpk = _dispatch_thresholds(df.sparkSession)
         n, k, span = _dispatch_stats(df.select(key, ts_col), key, ts_col)
-        if (
-            k <= cores * DISPATCH_MAX_KEYS_PER_CORE
-            and n / k >= DISPATCH_MIN_ROWS_PER_KEY
-        ):
+        if k <= cores * max_kpc and n / k >= min_rpk:
             bucket = _pick_bucket(n, k, span)
         else:
             bucket = None

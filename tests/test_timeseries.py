@@ -334,6 +334,35 @@ def test_ffill_dispatch_parity_both_regimes(spark):
         timeseries.DISPATCH_MIN_ROWS_PER_KEY = old
 
 
+def test_dispatch_thresholds_read_session_conf(spark):
+    """Cluster operators tune the dispatch crossover via
+    spark.bfdb.dispatch.* conf keys; the measured module constants stay
+    the defaults."""
+    import datetime as dt
+
+    from betfair_database_spark.operators import timeseries
+
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [
+        ("k0", t0 + dt.timedelta(minutes=i), i, float(i % 7)) for i in range(80)
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp_ntz, id long, v double"
+    )
+    try:
+        spark.conf.set("spark.bfdb.dispatch.minRowsPerKey", "10")
+        plan = timeseries.ffill(
+            df, "k", "ts", "id", "v", bucket="auto"
+        )._jdf.queryExecution().optimizedPlan().toString()
+        assert "_bucket" in plan  # conf pulled the crossover down
+    finally:
+        spark.conf.unset("spark.bfdb.dispatch.minRowsPerKey")
+    plan = timeseries.ffill(
+        df, "k", "ts", "id", "v", bucket="auto"
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "_bucket" not in plan  # default crossover restored
+
+
 def test_ewma_scalable_matches_sequential_fold(spark):
     """The two-phase affine-composition EWMA equals the sequential pandas
     fold to ~1e-12 relative error (IEEE reassociation is the documented

@@ -1225,6 +1225,20 @@ def test_streaming_spec_rollup_matches_batch_named_rollup(spark, tmp_path):
         )
         == batch_rows
     )
+    # crash between rmtree(live) and rename(swap): live gone, swap whole —
+    # the next invocation adopts the swap and the replay still no-ops
+    import os
+
+    swap = rollup_dir[: -len(".parquet")] + ".swap"
+    os.rename(rollup_dir, swap)
+    spec_rollup_merge_batch(stale, 0, rollup_dir, spec)
+    assert (
+        sorted(
+            tuple(r)
+            for r in read_spec_stream_rollup(spark, rollup_dir).collect()
+        )
+        == batch_rows
+    )
 
 
 def test_streaming_interval_coverage_matches_batch_islands(spark, tmp_path):

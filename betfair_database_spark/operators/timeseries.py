@@ -303,7 +303,13 @@ def _dispatch_stats(events: DataFrame, key: str, ts_col: str):
     ).first()
     span = 0.0
     if r["lo"] is not None and r["hi"] is not None:
-        span = (r["hi"] - r["lo"]).total_seconds()
+        try:
+            span = (r["hi"] - r["lo"]).total_seconds()
+        except (TypeError, AttributeError):
+            # non-datetime ts (ISO string, epoch number): no span signal —
+            # the granularity pick falls back to its finest unit, and
+            # date_trunc's implicit cast handles ISO strings downstream
+            span = 0.0
     return int(r["n"]), max(int(r["k"]), 1), span
 
 

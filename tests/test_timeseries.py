@@ -363,6 +363,39 @@ def test_dispatch_thresholds_read_session_conf(spark):
     assert "_bucket" not in plan  # default crossover restored
 
 
+def test_ffill_auto_on_iso_string_timestamps(spark):
+    """The index stores datetimes as ISO-8601 STRINGS; auto dispatch must
+    not crash on a non-datetime ts column (span probe degrades to 0, the
+    two-phase form still works via date_trunc's implicit cast), and the
+    fill itself is order-correct because ISO strings sort chronologically."""
+    from betfair_database_spark.operators import timeseries
+
+    rows = [
+        ("k", f"2024-06-01T0{h}:00:00.000Z", h, None if h % 2 else float(h))
+        for h in range(8)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, id long, v double")
+    base = sorted(
+        tuple(r)
+        for r in timeseries.ffill(df, "k", "ts", "id", "v", bucket=None).collect()
+    )
+    assert base == sorted(
+        tuple(r)
+        for r in timeseries.ffill(df, "k", "ts", "id", "v", bucket="auto").collect()
+    )
+    old = timeseries.DISPATCH_MIN_ROWS_PER_KEY
+    try:
+        timeseries.DISPATCH_MIN_ROWS_PER_KEY = 1  # force the bucketed path
+        assert base == sorted(
+            tuple(r)
+            for r in timeseries.ffill(
+                df, "k", "ts", "id", "v", bucket="auto"
+            ).collect()
+        )
+    finally:
+        timeseries.DISPATCH_MIN_ROWS_PER_KEY = old
+
+
 def test_ewma_scalable_matches_sequential_fold(spark):
     """The two-phase affine-composition EWMA equals the sequential pandas
     fold to ~1e-12 relative error (IEEE reassociation is the documented

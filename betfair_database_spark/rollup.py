@@ -241,6 +241,10 @@ def parse_spec(dims: list[str], aggs: list[str]) -> dict:
     names = [d["alias"] for d in nd] + [x["alias"] for x in na]
     if len(set(names)) != len(names):
         raise ValueError("duplicate alias in rollup spec")
+    if any(n.startswith("_p_") for n in names):
+        # the storage grain prefixes partial columns with _p_; a user
+        # alias in that namespace would corrupt key/partial detection
+        raise ValueError("aliases starting with '_p_' are reserved")
     if any(d["expr"] is not None and d["alias"] == "eventTypeId" for d in nd):
         raise ValueError(
             "a derived dim cannot shadow eventTypeId (the storage grain's "

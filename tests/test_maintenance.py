@@ -1013,6 +1013,10 @@ class TestSpecRollups:
             )
         with pytest.raises(ValueError):
             db.create_rollup(name="x", dims=["marketType"], aggs=[])
+        with pytest.raises(ValueError):  # _p_ is the partials namespace
+            db.create_rollup(
+                name="x", dims=["_p_d=upper(marketType)"], aggs=["n=count()"]
+            )
 
     def test_drop_rollup(self, env):
         from betfair_database_spark.exceptions import RollupMissingError

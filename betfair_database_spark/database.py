@@ -135,26 +135,57 @@ class BetfairDatabase:
                     raise ConcurrentWriterError(
                         lock, holder or "unreadable lock"
                     ) from None
-                # stale: dead pid on this host, or heartbeat past the
-                # lease on any host — take over (the O_EXCL retry above
-                # arbitrates if two waiters race the unlink)
-                lock.unlink(missing_ok=True)
+                # Stale: dead pid on this host, or heartbeat past the lease
+                # on any host — take over. Arbitration is by RENAME to a
+                # unique temp name: of N contenders that all observed the
+                # same expired heartbeat, exactly ONE rename succeeds
+                # (POSIX rename is atomic); losers get FileNotFoundError
+                # and re-enter the O_EXCL contention, where the winner's
+                # fresh lock makes them raise. A bare unlink here would
+                # let a slow contender delete the winner's freshly created
+                # lock and admit two writers.
+                if not _lock_takeover(lock, holder, self.lock_lease_seconds):
+                    raise ConcurrentWriterError(
+                        lock, _lock_holder(lock) or "unreadable lock"
+                    ) from None
         stop = threading.Event()
         beat = None
+        self._lease_lost = False
+        mine = f"{os.getpid()} {socket.gethostname()} {time.time()}"
         try:
-            mine = f"{os.getpid()} {socket.gethostname()} {time.time()}"
             os.write(fd, mine.encode())
             os.close(fd)
 
             def _heartbeat():
                 interval = max(self.lock_lease_seconds / 3.0, 0.05)
-                while not stop.wait(interval):
-                    if _lock_holder(lock) != mine:
-                        return  # taken over past our lease: never touch it
-                    try:
-                        os.utime(lock, None)
-                    except OSError:
+                fail_since = None  # monotonic start of the current outage
+                wait = interval
+                while not stop.wait(wait):
+                    holder = _lock_holder(lock)
+                    if holder and holder != mine:
+                        # definitive: taken over past our lease — never
+                        # touch it, and make the loss LOUD on release
+                        self._lease_lost = True
                         return
+                    try:
+                        if holder == mine:
+                            os.utime(lock, None)
+                        else:  # unreadable lock file: transient storage?
+                            raise OSError("lock file unreadable")
+                        fail_since, wait = None, interval
+                    except OSError:
+                        # Transient storage hiccup (NFS blip): keep
+                        # retrying densely for up to one lease before
+                        # declaring the lease lost — a single failed utime
+                        # must not silently stop refreshes while the
+                        # holder keeps writing.
+                        now = time.monotonic()
+                        if fail_since is None:
+                            fail_since = now
+                        if now - fail_since >= self.lock_lease_seconds:
+                            self._lease_lost = True
+                            return
+                        wait = min(interval, 0.2)
 
             beat = threading.Thread(
                 target=_heartbeat, name="bfdb-lock-heartbeat", daemon=True
@@ -167,10 +198,18 @@ class BetfairDatabase:
             stop.set()
             if beat is not None:
                 beat.join(timeout=5)
-            # release only if still ours — a lease takeover means the file
-            # now belongs to the new holder
-            if _lock_holder(lock) == mine:
-                lock.unlink(missing_ok=True)
+            _lock_release(lock, mine)
+        if self._lease_lost:
+            # The write COMPLETED, but our lease expired mid-way (storage
+            # outage or takeover) — another writer may have interleaved.
+            # Surface it loudly so the operator re-verifies instead of
+            # trusting a possibly-raced commit.
+            raise ConcurrentWriterError(
+                lock,
+                "lock lease lost while writing (heartbeat could not be "
+                "refreshed for a full lease, or the lock was taken over) — "
+                "verify the index and re-run the operation",
+            )
 
     # ------------------------------------------------------------------ build
 
@@ -450,6 +489,13 @@ class BetfairDatabase:
                 if dims or aggs:
                     raise ValueError("dims/aggs require a rollup name")
                 return rollup_build(self)
+            if (dims is None) != (aggs is None):
+                # a lone half would silently fall into the heal path and
+                # discard the caller's new spec — refuse instead
+                raise ValueError(
+                    "pass both dims= and aggs=, or neither to rebuild the "
+                    "persisted spec"
+                )
             if dims is None or aggs is None:
                 # re-create from the persisted spec (the heal path)
                 from betfair_database_spark.rollup import _meta_read
@@ -893,6 +939,97 @@ def _lock_holder(lock: Path) -> str:
         return lock.read_text().strip()
     except OSError:
         return ""
+
+
+def _lock_takeover(
+    lock: Path, observed_holder: str, lease_seconds: float
+) -> bool:
+    """Remove a stale lock so the caller may retry O_EXCL. Returns True
+    iff the stale lock is gone; False means contention (caller raises).
+
+    A bare ``unlink`` here is the two-writers bug the round-9 ADVICE
+    flagged: of two contenders that both observed the same expired
+    heartbeat, the slower one's unlink can delete the faster one's
+    FRESHLY CREATED lock. Worse, rename-only arbitration has the same
+    hole one level down — the slow contender can rename the winner's
+    fresh lock away. The fix is a two-layer protocol:
+
+    1. **Claim**: takeovers are serialized through an O_EXCL-created
+       ``.tko`` claim file — at most one contender is inside the
+       takeover critical section. A claim whose own mtime ages past the
+       lease belongs to a crashed claimant and is swept.
+    2. **Revalidate inside the claim**: the live lock must still carry
+       the exact contents we judged stale. A takeover that completed
+       while we were claiming left a FRESH lock (different contents) —
+       report contention, never touch it. Only then is the stale file
+       renamed to a unique temp (atomic; content re-verified; a
+       mismatch is restored via link-if-absent, never clobbered) and
+       discarded.
+
+    Residual: a doubly-degenerate race (crashed claimant + two sweepers)
+    can still orphan a just-created lock — the orphan's heartbeat
+    detects the foreign contents and raises loudly on exit (the
+    lease model's inherent limit without storage-side fencing)."""
+    claim = lock.with_name(lock.name + ".tko")
+    try:
+        cfd = os.open(str(claim), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        if not _lock_lease_expired(claim, lease_seconds):
+            return False  # live takeover in progress elsewhere
+        claim.unlink(missing_ok=True)  # crashed claimant
+        try:
+            cfd = os.open(str(claim), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+    try:
+        os.write(
+            cfd,
+            f"{os.getpid()} {socket.gethostname()} {time.time()}".encode(),
+        )
+        os.close(cfd)
+        current = _lock_holder(lock)
+        if current != observed_holder:
+            # the lock changed while we acquired the claim: released
+            # (retry O_EXCL) or re-acquired fresh (contention)
+            return current == "" and not lock.exists()
+        tmp = lock.with_name(
+            f"{lock.name}.tkotmp.{os.getpid()}.{time.time_ns()}"
+        )
+        try:
+            os.rename(lock, tmp)
+        except OSError:
+            return True  # just released: the O_EXCL retry arbitrates
+        if _lock_holder(tmp) != observed_holder:
+            try:  # restore a fresh lock we must not have touched
+                os.link(tmp, lock)
+            except OSError:
+                pass
+            tmp.unlink(missing_ok=True)
+            return False
+        tmp.unlink(missing_ok=True)
+        return True
+    finally:
+        claim.unlink(missing_ok=True)
+
+
+def _lock_release(lock: Path, mine: str) -> None:
+    """Release via the same rename arbitration: a plain check-then-unlink
+    could delete a NEW holder's lock if a lease takeover lands between the
+    check and the unlink. Renaming first makes the race harmless — if the
+    renamed file turns out not to be ours, it is restored."""
+    tmp = lock.with_name(f"{lock.name}.rel.{os.getpid()}.{time.time_ns()}")
+    try:
+        os.rename(lock, tmp)
+    except OSError:
+        return  # already taken over and released/renamed by someone else
+    if _lock_holder(tmp) == mine:
+        tmp.unlink(missing_ok=True)
+        return
+    try:  # not ours anymore: restore the new holder's lock
+        os.link(tmp, lock)
+    except OSError:
+        pass
+    tmp.unlink(missing_ok=True)
 
 
 def _lock_lease_expired(lock: Path, lease_seconds: float) -> bool:

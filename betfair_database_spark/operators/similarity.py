@@ -1564,9 +1564,8 @@ def compact_ann_cells(
     df = (
         spark.read.option("basePath", path).parquet(*paths).localCheckpoint()
     )
-    pre = {
-        cell: set(_ann_list_files(path).get(cell, ())) for cell in todo
-    }
+    listing = _ann_list_files(path)  # one walk, not one per cell
+    pre = {cell: set(listing.get(cell, ())) for cell in todo}
     (
         df.repartition(F.col("cell"))
         .write.mode("append")

@@ -349,8 +349,14 @@ def read_spec_stream_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
 
     from betfair_database_spark.rollup import spec_view
 
-    spec = _stream_meta_read(Path(rollup_dir))["spec"]
-    return spec_view(spark.read.parquet(rollup_dir), spec)
+    meta = _stream_meta_read(Path(rollup_dir))
+    if meta is None or "spec" not in meta:
+        raise ValueError(
+            f"no committed spec-rollup stream metadata at {rollup_dir} "
+            "(_stream_meta.json missing, torn, or spec-less); run the "
+            "spec rollup stream against this directory first"
+        )
+    return spec_view(spark.read.parquet(rollup_dir), meta["spec"])
 
 
 def start_spec_rollup_stream(

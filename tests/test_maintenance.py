@@ -717,6 +717,169 @@ class TestWriterLock:
         with contender._writer_lock():  # now freely acquirable
             assert lock.exists()
 
+    def test_takeover_race_admits_exactly_one_writer(self, spark, env):
+        """Round 10 (ADVICE): N contenders that all observe the SAME
+        expired heartbeat race the takeover — rename arbitration admits
+        exactly ONE; the rest raise ConcurrentWriterError. The old
+        unconditional unlink could delete the winner's freshly created
+        lock and admit two writers."""
+        import os
+        import socket
+        import threading
+        import time as _time
+
+        from betfair_database_spark.database import BetfairDatabase
+        from betfair_database_spark.exceptions import ConcurrentWriterError
+
+        db, src, _ = env
+        lock = db.database_dir / ".betfairdatabaseindex.parquet.lock"
+        n = 8
+        for _round in range(3):
+            # an expired foreign lock every contender sees as stale
+            lock.write_text(f"12345 other-{socket.gethostname()} 0.0")
+            old = _time.time() - 3600
+            os.utime(lock, (old, old))
+            handles = [
+                BetfairDatabase(db.database_dir, spark=spark)
+                for _ in range(n)
+            ]
+            barrier = threading.Barrier(n)
+            reg = threading.Lock()
+            holders, losers, errors = [], [], []
+            active = [0]
+            max_active = [0]
+
+            def contend(h, i):
+                barrier.wait()
+                try:
+                    with h._writer_lock():
+                        with reg:
+                            holders.append(i)
+                            active[0] += 1
+                            max_active[0] = max(max_active[0], active[0])
+                        # hold until every other contender has resolved, so
+                        # no loser can acquire sequentially after release
+                        deadline = _time.monotonic() + 30
+                        while _time.monotonic() < deadline:
+                            with reg:
+                                if len(holders) + len(losers) == n:
+                                    break
+                            _time.sleep(0.01)
+                        with reg:
+                            active[0] -= 1
+                except ConcurrentWriterError:
+                    with reg:
+                        losers.append(i)
+                except Exception as e:  # pragma: no cover
+                    errors.append(e)
+
+            ts = [
+                threading.Thread(target=contend, args=(h, i))
+                for i, h in enumerate(handles)
+            ]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join(60)
+            assert not errors
+            assert max_active[0] == 1  # never two concurrent writers
+            assert len(holders) == 1, (holders, losers)
+            assert len(losers) == n - 1
+            assert not lock.exists()
+            # no claim/arbitration temp files leaked
+            assert not list(db.database_dir.glob("*.lock.tko*"))
+            assert not list(db.database_dir.glob("*.lock.rel.*"))
+
+    def test_release_restores_taken_over_lock_and_is_loud(self, spark, env):
+        """Round 10 (ADVICE): if the lease is taken over mid-write, (a)
+        release must NOT delete the new holder's lock (rename-verify
+        restores it), and (b) the lost lease is LOUD — the context exit
+        raises instead of silently returning a possibly-raced commit."""
+        import os
+        import socket
+        import time as _time
+
+        from betfair_database_spark.database import BetfairDatabase
+        from betfair_database_spark.exceptions import ConcurrentWriterError
+
+        db, src, _ = env
+        holder = BetfairDatabase(
+            db.database_dir, spark=spark, lock_lease_seconds=0.4
+        )
+        lock = db.database_dir / ".betfairdatabaseindex.parquet.lock"
+        thief = f"99999 thief-{socket.gethostname()} 0.0"
+        with pytest.raises(ConcurrentWriterError, match="lease lost"):
+            with holder._writer_lock():
+                lock.write_text(thief)  # simulate a lease takeover
+                _time.sleep(0.6)  # let the heartbeat observe it
+        # the new holder's lock survived our release
+        assert lock.read_text().strip() == thief
+        assert holder._lease_lost
+        lock.unlink()
+
+    def test_heartbeat_retries_transient_utime_failures(
+        self, spark, env, monkeypatch
+    ):
+        """Round 10 (ADVICE): a transient OSError from os.utime (NFS blip)
+        must not permanently stop lease refresh — the heartbeat retries
+        within the lease and the holder keeps the lock, quietly."""
+        import os
+        import time as _time
+
+        from betfair_database_spark.database import BetfairDatabase
+
+        db, src, _ = env
+        holder = BetfairDatabase(
+            db.database_dir, spark=spark, lock_lease_seconds=0.6
+        )
+        lock = db.database_dir / ".betfairdatabaseindex.parquet.lock"
+        real_utime = os.utime
+        fails = {"left": 2}
+
+        def flaky(path, *a, **kw):
+            if str(path) == str(lock) and fails["left"] > 0:
+                fails["left"] -= 1
+                raise OSError("transient storage hiccup")
+            return real_utime(path, *a, **kw)
+
+        monkeypatch.setattr(
+            "betfair_database_spark.database.os.utime", flaky
+        )
+        with holder._writer_lock():
+            m0 = lock.stat().st_mtime
+            _time.sleep(1.5)
+            assert fails["left"] == 0  # the flaky window was exercised
+            assert lock.stat().st_mtime > m0  # refresh recovered
+        assert not holder._lease_lost
+        assert not lock.exists()
+
+    def test_persistent_utime_failure_is_loud_after_one_lease(
+        self, spark, env, monkeypatch
+    ):
+        """Round 10 (ADVICE): when refresh failures persist a full lease,
+        the holder is told loudly on exit (the lock may have been taken
+        over by then) instead of finishing silently."""
+        import time as _time
+
+        from betfair_database_spark.database import BetfairDatabase
+        from betfair_database_spark.exceptions import ConcurrentWriterError
+
+        db, src, _ = env
+        holder = BetfairDatabase(
+            db.database_dir, spark=spark, lock_lease_seconds=0.3
+        )
+
+        def always_fail(path, *a, **kw):
+            raise OSError("storage gone")
+
+        monkeypatch.setattr(
+            "betfair_database_spark.database.os.utime", always_fail
+        )
+        with pytest.raises(ConcurrentWriterError, match="lease lost"):
+            with holder._writer_lock():
+                _time.sleep(1.2)
+        assert holder._lease_lost
+
 
 class TestMaterializedRollup:
     """Continuous-aggregate rollup (rollup.py): incrementally maintained by
@@ -1017,6 +1180,13 @@ class TestSpecRollups:
             db.create_rollup(
                 name="x", dims=["_p_d=upper(marketType)"], aggs=["n=count()"]
             )
+        # round 10 (ADVICE): a lone half of a spec must not silently fall
+        # into the heal-from-persisted-spec path and discard the caller's
+        # new dims/aggs — even for a name whose spec exists
+        with pytest.raises(ValueError, match="both dims"):
+            db.create_rollup(name="bytype", dims=["marketType"])
+        with pytest.raises(ValueError, match="both dims"):
+            db.create_rollup(name="bytype", aggs=["n=count()"])
 
     def test_drop_rollup(self, env):
         from betfair_database_spark.exceptions import RollupMissingError

@@ -1239,6 +1239,15 @@ def test_streaming_spec_rollup_matches_batch_named_rollup(spark, tmp_path):
         )
         == batch_rows
     )
+    # round 10 (ADVICE): a missing/torn _stream_meta.json must surface as
+    # a clear error naming the directory, not an opaque TypeError
+    empty = tmp_path / "no_such_rollup.parquet"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no_such_rollup"):
+        read_spec_stream_rollup(spark, str(empty))
+    (empty / "_stream_meta.json").write_text('{"batch_ids": []}')  # spec-less
+    with pytest.raises(ValueError, match="spec"):
+        read_spec_stream_rollup(spark, str(empty))
 
 
 def test_streaming_interval_coverage_matches_batch_islands(spark, tmp_path):

@@ -182,6 +182,20 @@ def main() -> None:
     from betfair_database_spark.session import get_spark
     from betfair_database_spark.suite import SUITE
 
+    # Host load at start/end (round 10): a loaded box inflates wall times
+    # ~uniformly; recording it makes a "regression" adjudicable from the
+    # artifact alone (the round-9 driver headline ran at load 5-7 and
+    # read +8% against the committed clean run). Quiet-window guidance:
+    # compare rounds only when load_1m is < ~1.5 on this 32-core box.
+    def _load() -> dict:
+        try:
+            l1, l5, l15 = os.getloadavg()
+        except OSError:
+            return {}
+        return {"load_1m": round(l1, 2), "load_15m": round(l15, 2)}
+
+    load_start = _load()
+
     spark = get_spark("bench")
     # warm the session (JVM + codegen paths) outside the timed region
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -255,6 +269,11 @@ def main() -> None:
     # rounds running ("parsed": null despite rc=0) — keep the FINAL line
     # under ~1 KB: total + count + the 5 slowest queries; the full
     # per-query map goes to BENCH_DETAIL.json beside this script.
+    load_end = _load()
+    load_fields = {
+        "load_start": load_start,
+        "load_end": load_end,
+    }
     detail = {
         "metric": "headline_suite_seconds",
         "value": total,
@@ -263,6 +282,7 @@ def main() -> None:
         "stats": stats,
         "sf": sf,
         "n_queries": len(timings),
+        **load_fields,
     }
     Path(__file__).resolve().parent.joinpath("BENCH_DETAIL.json").write_text(
         json.dumps(detail, indent=1) + "\n"
@@ -278,6 +298,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "detail": "BENCH_DETAIL.json",
+                **load_fields,
             }
         )
     )

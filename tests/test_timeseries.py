@@ -363,6 +363,59 @@ def test_dispatch_thresholds_read_session_conf(spark):
     assert "_bucket" not in plan  # default crossover restored
 
 
+def test_dispatch_stats_memoized_per_plan(spark, monkeypatch):
+    """Round 10 (verdict #5): the auto-dispatch probe runs its stats
+    aggregate ONCE per (plan, key, ts) within a session — a second
+    ffill/interpolate_at on the same frame hits the memo, an explicit
+    stats= triple skips the probe entirely, and a different frame (or
+    key) probes again. Results are unaffected on every path."""
+    import datetime as dt
+
+    from betfair_database_spark.operators import timeseries
+
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [
+        ("k%d" % (i % 3), t0 + dt.timedelta(minutes=i), i, float(i % 7))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp_ntz, id long, v double"
+    )
+    calls = {"n": 0}
+    real = timeseries._dispatch_stats
+
+    def counting(events, key, ts_col):
+        calls["n"] += 1
+        return real(events, key, ts_col)
+
+    monkeypatch.setattr(timeseries, "_dispatch_stats", counting)
+    timeseries._STATS_MEMO.clear()
+
+    base = timeseries.ffill(df, "k", "ts", "id", "v").collect()
+    assert calls["n"] == 1
+    again = timeseries.ffill(df, "k", "ts", "id", "v").collect()
+    assert calls["n"] == 1  # memo hit: no extra aggregate job
+    assert sorted(map(tuple, again)) == sorted(map(tuple, base))
+    # interpolate_at probes the SAME (key, ts) projection -> shared hit
+    grid = df.select("k", "ts").limit(5)
+    timeseries.interpolate_at(df, grid, "k", "ts", "id", "v").collect()
+    assert calls["n"] == 1
+    # explicit stats= skips the probe outright
+    timeseries._STATS_MEMO.clear()
+    pre = timeseries.dispatch_stats(df, "k", "ts")
+    assert calls["n"] == 2
+    forced = timeseries.ffill(df, "k", "ts", "id", "v", stats=pre).collect()
+    assert calls["n"] == 2
+    assert sorted(map(tuple, forced)) == sorted(map(tuple, base))
+    # a different frame (different plan) probes again
+    timeseries.ffill(df.where("id < 30"), "k", "ts", "id", "v").collect()
+    assert calls["n"] == 3
+    # a different key column on the same frame probes again
+    df2 = df.withColumnRenamed("v", "w").withColumn("v", F.col("w"))
+    timeseries.ffill(df2, "k", "ts", "id", "v").collect()
+    assert calls["n"] == 4
+
+
 def test_ffill_auto_on_iso_string_timestamps(spark):
     """The index stores datetimes as ISO-8601 STRINGS; auto dispatch must
     not crash on a non-datetime ts column (span probe degrades to 0, the

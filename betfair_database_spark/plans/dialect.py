@@ -86,10 +86,13 @@ bridged (no timezone involved — numeric-range dispatch between julian
 and unixepoch interpretations, first-position-only, pinned vs sqlite3).
 Bridged window: years 1-9999; offsets come from IANA tzdata on both
 paths (zoneinfo on the literal fold, convert_timezone on the column
-chain), so SQLite's pre-1971/post-2038 proxy-year clamp and its
-iterate-resolution inside the 1-2 h DST gap/overlap windows are
-documented residuals (we use the earlier-offset/roll-forward rule both
-engines' java.time/PEP-495 agree on).
+chain), so SQLite's pre-1971/post-2038 proxy-year clamp is a documented
+residual. Round 10: 'utc' inside the 1-2 h DST gap/overlap windows now
+runs SQLite's own ITERATE (date.c) on both paths — guess, measure
+localtime(guess) against the wall value, correct, up to four rounds —
+instead of the java.time/PEP-495 single-lookup convention, which picks
+a different instant in positive-offset zones (pinned vs stdlib sqlite3
+across gap and overlap in ±offset and 30-minute-DST zones).
 
 Round 7 also bridges numeric utc-offset suffixes in time values
 (``'2023-01-01 10:00:00+02:00'`` — hour 00-14, minute 00-59, only after
@@ -236,6 +239,13 @@ _TIME_GATE = (
     r"\\s*(" + _TZ_SUFFIX + r")?\\s*$'"
 )
 _NUM_GATE = r"'^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$'"
+# tzSet probe (round 10): does the value CARRY an explicit timezone —
+# trailing Z/z or ±HH:MM after a time component? SQLite sets its tzSet
+# flag while parsing such values, which makes a later 'utc' modifier a
+# NO-OP (date.c: the utc branch runs only when tzSet==0). The probe may
+# fire on invalid-but-suffixed strings — harmless, their parsed ms is
+# NULL so both branches of the conditional utc agree.
+_HASTZ_GATE = r"'([Zz]|[+-](0\\d|1[0-4]):[0-5]\\d)\\s*$'"
 # fast-path shape, checked INSIDE the (already validating) ISO gate: no
 # fraction (SQLite rounds fractions to ms; Spark's cast keeps micros), no
 # trailing Z/whitespace, no hour-24 wraparound concerns — for these,
@@ -401,15 +411,46 @@ def _b_localtime(v: str, tz: str) -> str:
     )
 
 
+_UTC_SEQ = [0]  # unique lambda-variable namespace per _b_utc emission
+
+
 def _b_utc(v: str, tz: str) -> str:
-    """'utc': the value is ``tz`` wall-clock; shift it to UTC. Ambiguous
-    local times resolve to the EARLIER offset and gap times roll forward
-    (java.time ofLocal), matching the fold path's PEP-495 fold=0; SQLite's
-    iterate can differ inside the 1-2 h DST edges (documented residual)."""
-    t = _try_ts_of(_msrender_gate_of(v))
+    """'utc': the value is ``tz`` wall-clock; shift it to UTC — by
+    SQLITE'S OWN ITERATE (date.c, the ``utc`` branch), round 10: guess
+    the instant, measure ``localtime(guess)`` against the original wall
+    value, correct, up to four rounds. Outside DST edges it converges in
+    one round to the obvious offset subtraction; INSIDE the 1-2 h
+    gap/overlap windows it reproduces SQLite's exact pick — which
+    java.time's ``ofLocal`` (the old ``convert_timezone(tz,'UTC',...)``
+    bridge) gets wrong for positive-offset zones (e.g. Europe/Paris
+    2023-10-29 02:30: SQLite resolves to the LATER instant, ofLocal to
+    the earlier). Unrolled algebra: with e_i measured against the
+    original value, the result after four bodies is
+    ``v - e1 - e2 - e3`` (the fourth error is discarded), and once any
+    e_i is 0 the later terms stay 0 — so three fixed localtime
+    evaluations implement the loop exactly, early exit included. Each
+    evaluation is let-bound once via nested ``transform`` lambdas
+    (names are globally unique, so chained/nested tz modifiers never
+    collide); NULL and out-of-window inputs fold to NULL like every
+    other ms macro. Verified against stdlib sqlite3 inside transition
+    windows for gap and overlap in ±offset and 30-minute-DST zones
+    (test_dialect_modifiers / test_dialect_fuzz)."""
+
+    def lt(x: str) -> str:  # localtime of INSTANT x, in ms
+        t = _try_ts_of(_msrender_gate_of(x))
+        return (
+            f"(timestampdiff(MICROSECOND, {_EPOCH}, "
+            f"convert_timezone('UTC', {_tz_literal(tz)}, {t})) div 1000)"
+        )
+
+    _UTC_SEQ[0] += 1
+    u0, u1, u2 = (f"sqlite_u{_UTC_SEQ[0]}_{i}" for i in range(3))
     return (
-        f"(timestampdiff(MICROSECOND, {_EPOCH}, "
-        f"convert_timezone({_tz_literal(tz)}, 'UTC', {t})) div 1000)"
+        f"(transform(array({v}), {u0} -> "
+        f"transform(array({u0} - ({lt(u0)} - {u0})), {u1} -> "
+        f"transform(array({u1} - ({lt(u1)} - {u0})), {u2} -> "
+        f"{u2} - ({lt(u2)} - {u0})"
+        f")[0])[0])[0])"
     )
 
 _Y = "cast(substring(x, 1, 4) as int)"
@@ -468,6 +509,11 @@ _SQL_FUNCTIONS = [
     # numeric utc-offset suffix -> SIGNED offset ms (0 when absent); the
     # cheap leading RLIKE short-circuits the three regexp_extracts for
     # the overwhelmingly common unsuffixed values
+    f"""
+    CREATE OR REPLACE TEMPORARY FUNCTION sqlite_hastz(x STRING)
+    RETURNS BOOLEAN
+    RETURN x RLIKE {_HASTZ_GATE}
+    """,
     r"""
     CREATE OR REPLACE TEMPORARY FUNCTION sqlite_tzoff(x STRING)
     RETURNS BIGINT
@@ -965,6 +1011,16 @@ _PY_TIME = re.compile(
     r"^(\d{2}):(\d{2})(:(\d{2}(?:\.\d+)?))?\s*"
     + _PY_TZ + r"?\s*$"
 )
+# Python twin of the sqlite_hastz SQL macro (tzSet probe — see the
+# _HASTZ_GATE comment): suffix-only test, invalid values parse NULL
+# anyway so a loose positive is harmless.
+_PY_HASTZ = re.compile(r"([Zz]|[+-](0\d|1[0-4]):[0-5]\d)\s*$")
+
+
+def _py_hastz(base: str) -> bool:
+    return bool(_PY_HASTZ.search(base))
+
+
 _DAY_MS = 86400000
 
 
@@ -1041,27 +1097,49 @@ def _py_parse(txt: str) -> int | None:
 
 def _py_tzmod(v: int, kind: str, tz: str) -> int | None:
     """'localtime'/'utc' in ms space via zoneinfo — the literal-fold twin
-    of _b_localtime/_b_utc (fold=0 = earlier offset on ambiguity, gap
-    times resolve like java.time ofLocal). Bridged window: years 1-9999
-    (the render gate); SQLite's own pre-1971/post-2038 proxy-year clamp
-    is a documented residual."""
+    of _b_localtime/_b_utc. 'localtime' is a total function of the
+    instant (one offset lookup, exactly SQLite's single toLocaltime).
+    'utc' runs SQLITE'S ITERATE (round 10; see _b_utc): guess, measure
+    localtime(guess) against the original wall value, correct, up to
+    four rounds — byte-identical to SQLite inside DST gap/overlap
+    windows where a single ofLocal/PEP-495 lookup is not. Bridged
+    window: years 1-9999 (the render gate), checked on every iterate
+    guess so the fold NULLs exactly where the column chain's gate does;
+    SQLite's own pre-1971/post-2038 proxy-year clamp is a documented
+    residual."""
     from datetime import datetime, timezone
     from zoneinfo import ZoneInfo
 
     if not (_MS_RENDER_LO <= v <= _MS_VALID_HI):
         return None
     zi = ZoneInfo(tz)
-    days, ms_of_day = divmod(v, _DAY_MS)
-    y, mo, d = _civil_from_days(days)
-    h, rem = divmod(ms_of_day, 3600000)
-    mi, rem = divmod(rem, 60000)
-    sec, ms = divmod(rem, 1000)
-    naive = datetime(y, mo, d, h, mi, sec, ms * 1000)
-    if kind == "localtime":
+
+    def lt(t: int) -> int | None:  # localtime of INSTANT t, in ms
+        if not (_MS_RENDER_LO <= t <= _MS_VALID_HI):
+            return None
+        days, ms_of_day = divmod(t, _DAY_MS)
+        y, mo, d = _civil_from_days(days)
+        h, rem = divmod(ms_of_day, 3600000)
+        mi, rem = divmod(rem, 60000)
+        sec, ms = divmod(rem, 1000)
+        naive = datetime(y, mo, d, h, mi, sec, ms * 1000)
         off = naive.replace(tzinfo=timezone.utc).astimezone(zi).utcoffset()
-        return v + int(off.total_seconds() * 1000)
-    off = naive.replace(tzinfo=zi).utcoffset()  # fold=0
-    return v - int(off.total_seconds() * 1000)
+        return t + int(off.total_seconds() * 1000)
+
+    if kind == "localtime":
+        return lt(v)
+    # 'utc': SQLite date.c iterate — do { guess -= err; err =
+    # localtime(guess) - orig; } while (err && cnt++ < 3)
+    iguess, ierr, cnt = v, 0, 0
+    while True:
+        iguess -= ierr
+        wall = lt(iguess)
+        if wall is None:
+            return None
+        ierr = wall - v
+        if not ierr or cnt >= 3:
+            return iguess
+        cnt += 1
 
 
 def _py_modify(
@@ -1374,10 +1452,21 @@ def _py_fold_call(fname, base_lit, mod_lits, fmt_lit, local_tz=None):
             if not (_BARE_NUMBER.match(base_lit.strip())):
                 return _py_render(fname, None, fmt_lit)
             mods = mods[1:]
+    # SQLite's tzSet flag (round 10): set by an explicit Z/±HH:MM suffix
+    # in the time VALUE, and by the first applied 'utc' modifier; while
+    # set, 'utc' modifiers are NO-OPS (date.c runs the utc branch only
+    # when tzSet==0). 'localtime' neither checks nor sets it (pinned
+    # against sqlite 3.40.1: 'localtime','localtime' double-shifts,
+    # 'utc','utc' does not).
+    tzset = _py_hastz(base_lit)
     for mod in mods:
         m_tz = _MOD_TZ.match(mod)
         if m_tz and m_tz.group(1).lower() != "auto" and local_tz is None:
             return None  # let the chain path raise the loud error
+        if m_tz and m_tz.group(1).lower() == "utc":
+            if tzset:
+                continue  # tzSet already 1 -> no-op
+            tzset = True
         v = _py_modify(v, mod, local_tz)
         if v is None:
             return _py_render(fname, None, fmt_lit)
@@ -1520,6 +1609,11 @@ def _apply_op_inline(expr: str, op, local_tz: str | None = None) -> str:
         return _b_localtime(expr, local_tz)
     if kind == "utc":
         return _b_utc(expr, local_tz)
+    if kind == "utc_cond":  # per-row tzSet: suffixed base -> no-op
+        return (
+            f"(CASE WHEN sqlite_hastz({op[1]}) THEN {expr} "
+            f"ELSE {_b_utc(expr, local_tz)} END)"
+        )
     return expr  # noop
 
 
@@ -1527,7 +1621,8 @@ def _apply_op_inline(expr: str, op, local_tz: str | None = None) -> str:
 # (the macro body's reference count of v); used to decide when a
 # predicate chain must switch to the lambda form
 _OP_WEIGHT = {"add": 1, "sod": 5, "som": 5, "soy": 5, "weekday": 7,
-              "localtime": 4, "utc": 4, "noop": 1}
+              "localtime": 4, "utc": 1, "utc_cond": 2,
+              "noop": 1}  # utc self-binds (iterate); cond = THEN + ELSE
 _RENDER_WEIGHT = {"datetime": 2, "date": 2, "time": 2,
                   "julianday": 3, "unixepoch": 3}
 # inlined predicate trees above this many parse-tree copies risk Janino's
@@ -1576,7 +1671,15 @@ class _LambdaChain:
         if kind == "localtime":
             return self.bind(expr, lambda v: _b_localtime(v, self.local_tz))
         if kind == "utc":
-            return self.bind(expr, lambda v: _b_utc(v, self.local_tz))
+            return _b_utc(expr, self.local_tz)  # self-binding iterate
+        if kind == "utc_cond":
+            return self.bind(
+                expr,
+                lambda v: (
+                    f"(CASE WHEN sqlite_hastz({op[1]}) THEN {v} "
+                    f"ELSE {_b_utc(v, self.local_tz)} END)"
+                ),
+            )
         return expr  # noop
 
 
@@ -1650,35 +1753,33 @@ def _rewrite_datetime_call(fname, args, projection=False, local_tz=None):
                 return folded
 
     raw_base = True  # 'julianday' is a no-op only right after a raw number
+    base_str = (
+        None
+        if base_raw is None
+        else (
+            "cast(("
+            f"{translate_where(base_raw, projection, local_tz)}) as string)"
+        )
+    )
     if mod_lits and mod_lits[0].lower() == "auto":
         mod_lits = mod_lits[1:]
         raw_base = False  # 'julianday' after 'auto' is NULL (pinned)
         if is_now:  # 'now' is text: 'auto' is a no-op
             expr = "sqlite_ms_now()"
         else:
-            expr = (
-                "sqlite_ms_auto(cast(("
-                f"{translate_where(base_raw, projection, local_tz)})"
-                " as string))"
-            )
+            expr = f"sqlite_ms_auto({base_str})"
     elif mod_lits and mod_lits[0].lower() == "unixepoch":
         mod_lits = mod_lits[1:]
         raw_base = False
         if is_now:  # 'now' is not a bare number: SQLite NULLs this
             return null_result()
-        expr = (
-            "sqlite_ms_unixepoch(cast(("
-            f"{translate_where(base_raw, projection, local_tz)}) as string))"
-        )
+        expr = f"sqlite_ms_unixepoch({base_str})"
     elif is_now:
         expr = "sqlite_ms_now()"
     else:
         # cast: bare numerics (julian day numbers) arrive as Spark
         # numeric literals; the parser takes the interchange string
-        expr = (
-            "sqlite_msparse(cast(("
-            f"{translate_where(base_raw, projection, local_tz)}) as string))"
-        )
+        expr = f"sqlite_msparse({base_str})"
 
     ops = []
     for k, lit in enumerate(mod_lits):
@@ -1688,6 +1789,35 @@ def _rewrite_datetime_call(fname, args, projection=False, local_tz=None):
         if op is None:  # unrecognized/invalid modifier -> SQLite NULLs
             return null_result()
         ops.append(op)
+
+    # SQLite tzSet modeling (round 10): the first applied 'utc' sets
+    # tzSet, so every LATER 'utc' op is statically a no-op — drop it.
+    # Whether the FIRST 'utc' applies depends on the base value carrying
+    # an explicit Z/±HH:MM suffix: decidable at translate time for
+    # literal/numeric/'now' bases, per-ROW for column bases — those emit
+    # the conditional ("utc_cond") form, which probes sqlite_hastz on
+    # the raw base string. 'localtime' neither checks nor sets tzSet
+    # (pinned against sqlite 3.40.1).
+    if any(op[0] == "utc" for op in ops):
+        if is_now or base_is_number:
+            base_hastz = False
+        elif base_lit is not None:
+            base_hastz = _py_hastz(base_lit)
+        else:
+            base_hastz = None  # column base: per-row
+        rewritten, seen_utc = [], False
+        for op in ops:
+            if op[0] != "utc":
+                rewritten.append(op)
+                continue
+            if seen_utc or base_hastz is True:
+                seen_utc = True
+                continue
+            seen_utc = True
+            rewritten.append(
+                op if base_hastz is False else ("utc_cond", base_str)
+            )
+        ops = rewritten
 
     # predicate chains past the copy limit take the lambda form; the
     # generic-macro strftime tail (computed format) cannot — it must call

@@ -375,6 +375,189 @@ def test_localtime_utc_modifiers_with_explicit_tz(spark):
         _time.tzset()
 
 
+def test_utc_localtime_inside_dst_transition_windows(spark):
+    """Round 10 (verdict #7): 'utc' runs SQLite's date.c ITERATE on both
+    paths, so timestamps INSIDE the DST gap/overlap windows — where the
+    old java.time/PEP-495 single lookup picks a different instant in
+    positive-offset zones — now match stdlib sqlite3 exactly. Dense
+    minute sampling across a ±2 h window around both 2023 transitions in
+    four zones (negative offset, positive offset, UK straddle, and a
+    30-minute-DST zone), 'utc' on wall values and 'localtime' on
+    instants, literal fold AND column chain."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    register_sqlite_functions(spark)
+    # (zone, local wall anchor of each 2023 transition)
+    zones = {
+        "America/New_York": ["2023-03-12 02:00:00", "2023-11-05 02:00:00"],
+        "Europe/Paris": ["2023-03-26 02:00:00", "2023-10-29 03:00:00"],
+        "Europe/London": ["2023-03-26 01:00:00", "2023-10-29 02:00:00"],
+        "Australia/Lord_Howe": [
+            "2023-10-01 02:00:00",
+            "2023-04-02 02:00:00",
+        ],
+    }
+    old_tz = os.environ.get("TZ")
+    mismatches = []
+    try:
+        for tz, anchors in zones.items():
+            os.environ["TZ"] = tz
+            _time.tzset()
+            con = sqlite3.connect(":memory:")
+            vals = []
+            for anchor in anchors:
+                a = dt.datetime.fromisoformat(anchor)
+                for mins in range(-120, 121, 17):
+                    vals.append(
+                        (a + dt.timedelta(minutes=mins)).strftime(
+                            "%Y-%m-%d %H:%M:%S"
+                        )
+                    )
+            exprs = [
+                f"datetime('{v}','{kind}')"
+                for v in vals
+                for kind in ("utc", "localtime")
+            ]
+            want = [
+                con.execute(f"select {e}").fetchone()[0] for e in exprs
+            ]
+            # literal fold path: everything folds at translate time
+            sel = "SELECT " + ", ".join(
+                f"({translate_where(e, local_tz=tz)}) AS c{i}"
+                for i, e in enumerate(exprs)
+            )
+            row = spark.sql(sel).first()
+            for i, e in enumerate(exprs):
+                if str(row[f"c{i}"]) != str(want[i]):
+                    mismatches.append(
+                        f"fold {tz} {e}: sqlite={want[i]!r} "
+                        f"spark={row[f'c{i}']!r}"
+                    )
+            # column path: same values through the macro chain
+            spark.createDataFrame(
+                [(v,) for v in vals], "x string"
+            ).createOrReplaceTempView("dstvals")
+            for kind in ("utc", "localtime"):
+                cexpr = translate_where(
+                    f"datetime(x,'{kind}')", local_tz=tz
+                )
+                got = {
+                    r["x"]: str(r["r"])
+                    for r in spark.sql(
+                        f"SELECT x, ({cexpr}) AS r FROM dstvals"
+                    ).collect()
+                }
+                for v in vals:
+                    w = str(
+                        con.execute(
+                            f"select datetime('{v}','{kind}')"
+                        ).fetchone()[0]
+                    )
+                    if got[v] != w:
+                        mismatches.append(
+                            f"col {tz} {kind} {v}: sqlite={w!r} "
+                            f"spark={got[v]!r}"
+                        )
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        _time.tzset()
+    assert not mismatches, "\n".join(mismatches[:20])
+
+
+def test_utc_iterate_composes_with_other_modifiers(spark):
+    """The self-binding iterate must compose inside modifier chains (its
+    input is an arbitrary ms expression, its output feeds downstream
+    macros) — including back-to-back tz modifiers, which exercise the
+    unique-lambda-name namespace in one expression tree."""
+    import os
+    import time as _time
+
+    register_sqlite_functions(spark)
+    tz = "Europe/Paris"
+    cases = [
+        "datetime('2023-10-29 02:30:00','utc','start of day')",
+        "datetime('2023-10-29 00:30:00','+2 hours','utc')",
+        "datetime('2023-03-26 02:10:00','utc','+30 minutes')",
+        "datetime('2023-10-29 02:30:00','utc','localtime')",
+        "datetime('2023-10-29 02:30:00','utc','localtime','utc')",
+        "unixepoch('2023-03-26 02:30:00','utc')",
+        "strftime('%H:%M','2023-10-29 02:30:00','utc')",
+        # tzSet (round 10): an explicit Z/±HH:MM suffix in the VALUE
+        # makes a later 'utc' a no-op; the first applied 'utc' does the
+        # same for every later one; 'localtime' neither checks nor sets
+        "datetime('2023-07-01 12:00:00Z','utc')",
+        "datetime('2023-07-01 12:00:00+03:00','utc')",
+        "datetime('2023-07-01 12:00:00-05:30','utc','localtime')",
+        "datetime('2023-07-01 12:00:00','utc','utc')",
+        "datetime('2023-07-01 12:00:00Z','utc','+1 hours','utc')",
+        "datetime('2023-07-01 12:00:00','localtime','utc','utc')",
+        "datetime('2023-07-01 12:00:00','localtime','localtime')",
+        "datetime('12:30:00+02:00','utc')",
+        "unixepoch('2023-07-01 12:00:00+03:00','utc')",
+    ]
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = tz
+    _time.tzset()
+    try:
+        con = sqlite3.connect(":memory:")
+        spark.createDataFrame(
+            [("2023-10-29 02:30:00",), ("2023-03-26 02:10:00",)],
+            "x string",
+        ).createOrReplaceTempView("t")
+        for e in cases:
+            want = str(con.execute(f"select {e}").fetchone()[0])
+            got = str(
+                spark.sql(
+                    f"SELECT ({translate_where(e, local_tz=tz)}) AS r"
+                ).first()["r"]
+            )
+            assert got == want, f"fold {e}: sqlite={want!r} spark={got!r}"
+        # column chain: chained tz modifiers (nested iterates) and the
+        # per-row tzSet conditional over suffixed/unsuffixed values
+        spark.createDataFrame(
+            [
+                ("2023-10-29 02:30:00",),
+                ("2023-03-26 02:10:00",),
+                ("2023-07-01 12:00:00Z",),
+                ("2023-07-01 12:00:00+03:00",),
+                ("12:30:00+02:00",),
+                ("garbage",),
+            ],
+            "x string",
+        ).createOrReplaceTempView("tzc")
+        for q in (
+            "datetime(x,'utc','localtime','utc')",
+            "datetime(x,'utc')",
+            "datetime(x,'utc','utc')",
+            "datetime(x,'localtime','utc')",
+        ):
+            ce = translate_where(q, local_tz=tz)
+            got = {
+                r["x"]: r["r"]
+                for r in spark.sql(
+                    f"SELECT x, ({ce}) AS r FROM tzc"
+                ).collect()
+            }
+            for v in got:
+                want = con.execute(
+                    "select " + q.replace("x", f"'{v}'")
+                ).fetchone()[0]
+                assert (want is None and got[v] is None) or str(
+                    got[v]
+                ) == str(want), (q, v, got[v], want)
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        _time.tzset()
+
+
 def test_localtime_utc_column_path_matches_fold(spark):
     """The COLUMN chain (convert_timezone macros) and the literal fold
     (zoneinfo) are the same function — pin value agreement over rows."""

@@ -1598,6 +1598,229 @@ def test_ann_compact_cells_restores_one_file_per_cell(spark, tmp_path, monkeypat
     assert sim.compact_ann_cells(spark, path) == 0
 
 
+def _mk_ann(spark, tmp_path, n=240, seed=23, name="ann_r10"):
+    import random
+
+    from betfair_database_spark.operators import similarity as sim
+
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(n)]
+    mk = lambda chunk: spark.createDataFrame(
+        chunk, "vec_id long, embedding array<float>"
+    )
+    centroids = sim.kmeans_seeds(mk(rows), 4)
+    path = str(tmp_path / name)
+    sim.write_ann_index(mk(rows), path, centroids)
+    q = [float(v) for v in rows[5][1]]
+    return path, rows, mk, q
+
+
+def test_ann_delete_lifecycle(spark, tmp_path, monkeypatch):
+    """delete_from_ann_index (round 10, verdict #2): deleted ids stop
+    serving as neighbors, untouched cells stay byte-identical, both
+    crash windows leave a consistent snapshot, and the operation is
+    idempotent. Correctness oracle: brute-force cosine top-k over the
+    kept raw vectors."""
+    from pathlib import Path
+
+    import pytest as _pytest
+
+    from betfair_database_spark.operators import similarity as sim
+
+    path, rows, mk, q = _mk_ann(spark, tmp_path)
+    doomed = [i for i, _ in rows if i % 7 == 3]
+    kept_rows = [r for r in rows if r[0] % 7 != 3]
+
+    def probe():
+        return [
+            tuple(r)
+            for r in sim.query_ann_index(
+                spark, path, None, None, q, k=9, nprobe=4
+            ).collect()
+        ]
+
+    before = probe()
+    manifest0 = sim.ann_manifest_read(path)
+
+    # crash BEFORE the commit: old manifest keeps serving (deleted ids
+    # still present), rewritten files are invisible orphans
+    def boom(path_, manifest_):
+        raise RuntimeError("crash before manifest commit")
+
+    monkeypatch.setattr(sim, "_ann_manifest_commit", boom)
+    with _pytest.raises(RuntimeError):
+        sim.delete_from_ann_index(spark, path, doomed)
+    monkeypatch.undo()
+    assert sim.ann_manifest_read(path) == manifest0
+    assert probe() == before
+
+    # record untouched cells (no doomed member) for byte-identity
+    hit_cells = {
+        str(r["cell"])
+        for r in spark.read.option("basePath", path)
+        .parquet(
+            *[
+                f"{path}/cell={c}/{n}"
+                for c, ns in manifest0["cells"].items()
+                for n in ns
+            ]
+        )
+        .where(F.col("vec_id").isin(doomed))
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    intact_bytes = {
+        str(p): p.read_bytes()
+        for cell in manifest0["cells"]
+        if cell not in hit_cells
+        for p in Path(path).glob(f"cell={cell}/*.parquet")
+    }
+
+    # the real delete: orphans of the crashed attempt are reaped first
+    assert sim.delete_from_ann_index(spark, path, doomed) == len(doomed)
+    got = probe()
+    got_ids = [t[0] for t in got]
+    assert not set(got_ids) & set(doomed)
+    # exact oracle: brute-force cosine over the kept raw vectors
+    want = [
+        tuple(r)
+        for r in sim.cosine_topk(mk(kept_rows), q, 9).collect()
+    ]
+    assert got == want
+    # disk == committed manifest exactly
+    manifest1 = sim.ann_manifest_read(path)
+    assert sum(len(v) for v in manifest1["cells"].values()) == len(
+        list(Path(path).glob("cell=*/*.parquet"))
+    )
+    for p, blob in intact_bytes.items():
+        assert Path(p).read_bytes() == blob
+    # idempotent: same ids again -> no-op
+    assert sim.delete_from_ann_index(spark, path, doomed) == 0
+    assert probe() == got
+
+    # crash AFTER the commit (reap interrupted): results already exclude
+    # the ids; the replaced files are unreferenced garbage the next
+    # maintenance pass removes
+    more = [i for i, _ in rows if i % 7 == 5]
+    calls = {"n": 0}
+    real_retained = sim._ann_retained_files
+
+    def flaky_retained(p, keep):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the post-commit reap's lookup
+            raise RuntimeError("crash after manifest commit")
+        return real_retained(p, keep)
+
+    monkeypatch.setattr(sim, "_ann_retained_files", flaky_retained)
+    with _pytest.raises(RuntimeError):
+        sim.delete_from_ann_index(spark, path, more)
+    monkeypatch.undo()
+    after_crash = probe()
+    assert not set(t[0] for t in after_crash) & set(more)  # commit landed
+    # garbage on disk exceeds the manifest; compact/append reaps it
+    m2 = sim.ann_manifest_read(path)
+    n_disk = len(list(Path(path).glob("cell=*/*.parquet")))
+    assert n_disk > sum(len(v) for v in m2["cells"].values())
+    sim.compact_ann_cells(spark, path)
+    assert sum(
+        len(v) for v in sim.ann_manifest_read(path)["cells"].values()
+    ) == len(list(Path(path).glob("cell=*/*.parquet")))
+    assert [t[0] for t in probe()] == [t[0] for t in after_crash]
+
+
+def test_ann_retention_versions_and_vacuum(spark, tmp_path):
+    """Round 10 (verdict #3): with retain_snapshots > 1, maintenance no
+    longer unlinks replaced files at commit — a reader holding the
+    pre-compact snapshot still resolves all its files (version= probes
+    pin it) until ann_vacuum prunes history; vacuum respects
+    retain_last and reaps exactly the unreferenced files."""
+    import pytest as _pytest
+
+    from betfair_database_spark.operators import similarity as sim
+
+    path, rows, mk, q = _mk_ann(spark, tmp_path, name="ann_ret")
+    # fragment some cells, then compact WITH retention
+    extra = [(1000 + i, v) for i, (_, v) in enumerate(rows[:40])]
+    sim.append_ann_index(
+        mk(extra), path, retain_snapshots=3, max_files_per_cell=0
+    )
+    pre_compact = sim.ann_manifest_read(path)["snapshot"]
+
+    def probe(version=None):
+        return [
+            tuple(r)
+            for r in sim.query_ann_index(
+                spark, path, None, None, q, k=9, nprobe=4, version=version
+            ).collect()
+        ]
+
+    before = probe()
+    assert sim.compact_ann_cells(spark, path, retain_snapshots=3) > 0
+    # live results identical; the PRE-compact snapshot remains readable
+    # byte-for-byte because its replaced files were retained
+    assert probe() == before
+    assert probe(version=pre_compact) == before
+    # delete under retention: the old snapshot still serves deleted ids
+    doomed = [t[0] for t in before[:2]]
+    sim.delete_from_ann_index(spark, path, doomed, retain_snapshots=3)
+    assert not set(t[0] for t in probe()) & set(doomed)
+    assert probe(version=pre_compact) == before  # history intact
+    # vacuum to 1: history pruned, files reaped, live untouched
+    live = probe()
+    assert sim.ann_vacuum(path, retain_last=1) > 0
+    assert probe() == live
+    with _pytest.raises(ValueError, match="unknown ANN snapshot|no longer"):
+        probe(version=pre_compact)
+    # disk == live manifest exactly after vacuum
+    from pathlib import Path
+
+    m = sim.ann_manifest_read(path)
+    assert sum(len(v) for v in m["cells"].values()) == len(
+        list(Path(path).glob("cell=*/*.parquet"))
+    )
+
+
+def test_ann_append_autocompaction_bounds_files_per_cell(spark, tmp_path):
+    """Round 10 (verdict #4): append auto-compacts any touched cell whose
+    committed file count exceeds spark.bfdb.ann.maxFilesPerCell — N
+    appends never leave an over-threshold cell behind; 0 disables and
+    ann_fragmentation reports the resulting layout."""
+    from betfair_database_spark.operators import similarity as sim
+
+    path, rows, mk, q = _mk_ann(spark, tmp_path, name="ann_auto")
+    try:
+        spark.conf.set("spark.bfdb.ann.maxFilesPerCell", "2")
+        base = 2000
+        for j in range(4):
+            batch = [
+                (base + 100 * j + i, v)
+                for i, (_, v) in enumerate(rows[:25])
+            ]
+            assert sim.append_ann_index(mk(batch), path) == 25
+            frag = sim.ann_fragmentation(path)
+            assert frag["max_files_per_cell"] <= 2, frag
+    finally:
+        spark.conf.unset("spark.bfdb.ann.maxFilesPerCell")
+    # every appended id is really served (no rows lost to compaction)
+    n_total = (
+        spark.read.option("basePath", path)
+        .parquet(
+            *[
+                f"{path}/cell={c}/{n}"
+                for c, ns in sim.ann_manifest_read(path)["cells"].items()
+                for n in ns
+            ]
+        )
+        .count()
+    )
+    assert n_total == len(rows) + 100
+    # disabling the policy really disables it
+    batch = [(9000 + i, v) for i, (_, v) in enumerate(rows[:25])]
+    sim.append_ann_index(mk(batch), path, max_files_per_cell=0)
+    assert sim.ann_fragmentation(path)["max_files_per_cell"] >= 2
+
+
 def test_train_logreg_hashed_learns_separation(spark):
     """Round 7: the in-engine logistic trainer actually LEARNS — on a
     corpus whose classes use disjoint-ish vocabularies, the trained

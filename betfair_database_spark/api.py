@@ -28,10 +28,17 @@ def select(
     limit: int | None = None,
     return_dict: bool = True,
     spark=None,
+    group_by: list[str] | None = None,
 ) -> list[dict | tuple]:
-    """Select data from the database index."""
+    """Select data from the database index. ``group_by`` (engine
+    extension) aggregates with rollup auto-routing — see
+    BetfairDatabase.select_df."""
     return _db(database_dir, spark).select(
-        columns=columns, where=where, limit=limit, return_dict=return_dict
+        columns=columns,
+        where=where,
+        limit=limit,
+        return_dict=return_dict,
+        group_by=group_by,
     )
 
 

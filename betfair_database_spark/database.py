@@ -60,6 +60,9 @@ class BetfairDatabase:
         self.spark = spark or get_spark()
         self._index_path = self.database_dir / INDEX_DIRNAME
         self.last_counters: Counters | None = None
+        # which path served the last select(): 'scan', 'rollup:builtin'
+        # or 'rollup:<name>' (round-10 auto-routing introspection)
+        self.last_select_route: str = "scan"
         # Snapshot retention (Delta-style time travel over the versioned
         # manifest protocol): every commit also records its manifest under
         # _snapshots/v{N}.json; maintenance reaps only part-files that NO
@@ -300,6 +303,8 @@ class BetfairDatabase:
         limit: int | None = None,
         version: int | None = None,
         local_tz: str | None = None,
+        group_by: list[str] | None = None,
+        use_rollups: bool = True,
     ) -> DataFrame:
         """DataFrame-returning select — the native query surface.
 
@@ -311,14 +316,43 @@ class BetfairDatabase:
         datetime modifiers with an explicit IANA capture timezone — the
         reference delegates them to the HOST's timezone (reference
         metadata.py:40-72 semantics), which a Spark session does not
-        share; without it those modifiers raise."""
+        share; without it those modifiers raise.
+
+        ``group_by`` (round 10) turns the select into an aggregate query:
+        ``columns`` may then mix group dims with ``op(col) AS alias``
+        aggregates (op in count/sum/min/max/approx_count_distinct).
+        **Rollup auto-routing**: when a FRESH materialized rollup
+        (built-in or named spec) covers the query — dims, aggregates and
+        every WHERE identifier — the answer is served from the rollup
+        and the index parquet is NEVER read (rollup-sized IO instead of
+        a scan; the snapshot protocol guarantees equality). Anything
+        uncovered, ambiguous or stale falls back to the scan silently;
+        ``last_select_route`` records which path served the query
+        ('rollup:<name>', 'rollup:builtin' or 'scan').
+        ``use_rollups=False`` forces the scan. Bare aggregates with no
+        dims route too (pass ``group_by=[]`` or just aggregate columns).
+        """
+        self.last_select_route = "scan"
+        if use_rollups and version is None:
+            from betfair_database_spark.rollup import route_select
+
+            routed = route_select(self, columns, where, group_by, local_tz)
+            if routed is not None:
+                self.last_select_route = routed[0]
+                out = routed[1]
+                return out.limit(limit) if limit is not None else out
         df = self._read_index(version=version)
         df.createOrReplaceTempView(SQL_TABLE_NAME)
         register_sqlite_functions(self.spark)
-        cols = ",".join(columns) if columns else ",".join(SQL_TABLE_COLUMNS)
+        col_list = list(columns) if columns else list(SQL_TABLE_COLUMNS)
+        if group_by is not None:
+            col_list = [_scan_agg_sql(c) for c in col_list]
+        cols = ",".join(col_list)
         sql = f"SELECT {cols} FROM {SQL_TABLE_NAME}"
         if where:
             sql += f" WHERE {translate_where(where, local_tz=local_tz)}"
+        if group_by:
+            sql += " GROUP BY " + ",".join(group_by)
         if limit is not None:
             sql += f" LIMIT {limit}"
         return self.spark.sql(sql)
@@ -331,13 +365,22 @@ class BetfairDatabase:
         return_dict: bool = True,
         version: int | None = None,
         local_tz: str | None = None,
+        group_by: list[str] | None = None,
+        use_rollups: bool = True,
     ) -> list[dict | tuple]:
         """Reference-parity select returning materialized rows
-        (reference database.py:119-157). ``version``/``local_tz``
-        (extensions beyond the reference surface) time-travel to an
-        earlier snapshot / bridge the localtime-utc modifiers."""
+        (reference database.py:119-157). ``version``/``local_tz``/
+        ``group_by`` (extensions beyond the reference surface)
+        time-travel to an earlier snapshot / bridge the localtime-utc
+        modifiers / aggregate with rollup auto-routing (see select_df)."""
         rows = self.select_df(
-            columns, where, limit, version=version, local_tz=local_tz
+            columns,
+            where,
+            limit,
+            version=version,
+            local_tz=local_tz,
+            group_by=group_by,
+            use_rollups=use_rollups,
         ).collect()
         if return_dict:
             return [r.asDict() for r in rows]
@@ -910,6 +953,23 @@ class BetfairDatabase:
         # and the real commit below it would immediately read as stale.
         rollup_update(self, repl, touched)
         spec_rollup_update(self, repl, touched)
+
+
+def _scan_agg_sql(col_entry: str) -> str:
+    """Scan-path twin of a select() aggregate entry. Only
+    approx_count_distinct needs rewriting: the routed path merges the
+    rollup's DataSketches HLL partials, so the scan must use the SAME
+    sketch (hll_sketch_agg/hll_sketch_estimate) — Spark's native
+    approx_count_distinct is HyperLogLog++ and estimates differently,
+    which would make the two paths disagree."""
+    from betfair_database_spark.rollup import _AGG_COL_RE
+
+    m = _AGG_COL_RE.match(col_entry)
+    if m and m.group(1).lower() == "approx_count_distinct":
+        alias, c = m.group(3), m.group(2)
+        twin = f"hll_sketch_estimate(hll_sketch_agg(cast({c} as string)))"
+        return f"{twin} AS {alias}" if alias else twin
+    return col_entry
 
 
 def _index_schema():

@@ -318,14 +318,19 @@ def _spec_fold_partials(spec: dict):
     return out
 
 
-def summarize_spec(index_df: DataFrame, spec: dict) -> DataFrame:
-    """The internal at-rest frame: partials per (eventTypeId, user dims).
-    Pure function of index rows — full build, touched-partition recompute,
-    and the from-scratch reference in tests all use it."""
-    has_etid = any(
-        d["expr"] is None and d["alias"] == "eventTypeId" for d in spec["dims"]
+def summarize_spec(
+    index_df: DataFrame, spec: dict, part_col: str = "eventTypeId"
+) -> DataFrame:
+    """The internal at-rest frame: partials per (partition key, user
+    dims). Pure function of input rows — full build, touched-partition
+    recompute, and the from-scratch reference in tests all use it.
+    ``part_col`` defaults to the index's partition key; the oracle gate
+    exercises the same machinery over other tables with their own
+    bucketing key."""
+    has_part = any(
+        d["expr"] is None and d["alias"] == part_col for d in spec["dims"]
     )
-    keys = ([] if has_etid else [F.col("eventTypeId")]) + _spec_dim_cols(spec)
+    keys = ([] if has_part else [F.col(part_col)]) + _spec_dim_cols(spec)
     return index_df.groupBy(*keys).agg(*_spec_partial_aggs(spec))
 
 
@@ -435,6 +440,226 @@ def spec_rollup_read(db, name: str) -> DataFrame:
             f"{current} — call create_rollup(name=...) to rebuild"
         )
     return spec_view(db.spark.read.parquet(str(path)), meta["spec"])
+
+
+# =========================================================================
+# Rollup auto-routing (round 10, verdict #1): serve covered aggregate
+# select() queries from a materialized rollup without reading the index
+# =========================================================================
+#
+# The reference's only query surface is select() (reference
+# betfairdatabase/database.py:119-157); a user aggregating by the exact
+# dims of a materialized rollup should never pay an index scan — at
+# 100 TB the whole point of a continuous aggregate is that covered
+# queries cost rollup-sized IO. Routing is an OPTIMIZATION with a strict
+# safety contract: it only fires when the answer is provably identical
+# to the scan (fresh rollup — the snapshot protocol guarantees it —
+# plain-column dims covering every referenced identifier, aggregates
+# matching a stored partial, WHERE referencing group dims only); any
+# doubt falls back to the scan, never to an error.
+
+_AGG_COL_RE = _re.compile(
+    r"^\s*(count|sum|min|max|approx_count_distinct)\s*\(\s*"
+    r"(\*|[A-Za-z_][A-Za-z0-9_]*)?\s*\)\s*"
+    r"(?:[Aa][Ss]\s+([A-Za-z_][A-Za-z0-9_]*))?\s*$"
+)
+_IDENT_RE = _re.compile(r"^\s*[A-Za-z_][A-Za-z0-9_]*\s*$")
+_WHERE_KEYWORDS = {
+    "AND", "OR", "NOT", "IN", "IS", "NULL", "BETWEEN",
+    "LIKE", "GLOB", "ESCAPE", "TRUE", "FALSE",
+}
+
+# the built-in per-(sport, day) rollup as a routing candidate: its stored
+# columns are FINAL aggregates at (eventTypeId, startDate) grain, which
+# re-merge exactly (counts/sums by sum, min/max by min/max)
+_BUILTIN_AGG_MAP = {
+    ("count", None): ("markets", "sum"),
+    ("sum", "bspMarket"): ("bspMarkets", "sum"),
+    ("sum", "turnInPlayEnabled"): ("inPlayMarkets", "sum"),
+    ("count", "marketSettledTime"): ("settledMarkets", "sum"),
+    ("sum", "runners"): ("runnersTotal", "sum"),
+    ("min", "marketStartTime"): ("firstStart", "min"),
+    ("max", "marketStartTime"): ("lastStart", "max"),
+}
+
+
+def parse_select_shape(columns, group_by):
+    """Classify a select() column list as an aggregate query: returns
+    (dims_in_select, aggs, out_order) or None when the list is not a
+    routable aggregate shape. ``aggs`` entries are (op, col, alias);
+    aggregates REQUIRE an explicit ``AS alias`` (without one, Spark's
+    auto-generated name would differ between the routed and scan paths).
+    ``out_order`` is the output column order (dim aliases and agg
+    aliases, as listed)."""
+    if not columns:
+        return None
+    dims, aggs, order = [], [], []
+    for c in columns:
+        m = _AGG_COL_RE.match(c)
+        if m:
+            op, col, alias = m.group(1).lower(), m.group(2), m.group(3)
+            if alias is None:
+                return None
+            if op == "count" and col in (None, "*"):
+                col = None
+            elif col in (None, "*"):
+                return None
+            aggs.append((op, col, alias))
+            order.append(alias)
+        elif _IDENT_RE.match(c):
+            dims.append(c.strip())
+            order.append(c.strip())
+        else:
+            return None
+    if not aggs:
+        return None  # nothing aggregated: plain projection, never routed
+    if group_by is None and dims:
+        return None  # bare-aggregate mixed with dims: not a GROUP BY query
+    return dims, aggs, order
+
+
+def _where_idents(where: str):
+    """Conservative identifier extraction from a raw SQLite WHERE clause:
+    the set of referenced column names, or None when the clause contains
+    anything this simple scan cannot prove safe (quoted identifiers,
+    nested quotes it cannot strip, ...). String literals are stripped
+    first; tokens that survive must each be a routable dim or a known
+    keyword — a function call's name fails the dim check downstream, so
+    parenthesised expressions are safe to tokenize."""
+    s = _re.sub(r"'(?:[^']|'')*'", " ", where)
+    if _re.search(r'["\[\]`]', s):
+        return None
+    return {
+        t
+        for t in _re.findall(r"[A-Za-z_][A-Za-z0-9_]*", s)
+        if t.upper() not in _WHERE_KEYWORDS
+    }
+
+
+def merge_partials(
+    internal: DataFrame,
+    spec: dict,
+    group_dims: list[str],
+    aggs: list[tuple],
+    where_expr: "str | None" = None,
+) -> DataFrame:
+    """Re-aggregate a spec rollup's INTERNAL partials frame to an
+    arbitrary SUBSET of its dims — the routed query's physical plan, and
+    a pure function so the oracle gate can exercise it directly. ``aggs``
+    entries are (op, col, out_alias), each matching a stored partial.
+    Filtering on group-dim columns commutes with the aggregation (every
+    row of a partial cell shares the cell's dim values), so ``where_expr``
+    applies to the partials frame before the merge."""
+    by_key = {(a["op"], a["col"]): "_p_" + a["alias"] for a in spec["aggs"]}
+    df = internal
+    if where_expr:
+        df = df.where(F.expr(where_expr))
+    exprs = []
+    for op, col, alias in aggs:
+        p = by_key[(op, col)]
+        if op == "count":
+            # a filtered-empty GLOBAL aggregate must yield 0 like the
+            # scan's count(*), not sum's NULL
+            exprs.append(
+                F.coalesce(F.sum(p), F.lit(0)).cast("long").alias(alias)
+            )
+        elif op == "sum":
+            exprs.append(F.sum(p).alias(alias))
+        elif op == "min":
+            exprs.append(F.min(p).alias(alias))
+        elif op == "max":
+            exprs.append(F.max(p).alias(alias))
+        else:
+            exprs.append(
+                F.hll_sketch_estimate(F.hll_union_agg(p)).alias(alias)
+            )
+    if group_dims:
+        return df.groupBy(*group_dims).agg(*exprs)
+    return df.agg(*exprs)
+
+
+def route_select(db, columns, where, group_by, local_tz=None):
+    """Try to serve ``select(columns, where, group_by)`` from a fresh
+    materialized rollup. Returns (route_name, DataFrame) or None (fall
+    back to the scan). Never raises on staleness — a stale rollup is
+    simply not a candidate."""
+    from betfair_database_spark.database import _manifest_snapshot_no
+    from betfair_database_spark.plans.dialect import translate_where
+
+    shape = parse_select_shape(columns, group_by)
+    if shape is None:
+        return None
+    dims_sel, aggs, order = shape
+    gb = [g.strip() for g in group_by] if group_by else []
+    if any(not _IDENT_RE.match(g) for g in gb):
+        return None
+    needed_dims = set(dims_sel) | set(gb)
+    if where:
+        wid = _where_idents(where)
+        if wid is None:
+            return None
+        needed_dims |= wid
+    try:
+        current = _manifest_snapshot_no(db._index_path)
+    except OSError:
+        return None
+
+    # spec rollups first (they can cover arbitrary dims), built-in last
+    for name in spec_rollup_list(db):
+        path = spec_rollup_path(db.database_dir, name)
+        meta = _meta_read(path)
+        if meta is None or meta.get("index_snapshot") != current:
+            continue  # stale or torn: not a candidate, NEVER an error
+        spec = meta["spec"]
+        plain_dims = {
+            d["alias"] for d in spec["dims"] if d["expr"] is None
+        } | {"eventTypeId"}
+        if not needed_dims <= plain_dims:
+            continue
+        stored = {(a["op"], a["col"]) for a in spec["aggs"]}
+        if not all((op, col) in stored for op, col, _ in aggs):
+            continue
+        where_expr = translate_where(where, local_tz=local_tz) if where else None
+        internal = db.spark.read.parquet(str(path))
+        try:
+            out = merge_partials(
+                internal, spec, gb, aggs, where_expr
+            ).select(*order)
+            out.schema  # force analysis: unresolvable WHERE -> fallback
+        except Exception:
+            continue
+        return f"rollup:{name}", out
+
+    # built-in rollup: dims limited to eventTypeId
+    live = rollup_path(db.database_dir)
+    meta = _meta_read(live)
+    if (
+        meta is not None
+        and meta.get("index_snapshot") == current
+        and needed_dims <= {"eventTypeId"}
+        and all((op, col) in _BUILTIN_AGG_MAP for op, col, _ in aggs)
+    ):
+        frame = db.spark.read.schema(ROLLUP_SCHEMA).parquet(str(live))
+        where_expr = translate_where(where, local_tz=local_tz) if where else None
+        exprs = []
+        for op, col, alias in aggs:
+            src, mop = _BUILTIN_AGG_MAP[(op, col)]
+            e = getattr(F, mop)(src)
+            if op == "count":  # empty-global parity with count(*)
+                e = F.coalesce(e, F.lit(0)).cast("long")
+            exprs.append(e.alias(alias))
+        try:
+            df = frame
+            if where_expr:
+                df = df.where(F.expr(where_expr))
+            out = (
+                df.groupBy(*gb).agg(*exprs) if gb else df.agg(*exprs)
+            ).select(*order)
+            out.schema
+        except Exception:
+            return None
+        return "rollup:builtin", out
+    return None
 
 
 def rollup_read(db) -> DataFrame:

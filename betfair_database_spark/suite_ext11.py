@@ -43,6 +43,85 @@ SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
 
+# =========================================================================
+# rollup_route_events_agg — covered aggregate served from stored partials
+# =========================================================================
+#
+# The round-10 rollup auto-routing never reads the fact table for a
+# covered GROUP BY: it merges at-rest PARTIALS (stored per (partition
+# bucket, dims) cell) to the requested grain, with dim filters applied on
+# the partials frame. The DB-surface wiring (select() routing, the
+# _read_index-raises pin, stale fallback) is pytest-pinned in
+# test_maintenance.py::TestRollupRouting; this row puts the MERGE
+# ALGEBRA itself under DuckDB hash scrutiny: partials are materialized
+# to parquet at a (user_id % 32, event_type) grain, read back, filtered
+# on a dim, and merged to the event_type grain through the router's own
+# merge_partials — versus DuckDB aggregating the raw events directly.
+# Count/sum merge by sum, min/max re-extremize; the value sum is
+# fixed-point (micros as BIGINT — the recorded cross-engine rule: double
+# sums reassociate, integer sums don't).
+
+_ROUTE_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+         AS sum_value_micros,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts
+FROM events
+WHERE event_type <> 'view'
+GROUP BY event_type
+"""
+
+
+@_q("rollup_route_events_agg", _ROUTE_ORACLE)
+def rollup_route_events_agg(spark, sf):
+    """A covered aggregate answered ONLY from materialized partials: one
+    bucketed partial pass (the rollup build), an at-rest parquet round
+    trip (the layout the router reads), then merge_partials — the exact
+    routed physical plan — with a dim filter applied pre-merge. The raw
+    events are never re-read after the partials land."""
+    import shutil
+    import tempfile
+
+    from betfair_database_spark.rollup import merge_partials, summarize_spec
+
+    spec = {
+        "dims": [{"alias": "event_type", "expr": None}],
+        "aggs": [
+            {"alias": "n", "op": "count", "col": None},
+            {"alias": "sum_value_micros", "op": "sum", "col": "value_micros"},
+            {"alias": "first_ts", "op": "min", "col": "ts"},
+            {"alias": "last_ts", "op": "max", "col": "ts"},
+        ],
+    }
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 1e6).cast("long").alias("value_micros"),
+        (F.col("user_id") % 32).cast("int").alias("bucket"),
+    )
+    internal = summarize_spec(ev, spec, part_col="bucket")
+    path = tempfile.mkdtemp(prefix="bfdb_route_gate_")
+    try:
+        internal.write.mode("overwrite").parquet(path)
+        out = merge_partials(
+            spark.read.parquet(path),
+            spec,
+            ["event_type"],
+            [
+                ("count", None, "n"),
+                ("sum", "value_micros", "sum_value_micros"),
+                ("min", "ts", "first_ts"),
+                ("max", "ts", "last_ts"),
+            ],
+            where_expr="event_type <> 'view'",
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
 @_q("knn_ann_index_deleted_top10", _ANN_DELETE_ORACLE)
 def knn_ann_index_deleted_top10(spark, sf):
     """Exact top-10 served through the at-rest ANN index after a vector

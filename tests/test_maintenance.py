@@ -1285,3 +1285,219 @@ def test_snapshot_diff_reports_added_removed_changed(spark, tmp_path):
 
     # no self-diff noise
     assert db.diff(v1, v1).count() == 0
+
+
+class TestRollupRouting:
+    """Rollup auto-routing (round 10, verdict #1): a select() aggregate
+    covered by a FRESH materialized rollup is served from the rollup and
+    never reads the index parquet; anything uncovered, ambiguous or
+    stale falls back to the scan silently. Routed answers equal the
+    scan's exactly (the staleness protocol guarantees it)."""
+
+    SPEC = dict(
+        name="byvenue",
+        dims=["eventVenue", "marketType"],
+        aggs=[
+            "n=count()",
+            "runnersTotal=sum(runners)",
+            "firstStart=min(marketStartTime)",
+            "ids=approx_count_distinct(marketId)",
+        ],
+    )
+
+    @pytest.fixture(scope="class")
+    def env(self, spark, tmp_path_factory):
+        from betfair_database_spark.database import BetfairDatabase
+
+        base = tmp_path_factory.mktemp("routing")
+        target = base / "db"
+        target.mkdir()
+        src = base / "src"
+        build_corpus(src)
+        db = BetfairDatabase(target, spark=spark)
+        db.insert(src, copy=True)
+        db.create_rollup()  # built-in
+        db.create_rollup(**self.SPEC)
+        return db, src
+
+    @staticmethod
+    def _rows(db, **kw):
+        return sorted(
+            (tuple(r) for r in db.select(return_dict=False, **kw)),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+
+    def test_covered_query_never_reads_index(self, env, monkeypatch):
+        from betfair_database_spark.database import BetfairDatabase
+
+        db, _ = env
+        q = dict(
+            columns=[
+                "eventVenue",
+                "count(*) AS n",
+                "sum(runners) AS runnersTotal",
+            ],
+            group_by=["eventVenue"],
+        )
+        want = self._rows(db, use_rollups=False, **q)
+        assert db.last_select_route == "scan"
+
+        def boom(self, version=None):  # pragma: no cover
+            raise AssertionError("index parquet read during routed select")
+
+        monkeypatch.setattr(BetfairDatabase, "_read_index", boom)
+        got = self._rows(db, **q)
+        assert db.last_select_route == "rollup:byvenue"
+        assert got == want and got
+
+    def test_where_and_subset_dims_route(self, env, monkeypatch):
+        from betfair_database_spark.database import BetfairDatabase
+
+        db, _ = env
+        q = dict(
+            columns=["marketType", "count(*) AS n"],
+            where="marketType IN ('WIN', 'PLACE') AND eventVenue IS NOT NULL",
+            group_by=["marketType"],
+        )
+        want = self._rows(db, use_rollups=False, **q)
+        monkeypatch.setattr(
+            BetfairDatabase,
+            "_read_index",
+            lambda *a, **k: (_ for _ in ()).throw(AssertionError("scan")),
+        )
+        got = self._rows(db, **q)
+        assert db.last_select_route == "rollup:byvenue"
+        assert got == want and got
+
+    def test_approx_distinct_routed_equals_scan(self, env):
+        db, _ = env
+        q = dict(
+            columns=["eventVenue", "approx_count_distinct(marketId) AS ids"],
+            group_by=["eventVenue"],
+        )
+        want = self._rows(db, use_rollups=False, **q)
+        got = self._rows(db, **q)
+        assert db.last_select_route == "rollup:byvenue"
+        assert got == want  # same DataSketches HLL on both paths
+
+    def test_builtin_rollup_routes_eventTypeId(self, env, monkeypatch):
+        from betfair_database_spark.database import BetfairDatabase
+
+        db, _ = env
+        q = dict(
+            columns=[
+                "eventTypeId",
+                "count(*) AS markets",
+                "min(marketStartTime) AS firstStart",
+                "count(marketSettledTime) AS settled",
+            ],
+            group_by=["eventTypeId"],
+        )
+        want = self._rows(db, use_rollups=False, **q)
+        monkeypatch.setattr(
+            BetfairDatabase,
+            "_read_index",
+            lambda *a, **k: (_ for _ in ()).throw(AssertionError("scan")),
+        )
+        # the spec rollup does not cover these aggs; the built-in does
+        got = self._rows(db, **q)
+        assert db.last_select_route == "rollup:builtin"
+        assert got == want and got
+
+    def test_global_aggregate_routes(self, env, monkeypatch):
+        from betfair_database_spark.database import BetfairDatabase
+
+        db, _ = env
+        q = dict(columns=["count(*) AS n"], group_by=[])
+        want = self._rows(db, use_rollups=False, **q)
+        monkeypatch.setattr(
+            BetfairDatabase,
+            "_read_index",
+            lambda *a, **k: (_ for _ in ()).throw(AssertionError("scan")),
+        )
+        got = self._rows(db, **q)
+        assert db.last_select_route in ("rollup:byvenue", "rollup:builtin")
+        assert got == want == [(db.size(),)]
+        # filtered-to-empty global count must be 0 on the routed path too
+        empty = self._rows(
+            db,
+            columns=["count(*) AS n"],
+            where="eventVenue = 'no-such-venue-xyzzy'",
+            group_by=[],
+        )
+        assert db.last_select_route.startswith("rollup:")
+        assert empty == [(0,)]
+
+    def test_stale_rollup_falls_back_to_scan(self, env):
+        import json as _json
+
+        from betfair_database_spark.rollup import (
+            _META_NAME,
+            rollup_path,
+            spec_rollup_path,
+        )
+
+        db, _ = env
+        q = dict(
+            columns=["eventVenue", "count(*) AS n"],
+            group_by=["eventVenue"],
+        )
+        want = self._rows(db, use_rollups=False, **q)
+        metas = []
+        for p in (
+            spec_rollup_path(db.database_dir, "byvenue"),
+            rollup_path(db.database_dir),
+        ):
+            mf = p / _META_NAME
+            meta = _json.loads(mf.read_text())
+            metas.append((mf, dict(meta)))
+            meta["index_snapshot"] -= 1  # simulate the crash window
+            mf.write_text(_json.dumps(meta))
+        try:
+            got = self._rows(db, **q)  # falls back, NEVER raises
+            assert db.last_select_route == "scan"
+            assert got == want
+        finally:
+            for mf, meta in metas:
+                mf.write_text(_json.dumps(meta))
+        got = self._rows(db, **q)  # fresh again: routed again
+        assert db.last_select_route == "rollup:byvenue"
+        assert got == want
+
+    def test_uncovered_shapes_fall_back(self, env):
+        db, _ = env
+        # WHERE on a non-dim column: unroutable
+        self._rows(
+            db,
+            columns=["eventVenue", "count(*) AS n"],
+            where="marketId = '1.222000001'",
+            group_by=["eventVenue"],
+        )
+        assert db.last_select_route == "scan"
+        # aggregate no rollup stores: unroutable
+        self._rows(
+            db,
+            columns=["eventVenue", "max(marketId) AS m"],
+            group_by=["eventVenue"],
+        )
+        assert db.last_select_route == "scan"
+        # un-aliased aggregate: unroutable (output naming would differ)
+        db.select_df(
+            columns=["eventVenue", "count(*)"], group_by=["eventVenue"]
+        )
+        assert db.last_select_route == "scan"
+        # plain projection select: untouched by routing
+        rows = db.select(columns=["marketId"], limit=3)
+        assert db.last_select_route == "scan" and len(rows) == 3
+
+    def test_limit_and_use_rollups_false(self, env):
+        db, _ = env
+        q = dict(
+            columns=["eventVenue", "count(*) AS n"],
+            group_by=["eventVenue"],
+        )
+        routed = self._rows(db, limit=2, **q)
+        assert db.last_select_route == "rollup:byvenue"
+        assert len(routed) == 2
+        self._rows(db, use_rollups=False, **q)
+        assert db.last_select_route == "scan"

@@ -86,13 +86,21 @@ bridged (no timezone involved — numeric-range dispatch between julian
 and unixepoch interpretations, first-position-only, pinned vs sqlite3).
 Bridged window: years 1-9999; offsets come from IANA tzdata on both
 paths (zoneinfo on the literal fold, convert_timezone on the column
-chain), so SQLite's pre-1971/post-2038 proxy-year clamp is a documented
-residual. Round 10: 'utc' inside the 1-2 h DST gap/overlap windows now
-runs SQLite's own ITERATE (date.c) on both paths — guess, measure
-localtime(guess) against the wall value, correct, up to four rounds —
-instead of the java.time/PEP-495 single-lookup convention, which picks
-a different instant in positive-offset zones (pinned vs stdlib sqlite3
-across gap and overlap in ±offset and 30-minute-DST zones).
+chain). Round 10 closes the last two localtime/utc residuals: (a) 'utc'
+inside the 1-2 h DST gap/overlap windows now runs SQLite's own ITERATE
+(date.c) on both paths — guess, measure localtime(guess) against the
+wall value, correct, up to four rounds — instead of the
+java.time/PEP-495 single-lookup convention, which picks a different
+instant in positive-offset zones (pinned vs stdlib sqlite3 across gap
+and overlap in ±offset and 30-minute-DST zones); (b) instants outside
+the 32-bit time_t window resolve their offset at SQLite's PROXY YEAR
+``2000 + Y % 4`` with month/day preserved (empirically derived on
+3.40.1 and fuzz-pinned across zones x out-of-range years). One corner
+remains documented-not-reproduced: around Mar 1 of out-of-range CENTURY
+non-leap years SQLite materializes the proxy's Feb 29 in a non-leap
+year (datetime() renders the invalid date, julianday() day-rolls it one
+day off true arithmetic) — this bridge keeps calendar-true values
+there. SQLite's tzSet flag is fully modeled (see below).
 
 Round 7 also bridges numeric utc-offset suffixes in time values
 (``'2023-01-01 10:00:00+02:00'`` — hour 00-14, minute 00-59, only after
@@ -391,24 +399,63 @@ def _tz_literal(tz: str) -> str:
 def _msrender_gate_of(v: str) -> str:
     """years 1-9999 window (same as the render gate) — localtime/utc are
     bridged only there: Python's datetime cannot represent the julian
-    window's pre-0001 tail, and SQLite itself clamps pre-1971/post-2038
-    offsets to proxy years (documented residual)."""
+    window's pre-0001 tail. Outside the time_t window SQLite's proxy-year
+    clamp applies (round 10, bridged — see _b_lt_ms)."""
     return (
         f"(CASE WHEN {v} BETWEEN -62135596800000L AND 253402300799999L"
         f" THEN {v} END)"
     )
 
 
-def _b_localtime(v: str, tz: str) -> str:
-    """'localtime': the value is UTC; shift it to ``tz`` wall-clock.
-    convert_timezone on the NTZ lift is the DST-aware offset lookup —
-    IANA tzdata, same rules Python's zoneinfo applies on the literal
-    fold path."""
-    t = _try_ts_of(_msrender_gate_of(v))
-    return (
-        f"(timestampdiff(MICROSECOND, {_EPOCH}, "
-        f"convert_timezone('UTC', {_tz_literal(tz)}, {t})) div 1000)"
+# SQLite's localtime PROXY-YEAR CLAMP (round 10, pinned empirically on
+# 3.40.1): for instants outside [1970-01-01T00:00Z, 2038-01-18T00:00Z]
+# (the classic 32-bit time_t window, date.c's iJD gate) the offset is
+# looked up at year ``2000 + Y % 4`` with month/day/time-of-day
+# preserved — NOT at the true year. The mod-4 proxy keeps approximate
+# leapness and hands the OS the modern DST rule for that month (e.g.
+# 1902-07-01 in New York resolves at 2002-07-01 → EDT, though 1902 had
+# no DST). Residual (documented, not reproduced): within the offset-wide
+# window around Mar 1 of out-of-range CENTURY non-leap years (2100,
+# 2200, 1900...), SQLite's internal field mapping materializes Feb 29 of
+# the leap proxy in a non-leap year — datetime() renders the invalid
+# date verbatim and julianday() day-rolls it, one day off true
+# arithmetic; this bridge keeps calendar-true values there.
+_TT_HI_MS = 2147385600000  # 2038-01-18T00:00:00Z in epoch ms
+
+
+def _b_lt_ms(x: str, tz: str) -> str:
+    """ms -> ms 'localtime' of the INSTANT ``x`` — convert_timezone on
+    the NTZ lift inside the time_t window (IANA tzdata, same rules
+    Python's zoneinfo applies on the literal fold path), the proxy-year
+    clamp outside it. ``x`` should be a cheap expression (a lambda/macro
+    variable): it is referenced several times."""
+    t = _try_ts_of(_msrender_gate_of(x))
+
+    def conv(ts: str) -> str:
+        return (
+            f"(timestampdiff(MICROSECOND, {_EPOCH}, "
+            f"convert_timezone('UTC', {_tz_literal(tz)}, {ts})) div 1000)"
+        )
+
+    proxy_ms = (
+        f"({x} + cast(datediff(make_date(2000 + pmod(year({t}), 4), "
+        f"month({t}), day({t})), to_date({t})) as bigint) * 86400000L)"
     )
+    pt = _try_ts_of(proxy_ms)
+    return (
+        f"(CASE WHEN {x} >= 0L AND {x} <= {_TT_HI_MS}L THEN {conv(t)} "
+        f"ELSE {x} + ({conv(pt)} - {proxy_ms}) END)"
+    )
+
+
+def _b_localtime(v: str, tz: str) -> str:
+    """'localtime': the value is UTC; shift it to ``tz`` wall-clock —
+    with SQLite's proxy-year clamp outside the time_t window (see
+    _b_lt_ms). The input is let-bound once: the clamp references it
+    several times."""
+    _UTC_SEQ[0] += 1
+    var = f"sqlite_lt{_UTC_SEQ[0]}"
+    return f"(transform(array({v}), {var} -> {_b_lt_ms(var, tz)})[0])"
 
 
 _UTC_SEQ = [0]  # unique lambda-variable namespace per _b_utc emission
@@ -436,12 +483,8 @@ def _b_utc(v: str, tz: str) -> str:
     windows for gap and overlap in ±offset and 30-minute-DST zones
     (test_dialect_modifiers / test_dialect_fuzz)."""
 
-    def lt(x: str) -> str:  # localtime of INSTANT x, in ms
-        t = _try_ts_of(_msrender_gate_of(x))
-        return (
-            f"(timestampdiff(MICROSECOND, {_EPOCH}, "
-            f"convert_timezone('UTC', {_tz_literal(tz)}, {t})) div 1000)"
-        )
+    def lt(x: str) -> str:  # localtime of INSTANT x, in ms (clamped)
+        return _b_lt_ms(x, tz)
 
     _UTC_SEQ[0] += 1
     u0, u1, u2 = (f"sqlite_u{_UTC_SEQ[0]}_{i}" for i in range(3))
@@ -1105,8 +1148,9 @@ def _py_tzmod(v: int, kind: str, tz: str) -> int | None:
     windows where a single ofLocal/PEP-495 lookup is not. Bridged
     window: years 1-9999 (the render gate), checked on every iterate
     guess so the fold NULLs exactly where the column chain's gate does;
-    SQLite's own pre-1971/post-2038 proxy-year clamp is a documented
-    residual."""
+    outside the time_t window SQLite's proxy-year clamp applies
+    (bridged — see _b_lt_ms; the century-Feb-29 corner stays a
+    documented residual)."""
     from datetime import datetime, timezone
     from zoneinfo import ZoneInfo
 
@@ -1122,6 +1166,11 @@ def _py_tzmod(v: int, kind: str, tz: str) -> int | None:
         h, rem = divmod(ms_of_day, 3600000)
         mi, rem = divmod(rem, 60000)
         sec, ms = divmod(rem, 1000)
+        if not (0 <= t <= _TT_HI_MS):
+            # SQLite's proxy-year clamp (see _b_lt_ms): the offset is
+            # looked up at year 2000 + y % 4, month/day/time preserved
+            # (any Feb 29 input is leap -> proxy 2000 is leap too)
+            y = 2000 + y % 4
         naive = datetime(y, mo, d, h, mi, sec, ms * 1000)
         off = naive.replace(tzinfo=timezone.utc).astimezone(zi).utcoffset()
         return t + int(off.total_seconds() * 1000)
@@ -1621,8 +1670,8 @@ def _apply_op_inline(expr: str, op, local_tz: str | None = None) -> str:
 # (the macro body's reference count of v); used to decide when a
 # predicate chain must switch to the lambda form
 _OP_WEIGHT = {"add": 1, "sod": 5, "som": 5, "soy": 5, "weekday": 7,
-              "localtime": 4, "utc": 1, "utc_cond": 2,
-              "noop": 1}  # utc self-binds (iterate); cond = THEN + ELSE
+              "localtime": 1, "utc": 1, "utc_cond": 2,
+              "noop": 1}  # localtime/utc self-bind; cond = THEN + ELSE
 _RENDER_WEIGHT = {"datetime": 2, "date": 2, "time": 2,
                   "julianday": 3, "unixepoch": 3}
 # inlined predicate trees above this many parse-tree copies risk Janino's

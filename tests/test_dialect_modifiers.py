@@ -469,6 +469,81 @@ def test_utc_localtime_inside_dst_transition_windows(spark):
     assert not mismatches, "\n".join(mismatches[:20])
 
 
+def test_localtime_utc_proxy_year_clamp(spark):
+    """Round 10: instants outside the 32-bit time_t window resolve their
+    offset at SQLite's proxy year 2000 + Y % 4 with month/day preserved
+    (derived empirically on 3.40.1 — e.g. 1902-07-01 New York resolves
+    as EDT via proxy 2002 although 1902 had no DST). Matrix across
+    out-of-range years x dates straddling the proxy years' DST
+    boundaries x zones, 'localtime' AND 'utc', fold and column paths,
+    all vs stdlib sqlite3. Times at noon keep clear of the documented
+    century-Feb-29 corner."""
+    import itertools
+    import os
+    import time as _time
+
+    register_sqlite_functions(spark)
+    years = [1902, 1950, 1969, 2039, 2045, 2100]
+    dates = ["01-15", "04-03", "06-15", "10-27", "12-30"]
+    vals = [f"{y}-{md} 12:00:00" for y, md in itertools.product(years, dates)]
+    old_tz = os.environ.get("TZ")
+    mismatches = []
+    try:
+        for tz in ("America/New_York", "Australia/Sydney"):
+            os.environ["TZ"] = tz
+            _time.tzset()
+            con = sqlite3.connect(":memory:")
+            exprs = [
+                f"datetime('{v}','{kind}')"
+                for v in vals
+                for kind in ("localtime", "utc")
+            ]
+            want = [
+                str(con.execute(f"select {e}").fetchone()[0])
+                for e in exprs
+            ]
+            sel = "SELECT " + ", ".join(
+                f"({translate_where(e, local_tz=tz)}) AS c{i}"
+                for i, e in enumerate(exprs)
+            )
+            row = spark.sql(sel).first()
+            for i, e in enumerate(exprs):
+                if str(row[f"c{i}"]) != want[i]:
+                    mismatches.append(
+                        f"fold {tz} {e}: sqlite={want[i]!r} "
+                        f"spark={row[f'c{i}']!r}"
+                    )
+            spark.createDataFrame(
+                [(v,) for v in vals], "x string"
+            ).createOrReplaceTempView("proxyvals")
+            for kind in ("localtime", "utc"):
+                ce = translate_where(f"datetime(x,'{kind}')", local_tz=tz)
+                got = {
+                    r["x"]: str(r["r"])
+                    for r in spark.sql(
+                        f"SELECT x, ({ce}) AS r FROM proxyvals"
+                    ).collect()
+                }
+                for v in vals:
+                    w = str(
+                        con.execute(
+                            f"select datetime('{v}','{kind}')"
+                        ).fetchone()[0]
+                    )
+                    if got[v] != w:
+                        mismatches.append(
+                            f"col {tz} {kind} {v}: sqlite={w!r} "
+                            f"spark={got[v]!r}"
+                        )
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        _time.tzset()
+    assert not mismatches, "\n".join(mismatches[:20])
+
+
 def test_utc_iterate_composes_with_other_modifiers(spark):
     """The self-binding iterate must compose inside modifier chains (its
     input is an arbitrary ms expression, its output feeds downstream

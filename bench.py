@@ -169,6 +169,9 @@ HEADLINE = [
     "graph_negative_samples",
     "asof_join_tolerance",
     "ev_peak_concurrency",
+    # round-10: rollup routing merge path (partials parquet round trip);
+    # the ANN delete lifecycle row stays gate-only like the append one
+    "rollup_route_events_agg",
 ]
 
 
@@ -194,7 +197,18 @@ def main() -> None:
             return {}
         return {"load_1m": round(l1, 2), "load_15m": round(l15, 2)}
 
+    def _cpu_stat() -> "tuple[int, int] | None":
+        # (steal_ticks, total_ticks) from /proc/stat — loadavg cannot
+        # distinguish this VM's own 32 busy threads from HOST contention,
+        # but steal% can: it counts ticks the hypervisor withheld.
+        try:
+            vals = [int(v) for v in open("/proc/stat").readline().split()[1:]]
+            return vals[7], sum(vals)
+        except (OSError, ValueError, IndexError):
+            return None
+
     load_start = _load()
+    cpu_start = _cpu_stat()
 
     spark = get_spark("bench")
     # warm the session (JVM + codegen paths) outside the timed region
@@ -270,10 +284,18 @@ def main() -> None:
     # under ~1 KB: total + count + the 5 slowest queries; the full
     # per-query map goes to BENCH_DETAIL.json beside this script.
     load_end = _load()
+    cpu_end = _cpu_stat()
     load_fields = {
         "load_start": load_start,
         "load_end": load_end,
     }
+    if cpu_start and cpu_end and cpu_end[1] > cpu_start[1]:
+        load_fields["steal_pct"] = round(
+            100.0
+            * (cpu_end[0] - cpu_start[0])
+            / (cpu_end[1] - cpu_start[1]),
+            2,
+        )
     detail = {
         "metric": "headline_suite_seconds",
         "value": total,

@@ -345,14 +345,35 @@ class BetfairDatabase:
         df.createOrReplaceTempView(SQL_TABLE_NAME)
         register_sqlite_functions(self.spark)
         col_list = list(columns) if columns else list(SQL_TABLE_COLUMNS)
+        gb_list = list(group_by) if group_by else []
         if group_by is not None:
-            col_list = [_scan_agg_sql(c) for c in col_list]
+            # scan fallback for derived-dim rollup queries: substitute
+            # the persisted spec's expression for a derived alias so the
+            # same query text runs whether or not the rollup is fresh
+            from betfair_database_spark.rollup import derived_dim_exprs
+
+            derived = derived_dim_exprs(
+                self,
+                [c.strip() for c in col_list] + [g.strip() for g in gb_list],
+            )
+
+            def entry_sql(c: str) -> str:
+                s = c.strip()
+                if s in derived:
+                    return f"({derived[s]}) AS {s}"
+                return _scan_agg_sql(c)
+
+            col_list = [entry_sql(c) for c in col_list]
+            gb_list = [
+                f"({derived[g.strip()]})" if g.strip() in derived else g
+                for g in gb_list
+            ]
         cols = ",".join(col_list)
         sql = f"SELECT {cols} FROM {SQL_TABLE_NAME}"
         if where:
             sql += f" WHERE {translate_where(where, local_tz=local_tz)}"
-        if group_by:
-            sql += " GROUP BY " + ",".join(group_by)
+        if gb_list:
+            sql += " GROUP BY " + ",".join(gb_list)
         if limit is not None:
             sql += f" LIMIT {limit}"
         return self.spark.sql(sql)

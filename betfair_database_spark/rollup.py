@@ -578,6 +578,41 @@ def merge_partials(
     return df.agg(*exprs)
 
 
+def derived_dim_exprs(db, names) -> dict:
+    """alias -> SQL expr for DERIVED spec-rollup dims among ``names`` —
+    the scan fallback's resolver. A routed-shape query over a derived
+    dim (``group_by=["startDay"]``) must stay runnable when its rollup
+    is STALE or the coverage check fails, so the scan path substitutes
+    the persisted spec's expression for the alias (persisted meta is
+    readable even when the rollup is stale — exactly the fallback case).
+    Aliases shadowing real index columns are never substituted (the
+    column wins); two specs defining the same alias differently raise
+    loudly rather than silently picking one."""
+    from betfair_database_spark.const import SQL_TABLE_COLUMNS
+
+    want = {n for n in names if _IDENT_RE.match(n)}
+    out: dict = {}
+    for name in spec_rollup_list(db):
+        meta = _meta_read(spec_rollup_path(db.database_dir, name))
+        if meta is None or "spec" not in meta:
+            continue
+        for d in meta["spec"]["dims"]:
+            a = d["alias"]
+            if (
+                d["expr"] is None
+                or a in SQL_TABLE_COLUMNS
+                or a not in want
+            ):
+                continue
+            if a in out and out[a] != d["expr"]:
+                raise ValueError(
+                    f"derived dim {a!r} is defined differently by two "
+                    "rollup specs — drop or rename one of them"
+                )
+            out[a] = d["expr"]
+    return out
+
+
 def route_select(db, columns, where, group_by, local_tz=None):
     """Try to serve ``select(columns, where, group_by)`` from a fresh
     materialized rollup. Returns (route_name, DataFrame) or None (fall
@@ -593,12 +628,13 @@ def route_select(db, columns, where, group_by, local_tz=None):
     gb = [g.strip() for g in group_by] if group_by else []
     if any(not _IDENT_RE.match(g) for g in gb):
         return None
-    needed_dims = set(dims_sel) | set(gb)
+    wid: set = set()
     if where:
-        wid = _where_idents(where)
-        if wid is None:
+        w = _where_idents(where)
+        if w is None:
             return None
-        needed_dims |= wid
+        wid = w
+    needed_dims = set(dims_sel) | set(gb) | wid
     try:
         current = _manifest_snapshot_no(db._index_path)
     except OSError:
@@ -611,10 +647,27 @@ def route_select(db, columns, where, group_by, local_tz=None):
         if meta is None or meta.get("index_snapshot") != current:
             continue  # stale or torn: not a candidate, NEVER an error
         spec = meta["spec"]
+        from betfair_database_spark.const import SQL_TABLE_COLUMNS
+
+        # Routable dims: plain index columns, plus DERIVED dim aliases
+        # (stored columns of the internal frame) as long as the alias
+        # does not shadow a real index column — a shadowing alias would
+        # make the routed answer (expr values) differ from the scan
+        # (column values). The WHERE clause is held to the stricter
+        # plain-column set: the scan fallback resolves derived aliases
+        # in the SELECT/GROUP BY lists (select_df), but not inside an
+        # opaque WHERE string.
         plain_dims = {
             d["alias"] for d in spec["dims"] if d["expr"] is None
         } | {"eventTypeId"}
-        if not needed_dims <= plain_dims:
+        routable_dims = plain_dims | {
+            d["alias"]
+            for d in spec["dims"]
+            if d["expr"] is not None and d["alias"] not in SQL_TABLE_COLUMNS
+        }
+        if not (set(dims_sel) | set(gb)) <= routable_dims:
+            continue
+        if where and not (wid <= plain_dims):
             continue
         stored = {(a["op"], a["col"]) for a in spec["aggs"]}
         if not all((op, col) in stored for op, col, _ in aggs):

@@ -1304,6 +1304,11 @@ class TestRollupRouting:
             "ids=approx_count_distinct(marketId)",
         ],
     )
+    SPEC_DAY = dict(  # derived dim: day-grain continuous aggregate
+        name="byday",
+        dims=["startDay=to_date(substring(marketStartTime, 1, 10))"],
+        aggs=["n=count()", "runnersTotal=sum(runners)"],
+    )
 
     @pytest.fixture(scope="class")
     def env(self, spark, tmp_path_factory):
@@ -1318,6 +1323,7 @@ class TestRollupRouting:
         db.insert(src, copy=True)
         db.create_rollup()  # built-in
         db.create_rollup(**self.SPEC)
+        db.create_rollup(**self.SPEC_DAY)
         return db, src
 
     @staticmethod
@@ -1416,7 +1422,7 @@ class TestRollupRouting:
             lambda *a, **k: (_ for _ in ()).throw(AssertionError("scan")),
         )
         got = self._rows(db, **q)
-        assert db.last_select_route in ("rollup:byvenue", "rollup:builtin")
+        assert db.last_select_route.startswith("rollup:")
         assert got == want == [(db.size(),)]
         # filtered-to-empty global count must be 0 on the routed path too
         empty = self._rows(
@@ -1489,6 +1495,54 @@ class TestRollupRouting:
         # plain projection select: untouched by routing
         rows = db.select(columns=["marketId"], limit=3)
         assert db.last_select_route == "scan" and len(rows) == 3
+
+    def test_derived_dim_routes_and_falls_back(self, env, monkeypatch):
+        """Round 10 (full form of verdict #1): a DERIVED-dim spec rollup
+        (day grain) routes covered queries, and the scan fallback
+        resolves the alias from the PERSISTED spec — the same query text
+        works whether the rollup is fresh or stale."""
+        import json as _json
+
+        from betfair_database_spark.database import BetfairDatabase
+        from betfair_database_spark.rollup import _META_NAME, spec_rollup_path
+
+        db, _ = env
+        q = dict(
+            columns=["startDay", "count(*) AS n", "sum(runners) AS r"],
+            group_by=["startDay"],
+        )
+        want = self._rows(db, use_rollups=False, **q)  # scan: alias resolved
+        assert db.last_select_route == "scan" and want
+        monkeypatch.setattr(
+            BetfairDatabase,
+            "_read_index",
+            lambda *a, **k: (_ for _ in ()).throw(AssertionError("scan")),
+        )
+        got = self._rows(db, **q)
+        assert db.last_select_route == "rollup:byday"
+        assert got == want
+        monkeypatch.undo()
+        # stale byday: falls back to the scan, alias STILL resolves
+        mf = spec_rollup_path(db.database_dir, "byday") / _META_NAME
+        meta = _json.loads(mf.read_text())
+        orig = dict(meta)
+        meta["index_snapshot"] -= 1
+        mf.write_text(_json.dumps(meta))
+        try:
+            got = self._rows(db, **q)
+            assert db.last_select_route == "scan"
+            assert got == want
+        finally:
+            mf.write_text(_json.dumps(orig))
+        # a WHERE over a plain column byday does not store is NOT
+        # routable via byday — the scan serves it, alias still resolved
+        rows = db.select(
+            columns=["startDay", "count(*) AS n"],
+            where="eventVenue IS NOT NULL",
+            group_by=["startDay"],
+            return_dict=False,
+        )
+        assert db.last_select_route == "scan" and rows
 
     def test_limit_and_use_rollups_false(self, env):
         db, _ = env

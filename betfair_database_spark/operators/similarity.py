@@ -1797,8 +1797,12 @@ def delete_from_ann_index(
     snapshot, deleted ids still served — retry); a crash after the
     commit leaves the replaced files unreferenced (reaped by the next
     maintenance pass). Re-running with the same ids is a no-op returning
-    0. ``ids`` is driver-side state (bounded: a deletion batch); batch
-    very large deletions. Returns the number of vectors removed."""
+    0. ``ids`` is a Python iterable (driver-side, bounded: a deletion
+    batch) OR a single-column DataFrame — the scale form: a million-id
+    decontamination result joins against the cells (left-semi to
+    discover, left-anti to rewrite; Catalyst/AQE picks broadcast when it
+    fits) and never round-trips through the driver. Returns the number
+    of vectors removed."""
     from pathlib import Path
 
     manifest = ann_manifest_read(path)
@@ -1808,9 +1812,32 @@ def delete_from_ann_index(
             "with write_ann_index first"
         )
     _ann_reap_uncommitted(path, manifest, retain_snapshots)
-    ids = sorted(set(ids))
-    if not ids:
-        return 0
+    if isinstance(ids, DataFrame):
+        # materialize: the id frame may derive from the very files this
+        # delete retires (e.g. a probe of this same index)
+        id_frame = (
+            ids.select(F.col(ids.columns[0]).alias(id_col))
+            .distinct()
+            .localCheckpoint()
+        )
+
+        def hit(df):
+            return df.join(id_frame, id_col, "left_semi")
+
+        def keep(df):
+            return df.join(id_frame, id_col, "left_anti")
+
+    else:
+        id_list = sorted(set(ids))
+        if not id_list:
+            return 0
+
+        def hit(df):
+            return df.where(F.col(id_col).isin(id_list))
+
+        def keep(df):
+            return df.where(~F.col(id_col).isin(id_list))
+
     all_paths = [
         f"{path}/cell={cell}/{name}"
         for cell, names in manifest["cells"].items()
@@ -1820,8 +1847,7 @@ def delete_from_ann_index(
         return 0
     reader = spark.read.option("basePath", path)
     hits = (
-        reader.parquet(*all_paths)
-        .where(F.col(id_col).isin(ids))
+        hit(reader.parquet(*all_paths))
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
@@ -1837,11 +1863,7 @@ def delete_from_ann_index(
     ]
     # Materialize before the append below: the write lands in the very
     # directory this read is scanning.
-    kept = (
-        reader.parquet(*tpaths)
-        .where(~F.col(id_col).isin(ids))
-        .localCheckpoint()
-    )
+    kept = keep(reader.parquet(*tpaths)).localCheckpoint()
     listing = _ann_list_files(path)
     pre = {cell: set(listing.get(cell, ())) for cell in touched}
     (

@@ -1729,6 +1729,31 @@ def test_ann_delete_lifecycle(spark, tmp_path, monkeypatch):
     assert [t[0] for t in probe()] == [t[0] for t in after_crash]
 
 
+def test_ann_delete_accepts_id_dataframe(spark, tmp_path):
+    """The scale form of delete: ids as a single-column DataFrame (e.g. a
+    decontamination result) — semi/anti joins instead of a driver-side
+    isin list; same results, same idempotency, touched cells compacted."""
+    from betfair_database_spark.operators import similarity as sim
+
+    path, rows, mk, q = _mk_ann(spark, tmp_path, name="ann_deldf")
+    doomed = [i for i, _ in rows if i % 5 == 0]
+    idf = spark.createDataFrame([(i,) for i in doomed], "vec_id long")
+    assert sim.delete_from_ann_index(spark, path, idf) == len(doomed)
+    got = [
+        tuple(r)
+        for r in sim.query_ann_index(
+            spark, path, None, None, q, k=9, nprobe=4
+        ).collect()
+    ]
+    kept_rows = [r for r in rows if r[0] % 5 != 0]
+    want = [tuple(r) for r in sim.cosine_topk(mk(kept_rows), q, 9).collect()]
+    assert got == want
+    assert sim.delete_from_ann_index(spark, path, idf) == 0  # idempotent
+    # deleting ids that never existed is a clean no-op too
+    ghost = spark.createDataFrame([(10**9,)], "vec_id long")
+    assert sim.delete_from_ann_index(spark, path, ghost) == 0
+
+
 def test_ann_retention_versions_and_vacuum(spark, tmp_path):
     """Round 10 (verdict #3): with retain_snapshots > 1, maintenance no
     longer unlinks replaced files at commit — a reader holding the

@@ -1588,10 +1588,13 @@ def append_ann_index(
     return n
 
 
-def ann_fragmentation(path: str) -> dict:
-    """Committed-layout fragmentation report: per-cell file counts plus
-    the max — the signal auto-compaction acts on, exposed for operators
-    who run with ``max_files_per_cell=0``."""
+def ann_fragmentation(path: str, spark=None) -> dict:
+    """Committed-layout report: per-cell file counts plus the max — the
+    signal auto-compaction acts on, exposed for operators who run with
+    ``max_files_per_cell=0``. With ``spark`` given, also per-cell VECTOR
+    counts and the max/mean skew ratio — the signal for
+    ``rebuild_ann_index`` (appends drift away from the original
+    centroids; a hot cell turns probes into scans of that cell)."""
     manifest = ann_manifest_read(path)
     if manifest is None:
         raise ValueError(
@@ -1599,11 +1602,153 @@ def ann_fragmentation(path: str) -> dict:
             "with write_ann_index first"
         )
     counts = {cell: len(names) for cell, names in manifest["cells"].items()}
-    return {
+    out = {
         "cells": counts,
         "max_files_per_cell": max(counts.values()) if counts else 0,
         "total_files": sum(counts.values()),
     }
+    if spark is not None:
+        paths = [
+            f"{path}/cell={cell}/{name}"
+            for cell, names in manifest["cells"].items()
+            for name in names
+        ]
+        if paths:
+            rows = (
+                spark.read.option("basePath", path)
+                .parquet(*paths)
+                .groupBy("cell")
+                .count()
+                .collect()
+            )
+            vec = {str(r["cell"]): int(r["count"]) for r in rows}
+            n = sum(vec.values())
+            k = max(len(vec), 1)
+            out["vectors"] = vec
+            out["total_vectors"] = n
+            out["cell_skew"] = round(
+                max(vec.values()) / (n / k), 2
+            ) if n else 0.0
+    return out
+
+
+def rebuild_ann_index(
+    spark,
+    path: str,
+    n_cells: "int | None" = None,
+    m: "int | None" = None,
+    n_codes: int = 16,
+    kmeans_iters: int = 5,
+    train_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    retain_snapshots: int = 1,
+) -> int:
+    """Re-cluster the at-rest ANN index on its CURRENT contents (round
+    10 — the last lifecycle gap): appends assign new vectors to the
+    ORIGINAL centroids, so a drifting distribution concentrates into a
+    few hot cells (``ann_fragmentation(..., spark).cell_skew`` is the
+    signal) and probe selectivity decays. This pass retrains the IVF
+    centroids (k-means on the committed vectors) and the PQ codebook,
+    re-encodes everything, and swaps the layout under the SAME atomic
+    manifest commit every other maintenance op uses:
+
+      reap uncommitted → read committed rows (manifest-resolved) →
+      k-means retrain → assign + encode → write-alongside (cell
+      membership may change freely — new files land in whatever cell=
+      dirs the new centroids dictate) → commit (manifest lists ONLY the
+      new files + new centroids/codebook) → reap replaced files,
+      honoring ``retain_snapshots``.
+
+    A crash before the commit leaves the new layout invisible (old
+    centroids + old files keep serving, byte-identical); after, the old
+    files are unreferenced (reaped next pass, or retained for
+    time-travel readers). Returns the number of vectors in the rebuilt
+    index. ``n_cells``/``m`` default to the committed values."""
+    from pathlib import Path
+
+    manifest = ann_manifest_read(path)
+    if manifest is None:
+        raise ValueError(
+            f"no committed ANN index manifest at {path}; build the index "
+            "with write_ann_index first"
+        )
+    _ann_reap_uncommitted(path, manifest, retain_snapshots)
+    if n_cells is None:
+        n_cells = len(manifest["centroids"])
+    if m is None:
+        m = int(manifest["m"])
+    paths = [
+        f"{path}/cell={cell}/{name}"
+        for cell, names in manifest["cells"].items()
+        for name in names
+    ]
+    if not paths:
+        return 0
+    # Materialize: everything below rewrites the files this read resolves.
+    emb = (
+        spark.read.option("basePath", path)
+        .parquet(*paths)
+        .select(id_col, vec_col)
+        .localCheckpoint()
+    )
+    n = emb.count()
+    centroids, _ = kmeans_fit(
+        emb, k=n_cells, max_iters=kmeans_iters, id_col=id_col,
+        vec_col=vec_col,
+    )
+    anchors = pq_codebook_anchors(emb, n_codes, id_col, vec_col)
+    if train_iters:
+        anchors = pq_train_codebook(
+            emb, m, n_codes, train_iters, id_col, vec_col, anchors=anchors
+        )
+    coded = pq_encode(
+        ivf_assign(emb, centroids, id_col, vec_col).select(
+            id_col, "cell", vec_col
+        ),
+        anchors,
+        m,
+        id_col,
+        vec_col,
+        keep_cols=[("cell", "int"), (vec_col, "array<float>")],
+    )
+    pre = {
+        cell: set(names) for cell, names in _ann_list_files(path).items()
+    }
+    (
+        coded.repartition(F.col("cell"))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    after = _ann_list_files(path)
+    new_cells = {
+        cell: [nm for nm in names if nm not in pre.get(cell, ())]
+        for cell, names in after.items()
+    }
+    new_cells = {cell: names for cell, names in new_cells.items() if names}
+    # COMMIT: the new centroids/codebook and ONLY the new files.
+    _ann_manifest_commit(
+        path,
+        {
+            "m": m,
+            "anchors": anchors,
+            "centroids": [
+                [cid, list(map(float, c))] for cid, c in centroids
+            ],
+            "cells": new_cells,
+        },
+    )
+    retained = _ann_retained_files(path, retain_snapshots)
+    root = Path(path)
+    for cell, names in manifest["cells"].items():
+        for name in names:
+            if (cell, name) in retained:
+                continue
+            p = root / f"cell={cell}" / name
+            p.unlink(missing_ok=True)
+            (p.parent / ("." + p.name + ".crc")).unlink(missing_ok=True)
+    return n
 
 
 def _ann_reap_uncommitted(

@@ -44,6 +44,54 @@ SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
 
 
 # =========================================================================
+# knn_ann_index_rebuilt_top10 — build → append → RECLUSTER → probe
+# =========================================================================
+#
+# The rebuild retrains IVF centroids + PQ codebook on current contents
+# and swaps the whole layout under the atomic manifest commit; probing
+# all cells with exact rerank must still give the exact cosine top-10
+# over the union — a row lost in the re-encode, a duplicate from the
+# swap, or manifest/codebook inconsistency changes the hash. The oracle
+# is the same exact-cosine top-10 the append-lifecycle row uses.
+
+
+from betfair_database_spark.suite_ext10 import _ANN_APPEND_ORACLE
+
+
+@_q(
+    "knn_ann_index_rebuilt_top10",
+    # exact cosine over ALL vectors — identical expected answer to the
+    # append-lifecycle row (same union), via the same relational oracle
+    _ANN_APPEND_ORACLE,
+)
+def knn_ann_index_rebuilt_top10(spark, sf):
+    """Build from one third, append the rest, then RECLUSTER
+    (rebuild_ann_index) and probe all cells with exact rerank."""
+    import shutil
+    import tempfile
+
+    emb = _t(spark, sf, "embeddings")
+    base = emb.where(F.col("vec_id") % 3 == 0)
+    centroids = similarity.kmeans_seeds(base, 4)
+    row = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    q = [float(v) for v in row[0]]
+
+    path = tempfile.mkdtemp(prefix="bfdb_ann_rebuild_gate_")
+    try:
+        similarity.write_ann_index(base, path, centroids, train_iters=0)
+        similarity.append_ann_index(emb.where(F.col("vec_id") % 3 != 0), path)
+        similarity.rebuild_ann_index(
+            spark, path, kmeans_iters=2, train_iters=0
+        )
+        out = similarity.query_ann_index(
+            spark, path, None, None, q, k=10, nprobe=4, rerank="exact"
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
+# =========================================================================
 # rollup_route_events_agg — covered aggregate served from stored partials
 # =========================================================================
 #

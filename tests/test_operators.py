@@ -1754,6 +1754,73 @@ def test_ann_delete_accepts_id_dataframe(spark, tmp_path):
     assert sim.delete_from_ann_index(spark, path, ghost) == 0
 
 
+def test_ann_rebuild_recluster_lifecycle(spark, tmp_path, monkeypatch):
+    """rebuild_ann_index (round 10): drifted appends concentrate into hot
+    cells; the rebuild retrains centroids + codebook on CURRENT contents
+    and swaps the whole layout under the same atomic commit. Results
+    equal brute-force cosine before AND after; a crash before the commit
+    leaves the old centroids + files serving byte-identically; skew
+    strictly improves on the drifted distribution."""
+    from pathlib import Path
+
+    import pytest as _pytest
+
+    from betfair_database_spark.operators import similarity as sim
+
+    path, rows, mk, q = _mk_ann(spark, tmp_path, name="ann_rebuild")
+    # drifted appends: a tight far-away cluster -> all land in ONE cell
+    import random
+
+    rng = random.Random(99)
+    drift = [
+        (5000 + i, [4.0 + rng.uniform(-0.05, 0.05) for _ in range(64)])
+        for i in range(120)
+    ]
+    sim.append_ann_index(mk(drift[:60]), path)
+    sim.append_ann_index(mk(drift[60:]), path)
+    all_rows = rows + drift
+    skew0 = sim.ann_fragmentation(path, spark)["cell_skew"]
+
+    def probe():
+        return [
+            tuple(r)
+            for r in sim.query_ann_index(
+                spark, path, None, None, q, k=9, nprobe=8
+            ).collect()
+        ]
+
+    want = [tuple(r) for r in sim.cosine_topk(mk(all_rows), q, 9).collect()]
+    assert probe() == want
+    manifest0 = sim.ann_manifest_read(path)
+
+    # crash BEFORE commit: old centroids + old files keep serving
+    def boom(path_, manifest_):
+        raise RuntimeError("crash before manifest commit")
+
+    monkeypatch.setattr(sim, "_ann_manifest_commit", boom)
+    with _pytest.raises(RuntimeError):
+        sim.rebuild_ann_index(spark, path, kmeans_iters=2)
+    monkeypatch.undo()
+    assert sim.ann_manifest_read(path) == manifest0
+    assert probe() == want
+
+    # the real rebuild (orphans of the crashed attempt reaped first)
+    assert sim.rebuild_ann_index(spark, path, kmeans_iters=3) == len(all_rows)
+    assert probe() == want  # exact results unchanged (probe-all, exact rerank)
+    frag = sim.ann_fragmentation(path, spark)
+    assert frag["total_vectors"] == len(all_rows)
+    assert frag["cell_skew"] < skew0  # re-clustering really rebalanced
+    assert frag["max_files_per_cell"] == 1  # rebuild also compacts
+    # disk == committed manifest exactly
+    m1 = sim.ann_manifest_read(path)
+    assert sum(len(v) for v in m1["cells"].values()) == len(
+        list(Path(path).glob("cell=*/*.parquet"))
+    )
+    # appends keep working against the NEW centroids/codebook
+    extra = [(9000, [float(v) for v in all_rows[0][1]])]
+    assert sim.append_ann_index(mk(extra), path) == 1
+
+
 def test_ann_retention_versions_and_vacuum(spark, tmp_path):
     """Round 10 (verdict #3): with retain_snapshots > 1, maintenance no
     longer unlinks replaced files at commit — a reader holding the

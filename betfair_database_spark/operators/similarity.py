@@ -1494,9 +1494,18 @@ def append_ann_index(
     vec_col: str = "embedding",
     retain_snapshots: int = 1,
     max_files_per_cell: "int | None" = None,
+    stream_batch_id: "int | None" = None,
 ) -> int:
     """Incrementally add NEW vectors to an at-rest ANN index (round-6
     verdict missing #4 — the index was overwrite-only).
+
+    ``stream_batch_id`` (round 10) makes the append an idempotent
+    streaming sink: the id is recorded in the committed manifest, and a
+    batch whose id is <= the recorded one no-ops (returns 0) — exactly
+    the contract foreachBatch's at-least-once replay needs (the rollup
+    streaming sinks use the same pattern). A crash BEFORE the commit
+    leaves garbage this function reaps on replay; a crash AFTER the
+    commit but before the stream checkpoint makes the replay a no-op.
 
     Assigns and PQ-encodes ONLY the new batch with the PERSISTED
     centroids and codebook (retraining here would silently invalidate
@@ -1523,6 +1532,10 @@ def append_ann_index(
             f"no committed ANN index manifest at {path}; build the index "
             "with write_ann_index first"
         )
+    if stream_batch_id is not None:
+        last = manifest.get("last_stream_batch_id")
+        if last is not None and stream_batch_id <= last:
+            return 0  # at-least-once replay of an applied batch: no-op
     anchors = manifest["anchors"]
     centroids = [(int(cid), c) for cid, c in manifest["centroids"]]
     m = int(manifest["m"])
@@ -1570,7 +1583,10 @@ def append_ann_index(
             ]
             for cell, names in new_cells.items()
         }
-    _ann_manifest_commit(path, {**manifest, "cells": new_cells})
+    commit = {**manifest, "cells": new_cells}
+    if stream_batch_id is not None:
+        commit["last_stream_batch_id"] = stream_batch_id
+    _ann_manifest_commit(path, commit)
     if max_files_per_cell:
         over = [
             cell

@@ -359,6 +359,68 @@ def read_spec_stream_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
     return spec_view(spark.read.parquet(rollup_dir), meta["spec"])
 
 
+def ann_append_batch(
+    batch: DataFrame,
+    batch_id: int,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """One micro-batch of vectors into the at-rest ANN index — the
+    foreachBatch sink body, exposed module-level so tests can drive
+    replay directly (same convention as rollup_merge_batch). Idempotent:
+    the applied batch_id is recorded in the index's committed manifest
+    and a replayed batch no-ops (see append_ann_index)."""
+    from betfair_database_spark.operators.similarity import append_ann_index
+
+    return append_ann_index(
+        batch.select(id_col, vec_col),
+        index_path,
+        id_col=id_col,
+        vec_col=vec_col,
+        stream_batch_id=batch_id,
+    )
+
+
+def start_ann_append_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    schema: str = "vec_id long, embedding array<float>",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int | None = None,
+    trigger_once: bool = False,
+):
+    """Streaming ingest twin of ``append_ann_index`` (round 10):
+    embedding parquet files landing in ``landing_dir`` append into the
+    at-rest ANN index continuously — assignment and PQ encoding use the
+    index's PERSISTED centroids/codebook, the commit is the same atomic
+    versioned-manifest rename, and auto-compaction bounds the file
+    count of touched cells, so a long-running ingest never degrades the
+    probe path. Exactly-once: foreachBatch is at-least-once; the sink
+    records the applied batch_id in the committed manifest itself (one
+    atomic rename covers data + bookkeeping), so a replay after a crash
+    between sink commit and stream checkpoint is a no-op. The index must
+    exist (``write_ann_index``) before the stream starts."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(landing_dir)
+
+    def _append(batch: DataFrame, batch_id: int) -> None:
+        ann_append_batch(batch, batch_id, index_path, id_col, vec_col)
+
+    writer = (
+        src.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_spec_rollup_stream(
     spark: SparkSession,
     landing_dir: str,

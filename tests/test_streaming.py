@@ -1152,6 +1152,93 @@ def test_streaming_rollup_replay_is_idempotent(spark, tmp_path):
     assert snap() == after_b1
 
 
+def test_streaming_ann_append_matches_batch_and_replays_idempotently(
+    spark, tmp_path, monkeypatch
+):
+    """start_ann_append_stream (round 10): landed embedding files append
+    into the at-rest ANN index with the persisted centroids/codebook;
+    probe-all results equal a one-shot batch build over the union; a
+    replayed batch no-ops (batch_id recorded in the committed manifest);
+    a crash before the sink commit leaves the old snapshot serving and
+    the SAME batch applies cleanly on retry."""
+    import random
+
+    from betfair_database_spark.operators import similarity as sim
+    from betfair_database_spark.streaming.ingest import (
+        ann_append_batch,
+        start_ann_append_stream,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(240)]
+    mk = lambda chunk: spark.createDataFrame(
+        chunk, "vec_id long, embedding array<float>"
+    )
+    centroids = sim.kmeans_seeds(mk(rows[:120]), 4)
+    index_path = str(tmp_path / "ann_stream")
+    sim.write_ann_index(mk(rows[:120]), index_path, centroids)
+    q = [float(v) for v in rows[5][1]]
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    mk(rows[120:180]).coalesce(1).write.mode("overwrite").parquet(
+        str(landing / "drop1")
+    )
+    mk(rows[180:240]).coalesce(1).write.mode("overwrite").parquet(
+        str(landing / "drop2")
+    )
+    # the landing zone is a flat parquet dir for the stream source
+    import shutil as _sh
+
+    for sub in ("drop1", "drop2"):
+        for p in (landing / sub).glob("part-*.parquet"):
+            _sh.move(str(p), str(landing / f"{sub}.parquet"))
+        _sh.rmtree(landing / sub)
+
+    quer = start_ann_append_stream(
+        spark,
+        str(landing),
+        index_path,
+        str(tmp_path / "ckpt_ann"),
+        max_files_per_trigger=1,  # force multiple micro-batches
+        trigger_once=True,
+    )
+    quer.awaitTermination(180)
+
+    def probe():
+        return [
+            tuple(r)
+            for r in sim.query_ann_index(
+                spark, index_path, None, None, q, k=9, nprobe=4
+            ).collect()
+        ]
+
+    want = [tuple(r) for r in sim.cosine_topk(mk(rows), q, 9).collect()]
+    got = probe()
+    assert got == want
+    # replayed batch id: no-op, results unchanged
+    assert ann_append_batch(mk(rows[120:180]), 0, index_path) == 0
+    assert probe() == got
+    # crash BEFORE the sink commit on a NEW batch: old snapshot serves;
+    # the SAME batch id applies cleanly on retry (garbage reaped)
+    extra = [(9000 + i, v) for i, (_, v) in enumerate(rows[:10])]
+
+    def boom(path_, manifest_):
+        raise RuntimeError("crash before manifest commit")
+
+    monkeypatch.setattr(sim, "_ann_manifest_commit", boom)
+    with pytest.raises(RuntimeError):
+        ann_append_batch(mk(extra), 7, index_path)
+    monkeypatch.undo()
+    assert probe() == got  # commit never landed
+    assert ann_append_batch(mk(extra), 7, index_path) == 10
+    assert ann_append_batch(mk(extra), 7, index_path) == 0  # now recorded
+    want2 = [
+        tuple(r) for r in sim.cosine_topk(mk(rows + extra), q, 9).collect()
+    ]
+    assert probe() == want2
+
+
 def test_streaming_spec_rollup_matches_batch_named_rollup(spark, tmp_path):
     """User-spec continuous aggregate (round 9): streaming the paired
     corpus one file per micro-batch through start_spec_rollup_stream —

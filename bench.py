@@ -172,6 +172,8 @@ HEADLINE = [
     # round-10: rollup routing merge path (partials parquet round trip);
     # the ANN delete lifecycle row stays gate-only like the append one
     "rollup_route_events_agg",
+    "dedup_url_canonical_stats",
+    "sample_doremi_reweight",
 ]
 
 

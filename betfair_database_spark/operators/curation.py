@@ -334,3 +334,53 @@ def corpus_diff(
             "n_unchanged"
         ),
     )
+
+
+def canonicalize_urls(
+    df: DataFrame, url_col: str, out_col: str = "canonical_url"
+) -> DataFrame:
+    """Canonicalize a URL column for exact dedup — the FineWeb/
+    CommonCrawl-style pre-pass that collapses crawl variants of one page
+    before any content-level dedup runs (tracking params, case-variant
+    hosts and fragments otherwise defeat a URL equality join):
+
+      1. drop the fragment;
+      2. lowercase the scheme and host, strip a leading ``www.``;
+      3. drop tracking query params (``utm_*``, ``fbclid``, ``gclid``);
+      4. SORT the surviving params (order never distinguishes pages);
+      5. strip a trailing slash from a non-root path.
+
+    Pure column expressions — regexp splits plus array filter/sort
+    higher-order functions; no UDF, stays a projection at any scale.
+    Values without a ``scheme://host`` shape pass through unchanged."""
+    u = F.col(url_col)
+    nofrag = F.substring_index(u, "#", 1)
+    base = F.substring_index(nofrag, "?", 1)
+    has_q = F.instr(nofrag, "?") > 0
+    qstr = F.substring(nofrag, F.instr(nofrag, "?") + 1, F.length(nofrag))
+    scheme = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+    host = F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/]*)", 1)
+    path = F.regexp_extract(
+        base, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*(/.*)?$", 1
+    )
+    norm_host = F.regexp_replace(F.lower(host), r"^www\.", "")
+    # non-root trailing slash only: "/" stays, "/a/" -> "/a"
+    norm_path = F.regexp_replace(path, r"^(/.+)/$", "$1")
+    params = F.filter(
+        F.split(qstr, "&"),
+        lambda prm: (F.length(prm) > 0)
+        & ~prm.rlike(r"^(utm_[^=]*|fbclid|gclid)(=|$)"),
+    )
+    norm_q = F.array_join(F.array_sort(params), "&")
+    rebuilt = F.concat(
+        F.lower(scheme),
+        F.lit("://"),
+        norm_host,
+        norm_path,
+        F.when(
+            has_q & (F.length(norm_q) > 0), F.concat(F.lit("?"), norm_q)
+        ).otherwise(F.lit("")),
+    )
+    return df.withColumn(
+        out_col, F.when(scheme != "", rebuilt).otherwise(u)
+    )

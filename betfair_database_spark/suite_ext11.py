@@ -203,3 +203,177 @@ def knn_ann_index_deleted_top10(spark, sf):
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return out
+
+
+# =========================================================================
+# dedup_url_canonical_stats — URL canonicalization dedup (FineWeb pre-pass)
+# =========================================================================
+#
+# Crawl variants of one page (case-variant hosts, tracking params, param
+# order, fragments, trailing slashes) defeat URL equality joins; the
+# canonicalizer collapses them BEFORE content-level dedup. URLs are
+# constructed deterministically from documents on BOTH engines (case,
+# fragment, tracking-param and param-order variants keyed off doc_id),
+# then Spark runs the engine canonicalizer (pure column expressions —
+# regexp splits + array filter/sort HOFs, no UDF) while DuckDB performs
+# the same normalization relationally. Any rule divergence (a kept
+# tracking param, an unsorted param list, a clipped root slash) changes
+# the group structure and the hash.
+
+_URL_BUILD_SQL = """
+  CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END
+  || source || '.example.com/Docs/' || CAST(doc_id % 40 AS VARCHAR)
+  || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+  || CASE doc_id % 4
+       WHEN 0 THEN '?utm_source=feed&b=2&ref=' || CAST(doc_id % 3 AS VARCHAR)
+       WHEN 1 THEN '?ref=' || CAST(doc_id % 3 AS VARCHAR) || '&b=2&fbclid=xyz'
+       WHEN 2 THEN '#sec' || CAST(doc_id % 7 AS VARCHAR)
+       ELSE '' END
+"""
+
+_URL_CANON_ORACLE = f"""
+WITH urls AS (
+  SELECT doc_id, {_URL_BUILD_SQL} AS url FROM documents
+),
+p1 AS (
+  SELECT doc_id, url, split_part(url, '#', 1) AS nofrag FROM urls
+),
+p2 AS (
+  SELECT *, split_part(nofrag, '?', 1) AS base,
+         CASE WHEN instr(nofrag, '?') > 0
+              THEN substring(nofrag, instr(nofrag, '?') + 1) ELSE '' END
+           AS qstr,
+         instr(nofrag, '?') > 0 AS has_q
+  FROM p1
+),
+p3 AS (
+  SELECT *,
+         regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme,
+         regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)', 1) AS host,
+         regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$', 1)
+           AS path
+  FROM p2
+),
+p4 AS (
+  SELECT *,
+         regexp_replace(lower(host), '^www\\.', '') AS nhost,
+         regexp_replace(path, '^(/.+)/$', '\\1') AS npath,
+         array_to_string(list_sort(list_filter(string_split(qstr, '&'),
+           x -> length(x) > 0
+                AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)(=|$)'))),
+           '&') AS nq
+  FROM p3
+),
+canon AS (
+  SELECT doc_id,
+         CASE WHEN scheme <> ''
+              THEN lower(scheme) || '://' || nhost || npath
+                   || CASE WHEN has_q AND length(nq) > 0
+                           THEN '?' || nq ELSE '' END
+              ELSE url END AS canonical_url
+  FROM p4
+)
+SELECT canonical_url,
+       count(*) AS n_variants,
+       min(doc_id) AS keeper_id
+FROM canon GROUP BY canonical_url
+"""
+
+
+@_q("dedup_url_canonical_stats", _URL_CANON_ORACLE)
+def dedup_url_canonical_stats(spark, sf):
+    """Canonical-URL dedup groups: construct the variant URLs, run the
+    engine canonicalizer, and report per-canonical group size + keeper
+    (min doc_id) — the survivorship decision of a URL-level dedup."""
+    from betfair_database_spark.operators.curation import canonicalize_urls
+
+    docs = _t(spark, sf, "documents").selectExpr(
+        "doc_id", f"({_URL_BUILD_SQL.replace('VARCHAR', 'STRING')}) AS url"
+    )
+    return (
+        canonicalize_urls(docs, "url")
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+    )
+
+
+# =========================================================================
+# sample_doremi_reweight — exponentiated-gradient mixture step (DoReMi-ish)
+# =========================================================================
+#
+# Domain-reweighting for training mixtures: domains whose proxy loss
+# EXCEEDS the population baseline get up-weighted multiplicatively
+# (Xie et al. 2023's exponentiated-gradient step). The per-doc proxy
+# loss is a deterministic hash; every stage is INTEGER arithmetic
+# (floor-divided micro/ppm scales, a quadratic surrogate
+# 1 + e + e^2/2 for exp(e) — transcendental exp is NOT cross-engine
+# bit-stable, the polynomial in integers is), so both engines produce
+# identical rows bit-for-bit.
+
+_DOREMI_ORACLE = """
+WITH l AS (
+  SELECT source, (doc_id * 2654435761) % 1000 AS h FROM documents
+),
+per AS (
+  SELECT source, sum(h) AS s, count(*) AS n FROM l GROUP BY source
+),
+tot AS (SELECT sum(h) AS st, count(*) AS nt FROM l),
+ex AS (
+  SELECT source,
+         greatest((1000000 * s) // n - (1000000 * st) // nt, 0)
+           AS excess_micros
+  FROM per, tot
+),
+f AS (
+  SELECT source, excess_micros,
+         1000000000 + excess_micros
+           + (excess_micros * excess_micros) // 2000000000 AS factor
+  FROM ex
+),
+z AS (SELECT sum(factor) AS zf FROM f)
+SELECT source,
+       CAST(excess_micros AS BIGINT) AS excess_micros,
+       CAST((1000000 * factor) // zf AS BIGINT) AS weight_ppm
+FROM f, z
+"""
+
+
+@_q("sample_doremi_reweight", _DOREMI_ORACLE)
+def sample_doremi_reweight(spark, sf):
+    """One exponentiated-gradient domain-reweighting step over hashed
+    proxy losses — integer micro/ppm scales throughout, quadratic
+    surrogate for the exponential (cross-engine exact)."""
+    docs = _t(spark, sf, "documents").select(
+        "source",
+        ((F.col("doc_id") * F.lit(2654435761)) % 1000).alias("h"),
+    )
+    per = docs.groupBy("source").agg(
+        F.sum("h").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    tot = docs.agg(
+        F.sum("h").alias("st"), F.count(F.lit(1)).alias("nt")
+    )
+    ex = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.greatest(
+            F.expr("(1000000 * s) div n - (1000000 * st) div nt"),
+            F.lit(0),
+        ).alias("excess_micros"),
+    )
+    f = ex.select(
+        "source",
+        "excess_micros",
+        F.expr(
+            "1000000000 + excess_micros"
+            " + (excess_micros * excess_micros) div 2000000000"
+        ).alias("factor"),
+    )
+    z = f.agg(F.sum("factor").alias("zf"))
+    return f.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.col("excess_micros").cast("long"),
+        F.expr("(1000000 * factor) div zf").cast("long").alias("weight_ppm"),
+    )

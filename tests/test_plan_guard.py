@@ -24,6 +24,9 @@ SF_DIR = "/root/testdata/sf0.001"
 # scalar-subquery / bounded-stats-side cross join (see PLANS.md round-8
 # anti-pattern sweep). Keep sorted; additions need the same audit.
 BNLJ_ALLOWED = {
+    # round 10: two crossJoin(broadcast(...)) of ONE-ROW aggregates (the
+    # global baseline and the normalizer) — bounded by construction
+    "sample_doremi_reweight",
     "dedup_minhash_recall",
     "ev_type_drift_kl",
     "ev_value_drift_ks",

@@ -1743,18 +1743,19 @@ def rebuild_ann_index(
         for cell, names in after.items()
     }
     new_cells = {cell: names for cell, names in new_cells.items() if names}
-    # COMMIT: the new centroids/codebook and ONLY the new files.
-    _ann_manifest_commit(
-        path,
-        {
-            "m": m,
-            "anchors": anchors,
-            "centroids": [
-                [cid, list(map(float, c))] for cid, c in centroids
-            ],
-            "cells": new_cells,
-        },
-    )
+    # COMMIT: the new centroids/codebook and ONLY the new files. The
+    # streaming-ingest bookkeeping must SURVIVE the rebuild: dropping
+    # last_stream_batch_id would let a post-rebuild replay of the last
+    # applied batch re-append its vectors (duplicates).
+    commit = {
+        "m": m,
+        "anchors": anchors,
+        "centroids": [[cid, list(map(float, c))] for cid, c in centroids],
+        "cells": new_cells,
+    }
+    if "last_stream_batch_id" in manifest:
+        commit["last_stream_batch_id"] = manifest["last_stream_batch_id"]
+    _ann_manifest_commit(path, commit)
     retained = _ann_retained_files(path, retain_snapshots)
     root = Path(path)
     for cell, names in manifest["cells"].items():

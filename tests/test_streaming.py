@@ -1237,6 +1237,12 @@ def test_streaming_ann_append_matches_batch_and_replays_idempotently(
         tuple(r) for r in sim.cosine_topk(mk(rows + extra), q, 9).collect()
     ]
     assert probe() == want2
+    # a REBUILD must not reset the streaming bookkeeping: replaying the
+    # last applied batch after a recluster is still a no-op
+    sim.rebuild_ann_index(spark, index_path, kmeans_iters=2, train_iters=0)
+    assert probe() == want2
+    assert ann_append_batch(mk(extra), 7, index_path) == 0
+    assert probe() == want2
 
 
 def test_streaming_spec_rollup_matches_batch_named_rollup(spark, tmp_path):

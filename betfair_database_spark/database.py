@@ -114,8 +114,6 @@ class BetfairDatabase:
         its contents still name this process (it never resurrects a lock
         someone else took over). Re-entrant within one handle (insert()
         auto-indexes via index())."""
-        import threading
-
         if self._lock_depth:
             self._lock_depth += 1
             try:
@@ -124,95 +122,17 @@ class BetfairDatabase:
                 self._lock_depth -= 1
             return
         lock = self.database_dir / (INDEX_DIRNAME + ".lock")
-        fd = None
-        for attempt in (0, 1):
-            try:
-                fd = os.open(str(lock), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
-                holder = _lock_holder(lock)
-                if attempt or not (
-                    _lock_is_stale(holder)
-                    or _lock_lease_expired(lock, self.lock_lease_seconds)
-                ):
-                    raise ConcurrentWriterError(
-                        lock, holder or "unreadable lock"
-                    ) from None
-                # Stale: dead pid on this host, or heartbeat past the lease
-                # on any host — take over. Arbitration is by RENAME to a
-                # unique temp name: of N contenders that all observed the
-                # same expired heartbeat, exactly ONE rename succeeds
-                # (POSIX rename is atomic); losers get FileNotFoundError
-                # and re-enter the O_EXCL contention, where the winner's
-                # fresh lock makes them raise. A bare unlink here would
-                # let a slow contender delete the winner's freshly created
-                # lock and admit two writers.
-                if not _lock_takeover(lock, holder, self.lock_lease_seconds):
-                    raise ConcurrentWriterError(
-                        lock, _lock_holder(lock) or "unreadable lock"
-                    ) from None
-        stop = threading.Event()
-        beat = None
-        self._lease_lost = False
-        mine = f"{os.getpid()} {socket.gethostname()} {time.time()}"
+        state = LeaseLockState()
         try:
-            os.write(fd, mine.encode())
-            os.close(fd)
-
-            def _heartbeat():
-                interval = max(self.lock_lease_seconds / 3.0, 0.05)
-                fail_since = None  # monotonic start of the current outage
-                wait = interval
-                while not stop.wait(wait):
-                    holder = _lock_holder(lock)
-                    if holder and holder != mine:
-                        # definitive: taken over past our lease — never
-                        # touch it, and make the loss LOUD on release
-                        self._lease_lost = True
-                        return
-                    try:
-                        if holder == mine:
-                            os.utime(lock, None)
-                        else:  # unreadable lock file: transient storage?
-                            raise OSError("lock file unreadable")
-                        fail_since, wait = None, interval
-                    except OSError:
-                        # Transient storage hiccup (NFS blip): keep
-                        # retrying densely for up to one lease before
-                        # declaring the lease lost — a single failed utime
-                        # must not silently stop refreshes while the
-                        # holder keeps writing.
-                        now = time.monotonic()
-                        if fail_since is None:
-                            fail_since = now
-                        if now - fail_since >= self.lock_lease_seconds:
-                            self._lease_lost = True
-                            return
-                        wait = min(interval, 0.2)
-
-            beat = threading.Thread(
-                target=_heartbeat, name="bfdb-lock-heartbeat", daemon=True
-            )
-            beat.start()
-            self._lock_depth = 1
-            yield
+            with lease_file_lock(lock, self.lock_lease_seconds, state):
+                self._lock_depth = 1
+                try:
+                    yield
+                finally:
+                    self._lock_depth = 0
         finally:
-            self._lock_depth = 0
-            stop.set()
-            if beat is not None:
-                beat.join(timeout=5)
-            _lock_release(lock, mine)
-        if self._lease_lost:
-            # The write COMPLETED, but our lease expired mid-way (storage
-            # outage or takeover) — another writer may have interleaved.
-            # Surface it loudly so the operator re-verifies instead of
-            # trusting a possibly-raced commit.
-            raise ConcurrentWriterError(
-                lock,
-                "lock lease lost while writing (heartbeat could not be "
-                "refreshed for a full lease, or the lock was taken over) — "
-                "verify the index and re-run the operation",
-            )
+            self._lease_lost = state.lease_lost
+
 
     # ------------------------------------------------------------------ build
 
@@ -1020,6 +940,121 @@ def _lock_holder(lock: Path) -> str:
         return lock.read_text().strip()
     except OSError:
         return ""
+
+
+
+class LeaseLockState:
+    """Mutable view into a :func:`lease_file_lock` hold — ``lease_lost``
+    flips when the heartbeat detects a takeover or a full-lease refresh
+    outage (the lock also raises loudly on exit when it does)."""
+
+    lease_lost = False
+
+
+@contextmanager
+def lease_file_lock(
+    lock: Path, lease_seconds: float, state: "LeaseLockState | None" = None
+):
+    """Generic single-writer file lock with a heartbeat lease — the
+    protocol BetfairDatabase._writer_lock documents, reusable for any
+    at-rest structure with a maintenance commit protocol (the ANN index
+    uses it too). O_EXCL acquisition; dead-pid-same-host or
+    expired-heartbeat takeover serialized through a claim file with
+    revalidation; release by rename-verify; transient refresh failures
+    retried for one lease; a lost lease raises ConcurrentWriterError on
+    exit (after the release) so the caller never trusts a possibly-raced
+    commit silently."""
+    import threading
+
+    if state is None:
+        state = LeaseLockState()
+    fd = None
+    for attempt in (0, 1):
+        try:
+            fd = os.open(str(lock), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            holder = _lock_holder(lock)
+            if attempt or not (
+                _lock_is_stale(holder)
+                or _lock_lease_expired(lock, lease_seconds)
+            ):
+                raise ConcurrentWriterError(
+                    lock, holder or "unreadable lock"
+                ) from None
+            # Stale: dead pid on this host, or heartbeat past the lease
+            # on any host — take over. Arbitration is by RENAME to a
+            # unique temp name: of N contenders that all observed the
+            # same expired heartbeat, exactly ONE rename succeeds
+            # (POSIX rename is atomic); losers get FileNotFoundError
+            # and re-enter the O_EXCL contention, where the winner's
+            # fresh lock makes them raise. A bare unlink here would
+            # let a slow contender delete the winner's freshly created
+            # lock and admit two writers.
+            if not _lock_takeover(lock, holder, lease_seconds):
+                raise ConcurrentWriterError(
+                    lock, _lock_holder(lock) or "unreadable lock"
+                ) from None
+    stop = threading.Event()
+    beat = None
+    state.lease_lost = False
+    mine = f"{os.getpid()} {socket.gethostname()} {time.time()}"
+    try:
+        os.write(fd, mine.encode())
+        os.close(fd)
+
+        def _heartbeat():
+            interval = max(lease_seconds / 3.0, 0.05)
+            fail_since = None  # monotonic start of the current outage
+            wait = interval
+            while not stop.wait(wait):
+                holder = _lock_holder(lock)
+                if holder and holder != mine:
+                    # definitive: taken over past our lease — never
+                    # touch it, and make the loss LOUD on release
+                    state.lease_lost = True
+                    return
+                try:
+                    if holder == mine:
+                        os.utime(lock, None)
+                    else:  # unreadable lock file: transient storage?
+                        raise OSError("lock file unreadable")
+                    fail_since, wait = None, interval
+                except OSError:
+                    # Transient storage hiccup (NFS blip): keep
+                    # retrying densely for up to one lease before
+                    # declaring the lease lost — a single failed utime
+                    # must not silently stop refreshes while the
+                    # holder keeps writing.
+                    now = time.monotonic()
+                    if fail_since is None:
+                        fail_since = now
+                    if now - fail_since >= lease_seconds:
+                        state.lease_lost = True
+                        return
+                    wait = min(interval, 0.2)
+
+        beat = threading.Thread(
+            target=_heartbeat, name="bfdb-lock-heartbeat", daemon=True
+        )
+        beat.start()
+        yield state
+    finally:
+        stop.set()
+        if beat is not None:
+            beat.join(timeout=5)
+        _lock_release(lock, mine)
+    if state.lease_lost:
+        # The write COMPLETED, but the lease expired mid-way (storage
+        # outage or takeover) — another writer may have interleaved.
+        # Surface it loudly so the operator re-verifies instead of
+        # trusting a possibly-raced commit.
+        raise ConcurrentWriterError(
+            lock,
+            "lock lease lost while writing (heartbeat could not be "
+            "refreshed for a full lease, or the lock was taken over) — "
+            "verify the data and re-run the operation",
+        )
 
 
 def _lock_takeover(

@@ -1401,6 +1401,51 @@ def write_ann_index(
 
 _ANN_MANIFEST = "_ann_manifest.json"
 _ANN_SNAPSHOT_DIR = "_ann_snapshots"
+ANN_LOCK_LEASE_SECONDS = 300.0
+
+
+def _ann_lock(path: str, lease_seconds: "float | None" = None):
+    """Single-writer lease lock for ANN maintenance (round 10): the
+    reap→write-alongside→commit→reap protocol assumes ONE writer — two
+    interleaved appends would each adopt the other's uncommitted files
+    or reap them as garbage. Same lock protocol as the index side
+    (database.lease_file_lock: O_EXCL + heartbeat lease, claim-file
+    takeover arbitration, loud ConcurrentWriterError); the lock file
+    lives BESIDE the index directory so an overwrite-mode rebuild cannot
+    delete it mid-hold. Readers never lock — they resolve a committed
+    manifest snapshot."""
+    from pathlib import Path
+
+    from betfair_database_spark.database import lease_file_lock
+
+    p = Path(str(path).rstrip("/"))
+    return lease_file_lock(
+        p.parent / (p.name + ".lock"),
+        ANN_LOCK_LEASE_SECONDS if lease_seconds is None else lease_seconds,
+    )
+
+
+def _ann_locked(path_pos: int):
+    """Decorate an ANN maintenance op: acquire the maintenance lock
+    around the call. ``_locked=True`` skips acquisition (for nested
+    maintenance, e.g. append's auto-compaction); ``lock_lease_seconds=``
+    overrides the lease (tests use sub-second leases)."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, _locked=False, lock_lease_seconds=None, **kw):
+            if _locked:
+                return fn(*args, **kw)
+            path = kw.get("path")
+            if path is None:
+                path = args[path_pos]
+            with _ann_lock(path, lock_lease_seconds):
+                return fn(*args, **kw)
+
+        return wrapper
+
+    return deco
 
 
 def _ann_list_files(path: str) -> dict[str, list[str]]:
@@ -1487,6 +1532,7 @@ def ann_manifest_read(path: str) -> dict | None:
         return None
 
 
+@_ann_locked(1)
 def append_ann_index(
     emb_new: DataFrame,
     path: str,
@@ -1600,6 +1646,7 @@ def append_ann_index(
                 max_files_per_cell=max_files_per_cell,
                 retain_snapshots=retain_snapshots,
                 cells=over,
+                _locked=True,  # already under this append's lock
             )
     return n
 
@@ -1648,6 +1695,7 @@ def ann_fragmentation(path: str, spark=None) -> dict:
     return out
 
 
+@_ann_locked(1)
 def rebuild_ann_index(
     spark,
     path: str,
@@ -1794,6 +1842,7 @@ def _ann_reap_uncommitted(
                 (p.parent / ("." + p.name + ".crc")).unlink(missing_ok=True)
 
 
+@_ann_locked(0)
 def ann_vacuum(path: str, retain_last: int = 1) -> int:
     """Prune ANN snapshot history to the newest ``retain_last`` and reap
     every cell part-file no retained snapshot (nor the live manifest)
@@ -1832,6 +1881,7 @@ def ann_vacuum(path: str, retain_last: int = 1) -> int:
     return reaped
 
 
+@_ann_locked(1)
 def compact_ann_cells(
     spark,
     path: str,
@@ -1931,6 +1981,7 @@ def compact_ann_cells(
     return len(todo)
 
 
+@_ann_locked(1)
 def delete_from_ann_index(
     spark,
     path: str,

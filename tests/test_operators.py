@@ -1729,6 +1729,54 @@ def test_ann_delete_lifecycle(spark, tmp_path, monkeypatch):
     assert [t[0] for t in probe()] == [t[0] for t in after_crash]
 
 
+def test_ann_maintenance_is_writer_locked(spark, tmp_path):
+    """Round 10: ANN maintenance ops share the index side's lease lock —
+    a held lock makes a concurrent append/compact/delete/rebuild/vacuum
+    raise ConcurrentWriterError; an expired stale lock is taken over;
+    append's internal auto-compaction does NOT self-deadlock."""
+    import os
+    import socket
+    import time as _time
+
+    import pytest as _pytest
+
+    from betfair_database_spark.database import lease_file_lock
+    from betfair_database_spark.exceptions import ConcurrentWriterError
+    from betfair_database_spark.operators import similarity as sim
+
+    path, rows, mk, q = _mk_ann(spark, tmp_path, name="ann_lock")
+    lock = tmp_path / "ann_lock.lock"
+    extra = [(7000 + i, v) for i, (_, v) in enumerate(rows[:10])]
+    with lease_file_lock(lock, 60.0):
+        with _pytest.raises(ConcurrentWriterError):
+            sim.append_ann_index(mk(extra), path)
+        with _pytest.raises(ConcurrentWriterError):
+            sim.compact_ann_cells(spark, path)
+        with _pytest.raises(ConcurrentWriterError):
+            sim.delete_from_ann_index(spark, path, [1])
+        with _pytest.raises(ConcurrentWriterError):
+            sim.rebuild_ann_index(spark, path)
+        with _pytest.raises(ConcurrentWriterError):
+            sim.ann_vacuum(str(path))
+    # released: maintenance proceeds (incl. the nested auto-compaction
+    # path under one lock — no self-deadlock)
+    try:
+        spark.conf.set("spark.bfdb.ann.maxFilesPerCell", "1")
+        assert sim.append_ann_index(mk(extra), path) == 10
+    finally:
+        spark.conf.unset("spark.bfdb.ann.maxFilesPerCell")
+    assert not lock.exists()
+    # expired stale lock (foreign host, ancient heartbeat): taken over
+    lock.write_text(f"12345 other-{socket.gethostname()} 0.0")
+    old = _time.time() - 3600
+    os.utime(lock, (old, old))
+    more = [(8000 + i, v) for i, (_, v) in enumerate(rows[:5])]
+    assert sim.append_ann_index(
+        mk(more), path, lock_lease_seconds=1.0
+    ) == 5
+    assert not lock.exists()
+
+
 def test_ann_delete_accepts_id_dataframe(spark, tmp_path):
     """The scale form of delete: ids as a single-column DataFrame (e.g. a
     decontamination result) — semi/anti joins instead of a driver-side

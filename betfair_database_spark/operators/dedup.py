@@ -1065,3 +1065,42 @@ def exact_substring_rewrite(
             "kept_text"
         ),
     )
+
+
+def minhash_lsh_params(
+    threshold: float, num_hashes: int
+) -> tuple[int, int]:
+    """Pick (bands, rows_per_band) for an LSH banding scheme at a target
+    Jaccard ``threshold`` — the standard S-curve optimization (Mining of
+    Massive Datasets §3.4.3, the same computation datasketch's
+    ``_optimal_param`` performs): among the divisor pairs
+    ``b * r == num_hashes``, minimize the sum of the false-positive area
+    (∫₀^t 1-(1-s^r)^b ds) and false-negative area (∫ₜ^1 (1-s^r)^b ds),
+    integrated numerically. The existing operators take explicit
+    ``bands=`` — this is the picker that turns a corpus-level threshold
+    decision into that argument (16 hashes @ 0.8 → 2 bands of 8;
+    @ 0.5 → 4 bands of 4). Deterministic, driver-side, O(divisors x
+    quadrature points)."""
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("threshold must be in (0, 1)")
+    if num_hashes < 2:
+        raise ValueError("num_hashes must be >= 2")
+    best: "tuple[float, int, int] | None" = None
+    steps = 500
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p_cand = 1.0 - (1.0 - s**r) ** b
+            if s < threshold:
+                fp += p_cand
+            else:
+                fn += 1.0 - p_cand
+        err = (fp + fn) / steps
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    assert best is not None
+    return best[1], best[2]

@@ -2325,3 +2325,34 @@ def mmr_rerank(
         centers.append((vec, _py_norm(vec)))
         out.append((rank, pick[0], float(pick[2])))
     return out
+
+
+def ann_snapshots(path: str) -> list[dict]:
+    """Committed ANN snapshots, oldest first: ``{"version", "files",
+    "readable", "current"}`` — the introspection twin of
+    ``BetfairDatabase.snapshots()`` (database.py). ``readable`` is False
+    once ``ann_vacuum`` (or maintenance under a small retention) has
+    reaped files the snapshot references."""
+    from pathlib import Path
+
+    manifest = ann_manifest_read(path)
+    current = manifest.get("snapshot") if manifest else None
+    out = []
+    for snap in _ann_snapshot_versions(path):
+        m = _ann_snapshot_read(path, snap)
+        if m is None:
+            continue
+        readable = all(
+            (Path(path) / f"cell={cell}" / name).exists()
+            for cell, names in m.get("cells", {}).items()
+            for name in names
+        )
+        out.append(
+            {
+                "version": snap,
+                "files": sum(len(v) for v in m.get("cells", {}).values()),
+                "readable": readable,
+                "current": snap == current,
+            }
+        )
+    return out

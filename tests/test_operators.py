@@ -1729,6 +1729,44 @@ def test_ann_delete_lifecycle(spark, tmp_path, monkeypatch):
     assert [t[0] for t in probe()] == [t[0] for t in after_crash]
 
 
+def test_minhash_lsh_params_scurve_properties(spark):
+    """minhash_lsh_params: (b, r) always factor num_hashes; higher
+    thresholds never pick MORE bands (more rows per band push the
+    S-curve right); the picked pair beats every other divisor pair on
+    the integrated FP+FN error it optimizes."""
+    from betfair_database_spark.operators.dedup import minhash_lsh_params
+
+    def err(b, r, t, steps=500):
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s**r) ** b
+            if s < t:
+                fp += p
+            else:
+                fn += 1.0 - p
+        return (fp + fn) / steps
+
+    import pytest as _pytest
+
+    for nh in (16, 64, 128):
+        prev_b = None
+        for t in (0.9, 0.8, 0.6, 0.4, 0.2):
+            b, r = minhash_lsh_params(t, nh)
+            assert b * r == nh
+            best = err(b, r, t)
+            for bb in range(1, nh + 1):
+                if nh % bb == 0:
+                    assert best <= err(bb, nh // bb, t) + 1e-12
+            if prev_b is not None:
+                assert b >= prev_b  # lower threshold -> >= bands
+            prev_b = b
+    with _pytest.raises(ValueError):
+        minhash_lsh_params(1.0, 16)
+    with _pytest.raises(ValueError):
+        minhash_lsh_params(0.5, 1)
+
+
 def test_ann_maintenance_is_writer_locked(spark, tmp_path):
     """Round 10: ANN maintenance ops share the index side's lease lock —
     a held lock makes a concurrent append/compact/delete/rebuild/vacuum
@@ -1906,10 +1944,19 @@ def test_ann_retention_versions_and_vacuum(spark, tmp_path):
     sim.delete_from_ann_index(spark, path, doomed, retain_snapshots=3)
     assert not set(t[0] for t in probe()) & set(doomed)
     assert probe(version=pre_compact) == before  # history intact
+    # snapshot listing: history visible, current flagged, all readable
+    snaps = sim.ann_snapshots(path)
+    assert [s["version"] for s in snaps] == sorted(
+        s["version"] for s in snaps
+    )
+    assert sum(1 for s in snaps if s["current"]) == 1
+    assert all(s["readable"] for s in snaps)
     # vacuum to 1: history pruned, files reaped, live untouched
     live = probe()
     assert sim.ann_vacuum(path, retain_last=1) > 0
     assert probe() == live
+    snaps2 = sim.ann_snapshots(path)
+    assert len(snaps2) == 1 and snaps2[0]["current"]
     with _pytest.raises(ValueError, match="unknown ANN snapshot|no longer"):
         probe(version=pre_compact)
     # disk == live manifest exactly after vacuum

@@ -240,7 +240,12 @@ class BetfairDatabase:
 
         ``group_by`` (round 10) turns the select into an aggregate query:
         ``columns`` may then mix group dims with ``op(col) AS alias``
-        aggregates (op in count/sum/min/max/approx_count_distinct).
+        aggregates (op in count/sum/avg/min/max/approx_count_distinct;
+        avg routes when the covering spec stores BOTH ``sum(col)`` and
+        ``count(col)`` — it is served as the sum/count division on both
+        paths). WHERE may reference derived rollup dims (round 11): the
+        routed path filters the stored dim column, the scan fallback
+        resolves the persisted spec expression in a subquery.
         **Rollup auto-routing**: when a FRESH materialized rollup
         (built-in or named spec) covers the query — dims, aggregates and
         every WHERE identifier — the answer is served from the rollup
@@ -266,30 +271,36 @@ class BetfairDatabase:
         register_sqlite_functions(self.spark)
         col_list = list(columns) if columns else list(SQL_TABLE_COLUMNS)
         gb_list = list(group_by) if group_by else []
+        from_clause = SQL_TABLE_NAME
         if group_by is not None:
-            # scan fallback for derived-dim rollup queries: substitute
-            # the persisted spec's expression for a derived alias so the
-            # same query text runs whether or not the rollup is fresh
-            from betfair_database_spark.rollup import derived_dim_exprs
-
-            derived = derived_dim_exprs(
-                self,
-                [c.strip() for c in col_list] + [g.strip() for g in gb_list],
+            # scan fallback for derived-dim rollup queries: project the
+            # persisted spec's expression as the alias in a subquery, so
+            # the same query text — SELECT, GROUP BY, and (round 11)
+            # WHERE — runs whether or not the rollup is fresh
+            from betfair_database_spark.rollup import (
+                _where_idents,
+                derived_dim_exprs,
             )
 
-            def entry_sql(c: str) -> str:
-                s = c.strip()
-                if s in derived:
-                    return f"({derived[s]}) AS {s}"
-                return _scan_agg_sql(c)
-
-            col_list = [entry_sql(c) for c in col_list]
-            gb_list = [
-                f"({derived[g.strip()]})" if g.strip() in derived else g
-                for g in gb_list
+            names = [c.strip() for c in col_list] + [
+                g.strip() for g in gb_list
             ]
+            if where:
+                wid = _where_idents(where)
+                if wid:
+                    names += sorted(wid)
+            derived = derived_dim_exprs(self, names)
+            if derived:
+                proj = ", ".join(
+                    f"({e}) AS {a}" for a, e in sorted(derived.items())
+                )
+                from_clause = f"(SELECT *, {proj} FROM {SQL_TABLE_NAME})"
+        # aggregate-entry rewrite applies to BARE aggregates too
+        # (group_by=None): routed and scan answers must come from the
+        # same estimator/division regardless of grouping shape
+        col_list = [_scan_agg_sql(c) for c in col_list]
         cols = ",".join(col_list)
-        sql = f"SELECT {cols} FROM {SQL_TABLE_NAME}"
+        sql = f"SELECT {cols} FROM {from_clause}"
         if where:
             sql += f" WHERE {translate_where(where, local_tz=local_tz)}"
         if gb_list:
@@ -897,19 +908,32 @@ class BetfairDatabase:
 
 
 def _scan_agg_sql(col_entry: str) -> str:
-    """Scan-path twin of a select() aggregate entry. Only
-    approx_count_distinct needs rewriting: the routed path merges the
-    rollup's DataSketches HLL partials, so the scan must use the SAME
-    sketch (hll_sketch_agg/hll_sketch_estimate) — Spark's native
-    approx_count_distinct is HyperLogLog++ and estimates differently,
-    which would make the two paths disagree."""
+    """Scan-path twin of a select() aggregate entry, applied to EVERY
+    select() column list (grouped or bare — round-11 ADVICE: the same
+    query must not change estimator when its rollup goes stale). Two
+    rewrites:
+
+    - approx_count_distinct: the routed path merges the rollup's
+      DataSketches HLL partials, so the scan must use the SAME sketch
+      (hll_sketch_agg/hll_sketch_estimate) — Spark's native
+      approx_count_distinct is HyperLogLog++ and estimates differently.
+    - avg (round 11): served as sum(col)/count(col) in one place — the
+      exact division the routed path computes from its sum/count
+      partials; count==0 yields NULL explicitly (ANSI-safe)."""
     from betfair_database_spark.rollup import _AGG_COL_RE
 
     m = _AGG_COL_RE.match(col_entry)
-    if m and m.group(1).lower() == "approx_count_distinct":
-        alias, c = m.group(3), m.group(2)
+    if not m:
+        return col_entry
+    op, c, alias = m.group(1).lower(), m.group(2), m.group(3)
+    if op == "approx_count_distinct":
         twin = f"hll_sketch_estimate(hll_sketch_agg(cast({c} as string)))"
         return f"{twin} AS {alias}" if alias else twin
+    if op == "avg" and c not in (None, "*") and alias:
+        twin = (
+            f"CASE WHEN count({c}) > 0 THEN sum({c}) / count({c}) END"
+        )
+        return f"{twin} AS {alias}"
     return col_entry
 
 

@@ -83,12 +83,14 @@ def summarize(index_df: DataFrame) -> DataFrame:
         F.to_date(F.substring("marketStartTime", 1, 10)).alias("startDate"),
     ).agg(
         F.count(F.lit(1)).alias("markets"),
-        F.coalesce(F.sum("bspMarket"), F.lit(0)).cast("long").alias("bspMarkets"),
-        F.coalesce(F.sum("turnInPlayEnabled"), F.lit(0))
-        .cast("long")
-        .alias("inPlayMarkets"),
+        # sums store NULL (not 0) for all-NULL cells: SQLite's sum() over
+        # all NULLs is NULL, and the routed path must merge to exactly
+        # what the scan's sum() returns (round-11 ADVICE parity fix) —
+        # a coalesced 0 here would make routed=0 vs scan=NULL
+        F.sum("bspMarket").cast("long").alias("bspMarkets"),
+        F.sum("turnInPlayEnabled").cast("long").alias("inPlayMarkets"),
         F.count("marketSettledTime").alias("settledMarkets"),
-        F.coalesce(F.sum("runners"), F.lit(0)).cast("long").alias("runnersTotal"),
+        F.sum("runners").cast("long").alias("runnersTotal"),
         F.min("marketStartTime").alias("firstStart"),
         F.max("marketStartTime").alias("lastStart"),
     )
@@ -202,8 +204,12 @@ _SPEC_AGG_RE = _re.compile(
 def parse_spec(dims: list[str], aggs: list[str]) -> dict:
     """Validate/normalize a rollup spec. ``dims`` entries are index column
     names or ``alias=SQL_EXPR`` derived dims; ``aggs`` entries are
-    ``alias=op(col)`` with op in count/sum/min/max/approx_count_distinct
-    (count takes no column). Returns the canonical JSON-able spec dict."""
+    ``alias=op(col)`` with op in count/sum/min/max/approx_count_distinct.
+    ``count()``/``count(*)`` is the row count; ``count(col)`` (round 11)
+    is the NON-NULL count of ``col`` — declare it next to ``sum(col)``
+    and ``avg(col)`` select() queries become routable (avg is served as
+    sum-partial / count-partial). Returns the canonical JSON-able spec
+    dict."""
     from betfair_database_spark.const import SQL_TABLE_COLUMNS
 
     cols = set(SQL_TABLE_COLUMNS)
@@ -231,7 +237,7 @@ def parse_spec(dims: list[str], aggs: list[str]) -> dict:
                 "count/sum/min/max/approx_count_distinct"
             )
         alias, op, col = m.group(1), m.group(2), m.group(3) or None
-        if op == "count":
+        if op == "count" and col in (None, "*"):
             col = None
         elif col is None or col not in cols:
             raise ValueError(f"agg {a!r} needs a known index column")
@@ -266,7 +272,11 @@ def _spec_partial_aggs(spec: dict):
     for a in spec["aggs"]:
         al, op, col = "_p_" + a["alias"], a["op"], a["col"]
         if op == "count":
-            out.append(F.count(F.lit(1)).alias(al))
+            # count() = row count; count(col) = non-null count (the avg
+            # routing denominator) — both merge additively by sum
+            out.append(
+                (F.count(col) if col else F.count(F.lit(1))).alias(al)
+            )
         elif op == "sum":
             out.append(F.sum(col).alias(al))
         elif op == "min":
@@ -459,7 +469,7 @@ def spec_rollup_read(db, name: str) -> DataFrame:
 # doubt falls back to the scan, never to an error.
 
 _AGG_COL_RE = _re.compile(
-    r"^\s*(count|sum|min|max|approx_count_distinct)\s*\(\s*"
+    r"^\s*(count|sum|avg|min|max|approx_count_distinct)\s*\(\s*"
     r"(\*|[A-Za-z_][A-Za-z0-9_]*)?\s*\)\s*"
     r"(?:[Aa][Ss]\s+([A-Za-z_][A-Za-z0-9_]*))?\s*$"
 )
@@ -486,7 +496,8 @@ _BUILTIN_AGG_MAP = {
 def parse_select_shape(columns, group_by):
     """Classify a select() column list as an aggregate query: returns
     (dims_in_select, aggs, out_order) or None when the list is not a
-    routable aggregate shape. ``aggs`` entries are (op, col, alias);
+    routable aggregate shape (op in count/sum/avg/min/max/
+    approx_count_distinct). ``aggs`` entries are (op, col, alias);
     aggregates REQUIRE an explicit ``AS alias`` (without one, Spark's
     auto-generated name would differ between the routed and scan paths).
     ``out_order`` is the output column order (dim aliases and agg
@@ -516,6 +527,15 @@ def parse_select_shape(columns, group_by):
     if group_by is None and dims:
         return None  # bare-aggregate mixed with dims: not a GROUP BY query
     return dims, aggs, order
+
+
+def _agg_covered(op: str, col, stored: set) -> bool:
+    """Does a stored-partial set serve this select() aggregate? avg has
+    no partial of its own — it is derived from the sum + non-null-count
+    pair (declare ``s=sum(col)`` and ``c=count(col)`` in the spec)."""
+    if op == "avg":
+        return ("sum", col) in stored and ("count", col) in stored
+    return (op, col) in stored
 
 
 def _where_idents(where: str):
@@ -556,6 +576,14 @@ def merge_partials(
         df = df.where(F.expr(where_expr))
     exprs = []
     for op, col, alias in aggs:
+        if op == "avg":
+            # avg is DERIVED: sum-partial / count-partial (non-null
+            # count), the one division shared with the scan twin
+            # (_scan_agg_sql) so routed == scan exactly; count==0 →
+            # NULL explicitly (ANSI mode would raise on /0)
+            s, c = F.sum(by_key[("sum", col)]), F.sum(by_key[("count", col)])
+            exprs.append(F.when(c > 0, s / c).alias(alias))
+            continue
         p = by_key[(op, col)]
         if op == "count":
             # a filtered-empty GLOBAL aggregate must yield 0 like the
@@ -619,11 +647,19 @@ def route_select(db, columns, where, group_by, local_tz=None):
     back to the scan). Never raises on staleness — a stale rollup is
     simply not a candidate."""
     from betfair_database_spark.database import _manifest_snapshot_no
-    from betfair_database_spark.plans.dialect import translate_where
+    from betfair_database_spark.plans.dialect import (
+        register_sqlite_functions,
+        translate_where,
+    )
 
     shape = parse_select_shape(columns, group_by)
     if shape is None:
         return None
+    # a translated WHERE may reference sqlite_* temp functions; register
+    # them BEFORE analyzing candidate frames so routing is deterministic
+    # in cold sessions (round-11 ADVICE: a session where no scan query
+    # ran first used to silently skip routing on analysis failure)
+    register_sqlite_functions(db.spark)
     dims_sel, aggs, order = shape
     gb = [g.strip() for g in group_by] if group_by else []
     if any(not _IDENT_RE.match(g) for g in gb):
@@ -653,10 +689,12 @@ def route_select(db, columns, where, group_by, local_tz=None):
         # (stored columns of the internal frame) as long as the alias
         # does not shadow a real index column — a shadowing alias would
         # make the routed answer (expr values) differ from the scan
-        # (column values). The WHERE clause is held to the stricter
-        # plain-column set: the scan fallback resolves derived aliases
-        # in the SELECT/GROUP BY lists (select_df), but not inside an
-        # opaque WHERE string.
+        # (column values). WHERE may reference ANY routable dim
+        # (round 11): filtering on group dims — derived ones included,
+        # they are stored columns of the partials frame with one value
+        # per cell — commutes with the merge, and the scan fallback now
+        # resolves derived aliases inside WHERE too (select_df), so both
+        # paths accept the same query text.
         plain_dims = {
             d["alias"] for d in spec["dims"] if d["expr"] is None
         } | {"eventTypeId"}
@@ -667,10 +705,10 @@ def route_select(db, columns, where, group_by, local_tz=None):
         }
         if not (set(dims_sel) | set(gb)) <= routable_dims:
             continue
-        if where and not (wid <= plain_dims):
+        if where and not (wid <= routable_dims):
             continue
         stored = {(a["op"], a["col"]) for a in spec["aggs"]}
-        if not all((op, col) in stored for op, col, _ in aggs):
+        if not all(_agg_covered(op, col, stored) for op, col, _ in aggs):
             continue
         where_expr = translate_where(where, local_tz=local_tz) if where else None
         internal = db.spark.read.parquet(str(path))

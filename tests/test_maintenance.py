@@ -1299,6 +1299,7 @@ class TestRollupRouting:
         dims=["eventVenue", "marketType"],
         aggs=[
             "n=count()",
+            "nr=count(runners)",  # non-null count: the avg denominator
             "runnersTotal=sum(runners)",
             "firstStart=min(marketStartTime)",
             "ids=approx_count_distinct(marketId)",
@@ -1555,3 +1556,159 @@ class TestRollupRouting:
         assert len(routed) == 2
         self._rows(db, use_rollups=False, **q)
         assert db.last_select_route == "scan"
+
+    def test_avg_routes_from_sum_count_partials(self, env, monkeypatch):
+        """Round 11 (verdict #4): avg(col) routes when the covering spec
+        stores BOTH sum(col) and count(col); both paths serve the same
+        sum/count division, so routed == scan exactly."""
+        from betfair_database_spark.database import BetfairDatabase
+
+        db, _ = env
+        q = dict(
+            columns=["eventVenue", "avg(runners) AS avgRunners"],
+            group_by=["eventVenue"],
+        )
+        want = self._rows(db, use_rollups=False, **q)
+        assert db.last_select_route == "scan" and want
+        monkeypatch.setattr(
+            BetfairDatabase,
+            "_read_index",
+            lambda *a, **k: (_ for _ in ()).throw(AssertionError("scan")),
+        )
+        got = self._rows(db, **q)
+        assert db.last_select_route == "rollup:byvenue"
+        assert got == want
+        monkeypatch.undo()
+        # byday stores sum(runners) but only count() — avg needs the
+        # NON-NULL count(col) partial, so the query scans (and works)
+        rows = self._rows(
+            db,
+            columns=["startDay", "avg(runners) AS avgRunners"],
+            group_by=["startDay"],
+        )
+        assert db.last_select_route == "scan" and rows
+
+    def test_derived_dim_where_routes_and_scan_resolves(
+        self, env, monkeypatch
+    ):
+        """Round 11 (verdict #3): WHERE on a DERIVED rollup dim routes
+        (the alias is a stored column of the partials frame; filtering
+        group dims commutes with the merge), and the scan fallback
+        resolves the alias inside WHERE from the persisted spec — the
+        same query text works fresh or stale."""
+        import json as _json
+
+        from betfair_database_spark.database import BetfairDatabase
+        from betfair_database_spark.rollup import (
+            _META_NAME,
+            spec_rollup_path,
+        )
+
+        db, _ = env
+        q = dict(
+            columns=["startDay", "count(*) AS n", "sum(runners) AS r"],
+            where="startDay BETWEEN '2023-08-01' AND '2023-08-31'",
+            group_by=["startDay"],
+        )
+        want = self._rows(db, use_rollups=False, **q)
+        assert db.last_select_route == "scan" and want
+        monkeypatch.setattr(
+            BetfairDatabase,
+            "_read_index",
+            lambda *a, **k: (_ for _ in ()).throw(AssertionError("scan")),
+        )
+        got = self._rows(db, **q)
+        assert db.last_select_route == "rollup:byday"
+        assert got == want
+        monkeypatch.undo()
+        # stale byday: same query text falls back to the scan, the
+        # WHERE alias still resolves via the persisted spec expression
+        mf = spec_rollup_path(db.database_dir, "byday") / _META_NAME
+        meta = _json.loads(mf.read_text())
+        orig = dict(meta)
+        meta["index_snapshot"] -= 1
+        mf.write_text(_json.dumps(meta))
+        try:
+            got = self._rows(db, **q)
+            assert db.last_select_route == "scan"
+            assert got == want
+        finally:
+            mf.write_text(_json.dumps(orig))
+
+    def test_bare_aggregate_estimator_stable(self, env):
+        """Round 11 (ADVICE): a bare-aggregate approx_count_distinct
+        (group_by=None) must use the DataSketches twin on the SCAN path
+        too — the same query must not change estimator when its rollup
+        goes stale."""
+        db, _ = env
+        q = dict(columns=["approx_count_distinct(marketId) AS ids"])
+        routed = self._rows(db, **q)
+        assert db.last_select_route.startswith("rollup:")
+        df = db.select_df(use_rollups=False, **q)
+        assert db.last_select_route == "scan"
+        plan = df._jdf.queryExecution().analyzed().toString()
+        assert "hll_sketch_estimate" in plan
+        scan = sorted(tuple(r) for r in df.collect())
+        assert scan == routed
+
+    def test_glob_where_routes_in_cold_session(self, env):
+        """Round 11 (ADVICE): route_select registers the sqlite_* temp
+        functions before analyzing candidates, so a routable WHERE whose
+        translation needs them (GLOB) routes even in a session where no
+        scan query ran first."""
+        import betfair_database_spark.plans.dialect as dialect
+
+        db, _ = env
+        q = dict(
+            columns=["marketType", "count(*) AS n"],
+            where="marketType GLOB 'W*'",
+            group_by=["marketType"],
+        )
+        want = self._rows(db, use_rollups=False, **q)
+        assert want
+        # simulate a cold session: forget the registration memo and drop
+        # the function the GLOB translation references
+        dialect._REGISTERED_SESSIONS.discard(db.spark)
+        db.spark.sql("DROP TEMPORARY FUNCTION IF EXISTS sqlite_glob_regex")
+        got = self._rows(db, **q)
+        assert db.last_select_route == "rollup:byvenue"
+        assert got == want
+
+
+def test_all_null_sum_cell_stores_null_partial(spark):
+    """Round 11 (ADVICE): the built-in rollup stores NULL (not 0) sum
+    partials for all-NULL cells, so a routed sum over such a group merges
+    to exactly what the scan's sum() returns — NULL, SQLite's sum() over
+    all NULLs. Mixed cells still merge by NULL-skipping sum."""
+    from pyspark.sql import functions as F
+
+    from betfair_database_spark.rollup import summarize
+
+    rows = [
+        ("7", "2024-01-01T10:00:00.000Z", None, None, None, None),
+        ("7", "2024-01-01T11:00:00.000Z", None, 1, None, 4),
+        ("4", "2024-01-01T10:00:00.000Z", 1, None, None, 6),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "eventTypeId string, marketStartTime string, bspMarket int, "
+        "turnInPlayEnabled int, marketSettledTime string, runners int",
+    )
+    part = summarize(df)
+    cells = {r["eventTypeId"]: r for r in part.collect()}
+    assert cells["4"]["inPlayMarkets"] is None  # all-NULL cell -> NULL
+    assert cells["4"]["bspMarkets"] == 1
+    assert cells["7"]["bspMarkets"] is None
+    assert cells["7"]["runnersTotal"] == 4
+    # the routed merge (sum of partials) == the scan's sum(), per column
+    merged = part.agg(
+        F.sum("bspMarkets").alias("b"),
+        F.sum("inPlayMarkets").alias("i"),
+        F.sum("runnersTotal").alias("r"),
+    ).first()
+    scan = df.agg(
+        F.sum("bspMarket").alias("b"),
+        F.sum("turnInPlayEnabled").alias("i"),
+        F.sum("runners").alias("r"),
+    ).first()
+    assert tuple(merged) == tuple(scan)

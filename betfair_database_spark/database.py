@@ -272,23 +272,27 @@ class BetfairDatabase:
         col_list = list(columns) if columns else list(SQL_TABLE_COLUMNS)
         gb_list = list(group_by) if group_by else []
         from_clause = SQL_TABLE_NAME
+        # scan fallback for derived-dim rollup queries: project the
+        # persisted spec's expression as the alias in a subquery, so the
+        # same query text — SELECT, GROUP BY, and (round 11) WHERE, the
+        # latter for bare aggregates too — runs whether or not the
+        # rollup is fresh. Aliases shadowing real index columns are
+        # never substituted (derived_dim_exprs), so plain reference
+        # selects are unaffected.
+        names = []
         if group_by is not None:
-            # scan fallback for derived-dim rollup queries: project the
-            # persisted spec's expression as the alias in a subquery, so
-            # the same query text — SELECT, GROUP BY, and (round 11)
-            # WHERE — runs whether or not the rollup is fresh
-            from betfair_database_spark.rollup import (
-                _where_idents,
-                derived_dim_exprs,
-            )
-
-            names = [c.strip() for c in col_list] + [
+            names += [c.strip() for c in col_list] + [
                 g.strip() for g in gb_list
             ]
-            if where:
-                wid = _where_idents(where)
-                if wid:
-                    names += sorted(wid)
+        if where:
+            from betfair_database_spark.rollup import _where_idents
+
+            wid = _where_idents(where)
+            if wid:
+                names += sorted(wid)
+        if names:
+            from betfair_database_spark.rollup import derived_dim_exprs
+
             derived = derived_dim_exprs(self, names)
             if derived:
                 proj = ", ".join(

@@ -1674,6 +1674,137 @@ class TestRollupRouting:
         assert db.last_select_route == "rollup:byvenue"
         assert got == want
 
+    # ---- routed-vs-scan equivalence fuzz (round 11, verdict #6) ----
+    #
+    # The router silently substitutes a different physical plan under
+    # the user's only query surface, so it is load-bearing for
+    # correctness; hand-picked pins cover hand-picked shapes. This fuzz
+    # generates seeded random select() shapes — covered / uncovered /
+    # derived-dim / WHERE-on-dim / bare-aggregate — and asserts BOTH the
+    # route flag (against a test-local coverage truth table, written
+    # independently of the router's own logic) and row equality vs
+    # use_rollups=False.
+    #
+    # Mutation notes (tried while writing this test):
+    #  - dropping the WHERE filter from the routed merge
+    #    (test_fuzz_catches_where_dropping_mutation below) is CAUGHT:
+    #    routed rows diverge from the scan on filtered shapes.
+    #  - breaking _agg_covered to always claim coverage is MASKED by
+    #    design: merge_partials then KeyErrors on the missing partial,
+    #    route_select's try/except falls back to the scan, and the
+    #    answer stays correct (the fallback-on-any-doubt contract turns
+    #    that mutation into a missed optimization, not a wrong answer —
+    #    the route-flag assertion here would still catch it as a flag
+    #    mismatch for shapes the truth table says must route).
+
+    _FUZZ_DIMS = {
+        # name -> routable-by candidates (None = unroutable everywhere)
+        "eventVenue": {"rollup:byvenue"},
+        "marketType": {"rollup:byvenue"},
+        "startDay": {"rollup:byday"},
+        "eventTypeId": {"rollup:byvenue", "rollup:byday", "rollup:builtin"},
+        "eventCountryCode": set(),
+    }
+    _FUZZ_AGGS = [
+        # (entry, (op, col), covered-by)
+        ("count(*) AS n", ("count", None),
+         {"rollup:byvenue", "rollup:byday", "rollup:builtin"}),
+        ("sum(runners) AS rt", ("sum", "runners"),
+         {"rollup:byvenue", "rollup:byday", "rollup:builtin"}),
+        ("min(marketStartTime) AS fs", ("min", "marketStartTime"),
+         {"rollup:byvenue", "rollup:builtin"}),
+        ("avg(runners) AS ar", ("avg", "runners"), {"rollup:byvenue"}),
+        ("approx_count_distinct(marketId) AS ids",
+         ("approx_count_distinct", "marketId"), {"rollup:byvenue"}),
+        ("max(marketId) AS mm", ("max", "marketId"), set()),
+    ]
+    _FUZZ_WHERES = [
+        (None, set()),
+        ("marketType IN ('WIN', 'PLACE')", {"marketType"}),
+        ("eventVenue IS NOT NULL", {"eventVenue"}),
+        ("startDay >= '2023-08-01'", {"startDay"}),
+        ("marketId = '1.222000001'", {"marketId"}),
+    ]
+
+    def _expected_route(self, dims, agg_specs, where_idents):
+        """Independent truth table: first candidate (router order: spec
+        names sorted, built-in last) whose dims cover every referenced
+        identifier and whose partials cover every aggregate."""
+        for cand in ("rollup:byday", "rollup:byvenue", "rollup:builtin"):
+            dim_ok = all(
+                cand in self._FUZZ_DIMS.get(d, set()) for d in dims
+            )
+            wid_ok = all(
+                cand in self._FUZZ_DIMS.get(w, set()) for w in where_idents
+            )
+            agg_ok = all(cand in covered for _, _, covered in agg_specs)
+            if dim_ok and wid_ok and agg_ok:
+                return cand
+        return "scan"
+
+    def _fuzz_shapes(self, seed, n):
+        import random
+
+        rng = random.Random(seed)
+        dims_pool = list(self._FUZZ_DIMS)
+        for _ in range(n):
+            dims = rng.sample(dims_pool, rng.choice([0, 1, 1, 2]))
+            aggs = rng.sample(self._FUZZ_AGGS, rng.randint(1, 3))
+            where, wid = self._FUZZ_WHERES[
+                rng.randrange(len(self._FUZZ_WHERES))
+            ]
+            yield dims, aggs, where, wid
+
+    def test_routed_vs_scan_equivalence_fuzz(self, env):
+        db, _ = env
+        checked = routed = 0
+        for dims, aggs, where, wid in self._fuzz_shapes(11, 110):
+            q = dict(
+                columns=dims + [a[0] for a in aggs],
+                where=where,
+                group_by=dims if dims else None,
+            )
+            want = self._rows(db, use_rollups=False, **q)
+            assert db.last_select_route == "scan"
+            got = self._rows(db, **q)
+            expect = self._expected_route(dims, aggs, wid)
+            assert db.last_select_route == expect, (q, db.last_select_route)
+            assert got == want, (q, db.last_select_route)
+            checked += 1
+            routed += expect != "scan"
+        # the generator must actually exercise both paths heavily
+        assert checked == 110 and 20 <= routed <= 90, (checked, routed)
+
+    def test_fuzz_catches_where_dropping_mutation(self, env, monkeypatch):
+        """Inject the dangerous mutation class — a VALID-but-wrong
+        routed frame (WHERE silently dropped from the merge) — and
+        assert the fuzz detects it. Pins that the equivalence fuzz has
+        teeth, not just coverage."""
+        import betfair_database_spark.rollup as rollup_mod
+
+        db, _ = env
+        real = rollup_mod.merge_partials
+
+        def mutant(internal, spec, group_dims, aggs, where_expr=None):
+            return real(internal, spec, group_dims, aggs, None)
+
+        monkeypatch.setattr(rollup_mod, "merge_partials", mutant)
+        caught = 0
+        for dims, aggs, where, wid in self._fuzz_shapes(13, 60):
+            if where is None:
+                continue
+            q = dict(
+                columns=dims + [a[0] for a in aggs],
+                where=where,
+                group_by=dims if dims else None,
+            )
+            if self._expected_route(dims, aggs, wid) == "scan":
+                continue
+            want = self._rows(db, use_rollups=False, **q)
+            got = self._rows(db, **q)
+            caught += got != want
+        assert caught > 0
+
 
 def test_all_null_sum_cell_stores_null_partial(spark):
     """Round 11 (ADVICE): the built-in rollup stores NULL (not 0) sum

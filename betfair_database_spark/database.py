@@ -1144,16 +1144,43 @@ def _lock_takeover(
         except OSError:
             return True  # just released: the O_EXCL retry arbitrates
         if _lock_holder(tmp) != observed_holder:
-            try:  # restore a fresh lock we must not have touched
-                os.link(tmp, lock)
-            except OSError:
-                pass
+            _lock_restore(tmp, lock)  # a fresh lock we must not touch
             tmp.unlink(missing_ok=True)
             return False
         tmp.unlink(missing_ok=True)
         return True
     finally:
         claim.unlink(missing_ok=True)
+
+
+def _lock_restore(tmp: Path, lock: Path) -> None:
+    """Put back a raced-away FRESH lock (renamed to ``tmp`` before we
+    discovered it was not ours). ``os.link`` is the atomic
+    link-if-absent path; filesystems without hard-link support (some
+    NFS/object-store mounts — targets the lease design explicitly
+    serves) raise, and silently skipping the restore there would delete
+    the new holder's lock and admit a second writer for up to one full
+    lease (round-11 ADVICE). Fallback: re-create the lock via O_EXCL
+    with ``tmp``'s contents — same never-clobber semantics, atomic
+    presence (the content write follows the exclusive create, and
+    ``_lock_holder`` readers treat a torn read as foreign/unreadable,
+    which is loud, never stolen)."""
+    try:
+        os.link(tmp, lock)
+        return
+    except FileExistsError:
+        return  # a new lock reappeared meanwhile: nothing to restore
+    except OSError:
+        pass  # no hard-link support: copy/restore below
+    try:
+        data = tmp.read_bytes()
+        fd = os.open(str(lock), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, data)
+        finally:
+            os.close(fd)
+    except (FileExistsError, OSError):
+        pass  # lock reappeared (or tmp vanished): nothing to restore
 
 
 def _lock_release(lock: Path, mine: str) -> None:
@@ -1169,10 +1196,8 @@ def _lock_release(lock: Path, mine: str) -> None:
     if _lock_holder(tmp) == mine:
         tmp.unlink(missing_ok=True)
         return
-    try:  # not ours anymore: restore the new holder's lock
-        os.link(tmp, lock)
-    except OSError:
-        pass
+    # not ours anymore: restore the new holder's lock
+    _lock_restore(tmp, lock)
     tmp.unlink(missing_ok=True)
 
 

@@ -365,12 +365,16 @@ def ann_append_batch(
     index_path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    stream_id: "str | None" = None,
 ) -> int:
     """One micro-batch of vectors into the at-rest ANN index — the
     foreachBatch sink body, exposed module-level so tests can drive
     replay directly (same convention as rollup_merge_batch). Idempotent:
     the applied batch_id is recorded in the index's committed manifest
-    and a replayed batch no-ops (see append_ann_index)."""
+    and a replayed batch from the SAME stream no-ops; ``stream_id`` (the
+    checkpoint path — round-11 ADVICE) distinguishes a replay from a
+    restarted stream whose recreated checkpoint restarts ids at 0, which
+    must apply, not silently drop (see append_ann_index)."""
     from betfair_database_spark.operators.similarity import append_ann_index
 
     return append_ann_index(
@@ -379,6 +383,7 @@ def ann_append_batch(
         id_col=id_col,
         vec_col=vec_col,
         stream_batch_id=batch_id,
+        stream_id=stream_id,
     )
 
 
@@ -404,13 +409,22 @@ def start_ann_append_stream(
     atomic rename covers data + bookkeeping), so a replay after a crash
     between sink commit and stream checkpoint is a no-op. The index must
     exist (``write_ann_index``) before the stream starts."""
+    from pathlib import Path
+
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     src = reader.parquet(landing_dir)
 
     def _append(batch: DataFrame, batch_id: int) -> None:
-        ann_append_batch(batch, batch_id, index_path, id_col, vec_col)
+        ann_append_batch(
+            batch,
+            batch_id,
+            index_path,
+            id_col,
+            vec_col,
+            stream_id=str(Path(checkpoint_dir).resolve()),
+        )
 
     writer = (
         src.writeStream.foreachBatch(_append)

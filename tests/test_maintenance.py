@@ -880,6 +880,36 @@ class TestWriterLock:
                 _time.sleep(1.2)
         assert holder._lease_lost
 
+    def test_lock_restore_falls_back_without_hardlinks(
+        self, tmp_path, monkeypatch
+    ):
+        """Round 11 (ADVICE): restoring a raced-away fresh lock must not
+        silently no-op on filesystems without hard-link support (NFS /
+        object-store mounts) — that would delete the new holder's lock
+        and admit a second writer for up to a lease. The fallback
+        re-creates the lock via O_EXCL with the same contents."""
+        import os as _os
+
+        import betfair_database_spark.database as dbmod
+
+        lock = tmp_path / ".lock"
+        lock.write_text("4242 otherhost 1.0")
+
+        def no_links(src, dst, *a, **kw):
+            raise OSError(95, "Operation not supported")
+
+        monkeypatch.setattr(dbmod.os, "link", no_links)
+        # release path: the renamed file turns out not to be ours
+        dbmod._lock_release(lock, mine="9999 myhost 2.0")
+        assert lock.read_text() == "4242 otherhost 1.0"
+        assert not list(tmp_path.glob(".lock.rel.*"))
+        # never-clobber: a lock that reappears mid-restore is preserved
+        tmp = tmp_path / ".lock.t"
+        tmp.write_text("1111 thirdhost 3.0")
+        dbmod._lock_restore(tmp, lock)
+        assert lock.read_text() == "4242 otherhost 1.0"
+        _os.unlink(tmp)
+
 
 class TestMaterializedRollup:
     """Continuous-aggregate rollup (rollup.py): incrementally maintained by

@@ -2008,6 +2008,76 @@ def test_ann_append_autocompaction_bounds_files_per_cell(spark, tmp_path):
     assert sim.ann_fragmentation(path)["max_files_per_cell"] >= 2
 
 
+def test_ann_skew_policy_warns_and_auto_rebuilds(spark, tmp_path):
+    """Round 11 (verdict #5): drift now has a POLICY, not just a signal.
+    Appends that concentrate into hot cells push cell_skew over
+    spark.bfdb.ann.maxCellSkew (default 4.0) — the append loudly
+    recommends rebuild_ann_index; with spark.bfdb.ann.autoRebuild=true
+    the append re-clusters in place under its own lock, and the rebuilt
+    index still serves exact results over the union."""
+    import random
+    import warnings as _warnings
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from betfair_database_spark.operators import similarity as sim
+
+    rng = random.Random(17)
+    # base: 80 vectors spread over 8 cells
+    base = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)]
+    mk = lambda chunk: spark.createDataFrame(
+        chunk, "vec_id long, embedding array<float>"
+    )
+    path = str(tmp_path / "ann_skew")
+    sim.write_ann_index(mk(base), path, sim.kmeans_seeds(mk(base), 8))
+    # drifted appends: a tight cluster far outside the trained domain —
+    # every vector assigns to ONE original centroid
+    hot = [
+        (1000 + i, [5.0 + rng.uniform(-0.05, 0.05) for _ in range(8)])
+        for i in range(160)
+    ]
+    with _pytest.warns(UserWarning, match="cell_skew"):
+        assert sim.append_ann_index(mk(hot[:120]), path) == 120
+    skew_before = sim.ann_fragmentation(path, spark)["cell_skew"]
+    assert skew_before > 4.0
+    # opt-in auto: the next drifting append triggers the re-cluster
+    try:
+        spark.conf.set("spark.bfdb.ann.autoRebuild", "true")
+        with _warnings.catch_warnings():
+            # no recommendation warning on the auto path
+            _warnings.filterwarnings("error", message=".*cell_skew.*")
+            assert sim.append_ann_index(mk(hot[120:]), path) == 40
+    finally:
+        spark.conf.unset("spark.bfdb.ann.autoRebuild")
+    skew_after = sim.ann_fragmentation(path, spark)["cell_skew"]
+    assert skew_after < skew_before
+    # rebuilt index still serves the exact top-k over the union
+    q = [float(v) for v in hot[0][1]]
+    got = [
+        tuple(r)
+        for r in sim.query_ann_index(
+            spark, path, None, None, q, k=10, nprobe=8, rerank="exact"
+        ).collect()
+    ]
+    want = [
+        tuple(r) for r in sim.cosine_topk(mk(base + hot), q, 10).collect()
+    ]
+    assert got == want
+    # 0 disables the check entirely (no job, no warning)
+    try:
+        spark.conf.set("spark.bfdb.ann.maxCellSkew", "0")
+        with _warnings.catch_warnings():
+            _warnings.filterwarnings("error", message=".*cell_skew.*")
+            sim.append_ann_index(
+                mk([(5000 + i, v) for i, (_, v) in enumerate(hot[:20])]),
+                path,
+            )
+    finally:
+        spark.conf.unset("spark.bfdb.ann.maxCellSkew")
+
+
 def test_train_logreg_hashed_learns_separation(spark):
     """Round 7: the in-engine logistic trainer actually LEARNS — on a
     corpus whose classes use disjoint-ish vocabularies, the trained

@@ -1245,6 +1245,59 @@ def test_streaming_ann_append_matches_batch_and_replays_idempotently(
     assert probe() == want2
 
 
+def test_ann_stream_restart_with_new_checkpoint_applies(
+    spark, tmp_path, recwarn
+):
+    """Round 11 (ADVICE): idempotence keys on (stream identity, batch
+    id), not the bare id. A stream restarted with a RECREATED checkpoint
+    restarts foreachBatch ids at 0 — those batches carry new data and
+    must apply (with a loud warning), not silently no-op until the id
+    catches up; same-identity replays still no-op."""
+    import random
+    import warnings as _warnings
+
+    from betfair_database_spark.operators import similarity as sim
+    from betfair_database_spark.streaming.ingest import ann_append_batch
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(90)]
+    mk = lambda chunk: spark.createDataFrame(
+        chunk, "vec_id long, embedding array<float>"
+    )
+    index_path = str(tmp_path / "ann_restart")
+    sim.write_ann_index(
+        mk(rows[:30]), index_path, sim.kmeans_seeds(mk(rows[:30]), 2)
+    )
+    # stream A applies batches 0..1
+    assert ann_append_batch(mk(rows[30:50]), 0, index_path, stream_id="A") == 20
+    assert ann_append_batch(mk(rows[50:60]), 1, index_path, stream_id="A") == 10
+    # same-identity replay: no-op, silently
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        assert (
+            ann_append_batch(mk(rows[50:60]), 1, index_path, stream_id="A")
+            == 0
+        )
+    # restarted stream B (fresh checkpoint): id 0 again, NEW data — must
+    # apply, loudly
+    with pytest.warns(UserWarning, match="stream identity changed"):
+        assert (
+            ann_append_batch(mk(rows[60:90]), 0, index_path, stream_id="B")
+            == 30
+        )
+    # and B's own replay of batch 0 now no-ops
+    assert ann_append_batch(mk(rows[60:90]), 0, index_path, stream_id="B") == 0
+    q = [float(v) for v in rows[3][1]]
+    got = [
+        tuple(r)
+        for r in sim.query_ann_index(
+            spark, index_path, None, None, q, k=8, nprobe=2
+        ).collect()
+    ]
+    want = [tuple(r) for r in sim.cosine_topk(mk(rows), q, 8).collect()]
+    assert got == want
+
+
 def test_streaming_spec_rollup_matches_batch_named_rollup(spark, tmp_path):
     """User-spec continuous aggregate (round 9): streaming the paired
     corpus one file per micro-batch through start_spec_rollup_stream —

@@ -314,6 +314,80 @@ def _stats_memo_key(proj: DataFrame, key: str, ts_col: str):
     return (app, h, key, ts_col)
 
 
+def _stats_cache_dir(spark):
+    """Cross-session dispatch-stats cache directory (round 11, verdict
+    #8): conf ``spark.bfdb.dispatch.statsDir``; empty string disables;
+    default ``~/.cache/bfdb/dispatch_stats``. The in-session memo closed
+    the warm case; this closes the COLD one (fresh bench/job sessions
+    paid the probe every time). Sidecars live here, NOT beside the data
+    — source directories are routinely read-only (shared test fixtures,
+    lake buckets)."""
+    import os as _os
+
+    default = _os.path.join(
+        _os.path.expanduser("~"), ".cache", "bfdb", "dispatch_stats"
+    )
+    try:
+        d = spark.conf.get("spark.bfdb.dispatch.statsDir", default)
+    except Exception:
+        d = default
+    return d or None
+
+
+def _stats_persist_key(proj: DataFrame, key: str, ts_col: str):
+    """Cold-session-stable cache key: md5 over the CANONICALIZED analyzed
+    plan (expression ids normalized — stable for the same query text
+    across sessions) plus the backing file names (parquet part names are
+    content-addressed-ish UUIDs, so a rewrite changes the key) plus
+    (key, ts_col). In-memory frames have no files and are never
+    persisted. Same staleness contract as the memo: stats pick a
+    physical strategy, never affect results, so a miss-classification
+    from an exotic rewrite is a perf wobble, not a wrong answer."""
+    try:
+        canon = (
+            proj._jdf.queryExecution().analyzed().canonicalized().toString()
+        )
+        files = sorted(proj.inputFiles())
+    except Exception:  # Connect / API drift: skip persistence
+        return None
+    if not files:
+        return None
+    import hashlib as _hashlib
+
+    h = _hashlib.md5(canon.encode())
+    for f in files:
+        h.update(f.encode())
+    h.update(f"|{key}|{ts_col}".encode())
+    return h.hexdigest()
+
+
+def _stats_sidecar_read(cache_dir: str, pk: str):
+    import json as _json
+    import os as _os
+
+    try:
+        with open(_os.path.join(cache_dir, pk + ".json")) as fh:
+            d = _json.load(fh)
+        return int(d["n"]), int(d["k"]), float(d["span"])
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
+
+def _stats_sidecar_write(cache_dir: str, pk: str, out) -> None:
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
+    try:
+        _os.makedirs(cache_dir, exist_ok=True)
+        fd, tmp = _tempfile.mkstemp(dir=cache_dir, suffix=".tmp")
+        with _os.fdopen(fd, "w") as fh:
+            _json.dump({"n": out[0], "k": out[1], "span": out[2]}, fh)
+        _os.replace(tmp, _os.path.join(cache_dir, pk + ".json"))
+    except OSError:
+        pass  # cache-dir trouble never fails the query
+
+
 def dispatch_stats(
     events: DataFrame,
     key: str,
@@ -322,9 +396,11 @@ def dispatch_stats(
 ) -> tuple[int, int, float]:
     """``(n_rows, n_keys, span_seconds)`` for the dispatch heuristic —
     memoized per (session, plan, key, ts) so back-to-back ordered ops on
-    the same frame probe once. Pass a precomputed triple via ``stats``
-    (it is returned verbatim) to skip the probe entirely — the escape
-    hatch for callers that already know their cardinality."""
+    the same frame probe once, and persisted in a local sidecar cache
+    (round 11) so COLD sessions over file-backed frames skip the probe
+    too. Pass a precomputed triple via ``stats`` (it is returned
+    verbatim) to skip the probe entirely — the escape hatch for callers
+    that already know their cardinality."""
     if stats is not None:
         return stats
     proj = events.select(key, ts_col)
@@ -332,11 +408,27 @@ def dispatch_stats(
     if mk is not None and mk in _STATS_MEMO:
         _STATS_MEMO.move_to_end(mk)
         return _STATS_MEMO[mk]
-    out = _dispatch_stats(proj, key, ts_col)
-    if mk is not None:
-        _STATS_MEMO[mk] = out
-        while len(_STATS_MEMO) > _STATS_MEMO_MAX:
-            _STATS_MEMO.popitem(last=False)
+
+    def memoize(out):
+        if mk is not None:
+            _STATS_MEMO[mk] = out
+            while len(_STATS_MEMO) > _STATS_MEMO_MAX:
+                _STATS_MEMO.popitem(last=False)
+        return out
+
+    cache_dir = _stats_cache_dir(proj.sparkSession)
+    pk = (
+        _stats_persist_key(proj, key, ts_col)
+        if cache_dir is not None
+        else None
+    )
+    if pk is not None:
+        cached = _stats_sidecar_read(cache_dir, pk)
+        if cached is not None:
+            return memoize(cached)
+    out = memoize(_dispatch_stats(proj, key, ts_col))
+    if pk is not None:
+        _stats_sidecar_write(cache_dir, pk, out)
     return out
 
 

@@ -780,3 +780,63 @@ def test_auto_chain_fuzz_matches_sqlite(spark):
         )
         exprs.append(f"{fn}({base}, {', '.join(mods)})")
     _compare(spark, exprs)
+
+
+def test_century_nonleap_feb29_corner_wontfix(spark):
+    """Round 11 (verdict #9): formal WONTFIX, pinned on BOTH sides.
+    Around Mar 1 of out-of-time_t-window CENTURY non-leap years, SQLite
+    materializes its proxy leap year's Feb 29 into the real year:
+    datetime() renders an INVALID calendar date and julianday()
+    day-rolls it to Mar 1 (+1 day off true arithmetic). This bridge
+    intentionally stays calendar-true — documented in README's
+    dialect-delta table. The sqlite3 side is pinned too, so a future
+    SQLite that fixes the corner surfaces here as a skip-worthy
+    version change rather than a silent drift."""
+    import os
+    import time as _time
+
+    register_sqlite_functions(spark)
+    tz = "America/New_York"
+    val = "2100-03-01 01:00:00"
+    old_tz = os.environ.get("TZ")
+    try:
+        os.environ["TZ"] = tz
+        _time.tzset()
+        con = sqlite3.connect(":memory:")
+        sq_dt = con.execute(
+            f"select datetime('{val}','localtime')"
+        ).fetchone()[0]
+        if sq_dt != "2100-02-29 20:00:00":
+            pytest.skip(
+                f"sqlite {sqlite3.sqlite_version} no longer renders the "
+                f"invalid proxy date (got {sq_dt!r}) — revisit the wontfix"
+            )
+        # true arithmetic: julianday of the CALENDAR-TRUE local value
+        true_jd = con.execute(
+            "select julianday('2100-02-28 20:00:00')"
+        ).fetchone()[0]
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        _time.tzset()
+
+    exprs = [
+        f"datetime('{val}','localtime')",
+        f"julianday('{val}','localtime')",
+    ]
+    sel = "SELECT " + ", ".join(
+        f"({translate_where(e, local_tz=tz)}) AS c{i}"
+        for i, e in enumerate(exprs)
+    )
+    row = spark.sql(sel).first()
+    assert row["c0"] == "2100-02-28 20:00:00"  # calendar-true, not Feb 29
+    assert abs(row["c1"] - true_jd) < 1e-6  # exact arithmetic, no day roll
+    # column path agrees with the fold path
+    spark.createDataFrame([(val,)], "x string").createOrReplaceTempView(
+        "wontfix_corner"
+    )
+    ce = translate_where("datetime(x,'localtime')", local_tz=tz)
+    got = spark.sql(f"SELECT ({ce}) AS r FROM wontfix_corner").first()["r"]
+    assert got == "2100-02-28 20:00:00"

@@ -547,3 +547,62 @@ def test_ffill_scalable_matches_single_window_fill(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_dispatch_stats_persisted_across_cold_sessions(
+    spark, tmp_path, monkeypatch
+):
+    """Round 11 (verdict #8): for FILE-BACKED frames the probed
+    (n_rows, n_keys, span) triple persists in the sidecar cache, so a
+    cold session (memo empty, frame re-read from disk) runs ZERO probe
+    jobs; rewriting the data (new part files) invalidates the key and
+    re-probes; in-memory frames are never persisted."""
+    import datetime as dt
+
+    from betfair_database_spark.operators import timeseries
+
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [
+        ("k%d" % (i % 3), t0 + dt.timedelta(minutes=i), i, float(i % 7))
+        for i in range(60)
+    ]
+    src = str(tmp_path / "events")
+    spark.createDataFrame(
+        rows, "k string, ts timestamp_ntz, id long, v double"
+    ).write.parquet(src)
+
+    calls = {"n": 0}
+    real = timeseries._dispatch_stats
+
+    def counting(events, key, ts_col):
+        calls["n"] += 1
+        return real(events, key, ts_col)
+
+    monkeypatch.setattr(timeseries, "_dispatch_stats", counting)
+    cache = str(tmp_path / "statscache")
+    try:
+        spark.conf.set("spark.bfdb.dispatch.statsDir", cache)
+        timeseries._STATS_MEMO.clear()
+        first = timeseries.dispatch_stats(
+            spark.read.parquet(src), "k", "ts"
+        )
+        assert calls["n"] == 1
+        # "cold session": memo wiped, frame re-created from disk
+        timeseries._STATS_MEMO.clear()
+        second = timeseries.dispatch_stats(
+            spark.read.parquet(src), "k", "ts"
+        )
+        assert calls["n"] == 1  # served from the sidecar, no probe job
+        assert second == first
+        # rewrite -> new part names -> new key -> re-probe
+        spark.createDataFrame(
+            rows[:30], "k string, ts timestamp_ntz, id long, v double"
+        ).write.mode("overwrite").parquet(src)
+        timeseries._STATS_MEMO.clear()
+        third = timeseries.dispatch_stats(
+            spark.read.parquet(src), "k", "ts"
+        )
+        assert calls["n"] == 2
+        assert third[0] == 30
+    finally:
+        spark.conf.unset("spark.bfdb.dispatch.statsDir")

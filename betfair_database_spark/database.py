@@ -35,6 +35,7 @@ from betfair_database_spark.exceptions import (
     IndexExistsError,
     IndexMissingError,
 )
+from betfair_database_spark.plans.materialize import materialize
 from betfair_database_spark.plans.dialect import (
     register_sqlite_functions,
     translate_where,
@@ -594,10 +595,10 @@ class BetfairDatabase:
             return self._clean_locked()
 
     def _clean_locked(self) -> int:
-        # localCheckpoint (not cache): materializes rows and truncates the
+        # materialize (not cache): materializes rows and truncates the
         # plan, so the parquet swap below can't invalidate lazy reads and no
         # identical-plan cache aliasing survives across calls.
-        index = self._read_index().localCheckpoint()
+        index = materialize(self._read_index(), "clean-index-snapshot")
         total = index.count()
         base = str(self.database_dir.resolve())
 
@@ -611,7 +612,7 @@ class BetfairDatabase:
         kept_in = in_dir.join(existing, "marketDataFilePath", "left_semi")
         kept_out = out_dir.where(_exists_udf(F.col("marketDataFilePath")))
         kept = kept_in.unionByName(kept_out)
-        kept = kept.localCheckpoint()
+        kept = materialize(kept, "clean-kept-rows")
         removed = total - kept.count()
         if removed:
             # Partition-scoped rewrite: only partitions that actually lost
@@ -738,8 +739,9 @@ class BetfairDatabase:
             return
         # Materialize first: the replacement lineage reads the very parquet
         # files the swap below retires.
-        repl = (
-            replacement.where(self._partition_filter(touched)).localCheckpoint()
+        repl = materialize(
+            replacement.where(self._partition_filter(touched)),
+            "upsert-replacement",
         )
         manifest = _manifest_read(self._index_path)
         files_map = _manifest_files(manifest)

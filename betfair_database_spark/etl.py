@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from betfair_database_spark.const import SQL_TABLE_COLUMNS
+from betfair_database_spark.plans.materialize import materialize
 from betfair_database_spark.functions.flatten import (
     catalogue_to_flat,
     definition_to_flat,
@@ -82,7 +83,9 @@ def build_index_frame(
     """
     counters = Counters()
 
-    listing = classify_files(list_files(spark, source_dir)).localCheckpoint()
+    listing = materialize(
+        classify_files(list_files(spark, source_dir)), "etl-listing"
+    )
     meta_files = listing.where(F.col("kind") == KIND_METADATA).select("stem", "path")
     data_files = listing.where(F.col("kind") == KIND_DATA).select(
         "stem", F.col("path").alias("data_path"), "length"
@@ -104,7 +107,11 @@ def build_index_frame(
     # to an empty LocalRelation with the exact schema — no job ever runs.
     bulk_plan = fetch_text_files(bulk_files)
     has_bulk = bulk_files.limit(1).count() > 0
-    bulk_content = bulk_plan.localCheckpoint() if has_bulk else bulk_plan.limit(0)
+    bulk_content = (
+        materialize(bulk_plan, "etl-bulk-content")
+        if has_bulk
+        else bulk_plan.limit(0)
+    )
 
     # --- bulk metadata takes precedence (J4; processor.py:195-258) ----------
     bulk_rows = parse_bulk_content(bulk_content)
@@ -116,7 +123,9 @@ def build_index_frame(
     # (paired / metadata-only / data-only) in a single shuffle; the inner and
     # anti variants are filters over it, and the J2/J3 counters are aggregates
     # over the same checkpointed frame instead of separate join jobs.
-    pairing = meta_files.join(data_remaining, "stem", "full_outer").localCheckpoint()
+    pairing = materialize(
+        meta_files.join(data_remaining, "stem", "full_outer"), "etl-pairing"
+    )
     paired = pairing.where(
         F.col("path").isNotNull() & F.col("data_path").isNotNull()
     ).select("stem", "path", "data_path", "length")
@@ -132,7 +141,11 @@ def build_index_frame(
     lines = definition_lines(orphan_data.select(F.col("data_path").alias("path")))
     latest_plan = extract_latest_definitions(lines)
     has_orphans = orphan_data.limit(1).count() > 0
-    latest = latest_plan.localCheckpoint() if has_orphans else latest_plan.limit(0)
+    latest = (
+        materialize(latest_plan, "etl-derived-defs")
+        if has_orphans
+        else latest_plan.limit(0)
+    )
 
     derived_ok = latest.where(F.col("defn").isNotNull())
     # No checkpoint: both consumers (the file-write pass and the definition
@@ -159,7 +172,9 @@ def build_index_frame(
     # Fetch exactly the paired metadata files; the parse replays over the
     # checkpointed content (in-memory), so its two consumers (stats + the
     # good branch) cost one extra from_json pass, not a file re-read.
-    meta_content = fetch_text_files(paired.select("path")).localCheckpoint()
+    meta_content = materialize(
+        fetch_text_files(paired.select("path")), "etl-meta-content"
+    )
     parsed = parse_metadata_content(meta_content)
 
     good = parsed.where(~F.col("corrupt")).join(
@@ -207,7 +222,7 @@ def build_index_frame(
 
     # Materialize the flattened union once: the racing build side and the
     # probe side both consume it — recomputing doubles execution time.
-    flat = cat_flat.unionByName(def_flat).localCheckpoint()
+    flat = materialize(cat_flat.unionByName(def_flat), "etl-flat-union")
 
     # --- racing enrichment (J5: broadcast build/probe) -----------------------
     enriched = enrich_with_racing(flat)

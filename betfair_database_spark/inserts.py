@@ -40,6 +40,7 @@ from betfair_database_spark.const import (
     DuplicatePolicy,
 )
 from betfair_database_spark.etl import build_index_frame
+from betfair_database_spark.plans.materialize import materialize
 from betfair_database_spark.functions.flatten import (
     catalogue_to_flat,
     definition_to_flat,
@@ -102,7 +103,7 @@ def insert_markets(
     base = str(db.database_dir.resolve())
 
     frame, counters = build_index_frame(spark, str(source_dir))
-    frame = frame.localCheckpoint()
+    frame = materialize(frame, "insert-source-frame")
 
     # --- destination paths ---------------------------------------------------
     dest_rel = resolve_pattern(pattern)
@@ -137,7 +138,9 @@ def insert_markets(
     decided = decided.join(src_listing, "marketDataFilePath", "left")
 
     # --- existing destination files ------------------------------------------
-    db_listing = list_files(spark, base).select("path", "length").localCheckpoint()
+    db_listing = materialize(
+        list_files(spark, base).select("path", "length"), "insert-db-listing"
+    )
     meta_listing = db_listing.select(
         F.col("path").alias("dest_meta"), F.lit(True).alias("meta_exists")
     )
@@ -146,7 +149,7 @@ def insert_markets(
         F.col("length").alias("existing_size"),
         F.lit(True).alias("data_exists"),
     )
-    decided = (
+    decided = materialize(
         decided.join(meta_listing, "dest_meta", "left")
         .join(data_listing, "dest_data", "left")
         .withColumns(
@@ -154,8 +157,8 @@ def insert_markets(
                 "meta_exists": F.coalesce("meta_exists", F.lit(False)),
                 "data_exists": F.coalesce("data_exists", F.lit(False)),
             }
-        )
-        .localCheckpoint()
+        ),
+        "insert-decision-join",
     )
 
     # --- row-equality against existing destination metadata (UPDATE only) ----
@@ -175,9 +178,12 @@ def insert_markets(
         .when(F.lit(policy is DuplicatePolicy.SKIP), F.lit(False))
         .otherwise(F.col("incoming_size") > F.coalesce("existing_size", F.lit(0)))
     )
-    decided = decided.withColumns(
-        {"sql_action": action, "process_data": process_data}
-    ).localCheckpoint()
+    decided = materialize(
+        decided.withColumns(
+            {"sql_action": action, "process_data": process_data}
+        ),
+        "insert-decided",
+    )
 
     import os as _os
 
@@ -221,7 +227,7 @@ def insert_markets(
     # lose replaced rows are rewritten — O(batch-touched partitions), not
     # O(index) (the reference's row-level DELETE+INSERT analogue,
     # processor.py:365-384). Untouched partitions keep their files verbatim.
-    new_rows = new_rows.localCheckpoint()
+    new_rows = materialize(new_rows, "insert-new-rows")
     new_paths = new_rows.select("marketMetadataFilePath")
     old_index = db._read_index()
     replaced_parts = (

@@ -153,7 +153,7 @@ def _hashed_shingle_arrays(
 
     return lowered.mapInPandas(
         _build, f"{id_col} long, hs array<bigint>"
-    ).localCheckpoint()
+    ).localCheckpoint()  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
 
 
 # Fixed universal-hash constants for the minhash lanes (seeded once,
@@ -695,7 +695,7 @@ def jaccard_ssjoin(
         .join(hb, "b")
         .where(ih >= F.lit(t) * (F.col("na") + F.col("nb") - ih))
         .select("a", "b")
-        .localCheckpoint()  # drives the survivor-doc re-shingle below
+        .localCheckpoint()  # lc-ok: pure compute; executor loss fails the query, rerun recomputes (drives the survivor-doc re-shingle below)
     )
     # Tier 2: exact string shingle sets for SURVIVOR docs only — the full
     # corpus never materializes string arrays. Survivors are within a small
@@ -900,7 +900,7 @@ def containment_ssjoin(
         .join(hb, "b")
         .where(ih >= F.lit(t) * F.col("na"))
         .select("a", "b")
-        .localCheckpoint()  # drives the survivor-doc re-shingle below
+        .localCheckpoint()  # lc-ok: pure compute; executor loss fails the query, rerun recomputes (drives the survivor-doc re-shingle below)
     )
     # Tier 2 on survivor docs only (see jaccard_ssjoin).
     surv_ids = (

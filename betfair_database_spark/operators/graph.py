@@ -62,7 +62,7 @@ def connected_components(
     # the cut, that whole pipeline would execute twice just to build sym.
     directed = edges.select(
         F.col(a).cast(node_t).alias("src"), F.col(b).cast(node_t).alias("dst")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
     sym = directed.union(
         directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -71,7 +71,7 @@ def connected_components(
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True)  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
     )
 
     converged = False
@@ -97,7 +97,7 @@ def connected_components(
                 F.min("lbl").alias("lbl"),
                 F.max(F.when(F.col("is_self"), F.col("lbl"))).alias("old_lbl"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True)  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
         )
         changed = (
             new_labels.where(F.col("lbl") != F.col("old_lbl")).limit(1).count()
@@ -169,7 +169,7 @@ def triangle_count(
         edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
         if canonical
         else canonical_edges(edges, a, b)
-    ).localCheckpoint()  # reused 4x below
+    ).localCheckpoint()  # lc-ok: pure compute; executor loss fails the query, rerun recomputes (reused 4x below)
     deg = (
         e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
         .groupBy("n")
@@ -193,7 +193,7 @@ def triangle_count(
         .alias("e")
     ).select("e.s", "e.t")
     if not broadcast_degrees:
-        fwd = fwd.localCheckpoint()
+        fwd = fwd.localCheckpoint()  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
     w1 = fwd.select(F.col("s"), F.col("t").alias("x"))
     w2 = fwd.select(F.col("s"), F.col("t").alias("y"))
     wedges = w1.join(w2, "s").where(F.col("x") < F.col("y"))
@@ -234,12 +234,12 @@ def pagerank(
     UNNORMALIZED 0.15 + d*sum form (ranks sum to ~N)."""
     both = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
         edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
-    ).localCheckpoint()
+    ).localCheckpoint()  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
     deg = both.groupBy("src").agg(F.count("*").alias("deg"))
-    out = both.join(deg, "src").localCheckpoint()
+    out = both.join(deg, "src").localCheckpoint()  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(1.0).alias("rank")
-    ).localCheckpoint()
+    ).localCheckpoint()  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
     base = 1.0 - damping
     for _ in range(max(1, iters)):
         contrib = (
@@ -259,7 +259,7 @@ def pagerank(
                 ).alias("rank")
             )
         )
-        ranks = contrib.localCheckpoint()
+        ranks = contrib.localCheckpoint()  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
     return ranks
 
 
@@ -291,7 +291,7 @@ def label_propagation(
     dirs = (
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False)  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
     )
     labels = (
         dirs.select(F.col("src").alias("node"))
@@ -314,7 +314,7 @@ def label_propagation(
             .select(
                 F.col("dst").alias("node"), (-F.col("m.nl")).alias("label")
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False)  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
         )
     return labels
 
@@ -379,7 +379,7 @@ def jaccard_similarity(
     )
     if broadcast_adjacency:
         # materialize once; both wedge sides and the degree agg reuse it
-        adj = adj.localCheckpoint()
+        adj = adj.localCheckpoint()  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
     deg = adj.groupBy("c").agg(F.count(F.lit(1)).alias("d")).select(
         F.col("c").alias("n"), "d"
     )

@@ -358,7 +358,7 @@ def balanced_shards(
     # partitioning for both consumers.
     local = with_pid.withColumn(
         "_lrn", F.row_number().over(local_w)
-    ).localCheckpoint()
+    ).localCheckpoint()  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
     counts = {
         r["_pid"]: r["cnt"]
         for r in local.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()

@@ -22,6 +22,8 @@ from operator import add
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from betfair_database_spark.plans.materialize import materialize
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -659,7 +661,7 @@ def embedding_near_dup_pairs_lsh(
     # docstring describes; locally a checkpoint stands in for it.
     buckets = lsh_hyperplane_buckets(
         df, bits, tables, seed, dims, id_col, vec_col
-    ).localCheckpoint()
+    ).localCheckpoint()  # lc-ok: pure compute; executor loss fails the query, rerun recomputes from source
     unpiv = buckets.select(
         F.col(id_col),
         F.posexplode(F.array(*[F.col(f"bucket_{t}") for t in range(tables)])).alias(
@@ -829,7 +831,7 @@ def dominant_component_projection(
     q = (
         quantize_int8(df.select(id_col, vec_col), vec_col)
         .select(id_col, "q8")
-        .localCheckpoint()  # consumed iters+1 times
+        .localCheckpoint()  # lc-ok: pure compute, consumed iters+1 times; rerun recomputes
     )
     w = _power_iterate(q, iters, dims)
     # Final projection in doubles: int->double conversions are correctly
@@ -880,7 +882,7 @@ def remove_dominant_component(
     q = (
         quantize_int8(df.select(id_col, vec_col), vec_col)
         .select(id_col, "q8")
-        .localCheckpoint()
+        .localCheckpoint()  # lc-ok: pure compute iteration carrier; rerun recomputes
     )
     w = _power_iterate(q, iters, dims)
     wd = [float(v) for v in w]
@@ -994,7 +996,7 @@ def recall_report(
     The exact frame is materialized once (k rows): each method's
     recall_at_k consumes it twice (count + semi-join), so leaving it lazy
     would re-run the exact top-k scan 2x per method."""
-    exact = exact.localCheckpoint()
+    exact = exact.localCheckpoint()  # lc-ok: k-row harness frame; rerun recomputes
     frames = [
         recall_at_k(df, exact, label=name, id_col=id_col)
         for name, df in methods.items()
@@ -1623,7 +1625,8 @@ def append_ann_index(
         id_col,
         vec_col,
         keep_cols=[("cell", "int"), (vec_col, "array<float>")],
-    ).localCheckpoint()
+    )
+    coded = materialize(coded, "ann-append-coded")
     n = coded.count()
     (
         coded.repartition(F.col("cell"))
@@ -1819,11 +1822,11 @@ def rebuild_ann_index(
     if not paths:
         return 0
     # Materialize: everything below rewrites the files this read resolves.
-    emb = (
+    emb = materialize(
         spark.read.option("basePath", path)
         .parquet(*paths)
-        .select(id_col, vec_col)
-        .localCheckpoint()
+        .select(id_col, vec_col),
+        "ann-rebuild-rows",
     )
     n = emb.count()
     centroids, _ = kmeans_fit(
@@ -2019,8 +2022,9 @@ def compact_ann_cells(
     ]
     # Materialize before the append below: the write lands in the very
     # directory this read is scanning.
-    df = (
-        spark.read.option("basePath", path).parquet(*paths).localCheckpoint()
+    df = materialize(
+        spark.read.option("basePath", path).parquet(*paths),
+        "ann-compact-rows",
     )
     listing = _ann_list_files(path)  # one walk, not one per cell
     pre = {cell: set(listing.get(cell, ())) for cell in todo}
@@ -2099,10 +2103,9 @@ def delete_from_ann_index(
     if isinstance(ids, DataFrame):
         # materialize: the id frame may derive from the very files this
         # delete retires (e.g. a probe of this same index)
-        id_frame = (
-            ids.select(F.col(ids.columns[0]).alias(id_col))
-            .distinct()
-            .localCheckpoint()
+        id_frame = materialize(
+            ids.select(F.col(ids.columns[0]).alias(id_col)).distinct(),
+            "ann-delete-ids",
         )
 
         def hit(df):
@@ -2147,7 +2150,7 @@ def delete_from_ann_index(
     ]
     # Materialize before the append below: the write lands in the very
     # directory this read is scanning.
-    kept = keep(reader.parquet(*tpaths)).localCheckpoint()
+    kept = materialize(keep(reader.parquet(*tpaths)), "ann-delete-kept")
     listing = _ann_list_files(path)
     pre = {cell: set(listing.get(cell, ())) for cell in touched}
     (
@@ -2368,7 +2371,7 @@ def mmr_rerank(
     )
     base = df.select(
         F.col(id_col), F.col(vec_col), rel.alias("rel"), norm.alias("_n")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False)  # lc-ok: pure compute (MMR base); rerun recomputes
     first = (
         base.orderBy(F.desc("rel"), F.asc(id_col)).limit(1).collect()[0]
     )

@@ -154,7 +154,7 @@ def unigram_logprob_scores(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
     ).where(F.col("w") != "")
-    freq = tok.groupBy("w").agg(F.count("*").alias("f")).localCheckpoint(eager=False)
+    freq = tok.groupBy("w").agg(F.count("*").alias("f")).localCheckpoint(eager=False)  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
     totals = freq.agg(
         (F.sum("f") + F.count("*")).cast("double").alias("denom")
     )
@@ -226,7 +226,7 @@ def _bpe_word_seqs(df: DataFrame, text_col: str) -> DataFrame:
             F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 ")
         ).alias("s"),
         F.col("f"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False)  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
 
 
 def _bpe_top_pair(seqs: DataFrame) -> DataFrame:
@@ -269,7 +269,7 @@ def _bpe_apply_merge(seqs: DataFrame, top: DataFrame) -> DataFrame:
             F.coalesce(merged, F.col("s")).alias("s"),
             F.col("f"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False)  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
     )
 
 
@@ -490,7 +490,7 @@ def bigram_logprob_scores(
             ).alias("b"),
         )
         .select(id_col, "b.w1", "b.w2")
-        .localCheckpoint(eager=False)  # feeds counts AND the score join
+        .localCheckpoint(eager=False)  # lc-ok: pure compute; executor loss fails the query, rerun recomputes (feeds counts AND the score join)
     )
     c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     c1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
@@ -564,11 +564,11 @@ def train_logreg_hashed(
         )
         .groupBy(id_col, "bucket")
         .agg(F.count("*").alias("cnt"))
-        .localCheckpoint()
+        .localCheckpoint()  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
     )
     labels = docs.select(
         F.col(id_col), label.cast("int").alias("y")
-    ).localCheckpoint()
+    ).localCheckpoint()  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
     n_docs = labels.count()
 
     w = {b: 0.0 for b in range(n_buckets)}

@@ -44,6 +44,8 @@ import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, functions as F
+
+from betfair_database_spark.plans.materialize import materialize
 from pyspark.sql.types import (
     DateType,
     LongType,
@@ -167,7 +169,11 @@ def rollup_update(db, repl: DataFrame, touched: list) -> None:
         ~db._partition_filter(touched)
     )
     fresh = summarize(repl.where(db._partition_filter(touched)))
-    _atomic_swap(db, keep.unionByName(fresh).localCheckpoint(), snap)
+    _atomic_swap(
+        db,
+        materialize(keep.unionByName(fresh), "rollup-replacement"),
+        snap,
+    )
 
 
 # =========================================================================
@@ -425,7 +431,7 @@ def spec_rollup_update(db, repl: DataFrame, touched: list) -> None:
         _spec_atomic_swap(
             db,
             path,
-            keep.unionByName(fresh).localCheckpoint(),
+            materialize(keep.unionByName(fresh), "spec-rollup-replacement"),
             {"index_snapshot": snap, "spec": spec, "name": name},
         )
 

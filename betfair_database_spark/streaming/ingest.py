@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from betfair_database_spark.const import SQL_TABLE_COLUMNS
+from betfair_database_spark.plans.materialize import materialize
 from betfair_database_spark.functions.flatten import (
     catalogue_to_flat,
     definition_to_flat,
@@ -153,11 +154,11 @@ def start_index_stream(
         w = Window.partitionBy("marketId").orderBy(
             F.col("marketMetadataFilePath").desc()
         )
-        rows = (
+        rows = materialize(
             rows.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
-            .drop("_rn")
-            .localCheckpoint()
+            .drop("_rn"),
+            "stream-index-batch-rows",
         )
         if not rows.head(1):
             return
@@ -167,7 +168,9 @@ def start_index_stream(
             kept = existing.join(
                 rows.select("marketId"), "marketId", "left_anti"
             )
-            merged = kept.unionByName(rows).localCheckpoint()
+            merged = materialize(
+                kept.unionByName(rows), "stream-index-merged"
+            )
         except AnalysisException:  # first batch: no index yet
             merged = rows
         merged.write.mode("overwrite").parquet(index_path)
@@ -240,7 +243,7 @@ def rollup_merge_batch(batch: DataFrame, batch_id: int, rollup_dir: str) -> None
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
-    part = summarize(rows).localCheckpoint()
+    part = materialize(summarize(rows), "stream-rollup-partials")
     if not part.head(1):
         return
     spark_ = part.sparkSession
@@ -261,8 +264,8 @@ def rollup_merge_batch(batch: DataFrame, batch_id: int, rollup_dir: str) -> None
             F.max("lastStart").alias("lastStart"),
         )
         .select(*out_cols)
-        .localCheckpoint()  # materialize before the swap below
     )
+    merged = materialize(merged, "stream-rollup-merged")  # before the swap
     # Idempotent swap: parquet into .swap, meta (recording batch_id) last,
     # then replace live. Any crash before the rename leaves the old live
     # dir serving and the replay re-merges from it; a crash between rmtree
@@ -316,7 +319,7 @@ def spec_rollup_merge_batch(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
-    part = summarize_spec(rows, spec).localCheckpoint()
+    part = materialize(summarize_spec(rows, spec), "stream-spec-partials")
     if not part.head(1):
         return
     spark_ = part.sparkSession
@@ -330,8 +333,8 @@ def spec_rollup_merge_batch(
         both.groupBy(*keys)
         .agg(*_spec_fold_partials(spec))
         .select(*part.columns)
-        .localCheckpoint()  # materialize before the swap below
     )
+    merged = materialize(merged, "stream-spec-merged")  # before the swap
     merged.coalesce(1).write.mode("overwrite").parquet(str(swap))
     (swap / _STREAM_META_NAME).write_text(
         json.dumps({"last_batch_id": batch_id, "spec": spec})

@@ -145,7 +145,7 @@ def knn_ann_index_appended_top10(spark, sf):
         similarity.compact_ann_cells(spark, path)
         out = similarity.query_ann_index(
             spark, path, None, None, q, k=10, nprobe=4, rerank="exact"
-        ).localCheckpoint()
+        ).localCheckpoint()  # lc-ok: gate-row scratch, materialized before its source dir is removed; rerun rebuilds
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return out

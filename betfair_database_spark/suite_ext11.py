@@ -85,7 +85,7 @@ def knn_ann_index_rebuilt_top10(spark, sf):
         )
         out = similarity.query_ann_index(
             spark, path, None, None, q, k=10, nprobe=4, rerank="exact"
-        ).localCheckpoint()
+        ).localCheckpoint()  # lc-ok: gate-row scratch, materialized before its source dir is removed; rerun rebuilds
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return out
@@ -164,7 +164,7 @@ def rollup_route_events_agg(spark, sf):
                 ("max", "ts", "last_ts"),
             ],
             where_expr="event_type <> 'view'",
-        ).localCheckpoint()
+        ).localCheckpoint()  # lc-ok: gate-row scratch, materialized before its source dir is removed; rerun rebuilds
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return out
@@ -199,7 +199,7 @@ def knn_ann_index_deleted_top10(spark, sf):
         assert n == len(doomed)
         out = similarity.query_ann_index(
             spark, path, None, None, q, k=10, nprobe=4, rerank="exact"
-        ).localCheckpoint()
+        ).localCheckpoint()  # lc-ok: gate-row scratch, materialized before its source dir is removed; rerun rebuilds
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return out

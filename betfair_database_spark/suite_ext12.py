@@ -91,7 +91,7 @@ def rollup_route_avg_derived_where(spark, sf):
             F.col("day").cast("string").alias("day"),
             "n_vals",
             F.round("avg_value_micros", 4).alias("avg_value_micros"),
-        ).localCheckpoint()
+        ).localCheckpoint()  # lc-ok: gate-row scratch, materialized before its source dir is removed; rerun rebuilds
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return out

@@ -372,7 +372,7 @@ def text_bigram_lift(spark, sf):
         toks.select(F.explode(bigrams).alias("bg"))
         .groupBy("bg")
         .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=False)  # both consumers reuse ONE explode
+        .localCheckpoint(eager=False)  # lc-ok: gate-row scratch, materialized before its source dir is removed; rerun rebuilds (both consumers reuse ONE explode)
     )
     bi = bi_all.where(F.col("c") >= 5)
     n_uni = uni.agg(F.sum("c").cast("double").alias("n_uni"))

@@ -775,7 +775,7 @@ def pipeline_semdedup_cells(spark, sf):
     ]
     # assign feeds three DAG branches (both pair sides + the survivor
     # accounting); checkpoint the 1-pass assignment so it runs once
-    assign = similarity.ivf_assign(emb, cents).localCheckpoint()
+    assign = similarity.ivf_assign(emb, cents).localCheckpoint()  # lc-ok: gate-row scratch, materialized before its source dir is removed; rerun rebuilds
     pairs = similarity.embedding_near_dup_pairs(
         assign, threshold=0.4, block_col="cell"
     )
@@ -894,7 +894,7 @@ def multimodal_frame_sample(spark, sf):
 
     media = d.select("doc_id", "n_chars").mapInPandas(
         _make, schema="doc_id long, payload binary"
-    ).localCheckpoint()  # synthesized once; feeds the index AND the cut
+    ).localCheckpoint()  # lc-ok: gate-row scratch, materialized before its source dir is removed; rerun rebuilds (synthesized once; feeds the index AND the cut)
 
     totals = (
         multimodal.video_frame_table(media)

@@ -197,7 +197,7 @@ def ev_type_drift_kl(spark, sf):
     c = ev.groupBy(
         F.col("ts").cast("date").cast("string").alias("day"), "event_type"
     ).agg(F.count("*").alias("n"))
-    c = c.localCheckpoint(eager=False)  # three consumers, one materialization
+    c = c.localCheckpoint(eager=False)  # lc-ok: gate-row scratch, materialized before its source dir is removed; rerun rebuilds (three consumers, one materialization)
     d = c.groupBy("day").agg(F.sum("n").alias("day_n"))
     g = c.groupBy("event_type").agg(F.sum("n").alias("type_n"))
     t = c.agg(F.sum("n").alias("total_n"))
@@ -266,7 +266,7 @@ def ev_value_drift_ks(spark, sf):
         F.least(F.floor(F.col("value") / 25), F.lit(19)).cast("long").alias("bin"),
     )
     c = b.groupBy("day", "bin").agg(F.count("*").alias("n"))
-    c = c.localCheckpoint(eager=False)  # four consumers
+    c = c.localCheckpoint(eager=False)  # lc-ok: gate-row scratch, materialized before its source dir is removed; rerun rebuilds (four consumers)
     bins = spark.range(0, 20).select(F.col("id").alias("bin"))
     grid = c.select("day").distinct().crossJoin(F.broadcast(bins))
     wday = Window.partitionBy("day").orderBy("bin")

@@ -148,7 +148,7 @@ def pipeline_cluster_balance(spark, sf):
     # the assignment plan feeds the window, the floor agg AND the final
     # join — checkpoint so the literal-argmax job runs once, not three
     # times
-    assigned = assigned.localCheckpoint()
+    assigned = assigned.localCheckpoint()  # lc-ok: gate-row scratch, materialized before its source dir is removed; rerun rebuilds
     sized = assigned.select(
         "cell",
         "vec_id",

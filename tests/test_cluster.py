@@ -1,0 +1,91 @@
+"""Cluster realism (round 11, verdict #1): the engine must survive
+multi-JVM execution and executor loss, not just local[32].
+
+Three layers:
+- a mechanical audit: every lineage-cut site in package source either
+  routes through plans.materialize (maintenance paths — switchable to
+  reliable checkpoint for preemptible fleets) or carries an ``lc-ok:``
+  annotation stating its recompute story (pure-compute / gate-scratch
+  sites, where an executor loss fails the query and a rerun recomputes);
+- unit behavior of the materialize switch itself;
+- a REAL fault injection: scripts/cluster_fault_inject.py runs a full
+  corpus insert() on local-cluster[2,2,1536] in reliable mode and
+  SIGKILLs an executor JVM while the insert's jobs run — the insert
+  must complete with the exact expected rows. (Subprocess: a second
+  SparkContext cannot live inside the pytest JVM.)
+"""
+
+from __future__ import annotations
+
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+PKG = Path(__file__).resolve().parents[1] / "betfair_database_spark"
+
+
+def test_every_localcheckpoint_site_is_audited():
+    """No naked localCheckpoint in package source: maintenance sites go
+    through plans.materialize (cluster-survivability switch); the rest
+    must carry an ``lc-ok:`` recompute-story annotation on the line."""
+    pat = re.compile(r"\.localCheckpoint\(")
+    offenders = []
+    for py in sorted(PKG.rglob("*.py")):
+        if py.name == "materialize.py":
+            continue
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if pat.search(line) and "lc-ok:" not in line:
+                offenders.append(f"{py.relative_to(PKG)}:{i}: {line.strip()}")
+    assert not offenders, (
+        "unaudited localCheckpoint site(s) — route maintenance frames "
+        "through plans.materialize.materialize, or annotate pure-compute "
+        "sites with '# lc-ok: <recompute story>':\n" + "\n".join(offenders)
+    )
+
+
+def test_materialize_mode_switch(spark, tmp_path):
+    from betfair_database_spark.plans.materialize import materialize
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    # default: localCheckpoint semantics (lineage cut, rows served)
+    out = materialize(df, "unit")
+    assert out.count() == 100
+    # reliable without a checkpoint dir: loud, names the site
+    try:
+        spark.conf.set("spark.bfdb.materialize.mode", "reliable")
+        if spark.sparkContext.getCheckpointDir() is None:
+            with pytest.raises(ValueError, match="decision-frame"):
+                materialize(df, "decision-frame")
+        # reliable with a dir: checkpoints to it and serves the rows
+        spark.conf.set("spark.bfdb.checkpointDir", str(tmp_path / "ckpt"))
+        out = materialize(df, "unit-reliable")
+        assert out.count() == 100
+        assert spark.sparkContext.getCheckpointDir() is not None
+        # unknown mode: loud
+        spark.conf.set("spark.bfdb.materialize.mode", "replicated")
+        with pytest.raises(ValueError, match="not a materialize mode"):
+            materialize(df, "unit")
+    finally:
+        spark.conf.unset("spark.bfdb.materialize.mode")
+        spark.conf.unset("spark.bfdb.checkpointDir")
+
+
+def test_insert_survives_executor_kill_on_local_cluster():
+    """The verdict-#1 fault injection: SIGKILL an executor JVM while a
+    reliable-mode insert runs on a real multi-JVM cluster; the insert
+    completes with the exact corpus row count. ~2-3 min (worker JVM
+    startup + corpus ETL)."""
+    script = PKG.parents[0] / "scripts" / "cluster_fault_inject.py"
+    r = subprocess.run(
+        [sys.executable, str(script)],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        cwd=str(PKG.parents[0]),
+    )
+    tail = (r.stdout + r.stderr)[-2000:]
+    assert r.returncode == 0, tail
+    assert "FAULT-INJECTION OK" in r.stdout, tail

@@ -174,6 +174,7 @@ HEADLINE = [
     "rollup_route_events_agg",
     "dedup_url_canonical_stats",
     "sample_doremi_reweight",
+    "rollup_route_avg_derived_where",
 ]
 
 

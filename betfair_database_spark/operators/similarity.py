@@ -1381,13 +1381,17 @@ def write_ann_index(
         .partitionBy("cell")
         .parquet(path)
     )
+    cells = _ann_list_files(path)
     _ann_manifest_commit(
         path,
         {
             "m": m,
             "anchors": anchors,
             "centroids": [[cid, list(map(float, c))] for cid, c in centroids],
-            "cells": _ann_list_files(path),
+            "cells": cells,
+            "vec_counts": _ann_scan_vec_counts(
+                emb.sparkSession, path, cells
+            ),
         },
     )
     return anchors
@@ -1404,6 +1408,35 @@ def write_ann_index(
 _ANN_MANIFEST = "_ann_manifest.json"
 _ANN_SNAPSHOT_DIR = "_ann_snapshots"
 ANN_LOCK_LEASE_SECONDS = 300.0
+
+
+def _ann_scan_vec_counts(spark, path: str, cells: dict) -> dict:
+    """Per-cell VECTOR counts by scanning the given committed file map —
+    the migration/(re)build path only. Steady state never calls this:
+    every maintenance commit keeps ``vec_counts`` in the manifest
+    incrementally (append adds its batch counts, delete subtracts its
+    per-cell hits, compact preserves membership), so the drift policy
+    and ``ann_fragmentation`` read a dict instead of running an
+    index-sized job per append."""
+    paths = [
+        f"{path}/cell={cell}/{name}"
+        for cell, names in cells.items()
+        for name in names
+    ]
+    if not paths:
+        return {}
+    rows = (
+        spark.read.option("basePath", path)
+        .parquet(*paths)
+        .groupBy("cell")
+        .count()
+        .collect()
+    )
+    counts = {str(r["cell"]): int(r["count"]) for r in rows}
+    # a committed-but-empty cell keeps an explicit 0 (delete can empty one)
+    for cell in cells:
+        counts.setdefault(str(cell), 0)
+    return counts
 
 
 def _ann_lock(path: str, lease_seconds: "float | None" = None):
@@ -1651,7 +1684,19 @@ def append_ann_index(
             ]
             for cell, names in new_cells.items()
         }
-    commit = {**manifest, "cells": new_cells}
+    # vec_counts stay manifest-resident and INCREMENTAL: the batch's
+    # per-cell counts come from the already-materialized coded frame
+    # (batch-sized job), never from an index scan. Pre-round-11
+    # manifests lack the field — migrate once with a full scan here.
+    old_counts = manifest.get("vec_counts")
+    if old_counts is None:
+        vec_counts = _ann_scan_vec_counts(spark, path, new_cells)
+    else:
+        vec_counts = dict(old_counts)
+        for r in coded.groupBy("cell").count().collect():
+            cell = str(r["cell"])
+            vec_counts[cell] = vec_counts.get(cell, 0) + int(r["count"])
+    commit = {**manifest, "cells": new_cells, "vec_counts": vec_counts}
     if stream_batch_id is not None:
         commit["last_stream_batch_id"] = stream_batch_id
         if stream_id is not None:
@@ -1687,8 +1732,8 @@ def _ann_skew_policy(spark, path: str, retain_snapshots: int) -> None:
     maxFilesPerCell closure of the compaction gap. Default action is a
     LOUD recommendation; set ``spark.bfdb.ann.autoRebuild=true`` to
     re-cluster in place (under the append's already-held maintenance
-    lock). The skew measurement is one footer-weight job (partition
-    column + counts only), bounded by index size, not append size."""
+    lock). The skew measurement reads the manifest's incremental
+    vec_counts — a dict lookup, no job, regardless of index size."""
     try:
         thr = float(spark.conf.get("spark.bfdb.ann.maxCellSkew", "4.0"))
     except ValueError:
@@ -1726,10 +1771,13 @@ def _ann_skew_policy(spark, path: str, retain_snapshots: int) -> None:
 def ann_fragmentation(path: str, spark=None) -> dict:
     """Committed-layout report: per-cell file counts plus the max — the
     signal auto-compaction acts on, exposed for operators who run with
-    ``max_files_per_cell=0``. With ``spark`` given, also per-cell VECTOR
-    counts and the max/mean skew ratio — the signal for
-    ``rebuild_ann_index`` (appends drift away from the original
-    centroids; a hot cell turns probes into scans of that cell)."""
+    ``max_files_per_cell=0`` — and per-cell VECTOR counts with the
+    max/mean ``cell_skew`` ratio, the signal the drift policy and
+    ``rebuild_ann_index`` act on (appends drift away from the original
+    centroids; a hot cell turns probes into scans of that cell).
+    Vector counts come straight from the manifest (round 11 — kept
+    incrementally by every maintenance commit, zero Spark jobs);
+    ``spark`` is only needed to migrate a pre-round-11 manifest."""
     manifest = ann_manifest_read(path)
     if manifest is None:
         raise ValueError(
@@ -1742,28 +1790,22 @@ def ann_fragmentation(path: str, spark=None) -> dict:
         "max_files_per_cell": max(counts.values()) if counts else 0,
         "total_files": sum(counts.values()),
     }
-    if spark is not None:
-        paths = [
-            f"{path}/cell={cell}/{name}"
-            for cell, names in manifest["cells"].items()
-            for name in names
-        ]
-        if paths:
-            rows = (
-                spark.read.option("basePath", path)
-                .parquet(*paths)
-                .groupBy("cell")
-                .count()
-                .collect()
-            )
-            vec = {str(r["cell"]): int(r["count"]) for r in rows}
-            n = sum(vec.values())
-            k = max(len(vec), 1)
-            out["vectors"] = vec
-            out["total_vectors"] = n
-            out["cell_skew"] = round(
-                max(vec.values()) / (n / k), 2
-            ) if n else 0.0
+    # Vector counts: manifest-resident since round 11 — every maintenance
+    # commit keeps them incrementally, so the skew report (and the
+    # per-append drift policy) is a dict read, ZERO Spark jobs. The scan
+    # below is only the migration path for pre-round-11 manifests.
+    vec = manifest.get("vec_counts")
+    if vec is None and spark is not None:
+        vec = _ann_scan_vec_counts(spark, path, manifest["cells"])
+    if vec is not None:
+        vec = {str(c): int(n) for c, n in vec.items()}
+        n = sum(vec.values())
+        k = max(len(vec), 1)
+        out["vectors"] = vec
+        out["total_vectors"] = n
+        out["cell_skew"] = round(
+            max(vec.values()) / (n / k), 2
+        ) if vec and n else 0.0
     return out
 
 
@@ -1872,6 +1914,7 @@ def rebuild_ann_index(
         "anchors": anchors,
         "centroids": [[cid, list(map(float, c))] for cid, c in centroids],
         "cells": new_cells,
+        "vec_counts": _ann_scan_vec_counts(spark, path, new_cells),
     }
     if "last_stream_batch_id" in manifest:
         commit["last_stream_batch_id"] = manifest["last_stream_batch_id"]
@@ -2165,8 +2208,17 @@ def delete_from_ann_index(
         new_cells[cell] = [
             nm for nm in after.get(cell, ()) if nm not in pre[cell]
         ]
+    old_counts = manifest.get("vec_counts")
+    if old_counts is None:
+        vec_counts = _ann_scan_vec_counts(spark, path, new_cells)
+    else:
+        vec_counts = dict(old_counts)
+        for cell, n_hit in touched.items():
+            vec_counts[cell] = max(0, vec_counts.get(cell, 0) - n_hit)
     # COMMIT: atomic manifest rename — deleted ids disappear here.
-    _ann_manifest_commit(path, {**manifest, "cells": new_cells})
+    _ann_manifest_commit(
+        path, {**manifest, "cells": new_cells, "vec_counts": vec_counts}
+    )
     retained = _ann_retained_files(path, retain_snapshots)
     root = Path(path)
     for cell in touched:

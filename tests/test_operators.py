@@ -2555,3 +2555,57 @@ def test_label_propagation_matches_python_reference(spark):
     # the two cliques keep separate majority labels despite the bridge
     lab = lpa_py(edges, 2)
     assert len({lab[0], lab[1], lab[2]} | {lab[11], lab[12]}) > 1
+
+
+def test_ann_manifest_vec_counts_track_lifecycle(spark, tmp_path):
+    """Round 11: per-cell vector counts live IN the manifest and every
+    maintenance commit keeps them exact incrementally — build, append,
+    delete, compact, rebuild — so the drift policy and
+    ann_fragmentation cost a dict read, not an index scan per append.
+    Pinned by comparing the manifest counts against a fresh scan after
+    every lifecycle step, and by cell_skew being served without spark."""
+    import random
+
+    from betfair_database_spark.operators import similarity as sim
+
+    rng = random.Random(29)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(150)]
+    mk = lambda chunk: spark.createDataFrame(
+        chunk, "vec_id long, embedding array<float>"
+    )
+    path = str(tmp_path / "ann_counts")
+
+    def assert_counts_exact(step):
+        manifest = sim.ann_manifest_read(path)
+        assert "vec_counts" in manifest, step
+        scanned = sim._ann_scan_vec_counts(spark, path, manifest["cells"])
+        assert manifest["vec_counts"] == scanned, (step, manifest["vec_counts"], scanned)
+        # the no-spark report serves cell_skew straight from the manifest
+        frag = sim.ann_fragmentation(path)
+        assert "cell_skew" in frag and frag["total_vectors"] == sum(
+            scanned.values()
+        ), step
+
+    sim.write_ann_index(
+        mk(rows[:90]), path, sim.kmeans_seeds(mk(rows[:90]), 4)
+    )
+    assert_counts_exact("build")
+    sim.append_ann_index(mk(rows[90:120]), path)
+    assert_counts_exact("append")
+    sim.append_ann_index(mk(rows[120:]), path)
+    assert_counts_exact("append2")
+    doomed = [i for i in range(150) if i % 5 == 0]
+    assert sim.delete_from_ann_index(spark, path, doomed) == len(doomed)
+    assert_counts_exact("delete")
+    sim.compact_ann_cells(spark, path, max_files_per_cell=1)
+    assert_counts_exact("compact")
+    sim.rebuild_ann_index(spark, path, kmeans_iters=2, train_iters=0)
+    assert_counts_exact("rebuild")
+    # migration path: a pre-round-11 manifest (no vec_counts) gets the
+    # field back on the next maintenance commit
+    manifest = sim.ann_manifest_read(path)
+    manifest.pop("vec_counts")
+    sim._ann_manifest_commit(path, manifest)
+    assert "vec_counts" not in sim.ann_manifest_read(path)
+    sim.append_ann_index(mk([(9000 + i, v) for i, (_, v) in enumerate(rows[:10])]), path)
+    assert_counts_exact("migration-append")

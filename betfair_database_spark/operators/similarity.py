@@ -1748,12 +1748,45 @@ def _ann_skew_policy(spark, path: str, retain_snapshots: int) -> None:
         == "true"
     )
     if auto:
+        designed = len((ann_manifest_read(path) or {}).get("centroids", ()))
         rebuild_ann_index(
             spark,
             path,
             retain_snapshots=retain_snapshots,
             _locked=True,  # already under this append's lock
         )
+        # Thrash guard: a rebuild that could NOT fix what triggered it
+        # means the distribution is inherently skewed, and the next
+        # append would trigger another full re-cluster — one rebuild
+        # per batch. Two degenerate outcomes, both loud: (a) skew still
+        # above the threshold; (b) the retrained k-means COLLAPSED the
+        # designed cell count (duplicate mass merges centroids — found
+        # writing this guard's test: a point mass turns an 8-cell index
+        # into 1 cell, which reads as "skew 1.0" while destroying IVF
+        # probe pruning entirely). Counts and centroid lists are
+        # manifest-resident, so both checks are dict reads.
+        rebuilt = ann_manifest_read(path) or {}
+        after = ann_fragmentation(path).get("cell_skew", 0.0)
+        collapsed = len(rebuilt.get("centroids", ())) < designed
+        if after > thr or collapsed:
+            import warnings
+
+            shape = (
+                f"cell count collapsed {designed} -> "
+                f"{len(rebuilt.get('centroids', ()))}"
+                if collapsed
+                else f"cell_skew {after} still > maxCellSkew={thr}"
+            )
+            warnings.warn(
+                f"ANN auto-rebuild at {path} did not restore balance "
+                f"({shape}): the vector distribution is inherently "
+                "skewed (duplicated mass / collapsed modes). Further "
+                "appends will keep triggering full rebuilds — raise "
+                "spark.bfdb.ann.maxCellSkew, set it to 0, or collapse "
+                "exact/near-duplicate vectors upstream "
+                "(collapse_exact_vectors).",
+                stacklevel=3,
+            )
         return
     import warnings
 
@@ -1800,7 +1833,14 @@ def ann_fragmentation(path: str, spark=None) -> dict:
     if vec is not None:
         vec = {str(c): int(n) for c, n in vec.items()}
         n = sum(vec.values())
-        k = max(len(vec), 1)
+        # skew denominator = the index's NOMINAL cell count (its designed
+        # probe parallelism), not the live-cell count: a collapsed
+        # distribution empties cells, and a live-cell denominator would
+        # cap skew at k_live and HIDE exactly the degeneracy the signal
+        # exists to report (round 11 — found writing the thrash-guard
+        # test: 60 identical vectors in 1 of 8 designed cells must read
+        # as skew ~7, not ~2)
+        k = max(len(manifest.get("centroids", ())), len(vec), 1)
         out["vectors"] = vec
         out["total_vectors"] = n
         out["cell_skew"] = round(

@@ -2046,8 +2046,10 @@ def test_ann_skew_policy_warns_and_auto_rebuilds(spark, tmp_path):
     try:
         spark.conf.set("spark.bfdb.ann.autoRebuild", "true")
         with _warnings.catch_warnings():
-            # no recommendation warning on the auto path
-            _warnings.filterwarnings("error", message=".*cell_skew.*")
+            # no RECOMMENDATION warning on the auto path (the thrash
+            # guard may legitimately fire: this synthetic cluster can
+            # stay skewed after a re-cluster)
+            _warnings.filterwarnings("error", message=".*drifted from.*")
             assert sim.append_ann_index(mk(hot[120:]), path) == 40
     finally:
         spark.conf.unset("spark.bfdb.ann.autoRebuild")
@@ -2076,6 +2078,43 @@ def test_ann_skew_policy_warns_and_auto_rebuilds(spark, tmp_path):
             )
     finally:
         spark.conf.unset("spark.bfdb.ann.maxCellSkew")
+
+
+def test_ann_auto_rebuild_thrash_guard_warns(spark, tmp_path):
+    """Round 11: when the vector distribution is INHERENTLY skewed (mass
+    duplication — k-means cannot spread one point mass over k cells),
+    auto-rebuild cannot restore balance and every further append would
+    trigger another full re-cluster. The policy detects the failed
+    rebuild (post-rebuild skew still above threshold, a manifest dict
+    read) and says so loudly instead of silently thrashing."""
+    import pytest as _pytest
+
+    from betfair_database_spark.operators import similarity as sim
+
+    # one point mass + 7 spread outliers over an 8-cell design: the mass
+    # is IDENTICAL vectors — no centroid retraining can split it, so
+    # skew stays ~ n_mass / (n/8) far above the threshold after the
+    # rebuild (cell_skew measures against the NOMINAL cell count, so a
+    # collapsed distribution cannot hide by emptying cells)
+    mass = [(i, [1.0] * 8) for i in range(60)]
+    outliers = [
+        (100 + i, [0.0] * i + [-5.0] + [0.0] * (7 - i)) for i in range(7)
+    ]
+    mk = lambda chunk: spark.createDataFrame(
+        chunk, "vec_id long, embedding array<float>"
+    )
+    base = mass[:20] + outliers
+    cents = [(1, [1.0] * 8)] + [
+        (i + 2, [0.0] * i + [-5.0] + [0.0] * (7 - i)) for i in range(7)
+    ]
+    path = str(tmp_path / "ann_thrash")
+    sim.write_ann_index(mk(base), path, cents)
+    try:
+        spark.conf.set("spark.bfdb.ann.autoRebuild", "true")
+        with _pytest.warns(UserWarning, match="did not restore balance"):
+            sim.append_ann_index(mk(mass[20:]), path)
+    finally:
+        spark.conf.unset("spark.bfdb.ann.autoRebuild")
 
 
 def test_train_logreg_hashed_learns_separation(spark):

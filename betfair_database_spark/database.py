@@ -932,9 +932,14 @@ def _scan_agg_sql(col_entry: str) -> str:
     if not m:
         return col_entry
     op, c, alias = m.group(1).lower(), m.group(2), m.group(3)
-    if op == "approx_count_distinct":
+    # No-alias entries are NEVER routable (parse_select_shape requires
+    # an explicit alias), so there is no routed/scan estimator seam to
+    # protect — and rewriting them would silently change the output
+    # column name (the return_dict key) and the estimate between
+    # releases (round-12 ADVICE). Leave them to Spark verbatim.
+    if op == "approx_count_distinct" and alias:
         twin = f"hll_sketch_estimate(hll_sketch_agg(cast({c} as string)))"
-        return f"{twin} AS {alias}" if alias else twin
+        return f"{twin} AS {alias}"
     if op == "avg" and c not in (None, "*") and alias:
         twin = (
             f"CASE WHEN count({c}) > 0 THEN sum({c}) / count({c}) END"

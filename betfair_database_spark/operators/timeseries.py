@@ -335,18 +335,21 @@ def _stats_cache_dir(spark):
 
 
 def _stats_persist_key(proj: DataFrame, key: str, ts_col: str):
-    """Cold-session-stable cache key: md5 over the CANONICALIZED analyzed
-    plan (expression ids normalized — stable for the same query text
-    across sessions) plus the backing file names (parquet part names are
-    content-addressed-ish UUIDs, so a rewrite changes the key) plus
-    (key, ts_col). In-memory frames have no files and are never
-    persisted. Same staleness contract as the memo: stats pick a
-    physical strategy, never affect results, so a miss-classification
-    from an exotic rewrite is a perf wobble, not a wrong answer."""
+    """Cold-session-stable cache key: md5 over the full output schema,
+    the CANONICALIZED plan's semanticHash (a structural hash —
+    expression ids normalized, stable for the same query text across
+    sessions, and unlike ``toString()`` never truncated at
+    ``spark.sql.debug.maxToStringFields``, which silently collided two
+    wide-but-different plans onto one sidecar entry — round-12 ADVICE),
+    the backing file names (parquet part names are content-addressed-ish
+    UUIDs, so a rewrite changes the key), and (key, ts_col). In-memory
+    frames have no files and are never persisted. Same staleness
+    contract as the memo: stats pick a physical strategy, never affect
+    results, so a collision from a semanticHash clash is a perf wobble,
+    not a wrong answer."""
     try:
-        canon = (
-            proj._jdf.queryExecution().analyzed().canonicalized().toString()
-        )
+        sem = int(proj._jdf.queryExecution().analyzed().semanticHash())
+        schema_json = proj.schema.json()
         files = sorted(proj.inputFiles())
     except Exception:  # Connect / API drift: skip persistence
         return None
@@ -354,7 +357,7 @@ def _stats_persist_key(proj: DataFrame, key: str, ts_col: str):
         return None
     import hashlib as _hashlib
 
-    h = _hashlib.md5(canon.encode())
+    h = _hashlib.md5(f"{sem}|{schema_json}".encode())
     for f in files:
         h.update(f.encode())
     h.update(f"|{key}|{ts_col}".encode())
@@ -373,7 +376,9 @@ def _stats_sidecar_read(cache_dir: str, pk: str):
         return None
 
 
-def _stats_sidecar_write(cache_dir: str, pk: str, out) -> None:
+def _stats_sidecar_write(
+    cache_dir: str, pk: str, out, max_entries: int = 512
+) -> None:
     import json as _json
     import os as _os
     import tempfile as _tempfile
@@ -384,6 +389,21 @@ def _stats_sidecar_write(cache_dir: str, pk: str, out) -> None:
         with _os.fdopen(fd, "w") as fh:
             _json.dump({"n": out[0], "k": out[1], "span": out[2]}, fh)
         _os.replace(tmp, _os.path.join(cache_dir, pk + ".json"))
+        # Bound the sidecar directory (round-12 ADVICE: default-on cache
+        # with no eviction): keep the newest ``max_entries`` by mtime —
+        # writes happen once per cold probe, so the listing is rare.
+        entries = [
+            e
+            for e in _os.scandir(cache_dir)
+            if e.name.endswith(".json")
+        ]
+        if len(entries) > max_entries:
+            entries.sort(key=lambda e: e.stat().st_mtime)
+            for e in entries[: len(entries) - max_entries]:
+                try:
+                    _os.unlink(e.path)
+                except OSError:
+                    pass
     except OSError:
         pass  # cache-dir trouble never fails the query
 
@@ -428,7 +448,15 @@ def dispatch_stats(
             return memoize(cached)
     out = memoize(_dispatch_stats(proj, key, ts_col))
     if pk is not None:
-        _stats_sidecar_write(cache_dir, pk, out)
+        try:
+            cap = int(
+                proj.sparkSession.conf.get(
+                    "spark.bfdb.dispatch.statsMaxEntries", "512"
+                )
+            )
+        except Exception:
+            cap = 512
+        _stats_sidecar_write(cache_dir, pk, out, max_entries=cap)
     return out
 
 

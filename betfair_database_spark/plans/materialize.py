@@ -45,10 +45,24 @@ or carries the annotation.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame
 
 MODE_CONF = "spark.bfdb.materialize.mode"
 CKPT_DIR_CONF = "spark.bfdb.checkpointDir"
+# Reliable checkpoints are only reaped by Spark's ContextCleaner when
+# spark.cleaner.referenceTracking.cleanCheckpoints=true was set at
+# CONTEXT construction (and then only on RDD GC) — a long-lived cluster
+# running dozens of materialize sites per maintenance op otherwise grows
+# the checkpoint directory without bound (round-12 ADVICE). The engine
+# therefore sweeps aged checkpoint data itself: any rdd-* dir older than
+# the TTL predates every live maintenance op by construction (maintenance
+# frames live minutes, not days) and is garbage regardless of which
+# (possibly dead) SparkContext wrote it.
+SWEEP_TTL_CONF = "spark.bfdb.checkpoint.ttlSeconds"  # default 1 day
+SWEEP_INTERVAL_CONF = "spark.bfdb.checkpoint.sweepIntervalSeconds"
+_SWEEP_STATE = {"t": 0.0}  # monotonic time of the last sweep (throttle)
 
 
 def materialize(df: DataFrame, role: str = "intermediate") -> DataFrame:
@@ -81,4 +95,84 @@ def materialize(df: DataFrame, role: str = "intermediate") -> DataFrame:
                 f"to executor-local blocks for {role!r}"
             )
         sc.setCheckpointDir(ckpt)
-    return df.checkpoint(eager=True)
+    out = df.checkpoint(eager=True)
+    _maybe_sweep(spark)
+    return out
+
+
+def _maybe_sweep(spark) -> None:
+    """Throttled aged-checkpoint sweep in reliable mode — at most one
+    sweep per ``SWEEP_INTERVAL_CONF`` seconds (default 600; 0 disables)
+    per driver process. Sweep trouble never fails the maintenance op."""
+    try:
+        interval = float(spark.conf.get(SWEEP_INTERVAL_CONF, "600") or 0)
+    except Exception:
+        interval = 600.0
+    if interval <= 0:
+        return
+    now = time.monotonic()
+    if now - _SWEEP_STATE["t"] < interval:
+        return
+    _SWEEP_STATE["t"] = now
+    try:
+        sweep_checkpoints(spark)
+    except Exception:
+        pass
+
+
+def sweep_checkpoints(spark, ttl_seconds: "float | None" = None) -> int:
+    """Delete reliable-checkpoint ``rdd-*`` directories older than the
+    TTL (default ``SWEEP_TTL_CONF`` = 86400 s), across ALL context
+    subdirectories of the configured checkpoint root — dead contexts
+    (each SparkContext checkpoints under its own UUID subdir) leave
+    their garbage behind forever otherwise. Foreign context dirs left
+    empty by the reap are removed too. Uses the Hadoop FileSystem of the
+    checkpoint path, so the sweep works on HDFS/S3A exactly like the
+    local FS. Returns the number of rdd dirs deleted.
+
+    Safety: the TTL must dwarf the longest maintenance op (materialize
+    frames are consumed within the op that created them, minutes at
+    most); anything older is unreferenced by every LIVE job regardless
+    of which driver wrote it. The current context's fresh checkpoints
+    are always younger than the TTL and untouched."""
+    sc = spark.sparkContext
+    cur = sc.getCheckpointDir()
+    root = spark.conf.get(CKPT_DIR_CONF, "") or None
+    if ttl_seconds is None:
+        try:
+            ttl_seconds = float(spark.conf.get(SWEEP_TTL_CONF, "86400"))
+        except ValueError:
+            ttl_seconds = 86400.0
+    jvm = spark._jvm
+    HPath = jvm.org.apache.hadoop.fs.Path
+    if root is not None:
+        base = HPath(root)
+    elif cur is not None:
+        base = HPath(cur).getParent()
+    else:
+        return 0
+    fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(base):
+        return 0
+    cutoff_ms = (time.time() - ttl_seconds) * 1000.0
+    cur_uri = HPath(cur).toUri().getPath() if cur is not None else None
+    removed = 0
+    for ctx in fs.listStatus(base):
+        if not ctx.isDirectory():
+            continue
+        ctx_path = ctx.getPath()
+        live = 0
+        for child in fs.listStatus(ctx_path):
+            name = child.getPath().getName()
+            if (
+                child.isDirectory()
+                and name.startswith("rdd-")
+                and child.getModificationTime() < cutoff_ms
+            ):
+                fs.delete(child.getPath(), True)
+                removed += 1
+            else:
+                live += 1
+        if live == 0 and ctx_path.toUri().getPath() != cur_uri:
+            fs.delete(ctx_path, True)  # emptied dead-context dir
+    return removed

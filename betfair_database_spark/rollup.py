@@ -56,6 +56,15 @@ from pyspark.sql.types import (
 
 ROLLUP_DIRNAME = ".betfairdatabaserollup.parquet"
 _META_NAME = "_rollup_meta.json"
+# Storage-format version of the BUILT-IN rollup (round-12 ADVICE).
+# Format 2 = sums store NULL (not coalesced 0) for all-NULL cells
+# (round-11 parity fix). A pre-round-11 rollup keeps 0s in partitions
+# never touched since (rollup_update only recomputes touched ones), so
+# routed sum over such a cell would return 0 while the scan returns
+# NULL. A format-1 rollup is therefore NEVER a routing candidate,
+# rollup_read refuses it loudly, and maintenance heals it by a one-time
+# full rebuild.
+ROLLUP_FORMAT = 2
 
 ROLLUP_SCHEMA = StructType(
     [
@@ -120,7 +129,13 @@ def _atomic_swap(db, frame: DataFrame, index_snapshot: int) -> int:
     out.coalesce(1).write.mode("overwrite").parquet(str(tmp))
     n = db.spark.read.schema(ROLLUP_SCHEMA).parquet(str(tmp)).count()
     (tmp / _META_NAME).write_text(
-        json.dumps({"index_snapshot": index_snapshot, "rows": n})
+        json.dumps(
+            {
+                "index_snapshot": index_snapshot,
+                "rows": n,
+                "format": ROLLUP_FORMAT,
+            }
+        )
     )
     if live.exists():
         shutil.rmtree(live)
@@ -153,6 +168,13 @@ def rollup_update(db, repl: DataFrame, touched: list) -> None:
         return
     snap = _manifest_snapshot_no(db._index_path)
     meta = _meta_read(live)
+    if meta is not None and meta.get("format", 1) < ROLLUP_FORMAT:
+        # pre-format-2 rollup: untouched partitions may carry coalesced
+        # 0s where format 2 stores NULL — carrying them over would
+        # launder the wrong values forever; heal by a one-time full
+        # rebuild (round-12 ADVICE)
+        rollup_build(db)
+        return
     if meta is None or meta.get("index_snapshot") not in (snap - 1, snap):
         # Snapshot numbers are sequential, so the only safe incremental
         # bases are snap-1 (the normal post-commit call: rollup was fresh
@@ -203,8 +225,47 @@ import re as _re
 
 _SPEC_AGG_RE = _re.compile(
     r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*"
-    r"(count|sum|min|max|approx_count_distinct)\s*\(\s*([^)]*?)\s*\)\s*$"
+    r"(count|sumsq|sum|min|max|approx_count_distinct)\s*\(\s*([^)]*?)\s*\)\s*$"
 )
+
+# ---- second-moment serving (round 12, verdict #4) ----------------------
+# stddev/var select() aggregates are DERIVED from three exact partials —
+# count(col), sum(col), sumsq(col) — through ONE formula both the routed
+# path (merge_partials) and the scan twin (database._scan_agg_sql) build
+# from this module, so routed == scan bit-for-bit whenever the partials
+# are exact (integer/decimal columns; double columns are one
+# summation-order away from +-ulp, same caveat as any float sum).
+# The cancellation guard (greatest 0) keeps sqrt off negative dust when
+# the two terms nearly cancel.
+
+_MOMENT_NORMALIZE = {
+    "stddev": "stddev_samp",
+    "variance": "var_samp",
+    "stddev_samp": "stddev_samp",
+    "stddev_pop": "stddev_pop",
+    "var_samp": "var_samp",
+    "var_pop": "var_pop",
+}
+
+
+def moment_sql(op: str, n: str, s: str, ss: str) -> str:
+    """SQL for a sample/population variance or stddev over operand SQL
+    strings: ``n`` = non-null count, ``s`` = sum, ``ss`` = sum of
+    squares. Fixed double-arithmetic sequence — the single definition
+    shared by the routed and scan paths (and usable verbatim as a
+    DuckDB oracle)."""
+    op = _MOMENT_NORMALIZE[op]
+    var = (
+        f"greatest(cast(0 as double), cast({ss} as double) - "
+        f"cast({s} as double) * cast({s} as double) / {n})"
+    )
+    if op == "var_samp":
+        return f"CASE WHEN {n} > 1 THEN {var} / ({n} - 1) END"
+    if op == "var_pop":
+        return f"CASE WHEN {n} > 0 THEN {var} / {n} END"
+    if op == "stddev_samp":
+        return f"CASE WHEN {n} > 1 THEN sqrt({var} / ({n} - 1)) END"
+    return f"CASE WHEN {n} > 0 THEN sqrt({var} / {n}) END"
 
 
 def parse_spec(dims: list[str], aggs: list[str]) -> dict:
@@ -732,6 +793,7 @@ def route_select(db, columns, where, group_by, local_tz=None):
     meta = _meta_read(live)
     if (
         meta is not None
+        and meta.get("format", 1) >= ROLLUP_FORMAT
         and meta.get("index_snapshot") == current
         and needed_dims <= {"eventTypeId"}
         and all((op, col) in _BUILTIN_AGG_MAP for op, col, _ in aggs)
@@ -772,6 +834,13 @@ def rollup_read(db) -> DataFrame:
     if meta is None:
         raise RollupMissingError(db.database_dir)
     current = _manifest_snapshot_no(db._index_path)
+    if meta.get("format", 1) < ROLLUP_FORMAT:
+        raise StaleRollupError(
+            f"rollup was written by storage format {meta.get('format', 1)} "
+            f"(< {ROLLUP_FORMAT}): untouched partitions may store 0 where "
+            "format 2 stores NULL for all-NULL sums — call create_rollup() "
+            "to rebuild (any insert()/clean() also heals it)"
+        )
     if meta.get("index_snapshot") != current:
         raise StaleRollupError(
             f"rollup was built at index snapshot {meta.get('index_snapshot')} "

@@ -186,6 +186,63 @@ def start_index_stream(
 
 
 _STREAM_META_NAME = "_stream_meta.json"
+_STREAM_IDENTITY_NAME = "bfdb_stream_identity"
+
+
+def checkpoint_instance_id(checkpoint_dir: str) -> str:
+    """Identity of THIS checkpoint instance, not just its path.
+
+    Round-12 ADVICE: the resolved path alone survives a checkpoint that
+    is deleted and recreated AT THE SAME PATH — the common operator
+    recovery action — so the new stream inherited the old identity, its
+    restarted foreachBatch ids (0, 1, ...) compared <= the recorded
+    last batch id, and its data silently no-oped away. The fix ties the
+    identity to the checkpoint INSTANCE: a nonce file written into the
+    checkpoint directory on stream start dies with the checkpoint.
+    Same dir + same nonce = same instance (a replay after restart still
+    no-ops); a recreated dir gets a fresh nonce = a new identity (the
+    sink applies the batch, loudly). O_EXCL creation makes concurrent
+    starters converge on one nonce."""
+    import os
+    import uuid
+    from pathlib import Path
+
+    p = Path(checkpoint_dir)
+    p.mkdir(parents=True, exist_ok=True)
+    marker = p / _STREAM_IDENTITY_NAME
+    try:
+        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as fh:
+            fh.write(uuid.uuid4().hex)
+    except FileExistsError:
+        pass
+    return f"{p.resolve()}#{marker.read_text().strip()}"
+
+
+def _stream_replay_noop(
+    meta: dict | None, batch_id: int, stream_id: "str | None", sink: str
+) -> bool:
+    """Shared at-least-once no-op decision for the idempotent sinks:
+    True iff this batch id was already applied BY THE SAME STREAM
+    INSTANCE. An id that does not advance under a DIFFERENT identity is
+    a recreated checkpoint — apply the batch and warn (dropping it would
+    lose the new stream's data with no error)."""
+    if meta is None or batch_id > meta.get("last_batch_id", -1):
+        return False
+    last_sid = meta.get("stream_id")
+    if stream_id is None or last_sid is None or stream_id == last_sid:
+        return True
+    import warnings
+
+    warnings.warn(
+        f"{sink} stream identity changed ({last_sid!r} -> {stream_id!r}) "
+        f"with a non-advancing batch id ({batch_id} <= "
+        f"{meta.get('last_batch_id')}): treating as a NEW stream "
+        "(recreated checkpoint) and applying the batch. If this is the "
+        "same logical stream, reuse its checkpoint directory.",
+        stacklevel=3,
+    )
+    return False
 
 
 def _stream_meta_read(d) -> dict | None:
@@ -197,7 +254,12 @@ def _stream_meta_read(d) -> dict | None:
         return None
 
 
-def rollup_merge_batch(batch: DataFrame, batch_id: int, rollup_dir: str) -> None:
+def rollup_merge_batch(
+    batch: DataFrame,
+    batch_id: int,
+    rollup_dir: str,
+    stream_id: "str | None" = None,
+) -> None:
     """One idempotent micro-batch fold for ``start_rollup_stream``.
 
     ``foreachBatch`` is at-least-once (a micro-batch is re-run after a
@@ -232,8 +294,8 @@ def rollup_merge_batch(batch: DataFrame, batch_id: int, rollup_dir: str) -> None
     if not live.exists() and _stream_meta_read(swap) is not None:
         os.rename(swap, live)
     meta = _stream_meta_read(live)
-    if meta is not None and batch_id <= meta.get("last_batch_id", -1):
-        return  # replayed micro-batch: already folded, no-op
+    if _stream_replay_noop(meta, batch_id, stream_id, "rollup"):
+        return  # replayed micro-batch from the same stream: no-op
     rows = metadata_batch_to_index_rows(batch)
     w = Window.partitionBy("marketId").orderBy(
         F.col("marketMetadataFilePath").desc()
@@ -272,7 +334,10 @@ def rollup_merge_batch(batch: DataFrame, batch_id: int, rollup_dir: str) -> None
     # and rename is the adoption case handled above.
     merged.coalesce(1).write.mode("overwrite").parquet(str(swap))
     (swap / _STREAM_META_NAME).write_text(
-        json.dumps({"last_batch_id": batch_id})
+        json.dumps(
+            {"last_batch_id": batch_id}
+            | ({"stream_id": stream_id} if stream_id else {})
+        )
     )
     if live.exists():
         shutil.rmtree(live)
@@ -280,7 +345,11 @@ def rollup_merge_batch(batch: DataFrame, batch_id: int, rollup_dir: str) -> None
 
 
 def spec_rollup_merge_batch(
-    batch: DataFrame, batch_id: int, rollup_dir: str, spec: dict
+    batch: DataFrame,
+    batch_id: int,
+    rollup_dir: str,
+    spec: dict,
+    stream_id: "str | None" = None,
 ) -> None:
     """Idempotent micro-batch fold for a USER-SPEC rollup (round 9): the
     spec's partials are all mergeable (counts/sums add, min/max
@@ -308,8 +377,8 @@ def spec_rollup_merge_batch(
     if not live.exists() and _stream_meta_read(swap) is not None:
         os.rename(swap, live)
     meta = _stream_meta_read(live)
-    if meta is not None and batch_id <= meta.get("last_batch_id", -1):
-        return  # replayed micro-batch: already folded, no-op
+    if _stream_replay_noop(meta, batch_id, stream_id, "spec-rollup"):
+        return  # replayed micro-batch from the same stream: no-op
     rows = metadata_batch_to_index_rows(batch)
     w = Window.partitionBy("marketId").orderBy(
         F.col("marketMetadataFilePath").desc()
@@ -337,7 +406,10 @@ def spec_rollup_merge_batch(
     merged = materialize(merged, "stream-spec-merged")  # before the swap
     merged.coalesce(1).write.mode("overwrite").parquet(str(swap))
     (swap / _STREAM_META_NAME).write_text(
-        json.dumps({"last_batch_id": batch_id, "spec": spec})
+        json.dumps(
+            {"last_batch_id": batch_id, "spec": spec}
+            | ({"stream_id": stream_id} if stream_id else {})
+        )
     )
     if live.exists():
         shutil.rmtree(live)
@@ -374,10 +446,12 @@ def ann_append_batch(
     foreachBatch sink body, exposed module-level so tests can drive
     replay directly (same convention as rollup_merge_batch). Idempotent:
     the applied batch_id is recorded in the index's committed manifest
-    and a replayed batch from the SAME stream no-ops; ``stream_id`` (the
-    checkpoint path — round-11 ADVICE) distinguishes a replay from a
-    restarted stream whose recreated checkpoint restarts ids at 0, which
-    must apply, not silently drop (see append_ann_index)."""
+    and a replayed batch from the SAME stream no-ops; ``stream_id``
+    (``checkpoint_instance_id`` = path + per-instance nonce — round-12
+    ADVICE tightened the round-11 path-only identity) distinguishes a
+    replay from a restarted stream whose recreated checkpoint — at a NEW
+    path or the SAME one — restarts ids at 0, which must apply, not
+    silently drop (see append_ann_index)."""
     from betfair_database_spark.operators.similarity import append_ann_index
 
     return append_ann_index(
@@ -412,21 +486,17 @@ def start_ann_append_stream(
     atomic rename covers data + bookkeeping), so a replay after a crash
     between sink commit and stream checkpoint is a no-op. The index must
     exist (``write_ann_index``) before the stream starts."""
-    from pathlib import Path
-
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     src = reader.parquet(landing_dir)
+    # Instance identity, not path identity (round-12 ADVICE): resolved
+    # at stream START so every batch of one run shares one nonce.
+    sid = checkpoint_instance_id(checkpoint_dir)
 
     def _append(batch: DataFrame, batch_id: int) -> None:
         ann_append_batch(
-            batch,
-            batch_id,
-            index_path,
-            id_col,
-            vec_col,
-            stream_id=str(Path(checkpoint_dir).resolve()),
+            batch, batch_id, index_path, id_col, vec_col, stream_id=sid
         )
 
     writer = (
@@ -453,8 +523,12 @@ def start_spec_rollup_stream(
     append-only landing-zone contract and idempotent replay-safe sink as
     ``start_rollup_stream``."""
 
+    sid = checkpoint_instance_id(checkpoint_dir)
+
     def _merge(batch: DataFrame, batch_id: int) -> None:
-        spec_rollup_merge_batch(batch, batch_id, rollup_dir, spec)
+        spec_rollup_merge_batch(
+            batch, batch_id, rollup_dir, spec, stream_id=sid
+        )
 
     writer = (
         read_catalogue_stream(spark, landing_dir, max_files_per_trigger)
@@ -508,8 +582,10 @@ def start_rollup_stream(
     same division of labor TimescaleDB-style continuous aggregates use
     (inserts fold incrementally, updates trigger re-materialization).
     """
+    sid = checkpoint_instance_id(checkpoint_dir)
+
     def _merge(batch: DataFrame, batch_id: int) -> None:
-        rollup_merge_batch(batch, batch_id, rollup_dir)
+        rollup_merge_batch(batch, batch_id, rollup_dir, stream_id=sid)
 
     writer = (
         read_catalogue_stream(spark, landing_dir, max_files_per_trigger)

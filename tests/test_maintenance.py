@@ -1060,6 +1060,43 @@ class TestMaterializedRollup:
         db.index(force=True)
         assert self._materialized(db) == self._recomputed(db)
 
+    def test_pre_format2_rollup_refused_and_healed(self, env):
+        """Round 12 (ADVICE): a pre-round-11 rollup (no format stamp)
+        may store coalesced 0s where format 2 stores NULL for all-NULL
+        sum cells in partitions never touched since. It must never be a
+        routing candidate (the routed sum would be 0 where the scan
+        says NULL), rollup() must refuse it loudly, and the next
+        maintenance op heals it with a one-time full rebuild."""
+        from betfair_database_spark import rollup as R
+        from betfair_database_spark.exceptions import StaleRollupError
+
+        db, _ = env
+        db.create_rollup()
+        mf = R.rollup_path(db.database_dir) / R._META_NAME
+        orig = json.loads(mf.read_text())
+        assert orig["format"] == R.ROLLUP_FORMAT
+        meta = dict(orig)
+        del meta["format"]  # downgrade: pretend a pre-round-11 writer
+        mf.write_text(json.dumps(meta))
+        q = dict(
+            columns=["eventTypeId", "count(*) AS n"],
+            group_by=["eventTypeId"],
+        )
+        db.select(**q)
+        assert db.last_select_route == "scan"  # never a candidate
+        with pytest.raises(StaleRollupError, match="storage format"):
+            db.rollup()
+        # maintenance heals: the incremental update path rebuilds
+        repl = db._read_index().localCheckpoint()
+        touched = [
+            r[0] for r in repl.select("eventTypeId").distinct().collect()
+        ]
+        R.rollup_update(db, repl, touched)
+        assert json.loads(mf.read_text())["format"] == R.ROLLUP_FORMAT
+        db.select(**q)
+        assert db.last_select_route == "rollup:builtin"
+        assert self._materialized(db) == self._recomputed(db)
+
 
 class TestSpecRollups:
     """User-declared rollup specs (round 9): named rollups with arbitrary
@@ -1680,6 +1717,19 @@ class TestRollupRouting:
         assert "hll_sketch_estimate" in plan
         scan = sorted(tuple(r) for r in df.collect())
         assert scan == routed
+
+    def test_no_alias_aggregate_keeps_name_and_estimator(self, env):
+        """Round 12 (ADVICE): a NO-alias approx_count_distinct entry is
+        never routable (routing requires an explicit alias), so the scan
+        twin must leave it verbatim — rewriting it changed the output
+        column name (the return_dict key) and the estimate between
+        releases."""
+        db, _ = env
+        df = db.select_df(columns=["approx_count_distinct(marketId)"])
+        assert db.last_select_route == "scan"
+        assert df.columns == ["approx_count_distinct(marketId)"]
+        plan = df._jdf.queryExecution().analyzed().toString()
+        assert "hll_sketch_estimate" not in plan
 
     def test_glob_where_routes_in_cold_session(self, env):
         """Round 11 (ADVICE): route_select registers the sqlite_* temp

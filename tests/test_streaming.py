@@ -1298,6 +1298,137 @@ def test_ann_stream_restart_with_new_checkpoint_applies(
     assert got == want
 
 
+def test_checkpoint_instance_id_survives_restart_not_recreate(tmp_path):
+    """Round 12 (ADVICE): stream identity = checkpoint path + a nonce
+    that lives INSIDE the checkpoint dir. A restart against the intact
+    checkpoint keeps the identity (replays still no-op); deleting and
+    recreating the checkpoint at the SAME path yields a new identity."""
+    import shutil
+
+    from betfair_database_spark.streaming.ingest import (
+        checkpoint_instance_id,
+    )
+
+    ckpt = tmp_path / "ckpt"
+    a = checkpoint_instance_id(str(ckpt))
+    assert checkpoint_instance_id(str(ckpt)) == a  # restart: stable
+    shutil.rmtree(ckpt)
+    b = checkpoint_instance_id(str(ckpt))
+    assert b != a  # recreated at the same path: NEW instance
+    assert a.split("#")[0] == b.split("#")[0]  # same path component
+
+
+def test_ann_stream_recreated_checkpoint_same_path_applies(
+    spark, tmp_path
+):
+    """Round 12 (ADVICE medium): a checkpoint deleted and recreated at
+    the SAME path — the common operator recovery action — must behave
+    like a new stream: its batch 0 (which re-reads the whole landing
+    zone, at-least-once) APPLIES instead of silently no-oping against
+    the old instance's recorded batch ids. Before the nonce fix the
+    identity was the resolved path, so this exact scenario dropped the
+    new stream's data."""
+    import random
+    import shutil
+
+    from betfair_database_spark.operators import similarity as sim
+    from betfair_database_spark.streaming.ingest import (
+        start_ann_append_stream,
+    )
+
+    rng = random.Random(12)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(80)]
+    mk = lambda chunk: spark.createDataFrame(
+        chunk, "vec_id long, embedding array<float>"
+    )
+    index_path = str(tmp_path / "ann_same_path")
+    sim.write_ann_index(
+        mk(rows[:40]), index_path, sim.kmeans_seeds(mk(rows[:40]), 2)
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def land(name, chunk):
+        tmpdir = tmp_path / ("_w_" + name)
+        mk(chunk).coalesce(1).write.mode("overwrite").parquet(str(tmpdir))
+        part = next(tmpdir.glob("part-*.parquet"))
+        shutil.move(str(part), str(landing / f"{name}.parquet"))
+        shutil.rmtree(tmpdir)
+
+    ckpt = tmp_path / "ckpt_same"
+    land("drop1", rows[40:60])
+    q1 = start_ann_append_stream(
+        spark, str(landing), index_path, str(ckpt), trigger_once=True
+    )
+    q1.awaitTermination(180)
+    # operator recovery: wipe the checkpoint, land new data, restart at
+    # the SAME checkpoint path — batch ids restart at 0
+    shutil.rmtree(ckpt)
+    land("drop2", rows[60:80])
+    with pytest.warns(UserWarning, match="stream identity changed"):
+        q2 = start_ann_append_stream(
+            spark, str(landing), index_path, str(ckpt), trigger_once=True
+        )
+        q2.awaitTermination(180)
+    # drop2's vectors are present (old identity would have dropped
+    # them): each queried by itself must return itself as top-1
+    for probe_id in (60, 79):
+        q = [float(v) for v in rows[probe_id][1]]
+        top = sim.query_ann_index(
+            spark, index_path, None, None, q, k=1, nprobe=2
+        ).collect()
+        assert top and top[0][0] == probe_id
+
+
+def test_rollup_sink_recreated_checkpoint_same_stream_id_rules(
+    spark, tmp_path
+):
+    """The rollup/spec-rollup sinks share the ANN sink's identity rule
+    (round 12): same stream id + non-advancing batch id = silent no-op;
+    DIFFERENT id = recreated checkpoint, fold the batch with a warning."""
+    import warnings as _warnings
+
+    from tests.corpus import build_corpus
+
+    from pyspark.sql import functions as F
+
+    from betfair_database_spark.streaming.ingest import rollup_merge_batch
+
+    src = tmp_path / "corpus"
+    build_corpus(src)
+    batch = (
+        spark.read.format("text")
+        .option("wholetext", "true")
+        .option("pathGlobFilter", "*.json")
+        .load(str(src))
+        .select(
+            F.regexp_replace(F.input_file_name(), "^file:/*", "/").alias(
+                "path"
+            ),
+            F.col("value").alias("content"),
+        )
+    )
+    rollup_dir = str(tmp_path / "roll")
+    rollup_merge_batch(batch, 0, rollup_dir, stream_id="A")
+    base = spark.read.parquet(rollup_dir).groupBy().sum("markets").collect()
+    # same identity replay: silent no-op
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        rollup_merge_batch(batch, 0, rollup_dir, stream_id="A")
+    assert (
+        spark.read.parquet(rollup_dir).groupBy().sum("markets").collect()
+        == base
+    )
+    # new identity, non-advancing id: applies loudly (markets double —
+    # at-least-once redelivery is the recreated checkpoint's contract)
+    with pytest.warns(UserWarning, match="stream identity changed"):
+        rollup_merge_batch(batch, 0, rollup_dir, stream_id="B")
+    doubled = (
+        spark.read.parquet(rollup_dir).groupBy().sum("markets").collect()
+    )
+    assert doubled[0][0] == base[0][0] * 2
+
+
 def test_streaming_spec_rollup_matches_batch_named_rollup(spark, tmp_path):
     """User-spec continuous aggregate (round 9): streaming the paired
     corpus one file per micro-batch through start_spec_rollup_stream —

@@ -606,3 +606,66 @@ def test_dispatch_stats_persisted_across_cold_sessions(
         assert third[0] == 30
     finally:
         spark.conf.unset("spark.bfdb.dispatch.statsDir")
+
+
+def test_dispatch_stats_key_distinguishes_wide_plans(spark, tmp_path):
+    """Round 12 (ADVICE): the persist key hashed
+    ``canonicalized().toString()``, which Spark truncates at
+    ``spark.sql.debug.maxToStringFields`` (default 25) — two wide
+    frames over the SAME files whose plans differ only past the
+    truncation point collided onto one sidecar entry. The key now
+    hashes the structural semanticHash + full schema JSON, so they
+    must differ."""
+    import datetime as dt
+
+    from betfair_database_spark.operators.timeseries import (
+        _stats_persist_key,
+    )
+
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [("k", t0, *range(40))]
+    cols = "k string, ts timestamp_ntz, " + ", ".join(
+        f"c{i} long" for i in range(40)
+    )
+    src = str(tmp_path / "wide")
+    spark.createDataFrame(rows, cols).write.parquet(src)
+    base = spark.read.parquet(src)
+    # identical first 30 columns; they differ only in field #35+
+    a = base.withColumn("c35", F.col("c35") + 1)
+    b = base.withColumn("c36", F.col("c36") + 1)
+    ka = _stats_persist_key(a, "k", "ts")
+    kb = _stats_persist_key(b, "k", "ts")
+    assert ka is not None and kb is not None
+    assert ka != kb
+    # and the key is stable for the same plan re-created
+    assert (
+        _stats_persist_key(
+            spark.read.parquet(src).withColumn("c35", F.col("c35") + 1),
+            "k",
+            "ts",
+        )
+        == ka
+    )
+
+
+def test_dispatch_stats_sidecar_evicts_oldest(tmp_path):
+    """The default-on sidecar cache is bounded: writes keep only the
+    newest ``max_entries`` files by mtime (round-12 ADVICE: no size
+    bound or eviction)."""
+    import os
+    import time
+
+    from betfair_database_spark.operators.timeseries import (
+        _stats_sidecar_read,
+        _stats_sidecar_write,
+    )
+
+    d = str(tmp_path / "cache")
+    for i in range(6):
+        _stats_sidecar_write(d, f"k{i}", (i, 1, 1.0), max_entries=4)
+        past = time.time() - (100 - i)
+        os.utime(os.path.join(d, f"k{i}.json"), (past, past))
+    names = sorted(p for p in os.listdir(d) if p.endswith(".json"))
+    assert len(names) == 4
+    assert "k0.json" not in names and "k1.json" not in names
+    assert _stats_sidecar_read(d, "k5") == (5, 1, 1.0)

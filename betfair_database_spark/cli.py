@@ -128,9 +128,11 @@ def make_parser() -> argparse.ArgumentParser:
         "--agg",
         action="append",
         dest="aggs",
-        help="alias=op(col) with op in count/sum/min/max/"
+        help="alias=op(col) with op in count/sum/sumsq/min/max/"
         "approx_count_distinct; repeatable (e.g. --agg 'markets=count()' "
-        "--agg 'runnersTotal=sum(runners)')",
+        "--agg 'runnersTotal=sum(runners)'); declare count(col)+sum(col)"
+        "+sumsq(col) together to make avg/stddev/var(col) selects "
+        "routable",
     )
 
     p_diff = sub.add_parser(

@@ -926,7 +926,11 @@ def _scan_agg_sql(col_entry: str) -> str:
     - avg (round 11): served as sum(col)/count(col) in one place — the
       exact division the routed path computes from its sum/count
       partials; count==0 yields NULL explicitly (ANSI-safe)."""
-    from betfair_database_spark.rollup import _AGG_COL_RE
+    from betfair_database_spark.rollup import (
+        _AGG_COL_RE,
+        _MOMENT_NORMALIZE,
+        moment_sql,
+    )
 
     m = _AGG_COL_RE.match(col_entry)
     if not m:
@@ -944,6 +948,14 @@ def _scan_agg_sql(col_entry: str) -> str:
         twin = (
             f"CASE WHEN count({c}) > 0 THEN sum({c}) / count({c}) END"
         )
+        return f"{twin} AS {alias}"
+    if op in _MOMENT_NORMALIZE and c not in (None, "*") and alias:
+        # variance family (round 12): same moment_sql formula the routed
+        # path computes from its (count, sum, sumsq) partials — Spark's
+        # native stddev/var use a streaming (Welford) recurrence whose
+        # float rounding differs from the moment form, so the twin keeps
+        # routed == scan when a rollup goes stale mid-session
+        twin = moment_sql(op, f"count({c})", f"sum({c})", f"sum({c} * {c})")
         return f"{twin} AS {alias}"
     return col_entry
 

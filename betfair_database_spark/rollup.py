@@ -301,7 +301,7 @@ def parse_spec(dims: list[str], aggs: list[str]) -> dict:
         if not m:
             raise ValueError(
                 f"bad agg {a!r}; expected alias=op(col) with op in "
-                "count/sum/min/max/approx_count_distinct"
+                "count/sum/sumsq/min/max/approx_count_distinct"
             )
         alias, op, col = m.group(1), m.group(2), m.group(3) or None
         if op == "count" and col in (None, "*"):
@@ -346,6 +346,11 @@ def _spec_partial_aggs(spec: dict):
             )
         elif op == "sum":
             out.append(F.sum(col).alias(al))
+        elif op == "sumsq":
+            # second-moment partial (round 12): exact in the column's
+            # natural sum type (long for ints — the parity-exact case;
+            # see moment_sql), merges additively like sum
+            out.append(F.sum(F.col(col) * F.col(col)).alias(al))
         elif op == "min":
             out.append(F.min(col).alias(al))
         elif op == "max":
@@ -361,7 +366,7 @@ def _spec_merge_aggs(spec: dict):
     for a in spec["aggs"]:
         al, op = a["alias"], a["op"]
         p = "_p_" + al
-        if op in ("count", "sum"):
+        if op in ("count", "sum", "sumsq"):
             out.append(F.sum(p).alias(al))
         elif op == "min":
             out.append(F.min(p).alias(al))
@@ -384,7 +389,7 @@ def _spec_fold_partials(spec: dict):
     for a in spec["aggs"]:
         p = "_p_" + a["alias"]
         op = a["op"]
-        if op in ("count", "sum"):
+        if op in ("count", "sum", "sumsq"):
             out.append(F.sum(p).alias(p))
         elif op == "min":
             out.append(F.min(p).alias(p))
@@ -536,7 +541,8 @@ def spec_rollup_read(db, name: str) -> DataFrame:
 # doubt falls back to the scan, never to an error.
 
 _AGG_COL_RE = _re.compile(
-    r"^\s*(count|sum|avg|min|max|approx_count_distinct)\s*\(\s*"
+    r"^\s*(count|sum|avg|min|max|approx_count_distinct|"
+    r"stddev_samp|stddev_pop|stddev|var_samp|var_pop|variance)\s*\(\s*"
     r"(\*|[A-Za-z_][A-Za-z0-9_]*)?\s*\)\s*"
     r"(?:[Aa][Ss]\s+([A-Za-z_][A-Za-z0-9_]*))?\s*$"
 )
@@ -599,9 +605,16 @@ def parse_select_shape(columns, group_by):
 def _agg_covered(op: str, col, stored: set) -> bool:
     """Does a stored-partial set serve this select() aggregate? avg has
     no partial of its own — it is derived from the sum + non-null-count
-    pair (declare ``s=sum(col)`` and ``c=count(col)`` in the spec)."""
+    pair (declare ``s=sum(col)`` and ``c=count(col)`` in the spec); the
+    variance family (round 12) additionally needs the sumsq partial."""
     if op == "avg":
         return ("sum", col) in stored and ("count", col) in stored
+    if op in _MOMENT_NORMALIZE:
+        return (
+            ("sum", col) in stored
+            and ("count", col) in stored
+            and ("sumsq", col) in stored
+        )
     return (op, col) in stored
 
 
@@ -650,6 +663,19 @@ def merge_partials(
             # NULL explicitly (ANSI mode would raise on /0)
             s, c = F.sum(by_key[("sum", col)]), F.sum(by_key[("count", col)])
             exprs.append(F.when(c > 0, s / c).alias(alias))
+            continue
+        if op in _MOMENT_NORMALIZE:
+            # variance family (round 12, verdict #4): derived from the
+            # (count, sum, sumsq) partial triple through moment_sql —
+            # the ONE formula the scan twin also builds, so routed ==
+            # scan whenever the partials are exact
+            sql = moment_sql(
+                op,
+                f"sum({by_key[('count', col)]})",
+                f"sum({by_key[('sum', col)]})",
+                f"sum({by_key[('sumsq', col)]})",
+            )
+            exprs.append(F.expr(sql).alias(alias))
             continue
         p = by_key[(op, col)]
         if op == "count":

@@ -2094,6 +2094,7 @@ from betfair_database_spark import suite_ext9 as _suite_ext9  # noqa: E402,F401
 from betfair_database_spark import suite_ext10 as _suite_ext10  # noqa: E402,F401
 from betfair_database_spark import suite_ext11 as _suite_ext11  # noqa: E402,F401
 from betfair_database_spark import suite_ext12 as _suite_ext12  # noqa: E402,F401
+from betfair_database_spark import suite_ext13 as _suite_ext13  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registration order. External harnesses sample the FIRST 50 queries, so the

@@ -1,0 +1,103 @@
+"""Suite extension 13 (round 12): the variance family served from
+(count, sum, sumsq) rollup partials, under DuckDB hash scrutiny.
+
+Registered into :data:`betfair_database_spark.suite.SUITE` via ``_q``;
+same hash-matching conventions as ``suite.py`` (aliases identical on both
+sides, doubles rounded before compare, deterministic tie-breaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from betfair_database_spark.suite import _q, _t
+
+# =========================================================================
+# rollup_route_stddev_var — round-12 verdict #4
+# =========================================================================
+#
+# stddev/var(col) select() queries route to a spec rollup that stores the
+# sumsq(col) partial next to sum/count; the routed merge and the scan twin
+# both compute ONE moment formula (rollup.moment_sql):
+#
+#     var = greatest(0, sumsq - sum^2/n) / (n - 1 | n)
+#
+# from EXACT integer partials (millis as BIGINT — the recorded
+# cross-engine fixed-point rule; value <= 491 so sum(v*v) stays far from
+# BIGINT overflow even at sf100), so routed == scan == this oracle
+# bit-for-bit before the final rounding. Spark's native stddev/var use a
+# streaming (Welford) recurrence and would NOT hash-match — which is
+# exactly why the engine's scan twin uses the moment form too.
+#
+# A lost sumsq partial, a count(*)-instead-of-count(col) denominator, or
+# a pop/samp mixup all change the hash.
+
+_STDDEV_ROUTE_ORACLE = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       count(v) AS n_vals,
+       round(CASE WHEN count(v) > 1 THEN
+           sqrt(greatest(CAST(0 AS DOUBLE),
+                CAST(sum(v * v) AS DOUBLE)
+                - CAST(sum(v) AS DOUBLE) * CAST(sum(v) AS DOUBLE) / count(v))
+             / (count(v) - 1)) END, 4) AS sd_millis,
+       round(CASE WHEN count(v) > 0 THEN
+           greatest(CAST(0 AS DOUBLE),
+                CAST(sum(v * v) AS DOUBLE)
+                - CAST(sum(v) AS DOUBLE) * CAST(sum(v) AS DOUBLE) / count(v))
+             / count(v) END, 4) AS varp_millis
+FROM (
+    SELECT ts, CAST(round(value * 1e3) AS BIGINT) AS v FROM events
+)
+GROUP BY day
+"""
+
+
+@_q("rollup_route_stddev_var", _STDDEV_ROUTE_ORACLE)
+def rollup_route_stddev_var(spark, sf):
+    """Second moments over materialized partials: one bucketed partial
+    pass stores count/sum/sumsq of value_millis per (bucket, day) cell,
+    an at-rest parquet round trip, then merge_partials — the routed
+    physical plan — serves stddev (sample) and var_pop through
+    rollup.moment_sql. The raw events are never re-read after the
+    partials land."""
+    import shutil
+    import tempfile
+
+    from betfair_database_spark.rollup import merge_partials, summarize_spec
+
+    spec = {
+        "dims": [{"alias": "day", "expr": "to_date(ts)"}],
+        "aggs": [
+            {"alias": "n", "op": "count", "col": "value_millis"},
+            {"alias": "s", "op": "sum", "col": "value_millis"},
+            {"alias": "ss", "op": "sumsq", "col": "value_millis"},
+        ],
+    }
+    ev = _t(spark, sf, "events").select(
+        "ts",
+        F.round(F.col("value") * 1e3).cast("long").alias("value_millis"),
+        (F.col("user_id") % 32).cast("int").alias("bucket"),
+    )
+    internal = summarize_spec(ev, spec, part_col="bucket")
+    path = tempfile.mkdtemp(prefix="bfdb_stddev_route_gate_")
+    try:
+        internal.write.mode("overwrite").parquet(path)
+        merged = merge_partials(
+            spark.read.parquet(path),
+            spec,
+            ["day"],
+            [
+                ("count", "value_millis", "n_vals"),
+                ("stddev", "value_millis", "sd_millis"),
+                ("var_pop", "value_millis", "varp_millis"),
+            ],
+        )
+        out = merged.select(
+            F.col("day").cast("string").alias("day"),
+            "n_vals",
+            F.round("sd_millis", 4).alias("sd_millis"),
+            F.round("varp_millis", 4).alias("varp_millis"),
+        ).localCheckpoint()  # lc-ok: gate-row scratch, materialized before its source dir is removed; rerun rebuilds
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out

@@ -1368,6 +1368,7 @@ class TestRollupRouting:
             "n=count()",
             "nr=count(runners)",  # non-null count: the avg denominator
             "runnersTotal=sum(runners)",
+            "rsq=sumsq(runners)",  # second moment: stddev/var numerator
             "firstStart=min(marketStartTime)",
             "ids=approx_count_distinct(marketId)",
         ],
@@ -1754,6 +1755,49 @@ class TestRollupRouting:
         assert db.last_select_route == "rollup:byvenue"
         assert got == want
 
+    def test_stddev_var_route_and_scan_parity(self, env, monkeypatch):
+        """Round 12 (verdict #4): stddev/var(col) select() queries route
+        to a spec rollup storing the sumsq partial, the routed merge and
+        the scan twin compute ONE moment formula (rollup.moment_sql)
+        from exact integer partials — so routed == scan bit-for-bit —
+        and the scan twin does NOT use Spark's native Welford stddev
+        (whose rounding differs from the moment form)."""
+        from betfair_database_spark.database import BetfairDatabase
+
+        db, _ = env
+        q = dict(
+            columns=[
+                "eventVenue",
+                "count(runners) AS n",
+                "stddev(runners) AS sd",
+                "var_samp(runners) AS vs",
+                "var_pop(runners) AS vp",
+                "stddev_pop(runners) AS sp",
+                "variance(runners) AS vr",
+            ],
+            group_by=["eventVenue"],
+        )
+        want = self._rows(db, use_rollups=False, **q)
+        assert db.last_select_route == "scan"
+        # the scan twin is the moment form, not native stddev
+        df = db.select_df(use_rollups=False, **q)
+        plan = df._jdf.queryExecution().analyzed().toString()
+        assert "stddev" not in plan.lower() and "SQRT" in plan.upper()
+        monkeypatch.setattr(
+            BetfairDatabase,
+            "_read_index",
+            lambda *a, **k: (_ for _ in ()).throw(AssertionError("scan")),
+        )
+        got = self._rows(db, **q)
+        assert db.last_select_route == "rollup:byvenue"
+        assert got == want and got
+        monkeypatch.undo()
+        # single-market groups: sample forms NULL, population forms 0.0
+        one = [r for r in want if r[1] == 1]
+        if one:
+            assert one[0][2] is None and one[0][3] is None
+            assert one[0][4] == 0.0 and one[0][5] == 0.0
+
     # ---- routed-vs-scan equivalence fuzz (round 11, verdict #6) ----
     #
     # The router silently substitutes a different physical plan under
@@ -1794,6 +1838,10 @@ class TestRollupRouting:
         ("min(marketStartTime) AS fs", ("min", "marketStartTime"),
          {"rollup:byvenue", "rollup:builtin"}),
         ("avg(runners) AS ar", ("avg", "runners"), {"rollup:byvenue"}),
+        ("stddev(runners) AS sd", ("stddev", "runners"),
+         {"rollup:byvenue"}),
+        ("var_samp(runners) AS vr", ("var_samp", "runners"),
+         {"rollup:byvenue"}),
         ("approx_count_distinct(marketId) AS ids",
          ("approx_count_distinct", "marketId"), {"rollup:byvenue"}),
         ("max(marketId) AS mm", ("max", "marketId"), set()),

@@ -489,13 +489,56 @@ def ivf_topk(
     return cosine_topk(inside, query_vec, k, id_col, vec_col)
 
 
+# Auto-sized IVF cells (round 12, verdict #2): a FIXED k while N grows is
+# the one measured superlinearity in this repo — cell-blocked pair scans
+# cost Σ n_c² ≈ N²/k, so yesterday's k on 10x data silently costs 100x
+# (12.4x wall measured, SCALE.md). SemDeDup practice sizes k ∝ N for a
+# constant EXPECTED cell size, making the pair scan ≈ N · target — the
+# measured sf1 mitigation (74.7 → 30.6 s) now the operator default.
+IVF_TARGET_CELL_CONF = "spark.bfdb.ivf.targetCellSize"
+IVF_TARGET_CELL_SIZE = 512
+
+
+def auto_cell_count(
+    n_vectors: int, target_cell_size: "int | None" = None, spark=None
+) -> int:
+    """k = ceil(N / target_cell_size), at least 1 — constant expected
+    cell size as the corpus grows. ``target_cell_size`` defaults to the
+    session conf ``spark.bfdb.ivf.targetCellSize`` (512)."""
+    if target_cell_size is None:
+        target_cell_size = IVF_TARGET_CELL_SIZE
+        if spark is not None:
+            try:
+                target_cell_size = int(
+                    spark.conf.get(
+                        IVF_TARGET_CELL_CONF, str(IVF_TARGET_CELL_SIZE)
+                    )
+                )
+            except ValueError:
+                target_cell_size = IVF_TARGET_CELL_SIZE
+    if target_cell_size <= 0:
+        raise ValueError("target_cell_size must be positive")
+    return max(1, -(-int(n_vectors) // int(target_cell_size)))
+
+
 def kmeans_seeds(
-    df: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    k: "int | str" = "auto",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> list[tuple[int, list[float]]]:
     """Deterministic k-means init: the k vectors first in md5(id) order,
     numbered 1..k in that order. Hash order is reproducible across engines,
     runs and partitionings (the same property the sampling operators use) —
-    an external oracle derives the identical seed set."""
+    an external oracle derives the identical seed set.
+
+    ``k="auto"`` (round 12 default) sizes the cell count to the data —
+    ``auto_cell_count(df.count())`` — so callers who trained at
+    yesterday's corpus size don't inherit quadratic cell-blocked scans
+    at today's. The extra count() is one columnar metadata-mostly job,
+    noise next to the training pass that follows."""
+    if k == "auto":
+        k = auto_cell_count(df.count(), spark=df.sparkSession)
     rows = (
         df.select(F.col(id_col), F.col(vec_col))
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
@@ -503,6 +546,55 @@ def kmeans_seeds(
         .collect()
     )
     return [(i + 1, [float(v) for v in r[1]]) for i, r in enumerate(rows)]
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    k: "int | str" = "auto",
+    target_cell_size: "int | None" = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: "list[tuple[int, list[float]]] | None" = None,
+) -> DataFrame:
+    """SemDeDup as ONE operator (round 12, verdict #2): cluster →
+    within-cell cosine pairs ≥ threshold → flag the higher-id member of
+    each pair. Returns (id, cell, vector, semdup_drop) — filter on
+    ``~semdup_drop`` to keep survivors, or aggregate for curation stats.
+
+    The cell count DEFAULTS to ``k="auto"`` (``auto_cell_count``:
+    N / target cell size), which keeps the within-cell pair scan
+    ≈ N · target_cell_size instead of N²/k — the measured 12.4x-at-10x
+    failure mode of a fixed k (SCALE.md). Pass an int k (or explicit
+    ``centroids``) only for oracle-checkable fixtures; on replica-heavy
+    corpora compose with ``collapse_exact_vectors`` FIRST (identical
+    vectors share a cell and pair quadratically regardless of k)."""
+    if centroids is None:
+        if k == "auto":
+            k = auto_cell_count(
+                emb.count(), target_cell_size, spark=emb.sparkSession
+            )
+        centroids = kmeans_seeds(emb, k, id_col, vec_col)
+    assign = ivf_assign(emb, centroids, id_col, vec_col)
+    assign = assign.localCheckpoint()  # lc-ok: feeds both pair sides + the flag join; recompute = one assignment pass
+    pairs = embedding_near_dup_pairs(
+        assign,
+        threshold=threshold,
+        block_col="cell",
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    dropped = (
+        pairs.select(F.col("b").alias(id_col))
+        .distinct()
+        .withColumn("_semdup_drop", F.lit(True))
+    )
+    return assign.join(dropped, id_col, "left").select(
+        F.col(id_col),
+        "cell",
+        F.col(vec_col),
+        F.coalesce("_semdup_drop", F.lit(False)).alias("semdup_drop"),
+    )
 
 
 def kmeans_fit(
@@ -1853,7 +1945,7 @@ def ann_fragmentation(path: str, spark=None) -> dict:
 def rebuild_ann_index(
     spark,
     path: str,
-    n_cells: "int | None" = None,
+    n_cells: "int | str | None" = None,
     m: "int | None" = None,
     n_codes: int = 16,
     kmeans_iters: int = 5,
@@ -1882,7 +1974,10 @@ def rebuild_ann_index(
     centroids + old files keep serving, byte-identical); after, the old
     files are unreferenced (reaped next pass, or retained for
     time-travel readers). Returns the number of vectors in the rebuilt
-    index. ``n_cells``/``m`` default to the committed values."""
+    index. ``n_cells``/``m`` default to the committed values;
+    ``n_cells="auto"`` re-sizes cells to the CURRENT vector count
+    (``auto_cell_count`` over the manifest's vec_counts — zero jobs), the
+    right call for an index that has grown far past its build size."""
     from pathlib import Path
 
     manifest = ann_manifest_read(path)
@@ -1894,6 +1989,20 @@ def rebuild_ann_index(
     _ann_reap_uncommitted(path, manifest, retain_snapshots)
     if n_cells is None:
         n_cells = len(manifest["centroids"])
+    elif n_cells == "auto":
+        # size cells to the CURRENT vector count (round 12, verdict #2):
+        # an append-grown index rebuilt at its build-time k keeps growing
+        # cells — auto-k restores constant expected cell size from the
+        # manifest-resident vec_counts, zero jobs
+        counts = manifest.get("vec_counts") or {}
+        n_vectors = sum(int(v) for v in counts.values())
+        if n_vectors <= 0:  # pre-vec_counts manifest: fall back to a scan
+            n_vectors = sum(
+                spark.read.parquet(f"{path}/cell={cell}/{name}").count()
+                for cell, names in manifest["cells"].items()
+                for name in names
+            )
+        n_cells = auto_cell_count(n_vectors, spark=spark)
     if m is None:
         m = int(manifest["m"])
     paths = [
@@ -2278,7 +2387,7 @@ def query_ann_index(
     anchors: "list[list[float]] | None",
     query: list[float],
     k: int = 10,
-    nprobe: int = 2,
+    nprobe: "int | None" = None,
     rerank: str = "exact",
     m: int = 8,
     id_col: str = "vec_id",
@@ -2334,6 +2443,12 @@ def query_ann_index(
             (int(cid), c) for cid, c in manifest["centroids"]
         ]
         m = int(manifest["m"])
+    if nprobe is None:
+        # default to the recall-tuned setting when the index carries one
+        # (tune_ann_index / target_recall= at build time — round 12);
+        # 2 is the historical untuned default
+        tuned = (manifest or {}).get("tuned")
+        nprobe = int(tuned["nprobe"]) if tuned else 2
 
     def cos(a, b):
         dot = sum(x * y for x, y in zip(a, b))
@@ -2381,6 +2496,167 @@ def query_ann_index(
         .orderBy("adc_d2", id_col)
         .limit(k)
     )
+
+
+@_ann_locked(1)
+def tune_ann_index(
+    spark,
+    path: str,
+    target_recall: float = 0.9,
+    k: int = 10,
+    n_queries: int = 8,
+    rerank: str = "exact",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Recall-targeted nprobe policy (round 12, verdict #3): measure
+    recall@k on a held-out query sample, pick the SMALLEST nprobe that
+    meets ``target_recall``, persist the choice + achieved recall in the
+    committed manifest (``query_ann_index`` then uses it by default),
+    and warn loudly when the target is unattainable — an index silently
+    serving recall 0.4 is a correctness hazard in spirit even though
+    every returned row is real.
+
+    Sample: the first ``n_queries`` index vectors in md5(id) order (the
+    deterministic-sample trick ``kmeans_seeds`` uses), so the tuning is
+    reproducible and engine-independent.
+
+    Cost, by rerank mode:
+
+    - ``exact``: ONE exact top-k pass per sample query — the full nprobe
+      curve falls out analytically, because with exact rerank a true
+      top-k member is retrieved iff its cell is probed (probing fewer
+      cells only removes competitors), so
+      recall@k(nprobe) = fraction of true-top-k rows whose cell ranks
+      <= nprobe by query-centroid cosine. Always attainable: nprobe =
+      n_cells probes everything, recall 1.0.
+    - ``adc``: quantization error caps recall regardless of nprobe, so
+      the curve needs real probes — grid-evaluated (1, 2, 4, ...,
+      n_cells), early-stopped at the first grid point meeting the
+      target. Unattainable targets warn and persist the best measured
+      point; the fix is a finer codebook (rebuild with larger m /
+      n_codes), not more probing.
+
+    Returns the persisted ``tuned`` dict. Runs under the index
+    maintenance lock; builders call it with ``_locked=True``."""
+    import math
+    import warnings
+
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError("target_recall must be in (0, 1]")
+    if rerank not in ("exact", "adc"):
+        raise ValueError("rerank must be 'exact' or 'adc'")
+    manifest = ann_manifest_read(path)
+    if manifest is None:
+        raise ValueError(
+            f"no committed ANN index manifest at {path}; build the index "
+            "with write_ann_index first"
+        )
+    centroids = [(int(cid), c) for cid, c in manifest["centroids"]]
+    n_cells = len(centroids)
+    paths = [
+        f"{path}/cell={cell}/{name}"
+        for cell, names in manifest["cells"].items()
+        for name in names
+    ]
+    if not paths:
+        raise ValueError(f"ANN index at {path} is empty; nothing to tune")
+    emb = spark.read.option("basePath", path).parquet(*paths)
+    qrows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_queries)
+        .collect()
+    )
+    queries = [[float(v) for v in r[1]] for r in qrows]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else -1.0
+
+    def cell_ranks(q):  # cell id -> 1-based probe rank for this query
+        order = sorted(centroids, key=lambda c: (-cos(q, c[1]), c[0]))
+        return {cid: i + 1 for i, (cid, _) in enumerate(order)}
+
+    curve: dict[int, float] = {}
+    if rerank == "exact":
+        # analytic curve: hits-by-probe-rank histogram of the true top-k
+        hit_at_rank = [0] * (n_cells + 1)
+        denom = 0
+        for q in queries:
+            ranks = cell_ranks(q)
+            qn = _py_norm(q)
+            scored = emb.select(
+                F.col(id_col),
+                F.col("cell"),
+                F.round(
+                    _degenerate_guard(
+                        _dot_lit(vec_col, q)
+                        / (F.sqrt(_normsq_lit(vec_col, len(q))) * F.lit(qn))
+                    ),
+                    4,
+                ).alias("cos_sim"),
+            )
+            top = scored.orderBy(
+                F.desc("cos_sim"), F.col(id_col)
+            ).limit(k).collect()
+            denom += len(top)
+            for r in top:
+                hit_at_rank[ranks[int(r["cell"])]] += 1
+        cum = 0
+        best = None
+        for np_ in range(1, n_cells + 1):
+            cum += hit_at_rank[np_]
+            curve[np_] = round(cum / denom, 4) if denom else 1.0
+            if best is None and curve[np_] >= target_recall:
+                best = np_
+        if best is None:  # denom==0 cannot happen (paths non-empty)
+            best = n_cells
+        achieved = curve[best]
+    else:
+        grid = [1]
+        while grid[-1] < n_cells:
+            grid.append(min(n_cells, grid[-1] * 2))
+        best = None
+        for np_ in grid:
+            tot = 0.0
+            for q in queries:
+                approx = query_ann_index(
+                    spark, path, None, None, q, k=k, nprobe=np_,
+                    rerank="adc", id_col=id_col, vec_col=vec_col,
+                )
+                exact = cosine_topk(emb, q, k, id_col, vec_col)
+                tot += float(
+                    recall_at_k(approx, exact, id_col=id_col)
+                    .collect()[0]["recall"]
+                )
+            curve[np_] = round(tot / max(1, len(queries)), 4)
+            if curve[np_] >= target_recall:
+                best = np_
+                break
+        if best is None:
+            best = grid[-1]
+            warnings.warn(
+                f"ANN tuning target recall@{k} {target_recall} is "
+                f"unattainable under ADC rerank at this codebook: best "
+                f"measured {curve[best]} probing ALL {n_cells} cells. "
+                "Persisting the all-cells setting; rebuild with a finer "
+                "codebook (larger m/n_codes) or use exact rerank.",
+                stacklevel=2,
+            )
+        achieved = curve[best]
+    tuned = {
+        "target_recall": target_recall,
+        "nprobe": int(best),
+        "achieved_recall": achieved,
+        "k": int(k),
+        "rerank": rerank,
+        "n_queries": len(queries),
+    }
+    _ann_manifest_commit(path, {**ann_manifest_read(path), "tuned": tuned})
+    return tuned
 
 
 def _sqdist_lit(col: str, vec: list[float]) -> Column:

@@ -756,7 +756,12 @@ def pipeline_semdedup_cells(spark, sf):
     higher-id member of each pair. Clustering first is what makes semantic
     dedup tractable at corpus scale: the pair join is cell-blocked
     (sum over cells of n_c^2, not N^2), and cells are the partition key so
-    each task prunes one cell. tau = 0.4 fits this synthetic corpus (random
+    each task prunes one cell. This row pins a FIXED k=8 seed set so the
+    DuckDB oracle stays tractable; the production surface is
+    ``similarity.semdedup``, whose k DEFAULTS to ``auto_cell_count``
+    (k ∝ N, constant expected cell size — round 12, clearing the measured
+    N²/k blowup of a fixed k at 10x data, SCALE.md). tau = 0.4 fits this
+    synthetic corpus (random
     embeddings; max observed cos ~0.51) — real corpora use ~0.95+. On a
     replica-heavy corpus, compose with collapse_exact_vectors FIRST (the
     dedup_embedding_lsh_collapsed ordering) — identical vectors share a

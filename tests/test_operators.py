@@ -2648,3 +2648,132 @@ def test_ann_manifest_vec_counts_track_lifecycle(spark, tmp_path):
     assert "vec_counts" not in sim.ann_manifest_read(path)
     sim.append_ann_index(mk([(9000 + i, v) for i, (_, v) in enumerate(rows[:10])]), path)
     assert_counts_exact("migration-append")
+
+
+def test_auto_cell_count_scales_with_n(spark):
+    """Round 12 (verdict #2): auto-k targets a constant expected cell
+    size, so k grows ∝ N — the documented deployment rule is now the
+    operator default, not prose."""
+    from betfair_database_spark.operators.similarity import (
+        IVF_TARGET_CELL_CONF,
+        auto_cell_count,
+    )
+
+    assert auto_cell_count(1000, 100) == 10
+    assert auto_cell_count(10000, 100) == 100  # 10x data -> 10x cells
+    assert auto_cell_count(1, 100) == 1  # never zero
+    assert auto_cell_count(101, 100) == 2  # ceil
+    with pytest.raises(ValueError):
+        auto_cell_count(10, 0)
+    try:
+        spark.conf.set(IVF_TARGET_CELL_CONF, "50")
+        assert auto_cell_count(1000, spark=spark) == 20
+    finally:
+        spark.conf.unset(IVF_TARGET_CELL_CONF)
+
+
+def test_kmeans_seeds_auto_k_grows_with_data(spark):
+    """kmeans_seeds(k='auto') sizes the seed set to the frame: 10x the
+    vectors, 10x the cells (constant expected cell size)."""
+    import random
+
+    from betfair_database_spark.operators.similarity import (
+        IVF_TARGET_CELL_CONF,
+        kmeans_seeds,
+    )
+
+    rng = random.Random(12)
+    mk = lambda n: spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    try:
+        spark.conf.set(IVF_TARGET_CELL_CONF, "20")
+        small = kmeans_seeds(mk(60))  # k defaults to "auto"
+        large = kmeans_seeds(mk(600))
+    finally:
+        spark.conf.unset(IVF_TARGET_CELL_CONF)
+    assert len(small) == 3
+    assert len(large) == 30
+    # ids are 1..k in hash order, the deterministic-seed contract
+    assert [cid for cid, _ in large] == list(range(1, 31))
+
+
+def test_semdedup_operator_flags_higher_id_of_near_dups(spark):
+    """The first-class semdedup operator (auto-k default): identical
+    vectors pair above any threshold and the HIGHER id is flagged; a
+    distinct vector survives. Fixed centroids reproduce the gate row's
+    composition exactly."""
+    from betfair_database_spark.operators.similarity import semdedup
+
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (7, [1.0, 0.0, 0.0, 0.0]),  # exact dup of 1 -> flagged
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r["semdup_drop"]
+        for r in semdedup(emb, threshold=0.95).collect()
+    }
+    assert out == {1: False, 7: True, 3: False, 4: False}
+    # fixed centroids: same flags through the explicit-seed path
+    out2 = {
+        r["vec_id"]: r["semdup_drop"]
+        for r in semdedup(
+            emb, threshold=0.95, centroids=[(1, [1.0, 0.0, 0.0, 0.0])]
+        ).collect()
+    }
+    assert out2 == out
+
+
+def test_rebuild_ann_index_auto_k_resizes_cells(spark, tmp_path):
+    """rebuild_ann_index(n_cells='auto') re-sizes the cell count to the
+    CURRENT vector count from the manifest's vec_counts (zero extra
+    jobs): an index built small and grown by appends stops serving from
+    a handful of bloated cells after the rebuild, and probe results
+    still match the exact-cosine oracle."""
+    import random
+
+    from betfair_database_spark.operators.similarity import (
+        IVF_TARGET_CELL_CONF,
+        ann_manifest_read,
+        append_ann_index,
+        cosine_topk,
+        kmeans_seeds,
+        query_ann_index,
+        rebuild_ann_index,
+        write_ann_index,
+    )
+
+    rng = random.Random(21)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(300)]
+    mk = lambda chunk: spark.createDataFrame(
+        chunk, "vec_id long, embedding array<float>"
+    )
+    path = str(tmp_path / "ann_autok")
+    write_ann_index(mk(rows[:60]), path, kmeans_seeds(mk(rows[:60]), 2))
+    append_ann_index(mk(rows[60:300]), path)
+    assert len(ann_manifest_read(path)["centroids"]) == 2
+    try:
+        spark.conf.set(IVF_TARGET_CELL_CONF, "50")
+        n = rebuild_ann_index(
+            spark, path, n_cells="auto", kmeans_iters=2, train_iters=0
+        )
+    finally:
+        spark.conf.unset(IVF_TARGET_CELL_CONF)
+    assert n == 300
+    manifest = ann_manifest_read(path)
+    # 300 vectors / 50 per cell = 6 designed cells (k-means may drop an
+    # emptied cell, never add one)
+    assert 3 <= len(manifest["centroids"]) <= 6
+    q = [float(v) for v in rows[11][1]]
+    got = [
+        tuple(r)
+        for r in query_ann_index(
+            spark, path, None, None, q, k=5, nprobe=len(manifest["centroids"])
+        ).collect()
+    ]
+    want = [tuple(r) for r in cosine_topk(mk(rows), q, 5).collect()]
+    assert got == want

@@ -1430,6 +1430,7 @@ def write_ann_index(
     vec_col: str = "embedding",
     train_iters: int = 3,
     anchors: "list[list[float]] | None" = None,
+    target_recall: "float | None" = None,
 ) -> list[list[float]]:
     """Persist the 100 TB ANN layout the deployment plan promises: one
     pass assigns every vector to its IVF cell and PQ-encodes it; the
@@ -1486,6 +1487,17 @@ def write_ann_index(
             ),
         },
     )
+    if target_recall is not None:
+        # recall-targeted nprobe policy (round 12, verdict #3): measure
+        # on a held-out sample right after the build and persist the
+        # choice — query_ann_index then defaults to it
+        tune_ann_index(
+            emb.sparkSession,
+            path,
+            target_recall=target_recall,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
     return anchors
 
 
@@ -1953,6 +1965,7 @@ def rebuild_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     retain_snapshots: int = 1,
+    target_recall: "float | None" = None,
 ) -> int:
     """Re-cluster the at-rest ANN index on its CURRENT contents (round
     10 — the last lifecycle gap): appends assign new vectors to the
@@ -2079,6 +2092,28 @@ def rebuild_ann_index(
             p = root / f"cell={cell}" / name
             p.unlink(missing_ok=True)
             (p.parent / ("." + p.name + ".crc")).unlink(missing_ok=True)
+    # Recall policy across rebuilds (round 12, verdict #3): the fresh
+    # commit deliberately drops the old "tuned" entry — the re-clustered
+    # layout invalidates its measurement — but the TARGET survives:
+    # re-tune to the explicit target_recall, or to the previous tuned
+    # target (same k/rerank) when none is given, so the drift loop's
+    # auto-rebuild maintains the recall policy instead of silently
+    # reverting queries to the untuned default.
+    old_tuned = manifest.get("tuned")
+    if target_recall is not None:
+        tune_ann_index(
+            spark, path, target_recall=target_recall,
+            id_col=id_col, vec_col=vec_col, _locked=True,
+        )
+    elif old_tuned:
+        tune_ann_index(
+            spark, path,
+            target_recall=float(old_tuned["target_recall"]),
+            k=int(old_tuned.get("k", 10)),
+            rerank=str(old_tuned.get("rerank", "exact")),
+            n_queries=int(old_tuned.get("n_queries", 8)),
+            id_col=id_col, vec_col=vec_col, _locked=True,
+        )
     return n
 
 

@@ -2777,3 +2777,123 @@ def test_rebuild_ann_index_auto_k_resizes_cells(spark, tmp_path):
     ]
     want = [tuple(r) for r in cosine_topk(mk(rows), q, 5).collect()]
     assert got == want
+
+
+def test_tune_ann_index_persists_recall_policy(spark, tmp_path):
+    """Round 12 (verdict #3): tune_ann_index measures recall@k on a
+    deterministic held-out sample, persists the smallest qualifying
+    nprobe in the manifest, and query_ann_index defaults to it. The
+    picked nprobe is monotone in the target (a stricter target never
+    probes fewer cells)."""
+    import random
+
+    from betfair_database_spark.operators.similarity import (
+        ann_manifest_read,
+        kmeans_seeds,
+        query_ann_index,
+        tune_ann_index,
+        write_ann_index,
+    )
+
+    rng = random.Random(33)
+    # 4 well-separated clusters of 30: true neighbors share a cluster
+    rows = []
+    for c in range(4):
+        base = [0.0] * 16
+        base[c * 4] = 1.0
+        for i in range(30):
+            rows.append(
+                (
+                    c * 30 + i,
+                    [b + rng.uniform(-0.05, 0.05) for b in base],
+                )
+            )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ann_tuned")
+    write_ann_index(
+        emb, path, kmeans_seeds(emb, 4), target_recall=0.9, train_iters=0
+    )
+    tuned = ann_manifest_read(path)["tuned"]
+    assert tuned["achieved_recall"] >= tuned["target_recall"] == 0.9
+    assert 1 <= tuned["nprobe"] <= 4
+    # the default probe setting IS the tuned one
+    q = [float(v) for v in rows[5][1]]
+    got_default = [
+        tuple(r)
+        for r in query_ann_index(spark, path, None, None, q, k=5).collect()
+    ]
+    got_tuned = [
+        tuple(r)
+        for r in query_ann_index(
+            spark, path, None, None, q, k=5, nprobe=tuned["nprobe"]
+        ).collect()
+    ]
+    assert got_default == got_tuned
+    # monotone in target: recall 1.0 needs at least as many probes
+    strict = tune_ann_index(spark, path, target_recall=1.0, k=5)
+    assert strict["nprobe"] >= tuned["nprobe"]
+    assert strict["achieved_recall"] == 1.0  # exact rerank: attainable
+
+
+def test_tune_ann_index_adc_unattainable_warns(spark, tmp_path):
+    """An ADC-rerank recall target above what the codebook can deliver
+    warns loudly and persists the best measured setting instead of
+    silently serving low recall."""
+    import random
+
+    from betfair_database_spark.operators.similarity import (
+        ann_manifest_read,
+        kmeans_seeds,
+        tune_ann_index,
+        write_ann_index,
+    )
+
+    rng = random.Random(34)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ann_adc_coarse")
+    # deliberately coarse codebook: 2 subspaces x 2 codes, untrained
+    write_ann_index(
+        emb, path, kmeans_seeds(emb, 2), m=2, n_codes=2, train_iters=0
+    )
+    with pytest.warns(UserWarning, match="unattainable"):
+        tuned = tune_ann_index(
+            spark, path, target_recall=0.99, k=10, n_queries=4,
+            rerank="adc",
+        )
+    assert tuned["achieved_recall"] < 0.99
+    assert tuned["nprobe"] == 2  # all cells probed
+    assert ann_manifest_read(path)["tuned"] == tuned
+
+
+def test_rebuild_ann_index_keeps_recall_target(spark, tmp_path):
+    """A rebuild re-clusters the layout (dropping the stale measurement)
+    but KEEPS the recall policy: it re-tunes to the previous target, so
+    the drift loop's auto-rebuild never silently reverts queries to the
+    untuned default."""
+    import random
+
+    from betfair_database_spark.operators.similarity import (
+        ann_manifest_read,
+        kmeans_seeds,
+        rebuild_ann_index,
+        write_ann_index,
+    )
+
+    rng = random.Random(35)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(150)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ann_retune")
+    write_ann_index(
+        emb, path, kmeans_seeds(emb, 3), target_recall=0.8, train_iters=0
+    )
+    before = ann_manifest_read(path)["tuned"]
+    assert before["target_recall"] == 0.8
+    rebuild_ann_index(spark, path, kmeans_iters=2, train_iters=0)
+    after = ann_manifest_read(path)["tuned"]
+    assert after["target_recall"] == 0.8
+    assert after["achieved_recall"] >= 0.8

@@ -175,6 +175,8 @@ HEADLINE = [
     "dedup_url_canonical_stats",
     "sample_doremi_reweight",
     "rollup_route_avg_derived_where",
+    # round-12: variance family served from (count, sum, sumsq) partials
+    "rollup_route_stddev_var",
 ]
 
 
@@ -228,12 +230,24 @@ def main() -> None:
     # a slightly noisy tail beats a killed process with NO output
     wall_budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "460"))
 
+    steals_by: dict[str, list] = {}
+
     def timed(name: str) -> float:
+        s0 = _cpu_stat()
         t0 = time.perf_counter()
         SUITE[name].fn(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        s1 = _cpu_stat()
+        # per-RUN steal (round 12, verdict #7): row-level confidence —
+        # a regression call on a row whose runs saw hypervisor steal is
+        # adjudicated against that, not just the whole-bench average
+        if s0 and s1 and s1[1] > s0[1]:
+            steals_by.setdefault(name, []).append(
+                round(100.0 * (s1[0] - s0[0]) / (s1[1] - s0[1]), 2)
+            )
+        return dt
 
     # Pass-based scheduling (round 9). Round 8's per-query repeat loop
     # had a structural tail bias: once the wall budget ran out, every
@@ -258,6 +272,33 @@ def main() -> None:
                 continue
             runs_by[name].append(timed(name))
 
+    def _median(runs: list[float]) -> float:
+        runs = sorted(runs)
+        mid = len(runs) // 2
+        return (
+            runs[mid]
+            if len(runs) % 2
+            else (runs[mid - 1] + runs[mid]) / 2.0
+        )
+
+    # Dispersion hygiene (round 12, verdict #7): round-over-round
+    # per-query comparison is noise-limited exactly on the rows whose
+    # spread rivals their median (round-11 artifact had n=2 rows with
+    # spread > median) — any such row is re-run until n >= 3 so the next
+    # verdict can cite a median, not a coin flip. Unstable rows first;
+    # budget-guarded like the refresh passes.
+    flagged = [
+        n
+        for n in HEADLINE
+        if len(runs_by[n]) == 2
+        and max(runs_by[n]) - min(runs_by[n])
+        > 0.5 * max(_median(runs_by[n]), 0.05)
+    ]
+    for name in sorted(flagged, key=lambda n: -max(runs_by[n])):
+        if time.perf_counter() - wall0 > wall_budget:
+            break
+        runs_by[name].append(timed(name))
+
     timings: dict[str, float] = {}
     stats: dict[str, dict] = {}
     for name in HEADLINE:
@@ -268,17 +309,32 @@ def main() -> None:
         # a real plan change moves the MEDIAN beyond the recorded SPREAD;
         # box noise does not. `queries` keeps best-of semantics so
         # cross-round comparisons stay apples-to-apples.
-        mid = len(runs) // 2
-        median = (
-            runs[mid]
-            if len(runs) % 2
-            else (runs[mid - 1] + runs[mid]) / 2.0
+        median = _median(runs)
+        spread = runs[-1] - runs[0]
+        row_steals = [s for s in steals_by.get(name, []) if s is not None]
+        # Row confidence (round 12, verdict #7): "low" when the row's
+        # own runs saw hypervisor steal (>1.5% — the measured +11%
+        # inflation point from round 10's calibration) or its spread
+        # still rivals the median after the dispersion re-runs. The
+        # next verdict trusts "ok" medians and discounts "low" ones.
+        steal_max = max(row_steals) if row_steals else None
+        confidence = (
+            "low"
+            if (steal_max is not None and steal_max > 1.5)
+            or spread > max(median, 0.05)
+            else "ok"
         )
         stats[name] = {
             "median": round(median, 3),
-            "spread": round(runs[-1] - runs[0], 3),
+            "spread": round(spread, 3),
             "n": len(runs),
             "runs": [round(r, 3) for r in runs],
+            "confidence": confidence,
+            **(
+                {"steal_pct_max": steal_max}
+                if steal_max is not None
+                else {}
+            ),
         }
 
     total = round(sum(timings.values()), 3)

@@ -840,3 +840,24 @@ def test_century_nonleap_feb29_corner_wontfix(spark):
     ce = translate_where("datetime(x,'localtime')", local_tz=tz)
     got = spark.sql(f"SELECT ({ce}) AS r FROM wontfix_corner").first()["r"]
     assert got == "2100-02-28 20:00:00"
+
+
+def test_non_literal_modifier_raises_loud_contract(spark):
+    """Round 12 (verdict #8): column-valued / computed datetime MODIFIER
+    expressions are a pinned LOUD-ERROR dialect delta (README table) —
+    never silently misinterpreted, never NULLed. Literal modifiers on a
+    column base keep working (the supported grammar); only the modifier
+    argument itself must be a string literal."""
+    for expr in (
+        "datetime(marketStartTime, someColumn)",
+        "datetime(marketStartTime, '+1 day', someColumn)",
+        "strftime('%Y', marketStartTime, upper('utc'))",
+        "time(marketStartTime, mod_col)",
+        "date(marketStartTime, trim(' +1 day '))",
+    ):
+        with pytest.raises(ValueError, match="must be string literals"):
+            translate_where(expr)
+        with pytest.raises(ValueError, match="must be string literals"):
+            translate_where(expr, projection=True)
+    # sanity: the same call with the modifier as a literal translates
+    assert translate_where("datetime(marketStartTime, '+1 day')")

@@ -559,6 +559,122 @@ class TestTimeTravel:
         # the pre-upsert reader still sees exactly the old snapshot
         assert sorted(r["marketId"] for r in lazy.collect()) == before_ids
 
+    def test_cross_process_reader_pinned_version(self, env, tmp_path):
+        """Round 12 (verdict #5): the manifest/snapshot protocol's whole
+        purpose is concurrent READERS in other processes — a real second
+        process (own JVM, own SparkSession) holding ``version=N`` keeps
+        reading byte-identical rows while this process runs insert →
+        clean → vacuum(retaining N), and errors loudly once vacuum
+        reaps N. The retention contract, tested across a process
+        boundary instead of in-process lazy frames."""
+        import subprocess
+        import sys as _sys
+        import time as _time
+
+        db = env
+        version = db.snapshots()[-1]["version"]
+        box = tmp_path / "xproc"
+        box.mkdir()
+        repo = str(Path(__file__).resolve().parents[1])
+        script = box / "reader.py"
+        script.write_text(
+            f"""
+import os, sys, time
+from pathlib import Path
+sys.path.insert(0, {repo!r})
+os.environ["SPARK_GRAFT_CPUS"] = "4"
+os.environ["SPARK_DRIVER_MEMORY"] = "2g"
+from betfair_database_spark.session import get_spark
+from betfair_database_spark.database import BetfairDatabase
+
+box = Path({str(box)!r})
+spark = get_spark("xproc-reader")
+db = BetfairDatabase({str(db.database_dir)!r}, spark=spark)
+VERSION = {version}
+
+def digest():
+    rows = db.select(version=VERSION)
+    return "%d:%s" % (
+        len(rows),
+        hash(tuple(sorted(repr(sorted(r.items())) for r in rows))),
+    )
+
+def wait(name, timeout=180):
+    t0 = time.time()
+    while not (box / name).exists():
+        if time.time() - t0 > timeout:
+            raise SystemExit("timeout waiting for " + name)
+        time.sleep(0.2)
+
+(box / "read1.txt").write_text(digest())
+wait("go2")
+(box / "read2.txt").write_text(digest())
+wait("go3")
+try:
+    digest()
+    out = "NO_ERROR"
+except Exception as e:
+    out = type(e).__name__ + ": " + str(e)[:300]
+(box / "read3.txt").write_text(out)
+"""
+        )
+
+        def wait_for(name, proc, timeout=240):
+            t0 = _time.time()
+            while not (box / name).exists():
+                if proc.poll() is not None:
+                    raise AssertionError(
+                        f"reader died before {name}: "
+                        f"{proc.stderr.read().decode()[-2000:]}"
+                    )
+                if _time.time() - t0 > timeout:
+                    proc.kill()
+                    raise AssertionError(f"timeout waiting for {name}")
+                _time.sleep(0.3)
+            return (box / name).read_text()
+
+        proc = subprocess.Popen(
+            [_sys.executable, str(script)],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.PIPE,
+        )
+        try:
+            read1 = wait_for("read1.txt", proc)
+            # writer churn in THIS process: insert a new market + clean
+            src2 = tmp_path / "xp_src"
+            src2.mkdir()
+            meta = json.loads(
+                (tmp_path / "ttsrc" / "1.222000002.json").read_text()
+            )
+            meta["marketId"] = "1.222990077"
+            (src2 / "1.222990077.json").write_text(json.dumps(meta))
+            (src2 / "1.222990077").write_text('{"op":"mcm"}')
+            assert db.insert(src2, copy=True) == 1
+            gone = db.select(
+                ["marketDataFilePath"], where="marketId = '1.222990077'"
+            )[0]["marketDataFilePath"]
+            Path(gone).unlink()
+            assert db.clean() == 1
+            # vacuum but RETAIN the reader's version (3 keeps it)
+            db.vacuum(retain_last=3)
+            assert any(
+                s["version"] == version and s["readable"]
+                for s in db.snapshots()
+            )
+            (box / "go2").touch()
+            read2 = wait_for("read2.txt", proc)
+            assert read2 == read1  # byte-identical through maintenance
+            # now reap the reader's version
+            db.vacuum(retain_last=1)
+            (box / "go3").touch()
+            read3 = wait_for("read3.txt", proc)
+            assert read3.startswith("ValueError")
+            assert "unknown index snapshot" in read3
+            assert proc.wait(timeout=120) == 0
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+
 
 class TestWriterLock:
     """Single-writer mutual exclusion (round 7): the crash-atomic commit

@@ -146,34 +146,8 @@ def start_index_stream(
     are immutable, so a later delivery sorts after the original). Returns
     the StreamingQuery.
     """
-    from pyspark.sql import Window
-    from pyspark.errors import AnalysisException
-
     def _upsert(batch: DataFrame, batch_id: int) -> None:
-        rows = metadata_batch_to_index_rows(batch)
-        w = Window.partitionBy("marketId").orderBy(
-            F.col("marketMetadataFilePath").desc()
-        )
-        rows = materialize(
-            rows.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn"),
-            "stream-index-batch-rows",
-        )
-        if not rows.head(1):
-            return
-        spark_ = rows.sparkSession
-        try:
-            existing = spark_.read.parquet(index_path)
-            kept = existing.join(
-                rows.select("marketId"), "marketId", "left_anti"
-            )
-            merged = materialize(
-                kept.unionByName(rows), "stream-index-merged"
-            )
-        except AnalysisException:  # first batch: no index yet
-            merged = rows
-        merged.write.mode("overwrite").parquet(index_path)
+        index_upsert_batch(batch, batch_id, index_path)
 
     writer = (
         read_catalogue_stream(spark, landing_dir, max_files_per_trigger)
@@ -183,6 +157,43 @@ def start_index_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def index_upsert_batch(
+    batch: DataFrame, batch_id: int, index_path: str
+) -> None:
+    """One keyed upsert micro-batch for ``start_index_stream`` —
+    module-level so tests can drive replay/crash windows directly (same
+    convention as rollup_merge_batch). Idempotent BY KEY rather than by
+    batch id: a redelivered batch deletes-then-appends the same markets,
+    landing on the same rows."""
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import Window
+
+    rows = metadata_batch_to_index_rows(batch)
+    w = Window.partitionBy("marketId").orderBy(
+        F.col("marketMetadataFilePath").desc()
+    )
+    rows = materialize(
+        rows.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn"),
+        "stream-index-batch-rows",
+    )
+    if not rows.head(1):
+        return
+    spark_ = rows.sparkSession
+    try:
+        existing = spark_.read.parquet(index_path)
+        kept = existing.join(
+            rows.select("marketId"), "marketId", "left_anti"
+        )
+        merged = materialize(
+            kept.unionByName(rows), "stream-index-merged"
+        )
+    except AnalysisException:  # first batch: no index yet
+        merged = rows
+    merged.write.mode("overwrite").parquet(index_path)
 
 
 _STREAM_META_NAME = "_stream_meta.json"

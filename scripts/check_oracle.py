@@ -54,17 +54,25 @@ def main(sf_dir: str | None = None, only: set[str] | None = None) -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failures = []
+    walls: dict[str, float] = {}
     for name, spec in SUITE.items():
         if only and name not in only:
             continue
         try:
+            import time as _time
+
+            _t0 = _time.perf_counter()
             sdf = spec.fn(spark, sf_dir).toPandas()
+            walls[name] = round(_time.perf_counter() - _t0, 3)
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:300]}")
             continue
         if spec.oracle is None:
-            print(f"---- {name}: rows-only ({len(sdf)} rows)")
+            print(
+                f"---- {name}: rows-only ({len(sdf)} rows)"
+                f" [{walls[name]}s]"
+            )
             continue
         try:
             odf = con.sql(spec.oracle).df()
@@ -77,7 +85,10 @@ def main(sf_dir: str | None = None, only: set[str] | None = None) -> int:
         status = "OK  " if (sn, sc, sh) == (on, oc, oh) else "FAIL"
         if status == "FAIL":
             failures.append(name)
-        print(f"{status} {name}: spark({sn} rows, {sh[:8]}) duckdb({on} rows, {oh[:8]})")
+        print(
+            f"{status} {name}: spark({sn} rows, {sh[:8]}) "
+            f"duckdb({on} rows, {oh[:8]}) [{walls[name]}s]"
+        )
         if status == "FAIL":
             if sc != oc:
                 print(f"     cols spark={sc} duckdb={oc}")
@@ -87,6 +98,13 @@ def main(sf_dir: str | None = None, only: set[str] | None = None) -> int:
                 ).drop_duplicates(keep=False)
                 print(merged.head(6).to_string())
     print(f"\n{len(failures)} failures: {failures}")
+    # machine-readable per-row Spark walls (scale-ratio tables, round 12)
+    import json as _json
+    import os as _os
+
+    out = _os.environ.get("CHECK_ORACLE_WALLS")
+    if out:
+        Path(out).write_text(_json.dumps({"sf_dir": sf_dir, "walls": walls}))
     return 1 if failures else 0
 
 

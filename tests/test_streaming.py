@@ -1675,3 +1675,306 @@ def test_streaming_scd2_enrich_matches_batch_interval_join(spark, tmp_path):
         (r["event_id"], r["tier"]) for r in spark.table("scd2_out").collect()
     )
     assert got == want
+
+
+# =========================================================================
+# Streaming crash-recovery chaos (round 12, verdict #6): for each
+# idempotent sink, kill the REAL StreamingQuery in the exact window the
+# batch-id bookkeeping exists for — after the sink's own commit, before
+# Spark advances the checkpoint (foreachBatch raising after the sink body
+# is precisely that: offsets/<id> was written before processing, so the
+# restart redelivers the SAME batch id with the SAME data) — then restart
+# from the same checkpoint and assert exactly-once results against the
+# one-shot batch ground truth.
+# =========================================================================
+
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _paired_corpus(tmp_path, name="chaos_paired"):
+    import shutil
+
+    from tests.corpus import build_corpus
+
+    src = tmp_path / (name + "_full")
+    build_corpus(src)
+    corpus = tmp_path / name
+    corpus.mkdir()
+    for meta in sorted(src.glob("1.*.json")):
+        for ext in ("", ".bz2", ".gz", ".zip"):
+            data = meta.with_suffix(ext) if ext else meta.with_suffix("")
+            if data.exists() and data != meta:
+                shutil.copy(meta, corpus / meta.name)
+                shutil.copy(data, corpus / data.name)
+                break
+    return corpus
+
+
+def _run_with_midstream_crash(
+    spark, landing, checkpoint_dir, sink, crash_flag, crash_on_batch
+):
+    """Drive ``sink`` under a real file-source StreamingQuery, crashing
+    the query ONCE right after the sink committed ``crash_on_batch``;
+    then restart from the same checkpoint and drain."""
+    from pyspark.errors import StreamingQueryException
+
+    from betfair_database_spark.streaming.ingest import (
+        read_catalogue_stream,
+    )
+
+    def wrapped(batch, batch_id):
+        sink(batch, batch_id)
+        if batch_id == crash_on_batch and not crash_flag.exists():
+            crash_flag.touch()
+            raise RuntimeError("injected crash after sink commit")
+
+    def start():
+        return (
+            read_catalogue_stream(spark, str(landing), 1)
+            .writeStream.foreachBatch(wrapped)
+            .option("checkpointLocation", str(checkpoint_dir))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination(180)
+    assert crash_flag.exists()
+    q2 = start()  # same checkpoint: the crashed batch is REDELIVERED
+    assert q2.awaitTermination(180)
+
+
+def test_streaming_rollup_survives_midstream_crash(spark, tmp_path):
+    """Kill the rollup stream after the sink committed a batch but
+    before the checkpoint advanced; the restarted query redelivers that
+    batch and the additive fold must NOT double-count it."""
+    from betfair_database_spark.rollup import summarize
+    from betfair_database_spark.streaming.ingest import (
+        checkpoint_instance_id,
+        metadata_batch_to_index_rows,
+        rollup_merge_batch,
+    )
+
+    corpus = _paired_corpus(tmp_path, "roll_chaos")
+    rollup_dir = str(tmp_path / "chaos_rollup")
+    ckpt = tmp_path / "chaos_roll_ckpt"
+    sid = checkpoint_instance_id(str(ckpt))
+    _run_with_midstream_crash(
+        spark,
+        corpus,
+        ckpt,
+        lambda b, bid: rollup_merge_batch(b, bid, rollup_dir, stream_id=sid),
+        tmp_path / "roll_crashed",
+        crash_on_batch=1,
+    )
+    # one-shot batch ground truth over the same files
+    batch = (
+        spark.read.format("text")
+        .option("wholetext", "true")
+        .option("pathGlobFilter", "*.json")
+        .load(str(corpus))
+        .select(
+            F.regexp_replace(F.input_file_name(), "^file:/*", "/").alias(
+                "path"
+            ),
+            F.col("value").alias("content"),
+        )
+    )
+    want = sorted(
+        tuple(r)
+        for r in summarize(metadata_batch_to_index_rows(batch)).collect()
+    )
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(rollup_dir).collect()
+    )
+    assert got == want and got
+
+
+def test_streaming_spec_rollup_survives_midstream_crash(spark, tmp_path):
+    """Same window for the user-spec sink — counts/sums/HLL partials must
+    fold each market exactly once through the crash + redelivery."""
+    from betfair_database_spark.rollup import (
+        parse_spec,
+        spec_view,
+        summarize_spec,
+    )
+    from betfair_database_spark.streaming.ingest import (
+        checkpoint_instance_id,
+        metadata_batch_to_index_rows,
+        read_spec_stream_rollup,
+        spec_rollup_merge_batch,
+    )
+
+    corpus = _paired_corpus(tmp_path, "spec_chaos")
+    spec = parse_spec(
+        ["marketType"],
+        ["n=count()", "runnersTotal=sum(runners)",
+         "ids=approx_count_distinct(marketId)"],
+    )
+    rollup_dir = str(tmp_path / "chaos_spec_rollup")
+    ckpt = tmp_path / "chaos_spec_ckpt"
+    sid = checkpoint_instance_id(str(ckpt))
+    _run_with_midstream_crash(
+        spark,
+        corpus,
+        ckpt,
+        lambda b, bid: spec_rollup_merge_batch(
+            b, bid, rollup_dir, spec, stream_id=sid
+        ),
+        tmp_path / "spec_crashed",
+        crash_on_batch=1,
+    )
+    batch = (
+        spark.read.format("text")
+        .option("wholetext", "true")
+        .option("pathGlobFilter", "*.json")
+        .load(str(corpus))
+        .select(
+            F.regexp_replace(F.input_file_name(), "^file:/*", "/").alias(
+                "path"
+            ),
+            F.col("value").alias("content"),
+        )
+    )
+    want = sorted(
+        tuple(r)
+        for r in spec_view(
+            summarize_spec(metadata_batch_to_index_rows(batch), spec), spec
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in read_spec_stream_rollup(spark, rollup_dir).collect()
+    )
+    assert got == want and got
+
+
+def test_streaming_index_upsert_survives_midstream_crash(spark, tmp_path):
+    """The index upsert sink is idempotent BY KEY (delete-then-append):
+    the redelivered batch re-upserts the same markets and the final
+    index equals the batch index row-for-row."""
+    from pyspark.errors import StreamingQueryException
+
+    from betfair_database_spark.const import SQL_TABLE_COLUMNS
+    from betfair_database_spark.database import BetfairDatabase
+    from betfair_database_spark.streaming import ingest as ing
+
+    corpus = _paired_corpus(tmp_path, "idx_chaos")
+    db = BetfairDatabase(corpus, spark=spark)
+    db.index()
+    want = sorted(tuple(r) for r in db.select_df().collect())
+
+    index_path = str(tmp_path / "chaos_index.parquet")
+    crash_flag = tmp_path / "idx_crashed"
+
+    def upsert(batch, batch_id):
+        ing.index_upsert_batch(batch, batch_id, index_path)
+        if batch_id == 1 and not crash_flag.exists():
+            crash_flag.touch()
+            raise RuntimeError("injected crash after sink commit")
+
+    def start():
+        return (
+            ing.read_catalogue_stream(spark, str(corpus), 1)
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", str(tmp_path / "chaos_idx_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination(180)
+    q2 = start()
+    assert q2.awaitTermination(180)
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(index_path)
+        .select(*SQL_TABLE_COLUMNS)
+        .collect()
+    )
+    assert got == want and got
+
+
+def test_streaming_ann_append_survives_midstream_crash(spark, tmp_path):
+    """ANN append chaos: the batch id rides the index's own manifest
+    commit, so a crash between the sink commit and the checkpoint
+    advance makes the redelivered batch a no-op — exact vector count,
+    probe results equal the one-shot batch build."""
+    import random
+    import shutil
+
+    from pyspark.errors import StreamingQueryException
+
+    from betfair_database_spark.operators import similarity as sim
+    from betfair_database_spark.streaming.ingest import (
+        ann_append_batch,
+        checkpoint_instance_id,
+    )
+
+    rng = random.Random(66)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(160)]
+    mk = lambda chunk: spark.createDataFrame(
+        chunk, "vec_id long, embedding array<float>"
+    )
+    index_path = str(tmp_path / "chaos_ann")
+    sim.write_ann_index(
+        mk(rows[:40]), index_path, sim.kmeans_seeds(mk(rows[:40]), 2)
+    )
+    landing = tmp_path / "chaos_ann_landing"
+    landing.mkdir()
+    for j, lo in enumerate(range(40, 160, 40)):
+        tmpdir = tmp_path / f"_w{j}"
+        mk(rows[lo : lo + 40]).coalesce(1).write.mode("overwrite").parquet(
+            str(tmpdir)
+        )
+        shutil.move(
+            str(next(tmpdir.glob("part-*.parquet"))),
+            str(landing / f"drop{j}.parquet"),
+        )
+        shutil.rmtree(tmpdir)
+
+    ckpt = tmp_path / "chaos_ann_ckpt"
+    sid = checkpoint_instance_id(str(ckpt))
+    crash_flag = tmp_path / "ann_crashed"
+
+    def sink(batch, batch_id):
+        ann_append_batch(
+            batch, batch_id, index_path, "vec_id", "embedding",
+            stream_id=sid,
+        )
+        if batch_id == 1 and not crash_flag.exists():
+            crash_flag.touch()
+            raise RuntimeError("injected crash after sink commit")
+
+    def start():
+        return (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(landing))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination(180)
+    q2 = start()
+    assert q2.awaitTermination(180)
+    manifest = sim.ann_manifest_read(index_path)
+    # exactly-once: total vector count is exact (a double-applied batch
+    # would add 40 duplicates)
+    assert sum(manifest["vec_counts"].values()) == 160
+    qv = [float(v) for v in rows[7][1]]
+    got = [
+        tuple(r)
+        for r in sim.query_ann_index(
+            spark, index_path, None, None, qv, k=8, nprobe=2
+        ).collect()
+    ]
+    want = [tuple(r) for r in sim.cosine_topk(mk(rows), qv, 8).collect()]
+    assert got == want

@@ -166,7 +166,16 @@ def index_upsert_batch(
     module-level so tests can drive replay/crash windows directly (same
     convention as rollup_merge_batch). Idempotent BY KEY rather than by
     batch id: a redelivered batch deletes-then-appends the same markets,
-    landing on the same rows."""
+    landing on the same rows.
+
+    Racing enrichment is re-run over the MERGED frame (round 12): the
+    reference's build/probe join is corpus-level, but a micro-batch only
+    sees its own files — a PLACE market whose WIN sibling landed in an
+    EARLIER trigger would stay unenriched forever under batch-local
+    enrichment (found by the per-file-trigger chaos test). The candidate
+    key re-derives from persisted columns; since this sink rewrites the
+    whole index parquet per batch anyway, the re-enrichment is one extra
+    broadcast join on rows already in flight — no extra shuffle."""
     from pyspark.errors import AnalysisException
     from pyspark.sql import Window
 
@@ -189,11 +198,46 @@ def index_upsert_batch(
             rows.select("marketId"), "marketId", "left_anti"
         )
         merged = materialize(
-            kept.unionByName(rows), "stream-index-merged"
+            _reenrich_racing(kept.unionByName(rows)),
+            "stream-index-merged",
         )
     except AnalysisException:  # first batch: no index yet
         merged = rows
     merged.write.mode("overwrite").parquet(index_path)
+
+
+def _reenrich_racing(merged: DataFrame) -> DataFrame:
+    """Corpus-level racing enrichment over the merged index frame: drop
+    the four injected racing columns, re-derive the composite race-id
+    candidate from PERSISTED columns (the same components flatten uses:
+    eventTypeId, eventCountryCode, eventVenue, marketStartTime), and
+    re-run the broadcast build/probe join — cross-micro-batch WIN→PLACE
+    inheritance lands exactly where one-shot batch ``index()`` puts it,
+    ties included (max marketId WIN per race, now across the corpus)."""
+    from betfair_database_spark.functions.racing import (
+        enrich_with_racing,
+        is_racing,
+        race_id_column,
+    )
+
+    cand = F.when(
+        is_racing(F.col("eventTypeId")),
+        race_id_column(
+            F.col("eventTypeId"),
+            F.col("eventCountryCode"),
+            F.col("eventVenue"),
+            F.col("marketStartTime"),
+        ),
+    )
+    stripped = merged.drop(
+        "raceId",
+        "raceTypeFromName",
+        "raceDistanceMeters",
+        "raceDistanceFurlongs",
+    )
+    return enrich_with_racing(
+        stripped.withColumn("_raceIdCandidate", cand)
+    ).select(*SQL_TABLE_COLUMNS)
 
 
 _STREAM_META_NAME = "_stream_meta.json"

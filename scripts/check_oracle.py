@@ -20,6 +20,35 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+# Per-row DuckDB oracle wall bound in seconds (0 = unbounded, the
+# default). Scale runs set CHECK_ORACLE_ORACLE_TIMEOUT: a handful of
+# oracles are deliberately quadratic (exact all-pairs truth) and blow up
+# at sf >= 0.1 — 58 GB of DuckDB spill observed on dedup_minhash_recall —
+# while the ENGINE side stays bucketed; the interrupt records the row
+# rows-only at that SF instead of stalling the suite.
+import os as _os
+
+_ORACLE_TIMEOUT = float(_os.environ.get("CHECK_ORACLE_ORACLE_TIMEOUT", "0"))
+
+
+def _run_oracle(con, sql: str):
+    if not _ORACLE_TIMEOUT:
+        return con.sql(sql).df()
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(_ORACLE_TIMEOUT):
+            con.interrupt()
+
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    try:
+        return con.sql(sql).df()
+    finally:
+        done.set()
+
 
 def _canonical(df: pd.DataFrame) -> tuple[int, list[str], str]:
     cols = sorted(df.columns)
@@ -75,7 +104,19 @@ def main(sf_dir: str | None = None, only: set[str] | None = None) -> int:
             )
             continue
         try:
-            odf = con.sql(spec.oracle).df()
+            odf = _run_oracle(con, spec.oracle)
+        except duckdb.InterruptException:
+            # ORACLE cost (not engine cost) exceeded the per-row bound —
+            # the hash stays checked at the standard gate SF; at scale
+            # SFs the row is recorded rows-only so one quadratic oracle
+            # (e.g. the exact all-pairs recall truth) cannot stall the
+            # whole-suite wall table. NOT a failure.
+            print(
+                f"---- {name}: ORACLE TIMEOUT after {_ORACLE_TIMEOUT}s "
+                f"(spark {len(sdf)} rows, [{walls[name]}s]) — hash "
+                "unchecked at this SF"
+            )
+            continue
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {str(e)[:300]}")

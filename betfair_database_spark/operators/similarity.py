@@ -2761,7 +2761,9 @@ def mmr_rerank(
     context packing (the query-anchored cousin of kcenter_select).
 
     Same determinism contract as kcenter_select: every cosine is rounded
-    to 4 decimals before the combine, the combined score is rounded to 4
+    to 4 decimals before the combine, the combined score is rounded to 5
+    (one digit PAST the combine's exact precision — rounding at 4 lands
+    on half-points where engines disagree; see the inline round-12 note)
     before the argmax, ties break on ascending id — engine and an
     unrolled-SQL oracle can never disagree on a pick. k-1+1 narrow scans
     (literal-expanded dot/norm chains in whole-stage codegen), driver
@@ -2788,8 +2790,15 @@ def mmr_rerank(
             for cvec, cn in centers
         ]
         maxsim = F.greatest(*sims) if len(sims) > 1 else sims[0]
+        # combined score rounds at 5, not 4 (round 12): lam*rel-(1-lam)*ms
+        # over 4-decimal inputs carries 5 exact decimals, so rounding AT 4
+        # lands exactly on half-points (0.5*(0.2865) = 0.14325) where
+        # Spark's BigDecimal HALF_UP and DuckDB's double floor(x*1e4+0.5)
+        # disagree per binary representation — found by the sf0.1 gate.
+        # Round-to-5 keeps every digit exact on both engines (holds for
+        # lam with <= 1 decimal digit — the determinism contract).
         score = F.round(
-            F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * maxsim, 4
+            F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * maxsim, 5
         )
         pick = (
             base.where(~F.col(id_col).isin([i for _, i, _s in out]))

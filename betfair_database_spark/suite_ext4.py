@@ -925,11 +925,21 @@ def multimodal_frame_sample(spark, sf):
 @_q(
     "dedup_jaccard_ssjoin",
     """
-    WITH sh AS (
+    WITH reps AS (
+      -- model the operator's documented collapse_exact=True contract
+      -- (round 12): byte-identical texts collapse to their min-doc_id
+      -- representative BEFORE pairing — identical-copy pairs are
+      -- exact_dedup's job. sf0.01 has no exact dups (oracle unchanged
+      -- there); sf0.1 has 8, sf1 replicas make every text 10-way
+      -- duplicated, where the un-collapsed oracle both disagrees and
+      -- explodes quadratically.
+      SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+    ),
+    sh AS (
       SELECT DISTINCT doc_id,
              unnest(list_transform(range(1, greatest(length(text) - 8, 0) + 1),
                                    i -> substr(lower(text), CAST(i AS INT), 9))) AS w
-      FROM documents
+      FROM reps
     ),
     sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
     inter AS (

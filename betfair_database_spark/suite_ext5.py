@@ -372,11 +372,15 @@ def sample_match_target_mix(spark, sf):
 @_q(
     "dedup_containment_ssjoin",
     """
-    WITH sh AS (
+    WITH reps AS (
+      -- collapse_exact=True contract (round 12): see dedup_jaccard_ssjoin
+      SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+    ),
+    sh AS (
       SELECT DISTINCT doc_id,
              unnest(list_transform(range(1, greatest(length(text) - 8, 0) + 1),
                                    i -> substr(lower(text), CAST(i AS INT), 9))) AS w
-      FROM documents
+      FROM reps
     ),
     sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
     inter AS (

@@ -426,7 +426,7 @@ def _mmr_oracle(k: int = 5, dims: int = 64) -> str:
         )
         parts.append(
             f"""s{j} AS (
-  SELECT r.vec_id, round(0.5 * r.rel - 0.5 * m.ms, 4) AS score
+  SELECT r.vec_id, round(0.5 * r.rel - 0.5 * m.ms, 5) AS score
   FROM rel r JOIN ms{p} m USING (vec_id)
   WHERE r.vec_id NOT IN ({sel})
   ORDER BY score DESC, r.vec_id LIMIT 1)"""

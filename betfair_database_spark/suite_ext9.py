@@ -850,8 +850,16 @@ def ev_burstiness(spark, sf):
 
 _QBIN_ORACLE = r"""
 WITH b AS (
+  -- boundaries round to 4 decimals on BOTH engines (round 12): the
+  -- interpolation arithmetic differs in the last ulp across engines
+  -- (59.24 vs 59.239999999999995 observed at sf0.1, flipping the bucket
+  -- of values exactly on the boundary). True boundaries carry at most 3
+  -- exact decimals (2-decimal values x exact tenth fractions), so the
+  -- 4-decimal round has no half-point and both engines land identically.
   SELECT event_type,
-         quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+         list_transform(
+           quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+           q -> round(q, 4)) AS qs
   FROM events GROUP BY event_type
 ),
 assigned AS (
@@ -878,9 +886,13 @@ def ml_quantile_binning(spark, sf):
     Bucket = how many boundaries the value exceeds; the 5-row boundary
     table broadcasts, events shuffle once for the final rollup."""
     ev = _t(spark, sf, "events").select("event_type", "value")
+    # boundary round-to-4 mirrors the oracle (round 12): engines differ
+    # in interpolation ulps; true boundaries have <= 3 exact decimals
     b = ev.groupBy("event_type").agg(
         F.expr(
-            "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+            "transform(percentile(value, "
+            "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)), "
+            "q -> round(q, 4))"
         ).alias("qs")
     )
     assigned = ev.join(F.broadcast(b), "event_type").select(

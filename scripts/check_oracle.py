@@ -80,7 +80,10 @@ def main(sf_dir: str | None = None, only: set[str] | None = None) -> int:
     spark = get_spark("check-oracle")
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        src = f"{sf_dir}/{t}.parquet"
+        if Path(src).is_dir():  # Spark-written table: directory of parts
+            src = f"{src}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     failures = []
     walls: dict[str, float] = {}

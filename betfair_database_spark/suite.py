@@ -1959,23 +1959,33 @@ def text_top_tokens(spark, sf):
     SELECT a.p_partkey AS a, b.p_partkey AS b,
            CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
     FROM part a JOIN part b
-      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
     WHERE levenshtein(a.p_name, b.p_name) <= 6
     """,
 )
 def fuzzy_levenshtein_pairs(spark, sf):
-    """Brand-blocked edit-distance pairs. Measured A/B at 8M pairs: the
-    plain levenshtein beats both "optimizations" — the |len diff| <= 6
-    prefilter prunes nothing on fixed-format names yet costs 2 length()
-    evals per pair (+70%), and Spark's THRESHOLDED levenshtein is slower
-    than the full DP at ~25-char strings (banding overhead exceeds the
-    saved cells). Both would matter on long, variable-length strings;
-    neither does here."""
+    """COMPOSITE-blocked edit-distance pairs (brand AND size — round 12:
+    the single-brand block grew quadratically under replication, ~800M
+    pairs and a measured driver-heap OOM at sf1; the second key is the
+    same scale rule pipeline_entity_resolution documents). Measured A/B
+    at 8M pairs: the plain levenshtein beats both "optimizations" — the
+    |len diff| <= 6 prefilter prunes nothing on fixed-format names yet
+    costs 2 length() evals per pair (+70%), and Spark's THRESHOLDED
+    levenshtein is slower than the full DP at ~25-char strings (banding
+    overhead exceeds the saved cells). Both would matter on long,
+    variable-length strings; neither does here."""
     p = _t(spark, sf, "part")
-    a = p.select(F.col("p_partkey").alias("a"), F.col("p_brand").alias("brand"), F.col("p_name").alias("na"))
-    b = p.select(F.col("p_partkey").alias("b"), F.col("p_brand").alias("brand"), F.col("p_name").alias("nb"))
+    a = p.select(
+        F.col("p_partkey").alias("a"), F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"), F.col("p_name").alias("na"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("b"), F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"), F.col("p_name").alias("nb"),
+    )
     return (
-        a.join(b, "brand")
+        a.join(b, ["brand", "size"])
         .where(F.col("a") < F.col("b"))
         .select("a", "b", F.levenshtein("na", "nb").alias("dist"))
         .where(F.col("dist") <= 6)

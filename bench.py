@@ -177,6 +177,7 @@ HEADLINE = [
     "rollup_route_avg_derived_where",
     # round-12: variance family served from (count, sum, sumsq) partials
     "rollup_route_stddev_var",
+    "rollup_route_hist_percentile",
 ]
 
 

@@ -241,7 +241,11 @@ class BetfairDatabase:
 
         ``group_by`` (round 10) turns the select into an aggregate query:
         ``columns`` may then mix group dims with ``op(col) AS alias``
-        aggregates (op in count/sum/avg/min/max/approx_count_distinct;
+        aggregates (op in count/sum/avg/min/max/approx_count_distinct,
+        the variance family — round 12, served from count/sum/sumsq
+        partials — and ``approx_percentile_hist(col, q)`` — round 12,
+        served from a declared ``hist(col, lo, hi, nbins)`` partial; the
+        binning DEFINES the function, so it errors loudly without one;
         avg routes when the covering spec stores BOTH ``sum(col)`` and
         ``count(col)`` — it is served as the sum/count division on both
         paths). WHERE may reference derived rollup dims (round 11): the
@@ -303,7 +307,22 @@ class BetfairDatabase:
         # aggregate-entry rewrite applies to BARE aggregates too
         # (group_by=None): routed and scan answers must come from the
         # same estimator/division regardless of grouping shape
-        col_list = [_scan_agg_sql(c) for c in col_list]
+        from betfair_database_spark.rollup import _PCTL_COL_RE
+
+        hist_params = None
+        pctl_cols = {
+            m.group(1)
+            for c in col_list
+            if (m := _PCTL_COL_RE.match(c)) is not None
+        }
+        if pctl_cols:
+            # the function is DEFINED by its declared binning: resolve
+            # (lo, hi, nbins) from persisted spec metas (stale-readable),
+            # loud error when absent or ambiguous
+            from betfair_database_spark.rollup import hist_params_for
+
+            hist_params = hist_params_for(self, pctl_cols)
+        col_list = [_scan_agg_sql(c, hist_params) for c in col_list]
         cols = ",".join(col_list)
         sql = f"SELECT {cols} FROM {from_clause}"
         if where:
@@ -471,7 +490,10 @@ class BetfairDatabase:
         (unchanged behavior). With ``name`` + ``dims`` + ``aggs`` → a
         NAMED user-spec rollup (round 9): ``dims`` are index columns or
         ``alias=SQL_EXPR`` derived dims, ``aggs`` are ``alias=op(col)``
-        with op in count/sum/min/max/approx_count_distinct. Any number of
+        with op in count/sum/sumsq/min/max/approx_count_distinct, or
+        ``alias=hist(col, lo, hi, nbins)`` (round 12) — a mergeable
+        fixed-bin histogram partial that serves
+        ``approx_percentile_hist(col, q)`` select() queries. Any number of
         named rollups coexist; every one is maintained by the same
         partition-incremental protocol and guarded by StaleRollupError.
         Returns the stored row count."""
@@ -913,7 +935,7 @@ class BetfairDatabase:
         spec_rollup_update(self, repl, touched)
 
 
-def _scan_agg_sql(col_entry: str) -> str:
+def _scan_agg_sql(col_entry: str, hist_params: dict | None = None) -> str:
     """Scan-path twin of a select() aggregate entry, applied to EVERY
     select() column list (grouped or bare — round-11 ADVICE: the same
     query must not change estimator when its rollup goes stale). Two
@@ -929,9 +951,24 @@ def _scan_agg_sql(col_entry: str) -> str:
     from betfair_database_spark.rollup import (
         _AGG_COL_RE,
         _MOMENT_NORMALIZE,
+        _PCTL_COL_RE,
+        hist_array_sql,
+        hist_percentile_from_array_sql,
         moment_sql,
     )
 
+    pm = _PCTL_COL_RE.match(col_entry)
+    if pm and hist_params:
+        # approx_percentile_hist (round 12): build the SAME fixed-bin
+        # histogram the rollup partial stores (hist_bin_sql text shared)
+        # from raw rows, then the SAME interpolation — the function's
+        # value is identical whether or not the rollup is fresh
+        c, q, alias = pm.group(1), float(pm.group(2)), pm.group(3)
+        if alias and c in hist_params:
+            lo, hi, nb = hist_params[c]
+            arr = hist_array_sql(c, lo, hi, nb)
+            twin = hist_percentile_from_array_sql(arr, lo, hi, nb, q)
+            return f"{twin} AS {alias}"
     m = _AGG_COL_RE.match(col_entry)
     if not m:
         return col_entry

@@ -268,6 +268,136 @@ def moment_sql(op: str, n: str, s: str, ss: str) -> str:
     return f"CASE WHEN {n} > 0 THEN sqrt({var} / {n}) END"
 
 
+# ---- histogram partials / percentile serving (round 12) -----------------
+# A fixed-bin histogram is the MERGEABLE percentile synopsis: per-bin
+# counts are exact longs that add across partials (streaming folds
+# included), and a percentile is then a deterministic interpolation over
+# the merged counts — the same monitoring-aggregate progression as
+# count/sum (avg, round 11) and sumsq (variance family, verdict #4).
+# ``alias=hist(col, lo, hi, nbins)`` declares the partial in a rollup
+# spec; ``approx_percentile_hist(col, q) AS alias`` in select() is served
+# from it — ROUTED and SCAN paths both compute the identical
+# histogram-interpolated value (this is the function's DEFINITION: a
+# histogram-based approximation with bin-width error, NOT the exact
+# percentile — exactness across paths, approximation vs the true order
+# statistic), so routed == scan bit-for-bit and a DuckDB oracle can
+# replay the same arithmetic. Values below lo / at-or-above hi clamp
+# into the edge bins; NULLs are excluded; q must be in (0, 1].
+
+_SPEC_HIST_RE = _re.compile(
+    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*hist\s*\(\s*"
+    r"([A-Za-z_][A-Za-z0-9_]*)\s*,\s*"
+    r"(-?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)\s*,\s*"
+    r"(-?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)\s*,\s*(\d+)\s*\)\s*$"
+)
+HIST_MAX_BINS = 512
+
+
+def hist_bin_sql(col: str, lo: float, hi: float, nbins: int) -> str:
+    """Bin index (0-based, clamped) of ``col`` — ONE text used by the
+    partial builder, the scan twin and the oracle, so bin assignment can
+    never drift between paths. NULL col -> NULL (excluded by the
+    conditional count)."""
+    w = (hi - lo) / nbins
+    # explicit NULL guard: greatest()/least() SKIP nulls on both Spark
+    # and DuckDB, so without it a NULL value would clamp into bin 0
+    # instead of dropping out of the counts
+    return (
+        f"(CASE WHEN {col} IS NULL THEN cast(NULL as int) ELSE "
+        f"least({nbins - 1}, greatest(0, cast(floor("
+        f"(cast({col} as double) - cast({lo!r} as double)) / "
+        f"cast({w!r} as double)) as int))) END)"
+    )
+
+
+def hist_array_sql(col: str, lo: float, hi: float, nbins: int) -> str:
+    """Aggregate SQL building the per-group histogram array<bigint> from
+    RAW rows — the scan twin of a stored hist partial."""
+    b = hist_bin_sql(col, lo, hi, nbins)
+    terms = ", ".join(
+        f"sum(CASE WHEN {b} = {i} THEN cast(1 as bigint) "
+        f"ELSE cast(0 as bigint) END)"
+        for i in range(nbins)
+    )
+    return f"array({terms})"
+
+
+def hist_percentile_from_array_sql(
+    arr: str, lo: float, hi: float, nbins: int, q: float
+) -> str:
+    """Percentile-by-linear-interpolation over a histogram array SQL
+    expression — the single arithmetic sequence shared by the routed
+    merge and the scan twin. Bin counts are exact longs (any summation
+    order), so only THIS expression's double arithmetic is
+    order-sensitive; it is one fixed tree. q in (0,1] guarantees the
+    picked bin is non-empty (rank r > cum_{b-1} forces h_b > 0) and IEEE
+    round-to-nearest guarantees r = q*total <= total, so the bin search
+    always lands."""
+    if not 0 < q <= 1:
+        raise ValueError(f"approx_percentile_hist q must be in (0, 1]: {q}")
+    w = (hi - lo) / nbins
+    # cumulative counts: exact bigint folds (order-free)
+    cum = (
+        f"transform(sequence(1, {nbins}), k -> "
+        f"aggregate(slice({arr}, 1, k), cast(0 as bigint), (a, x) -> a + x))"
+    )
+    total = f"element_at({cum}, {nbins})"
+    r = f"(cast({q!r} as double) * cast({total} as double))"
+    b = (
+        f"element_at(filter(sequence(1, {nbins}), k -> "
+        f"cast(element_at({cum}, k) as double) >= {r}), 1)"
+    )
+    cumb = (
+        f"(CASE WHEN {b} = 1 THEN cast(0 as bigint) "
+        f"ELSE element_at({cum}, {b} - 1) END)"
+    )
+    h = f"element_at({arr}, {b})"
+    val = (
+        f"(cast({lo!r} as double) + cast({w!r} as double) * "
+        f"cast(({b} - 1) as double) + cast({w!r} as double) * "
+        f"({r} - cast({cumb} as double)) / cast({h} as double))"
+    )
+    return (
+        f"(CASE WHEN {total} <= 0 THEN cast(NULL as double) "
+        f"ELSE {val} END)"
+    )
+
+
+def hist_params_for(db, cols: set) -> dict:
+    """col -> (lo, hi, nbins) resolved from PERSISTED rollup specs (meta
+    is readable even when the rollup is stale — exactly the scan-fallback
+    case, same pattern as derived_dim_exprs). approx_percentile_hist is
+    DEFINED by its declared binning, so with no declaring spec the
+    function is an error, and two specs binning the same column
+    differently raise rather than silently picking one."""
+    out: dict = {}
+    for name in spec_rollup_list(db):
+        meta = _meta_read(spec_rollup_path(db.database_dir, name))
+        if meta is None or "spec" not in meta:
+            continue
+        for a in meta["spec"]["aggs"]:
+            if a["op"] != "hist" or a["col"] not in cols:
+                continue
+            params = (a["lo"], a["hi"], a["nbins"])
+            if a["col"] in out and out[a["col"]] != params:
+                raise ValueError(
+                    f"column {a['col']!r} has hist partials with "
+                    "different binning in two rollup specs — "
+                    "approx_percentile_hist would be ambiguous; drop or "
+                    "re-bin one of them"
+                )
+            out[a["col"]] = params
+    missing = cols - set(out)
+    if missing:
+        raise ValueError(
+            f"approx_percentile_hist({sorted(missing)[0]}, ...) needs a "
+            "hist partial declared in some rollup spec (create_rollup "
+            "aggs entry 'alias=hist(col, lo, hi, nbins)') — the binning "
+            "defines the function's value"
+        )
+    return out
+
+
 def parse_spec(dims: list[str], aggs: list[str]) -> dict:
     """Validate/normalize a rollup spec. ``dims`` entries are index column
     names or ``alias=SQL_EXPR`` derived dims; ``aggs`` entries are
@@ -297,11 +427,29 @@ def parse_spec(dims: list[str], aggs: list[str]) -> dict:
         raise ValueError("a rollup spec needs at least one dim")
     na = []
     for a in aggs:
+        h = _SPEC_HIST_RE.match(a)
+        if h:
+            alias, col = h.group(1), h.group(2)
+            lo, hi, nb = float(h.group(3)), float(h.group(4)), int(h.group(5))
+            if col not in cols:
+                raise ValueError(f"agg {a!r} needs a known index column")
+            if not hi > lo:
+                raise ValueError(f"hist needs hi > lo in {a!r}")
+            if not 1 <= nb <= HIST_MAX_BINS:
+                raise ValueError(
+                    f"hist nbins must be in [1, {HIST_MAX_BINS}] in {a!r}"
+                )
+            na.append(
+                {"alias": alias, "op": "hist", "col": col,
+                 "lo": lo, "hi": hi, "nbins": nb}
+            )
+            continue
         m = _SPEC_AGG_RE.match(a)
         if not m:
             raise ValueError(
                 f"bad agg {a!r}; expected alias=op(col) with op in "
-                "count/sum/sumsq/min/max/approx_count_distinct"
+                "count/sum/sumsq/min/max/approx_count_distinct, or "
+                "alias=hist(col, lo, hi, nbins)"
             )
         alias, op, col = m.group(1), m.group(2), m.group(3) or None
         if op == "count" and col in (None, "*"):
@@ -355,9 +503,33 @@ def _spec_partial_aggs(spec: dict):
             out.append(F.min(col).alias(al))
         elif op == "max":
             out.append(F.max(col).alias(al))
+        elif op == "hist":
+            # fixed-bin histogram partial (round 12): array<bigint> of
+            # per-bin counts — exact, additively mergeable. Bin
+            # assignment via hist_bin_sql, the ONE text the scan twin
+            # and oracle also use.
+            b = F.expr(hist_bin_sql(col, a["lo"], a["hi"], a["nbins"]))
+            out.append(
+                F.array(
+                    *[
+                        F.sum(
+                            F.when(b == i, F.lit(1)).otherwise(F.lit(0))
+                        ).cast("long")
+                        for i in range(a["nbins"])
+                    ]
+                ).alias(al)
+            )
         else:  # approx_count_distinct: mergeable HLL sketch partial
             out.append(F.hll_sketch_agg(F.col(col).cast("string")).alias(al))
     return out
+
+
+def _hist_elementwise_sum(p: str, nbins: int, alias: str):
+    """Element-wise bigint sum of histogram arrays — stays inside the
+    hash aggregate (one F.sum per bin), no collect_list."""
+    return F.array(
+        *[F.sum(F.element_at(F.col(p), i + 1)) for i in range(nbins)]
+    ).alias(alias)
 
 
 def _spec_merge_aggs(spec: dict):
@@ -372,6 +544,8 @@ def _spec_merge_aggs(spec: dict):
             out.append(F.min(p).alias(al))
         elif op == "max":
             out.append(F.max(p).alias(al))
+        elif op == "hist":
+            out.append(_hist_elementwise_sum(p, a["nbins"], al))
         else:
             out.append(
                 F.hll_sketch_estimate(F.hll_union_agg(p)).alias(al)
@@ -395,6 +569,9 @@ def _spec_fold_partials(spec: dict):
             out.append(F.min(p).alias(p))
         elif op == "max":
             out.append(F.max(p).alias(p))
+        elif op == "hist":
+            # per-bin counts add like any sum partial (exact longs)
+            out.append(_hist_elementwise_sum(p, a["nbins"], p))
         else:
             out.append(F.hll_union_agg(p).alias(p))
     return out
@@ -547,6 +724,12 @@ _AGG_COL_RE = _re.compile(
     r"(?:[Aa][Ss]\s+([A-Za-z_][A-Za-z0-9_]*))?\s*$"
 )
 _IDENT_RE = _re.compile(r"^\s*[A-Za-z_][A-Za-z0-9_]*\s*$")
+# approx_percentile_hist(col, q) AS alias — q a literal in (0, 1]
+_PCTL_COL_RE = _re.compile(
+    r"^\s*approx_percentile_hist\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*"
+    r"((?:0?\.\d+)|(?:1(?:\.0+)?))\s*\)\s*"
+    r"(?:[Aa][Ss]\s+([A-Za-z_][A-Za-z0-9_]*))?\s*$"
+)
 _WHERE_KEYWORDS = {
     "AND", "OR", "NOT", "IN", "IS", "NULL", "BETWEEN",
     "LIKE", "GLOB", "ESCAPE", "TRUE", "FALSE",
@@ -579,6 +762,14 @@ def parse_select_shape(columns, group_by):
         return None
     dims, aggs, order = [], [], []
     for c in columns:
+        pm = _PCTL_COL_RE.match(c)
+        if pm:
+            col, q, alias = pm.group(1), float(pm.group(2)), pm.group(3)
+            if alias is None:
+                return None
+            aggs.append(("approx_percentile_hist", col, alias, q))
+            order.append(alias)
+            continue
         m = _AGG_COL_RE.match(c)
         if m:
             op, col, alias = m.group(1).lower(), m.group(2), m.group(3)
@@ -615,6 +806,8 @@ def _agg_covered(op: str, col, stored: set) -> bool:
             and ("count", col) in stored
             and ("sumsq", col) in stored
         )
+    if op == "approx_percentile_hist":
+        return ("hist", col) in stored
     return (op, col) in stored
 
 
@@ -654,8 +847,27 @@ def merge_partials(
     df = internal
     if where_expr:
         df = df.where(F.expr(where_expr))
-    exprs = []
-    for op, col, alias in aggs:
+    exprs, post = [], {}
+    for entry in aggs:
+        op, col, alias = entry[0], entry[1], entry[2]
+        if op == "approx_percentile_hist":
+            # merge the hist partial arrays inside the aggregate, then
+            # interpolate in a post-projection — the ONE formula
+            # (hist_percentile_from_array_sql) the scan twin also builds
+            q = entry[3]
+            sa = next(
+                a
+                for a in spec["aggs"]
+                if a["op"] == "hist" and a["col"] == col
+            )
+            tmp = f"__hist_{alias}"
+            exprs.append(
+                _hist_elementwise_sum(by_key[("hist", col)], sa["nbins"], tmp)
+            )
+            post[alias] = hist_percentile_from_array_sql(
+                f"`{tmp}`", sa["lo"], sa["hi"], sa["nbins"], q
+            )
+            continue
         if op == "avg":
             # avg is DERIVED: sum-partial / count-partial (non-null
             # count), the one division shared with the scan twin
@@ -694,9 +906,20 @@ def merge_partials(
             exprs.append(
                 F.hll_sketch_estimate(F.hll_union_agg(p)).alias(alias)
             )
-    if group_dims:
-        return df.groupBy(*group_dims).agg(*exprs)
-    return df.agg(*exprs)
+    agged = (
+        df.groupBy(*group_dims).agg(*exprs) if group_dims else df.agg(*exprs)
+    )
+    if post:
+        outcols = [F.col(d) for d in group_dims]
+        for entry in aggs:
+            alias = entry[2]
+            outcols.append(
+                F.expr(post[alias]).alias(alias)
+                if alias in post
+                else F.col(alias)
+            )
+        agged = agged.select(*outcols)
+    return agged
 
 
 def derived_dim_exprs(db, names) -> dict:
@@ -801,7 +1024,7 @@ def route_select(db, columns, where, group_by, local_tz=None):
         if where and not (wid <= routable_dims):
             continue
         stored = {(a["op"], a["col"]) for a in spec["aggs"]}
-        if not all(_agg_covered(op, col, stored) for op, col, _ in aggs):
+        if not all(_agg_covered(a[0], a[1], stored) for a in aggs):
             continue
         where_expr = translate_where(where, local_tz=local_tz) if where else None
         internal = db.spark.read.parquet(str(path))
@@ -822,12 +1045,12 @@ def route_select(db, columns, where, group_by, local_tz=None):
         and meta.get("format", 1) >= ROLLUP_FORMAT
         and meta.get("index_snapshot") == current
         and needed_dims <= {"eventTypeId"}
-        and all((op, col) in _BUILTIN_AGG_MAP for op, col, _ in aggs)
+        and all((a[0], a[1]) in _BUILTIN_AGG_MAP for a in aggs)
     ):
         frame = db.spark.read.schema(ROLLUP_SCHEMA).parquet(str(live))
         where_expr = translate_where(where, local_tz=local_tz) if where else None
         exprs = []
-        for op, col, alias in aggs:
+        for op, col, alias in (a[:3] for a in aggs):
             src, mop = _BUILTIN_AGG_MAP[(op, col)]
             e = getattr(F, mop)(src)
             if op == "count":  # empty-global parity with count(*)

@@ -101,3 +101,122 @@ def rollup_route_stddev_var(spark, sf):
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return out
+
+
+# =========================================================================
+# rollup_route_hist_percentile — round 12 (the aggregate after variance)
+# =========================================================================
+#
+# approx_percentile_hist(col, q) is served from a MERGEABLE fixed-bin
+# histogram partial (array<bigint> of per-bin counts — exact longs that
+# add across partials and streaming folds). The function is DEFINED as
+# histogram interpolation (bin-width approximation of the true order
+# statistic), and the routed merge, the scan twin and this oracle all
+# compute the identical arithmetic tree (rollup.hist_percentile_from_
+# array_sql / hist_bin_sql — ONE text for bin assignment), so the three
+# agree bit-for-bit: counts are exact in any summation order and the
+# interpolation is a single fixed double expression. A NULL leaking into
+# bin 0 (greatest() skips NULLs on both engines — the guard in
+# hist_bin_sql), an off-by-one in the cumulative pick, or a reordered
+# interpolation all change the hash.
+
+
+def _hist_pctl_oracle(lo: float, hi: float, nb: int, qs) -> str:
+    from betfair_database_spark.rollup import hist_bin_sql
+
+    w = (hi - lo) / nb
+    b = hist_bin_sql("value", lo, hi, nb)
+    hcols = ",\n         ".join(
+        f"sum(CASE WHEN {b} = {i} THEN CAST(1 AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END) AS h{i}"
+        for i in range(nb)
+    )
+    total = "(" + " + ".join(f"h{i}" for i in range(nb)) + ")"
+    outs = []
+    for name, q in qs:
+        r = f"(CAST({q!r} AS DOUBLE) * CAST({total} AS DOUBLE))"
+        branches = []
+        for i in range(nb):
+            cum = "(" + " + ".join(f"h{j}" for j in range(i + 1)) + ")"
+            cumb = (
+                "CAST(0 AS BIGINT)"
+                if i == 0
+                else "(" + " + ".join(f"h{j}" for j in range(i)) + ")"
+            )
+            val = (
+                f"(CAST({lo!r} AS DOUBLE) + CAST({w!r} AS DOUBLE) * "
+                f"CAST({i} AS DOUBLE) + CAST({w!r} AS DOUBLE) * "
+                f"({r} - CAST({cumb} AS DOUBLE)) / CAST(h{i} AS DOUBLE))"
+            )
+            branches.append(f"WHEN {r} <= CAST({cum} AS DOUBLE) THEN {val}")
+        outs.append(
+            f"CASE WHEN {total} <= 0 THEN NULL "
+            + " ".join(branches)
+            + f" END AS {name}"
+        )
+    sel = ",\n       ".join(outs)
+    return f"""
+WITH h AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         count(value) AS n_vals,
+         {hcols}
+  FROM events
+  GROUP BY day
+)
+SELECT day, n_vals,
+       {sel}
+FROM h
+"""
+
+
+_HIST_ROUTE_ORACLE = _hist_pctl_oracle(
+    0.0, 500.0, 20, [("p50", 0.5), ("p90", 0.9)]
+)
+
+
+@_q("rollup_route_hist_percentile", _HIST_ROUTE_ORACLE)
+def rollup_route_hist_percentile(spark, sf):
+    """Histogram-partial percentile serving: one bucketed partial pass
+    stores count + a 20-bin histogram of value per (bucket, day) cell,
+    an at-rest parquet round trip, then merge_partials — the routed
+    physical plan — folds the bin counts element-wise and interpolates
+    p50/p90 through hist_percentile_from_array_sql. The raw events are
+    never re-read after the partials land."""
+    import shutil
+    import tempfile
+
+    from betfair_database_spark.rollup import merge_partials, summarize_spec
+
+    spec = {
+        "dims": [{"alias": "day", "expr": "to_date(ts)"}],
+        "aggs": [
+            {"alias": "n", "op": "count", "col": "value"},
+            {
+                "alias": "vh", "op": "hist", "col": "value",
+                "lo": 0.0, "hi": 500.0, "nbins": 20,
+            },
+        ],
+    }
+    ev = _t(spark, sf, "events").select(
+        "ts", "value", (F.col("user_id") % 32).cast("int").alias("bucket")
+    )
+    internal = summarize_spec(ev, spec, part_col="bucket")
+    path = tempfile.mkdtemp(prefix="bfdb_hist_route_gate_")
+    try:
+        internal.write.mode("overwrite").parquet(path)
+        merged = merge_partials(
+            spark.read.parquet(path),
+            spec,
+            ["day"],
+            [
+                ("count", "value", "n_vals"),
+                ("approx_percentile_hist", "value", "p50", 0.5),
+                ("approx_percentile_hist", "value", "p90", 0.9),
+            ],
+        )
+        out = merged.select(
+            F.col("day").cast("string").alias("day"), "n_vals", "p50", "p90"
+        ).localCheckpoint()  # lc-ok: gate-row scratch, materialized before its source dir is removed; rerun rebuilds
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out

@@ -2087,3 +2087,139 @@ def test_all_null_sum_cell_stores_null_partial(spark):
         F.sum("runners").alias("r"),
     ).first()
     assert tuple(merged) == tuple(scan)
+
+
+class TestHistPercentile:
+    """Histogram partials + approx_percentile_hist (round 12): the
+    percentile twin of the variance family — a MERGEABLE fixed-bin
+    histogram partial (array<bigint>) serves approx_percentile_hist(col,
+    q) identically on the routed and scan paths (the function is DEFINED
+    as histogram interpolation; hist_bin_sql / hist_percentile_from_
+    array_sql are the single shared texts)."""
+
+    @pytest.fixture(scope="class")
+    def env(self, spark, tmp_path_factory):
+        from betfair_database_spark.database import BetfairDatabase
+
+        base = tmp_path_factory.mktemp("histroute")
+        target = base / "db"
+        target.mkdir()
+        src = base / "src"
+        build_corpus(src)
+        db = BetfairDatabase(target, spark=spark)
+        db.insert(src, copy=True)
+        db.create_rollup(
+            name="histq",
+            dims=["eventVenue"],
+            aggs=["hn=count()", "rh=hist(runners, 0, 40, 16)"],
+        )
+        return db, src
+
+    @staticmethod
+    def _rows(db, **kw):
+        return sorted(
+            (tuple(r) for r in db.select(return_dict=False, **kw)),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+
+    Q = dict(
+        columns=[
+            "eventVenue",
+            "count(*) AS n",
+            "approx_percentile_hist(runners, 0.5) AS p50",
+            "approx_percentile_hist(runners, 0.9) AS p90",
+        ],
+        group_by=["eventVenue"],
+    )
+
+    def test_route_and_scan_parity(self, env, monkeypatch):
+        from betfair_database_spark.database import BetfairDatabase
+
+        db, _ = env
+        want = self._rows(db, use_rollups=False, **self.Q)
+        assert db.last_select_route == "scan" and want
+        monkeypatch.setattr(
+            BetfairDatabase,
+            "_read_index",
+            lambda *a, **k: (_ for _ in ()).throw(
+                AssertionError("index read during routed select")
+            ),
+        )
+        got = self._rows(db, **self.Q)
+        assert db.last_select_route == "rollup:histq"
+        assert got == want
+
+    def test_maintained_after_insert(self, env, tmp_path):
+        """insert() keeps the hist partial incrementally maintained
+        (element-wise bin adds) — the routed answer after maintenance
+        still equals the scan exactly."""
+        db, src = env
+        extra = tmp_path / "extra"
+        extra.mkdir()
+        # re-insert a market under a new id: new rows, same venues
+        for stem in ("1.222000001",):
+            meta = json.loads((src / f"{stem}.json").read_text())
+            meta["marketId"] = "1.999000001"
+            (extra / "1.999000001.json").write_text(json.dumps(meta))
+            (extra / "1.999000001").write_text(
+                (src / stem).read_text()
+            )
+        assert db.insert(extra, copy=True) == 1
+        want = self._rows(db, use_rollups=False, **self.Q)
+        got = self._rows(db, **self.Q)
+        assert db.last_select_route == "rollup:histq"
+        assert got == want
+
+    def test_undeclared_binning_raises(self, env):
+        db, _ = env
+        with pytest.raises(ValueError, match="hist partial"):
+            db.select(
+                columns=["approx_percentile_hist(eventTypeId, 0.5) AS p"],
+                group_by=[],
+                use_rollups=False,
+            )
+
+    def test_q_out_of_range_raises(self, env):
+        db, _ = env
+        with pytest.raises(ValueError, match="in \\(0, 1\\]"):
+            db.select(
+                columns=["approx_percentile_hist(runners, 0.0) AS p"],
+                group_by=[],
+                use_rollups=False,
+            )
+
+    def test_conflicting_binning_raises(self, env):
+        db, _ = env
+        db.create_rollup(
+            name="histq2",
+            dims=["marketType"],
+            aggs=["rh2=hist(runners, 0, 50, 10)"],
+        )
+        try:
+            with pytest.raises(ValueError, match="different binning"):
+                db.select(use_rollups=False, **self.Q)
+        finally:
+            import shutil
+
+            from betfair_database_spark.rollup import spec_rollup_path
+
+            shutil.rmtree(spec_rollup_path(db.database_dir, "histq2"))
+
+    def test_parse_spec_validation(self):
+        from betfair_database_spark.rollup import parse_spec
+
+        with pytest.raises(ValueError, match="hi > lo"):
+            parse_spec(["eventVenue"], ["h=hist(runners, 40, 0, 16)"])
+        with pytest.raises(ValueError, match="nbins"):
+            parse_spec(["eventVenue"], ["h=hist(runners, 0, 40, 0)"])
+        with pytest.raises(ValueError, match="nbins"):
+            parse_spec(["eventVenue"], ["h=hist(runners, 0, 40, 100000)"])
+        with pytest.raises(ValueError, match="known index column"):
+            parse_spec(["eventVenue"], ["h=hist(nosuch, 0, 40, 16)"])
+        spec = parse_spec(
+            ["eventVenue"], ["h=hist(runners, -1.5, 4e1, 16)"]
+        )
+        assert spec["aggs"][0] == {
+            "alias": "h", "op": "hist", "col": "runners",
+            "lo": -1.5, "hi": 40.0, "nbins": 16,
+        }

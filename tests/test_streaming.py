@@ -1467,6 +1467,9 @@ def test_streaming_spec_rollup_matches_batch_named_rollup(spark, tmp_path):
         "runnersTotal=sum(runners)",
         "firstStart=min(marketStartTime)",
         "venues=approx_count_distinct(eventVenue)",
+        # histogram partial (round 12): per-bin counts must add
+        # element-wise across micro-batch folds exactly like sums
+        "rhist=hist(runners, 0, 40, 8)",
     ]
     db = BetfairDatabase(corpus, spark=spark)
     db.index()

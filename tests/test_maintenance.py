@@ -1485,6 +1485,7 @@ class TestRollupRouting:
             "nr=count(runners)",  # non-null count: the avg denominator
             "runnersTotal=sum(runners)",
             "rsq=sumsq(runners)",  # second moment: stddev/var numerator
+            "rhist=hist(runners, 0, 40, 16)",  # percentile partial
             "firstStart=min(marketStartTime)",
             "ids=approx_count_distinct(marketId)",
         ],
@@ -1960,6 +1961,8 @@ class TestRollupRouting:
          {"rollup:byvenue"}),
         ("approx_count_distinct(marketId) AS ids",
          ("approx_count_distinct", "marketId"), {"rollup:byvenue"}),
+        ("approx_percentile_hist(runners, 0.5) AS ph",
+         ("approx_percentile_hist", "runners"), {"rollup:byvenue"}),
         ("max(marketId) AS mm", ("max", "marketId"), set()),
     ]
     _FUZZ_WHERES = [

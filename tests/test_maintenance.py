@@ -1026,6 +1026,110 @@ class TestWriterLock:
         assert lock.read_text() == "4242 otherhost 1.0"
         _os.unlink(tmp)
 
+    def test_cross_process_writer_contention_and_handoff(self, env):
+        """Round 12: the lease lock's claim is CROSS-PROCESS mutual
+        exclusion, but every contention test so far ran threads in one
+        process. A real second process (own JVM, own SparkSession)
+        attempting insert() while THIS process holds the writer lock
+        must get ConcurrentWriterError; after release it must succeed,
+        and the child's commit must be readable here — the full
+        lock-protocol round trip over the shared filesystem."""
+        import subprocess
+        import sys as _sys
+        import time as _time
+
+        db, src, base = env
+        assert db.insert(src, copy=True) == EXPECTED["rows"]
+        box = base / "xpw"
+        box.mkdir()
+        # a corpus of one NEW market for the child to insert
+        src2 = box / "src2"
+        src2.mkdir()
+        meta = json.loads((src / "1.222000001.json").read_text())
+        meta["marketId"] = "1.222990088"
+        (src2 / "1.222990088.json").write_text(json.dumps(meta))
+        (src2 / "1.222990088").write_text(
+            (src / "1.222000001").read_text()
+        )
+        repo = str(Path(__file__).resolve().parents[1])
+        script = box / "writer.py"
+        script.write_text(
+            f"""
+import os, sys, time
+from pathlib import Path
+sys.path.insert(0, {repo!r})
+os.environ["SPARK_GRAFT_CPUS"] = "4"
+os.environ["SPARK_DRIVER_MEMORY"] = "2g"
+from betfair_database_spark.session import get_spark
+from betfair_database_spark.database import BetfairDatabase
+from betfair_database_spark.exceptions import ConcurrentWriterError
+
+box = Path({str(box)!r})
+spark = get_spark("xproc-writer")
+db = BetfairDatabase({str(db.database_dir)!r}, spark=spark)
+
+def wait(name, timeout=180):
+    t0 = time.time()
+    while not (box / name).exists():
+        if time.time() - t0 > timeout:
+            raise SystemExit("timeout waiting for " + name)
+        time.sleep(0.2)
+
+wait("go1")  # parent holds the lock
+try:
+    db.insert({str(src2)!r}, copy=True)
+    out1 = "NO_ERROR"
+except ConcurrentWriterError as e:
+    out1 = "ConcurrentWriterError"
+except Exception as e:
+    out1 = type(e).__name__ + ": " + str(e)[:200]
+(box / "attempt1.txt").write_text(out1)
+wait("go2")  # parent released
+n = db.insert({str(src2)!r}, copy=True)
+(box / "attempt2.txt").write_text(str(n))
+"""
+        )
+
+        def wait_for(name, proc, timeout=300):
+            t0 = _time.time()
+            while not (box / name).exists():
+                if proc.poll() is not None:
+                    raise AssertionError(
+                        f"writer died before {name}: "
+                        f"{proc.stderr.read().decode()[-2000:]}"
+                    )
+                if _time.time() - t0 > timeout:
+                    proc.kill()
+                    raise AssertionError(f"timeout waiting for {name}")
+                _time.sleep(0.3)
+            return (box / name).read_text()
+
+        proc = subprocess.Popen(
+            [_sys.executable, str(script)],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.PIPE,
+        )
+        try:
+            with db._writer_lock():  # this process holds the lease
+                (box / "go1").touch()
+                assert wait_for("attempt1.txt", proc) == (
+                    "ConcurrentWriterError"
+                )
+            (box / "go2").touch()
+            assert wait_for("attempt2.txt", proc) == "1"
+            assert proc.wait(timeout=180) == 0
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+        # the child's commit is visible to THIS process's handle
+        rows = db.select(
+            ["marketId"], where="marketId = '1.222990088'"
+        )
+        assert len(rows) == 1
+        assert db.size() == EXPECTED["rows"] + 1
+        # and this process can take the lock again afterwards
+        assert db.clean() == 0
+
 
 class TestMaterializedRollup:
     """Continuous-aggregate rollup (rollup.py): incrementally maintained by

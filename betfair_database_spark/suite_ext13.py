@@ -220,3 +220,89 @@ def rollup_route_hist_percentile(spark, sf):
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return out
+
+
+# =========================================================================
+# pipeline_semdedup_autok — round 12: the SCALE-SHAPED semdedup gate row
+# =========================================================================
+#
+# pipeline_semdedup_cells pins k=8 FIXED so its oracle is a static CTE —
+# the shape whose within-cell pair scan is Σ n_c² ≈ N²/8 (measured 26x
+# wall at 10x data; SCALE.md). This row is the k ∝ N twin: k =
+# ceil(N / 512) — auto_cell_count's formula, the operator default since
+# round 12 — which the ORACLE also computes (a scalar subquery in the
+# seed CTE), so the scale-correct configuration is itself hash-checked
+# at every SF instead of living only in docs. Within-cell pairs stay
+# ≈ N · 512 — linear in N at constant cell size.
+
+_SEMDEDUP_AUTOK_ORACLE = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+  WHERE vec_id BETWEEN 1 AND
+        (SELECT CAST(ceil(count(*) / 512.0) AS BIGINT) FROM embeddings)
+),
+sims AS (
+  SELECT e.vec_id, c.cid, e.embedding,
+         sum(CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE))
+           / (sqrt(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+              * sqrt(sum(CAST(c.ce[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))) AS sim
+  FROM embeddings e, cents c, range(1, 65) t(i)
+  GROUP BY e.vec_id, c.cid, e.embedding
+),
+assign AS (
+  SELECT vec_id, embedding, cid AS cell FROM (
+    SELECT vec_id, cid, embedding,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.cell, a.vec_id AS pa, b.vec_id AS pb,
+         round(sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+           / (sqrt(sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
+              * sqrt(sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))), 4) AS cs
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id,
+       range(1, 65) t(i)
+  GROUP BY 1, 2, 3
+),
+dropped AS (SELECT DISTINCT pb FROM pairs WHERE cs >= 0.4)
+SELECT assign.cell,
+       count(*) AS n_vectors,
+       CAST(count(dropped.pb) AS BIGINT) AS n_dropped
+FROM assign LEFT JOIN dropped ON assign.vec_id = dropped.pb
+GROUP BY 1
+"""
+
+
+@_q("pipeline_semdedup_autok", _SEMDEDUP_AUTOK_ORACLE)
+def pipeline_semdedup_autok(spark, sf):
+    """The k ∝ N semdedup shape under full oracle scrutiny: seed count
+    = auto_cell_count's ceil(N / target_cell_size) (the round-12
+    operator default), seeds = the first k vec_ids (deterministic, so
+    the oracle can reproduce them with a scalar subquery), then the same
+    cell-blocked pair scan as pipeline_semdedup_cells. Within-cell work
+    is ≈ N · target_cell_size — the configuration that holds at 100 TB —
+    and the hash check proves the auto-k path computes the same
+    semantics as the fixed-k fixture, not just faster."""
+    from betfair_database_spark.operators import similarity
+
+    emb = _t(spark, sf, "embeddings")
+    k = similarity.auto_cell_count(emb.count(), spark=spark)
+    cents = [
+        (int(r.vec_id), [float(v) for v in r.embedding])
+        for r in emb.where(F.col("vec_id").between(1, k))
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    assign = similarity.ivf_assign(emb, cents).localCheckpoint()  # lc-ok: gate-row scratch, feeds both pair sides + survivor accounting
+    pairs = similarity.embedding_near_dup_pairs(
+        assign, threshold=0.4, block_col="cell"
+    )
+    dropped = pairs.select(F.col("b").alias("vec_id")).distinct()
+    flagged = assign.join(
+        dropped.withColumn("_drop", F.lit(1)), "vec_id", "left"
+    )
+    return flagged.groupBy("cell").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.coalesce("_drop", F.lit(0))).alias("n_dropped"),
+    )

@@ -178,6 +178,7 @@ HEADLINE = [
     # round-12: variance family served from (count, sum, sumsq) partials
     "rollup_route_stddev_var",
     "rollup_route_hist_percentile",
+    "pipeline_semdedup_autok",
 ]
 
 

@@ -266,13 +266,10 @@ def main() -> None:
     for name in HEADLINE:
         runs_by[name] = [timed(name)]
     refresh = sorted(HEADLINE, key=lambda n: -runs_by[n][0])
-    for passno in (2, 3):
-        for name in refresh:
-            if time.perf_counter() - wall0 > wall_budget:
-                break
-            if passno == 3 and min(runs_by[name]) < 1.0:
-                continue
-            runs_by[name].append(timed(name))
+    for name in refresh:
+        if time.perf_counter() - wall0 > wall_budget:
+            break
+        runs_by[name].append(timed(name))
 
     def _median(runs: list[float]) -> float:
         runs = sorted(runs)
@@ -287,7 +284,10 @@ def main() -> None:
     # per-query comparison is noise-limited exactly on the rows whose
     # spread rivals their median (round-11 artifact had n=2 rows with
     # spread > median) — any such row is re-run until n >= 3 so the next
-    # verdict can cite a median, not a coin flip. Unstable rows first;
+    # verdict can cite a median, not a coin flip. This pass runs BEFORE
+    # the steady-state third pass (an n>=3 median on an unstable row is
+    # worth more than a third run of a stable one — the first cut ran it
+    # last and the budget starved it); unstable rows heaviest-first,
     # budget-guarded like the refresh passes.
     flagged = [
         n
@@ -299,6 +299,14 @@ def main() -> None:
     for name in sorted(flagged, key=lambda n: -max(runs_by[n])):
         if time.perf_counter() - wall0 > wall_budget:
             break
+        runs_by[name].append(timed(name))
+    # steady-state third runs for >= 1 s rows (measured: dedup queries
+    # swing seconds back-to-back, sub-second queries are noise on the sum)
+    for name in refresh:
+        if time.perf_counter() - wall0 > wall_budget:
+            break
+        if len(runs_by[name]) >= 3 or min(runs_by[name]) < 1.0:
+            continue
         runs_by[name].append(timed(name))
 
     timings: dict[str, float] = {}

@@ -475,6 +475,20 @@ class BetfairDatabase:
 
     # ------------------------------------------------------- materialized rollup
 
+    def suggest_hist_binning(
+        self, col: str, nbins: int = 32, alias: str | None = None
+    ) -> str:
+        """One min/max scan of the live index -> a ready
+        ``alias=hist(col, lo, hi, nbins)`` spec string for
+        ``create_rollup(aggs=[...])`` (round 12): later out-of-range
+        values clamp into the edge bins, so the binning stays correct as
+        data grows — only edge-bin resolution degrades."""
+        from betfair_database_spark.rollup import suggest_hist_binning
+
+        return suggest_hist_binning(
+            self._read_index(), col, nbins=nbins, alias=alias
+        )
+
     def create_rollup(
         self,
         name: str | None = None,

@@ -363,6 +363,36 @@ def hist_percentile_from_array_sql(
     )
 
 
+def suggest_hist_binning(
+    df: DataFrame, col: str, nbins: int = 32, alias: "str | None" = None
+) -> str:
+    """One min/max scan -> a ready ``alias=hist(col, lo, hi, nbins)``
+    spec string for ``create_rollup(aggs=[...])``. [lo, hi) is the
+    observed range widened to the next integers (values that later land
+    outside still CLAMP into the edge bins — the binning stays correct,
+    only edge-bin resolution degrades), so the caller never hand-picks
+    bounds blindly. Raises on an all-NULL column — a histogram of
+    nothing has no defensible range."""
+    if not 1 <= nbins <= HIST_MAX_BINS:
+        raise ValueError(f"nbins must be in [1, {HIST_MAX_BINS}]: {nbins}")
+    import math
+
+    row = df.agg(
+        F.min(F.col(col).cast("double")).alias("mn"),
+        F.max(F.col(col).cast("double")).alias("mx"),
+    ).first()
+    if row["mn"] is None:
+        raise ValueError(
+            f"suggest_hist_binning({col!r}): column has no non-NULL "
+            "values to derive a range from"
+        )
+    lo = float(math.floor(row["mn"]))
+    hi = float(math.ceil(row["mx"]))
+    if hi <= lo:
+        hi = lo + 1.0
+    return f"{alias or col + '_hist'}=hist({col}, {lo!r}, {hi!r}, {nbins})"
+
+
 def hist_params_for(db, cols: set) -> dict:
     """col -> (lo, hi, nbins) resolved from PERSISTED rollup specs (meta
     is readable even when the rollup is stale — exactly the scan-fallback

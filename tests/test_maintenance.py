@@ -2330,3 +2330,65 @@ class TestHistPercentile:
             "alias": "h", "op": "hist", "col": "runners",
             "lo": -1.5, "hi": 40.0, "nbins": 16,
         }
+
+
+class TestSuggestHistBinning:
+    def test_suggest_and_roundtrip_through_create_rollup(
+        self, spark, tmp_path_factory
+    ):
+        """suggest_hist_binning derives [floor(min), ceil(max)) from one
+        scan, and its output string parses straight into create_rollup;
+        the resulting rollup serves approx_percentile_hist."""
+        from betfair_database_spark.database import BetfairDatabase
+
+        base = tmp_path_factory.mktemp("histsuggest")
+        target = base / "db"
+        target.mkdir()
+        src = base / "src"
+        build_corpus(src)
+        db = BetfairDatabase(target, spark=spark)
+        db.insert(src, copy=True)
+        spec = db.suggest_hist_binning("runners", nbins=12)
+        import re
+
+        m = re.match(
+            r"runners_hist=hist\(runners, (\S+), (\S+), 12\)", spec
+        )
+        assert m, spec
+        lo, hi = float(m.group(1)), float(m.group(2))
+        mn, mx = db.select_df(use_rollups=False).agg(
+            {"runners": "min"}
+        ).first()[0], db.select_df(use_rollups=False).agg(
+            {"runners": "max"}
+        ).first()[0]
+        assert lo <= mn and hi >= mx and hi > lo
+        db.create_rollup(
+            name="suggested", dims=["eventVenue"], aggs=["n=count()", spec]
+        )
+        rows = db.select(
+            columns=[
+                "eventVenue",
+                "approx_percentile_hist(runners, 0.5) AS p50",
+            ],
+            group_by=["eventVenue"],
+        )
+        assert db.last_select_route == "rollup:suggested"
+        assert rows and all(
+            r["p50"] is None or lo <= r["p50"] <= hi for r in rows
+        )
+
+    def test_all_null_column_raises(self, spark):
+        from betfair_database_spark.rollup import suggest_hist_binning
+
+        df = spark.createDataFrame(
+            [(1, None), (2, None)], "id long, v double"
+        )
+        with pytest.raises(ValueError, match="no non-NULL"):
+            suggest_hist_binning(df, "v")
+
+    def test_degenerate_single_value_range(self, spark):
+        from betfair_database_spark.rollup import suggest_hist_binning
+
+        df = spark.createDataFrame([(1, 7.0), (2, 7.0)], "id long, v double")
+        s = suggest_hist_binning(df, "v", nbins=4, alias="h")
+        assert s == "h=hist(v, 7.0, 8.0, 4)"

@@ -64,7 +64,11 @@ sqlite 3.40 and property-fuzzed in ``test_dialect_modifiers.py`` /
     ``auto`` is BRIDGED (round 8 — it needs no timezone: numeric values
     in [0, 5373484.5) stay julian, other numerics are epoch seconds,
     text parses normally; legal only first, NULL past position 0);
-    non-literal modifier expressions and >500-modifier calls raise too.
+    non-literal (column-valued) modifier expressions are BRIDGED
+    (round 12) through an Arrow kernel that reuses the literal
+    constant-fold engine per row (``_dyn_modifier_kernel`` — the slow
+    path, drift-proof by construction); >500-modifier calls and a
+    per-row ``'now'`` base still raise.
   - **Time values**: SQLite's exact accepted set — strict
     ``YYYY-MM-DD[ HH:MM[:SS[.frac]]]`` (strict 0-padding; ``T``
     separator; optional trailing ``Z``; trailing whitespace ok, leading
@@ -977,7 +981,82 @@ def register_sqlite_functions(spark: SparkSession) -> None:
         return
     for stmt in _SQL_FUNCTIONS:
         spark.sql(stmt.format(chain=_fmt_translation_expr()) if "{chain}" in stmt else stmt)
+    _register_dynamic_modifier_udfs(spark)
     _REGISTERED_SESSIONS.add(spark)
+
+
+def _dyn_modifier_kernel(fname, base, mods, fmt, tz):
+    """Per-row evaluation of a datetime call whose MODIFIERS are column
+    values (round 12 — the last dialect residual). Reuses the exact
+    literal constant-fold engine (``_py_fold_call``), so the dynamic
+    path can never drift from the matrix-tested literal semantics; the
+    ``_py_value`` render returns Python values instead of SQL literals.
+    NULL base or any NULL modifier -> NULL (SQLite's behavior for an
+    unusable argument). Raises (loudly, with the fix) for the corners
+    that stay un-bridged: a per-row 'now' base (SQLite pins 'now' per
+    STATEMENT; a per-row Python clock would drift) and strftime codes
+    the Python renderer defers to the SQL path."""
+    if base is None:
+        return None
+    base = str(base)
+    if base.strip().lower() == "now":
+        raise ValueError(
+            "dynamic datetime modifiers with a per-row 'now' base are "
+            "not bridged ('now' is statement-stable in SQLite; a per-row "
+            "clock would drift) — use a literal 'now' base with literal "
+            "modifiers, or materialize the timestamp first"
+        )
+    ml = []
+    for m in mods:
+        if m is None:
+            return None
+        ml.append(str(m))
+    out = _py_fold_call(
+        fname,
+        base,
+        ml,
+        None if fmt is None else str(fmt),
+        tz or None,
+        render=_py_value,
+    )
+    if out is None:
+        raise ValueError(
+            f"dynamic {fname}() modifiers hit an un-bridged corner "
+            f"(mods={ml!r}): 'localtime'/'utc' need local_tz, and "
+            "strftime formats with alphabetic literal text are "
+            "SQL-path-only — use literal modifiers there"
+        )
+    return out[1]
+
+
+def _register_dynamic_modifier_udfs(spark: SparkSession) -> None:
+    """Arrow-batched pandas UDFs serving column-valued datetime
+    modifiers: one per SQL return type. These are the documented SLOW
+    path (per-row Python via Arrow) for a corner the macro chain cannot
+    express — literal modifiers never come here (they constant-fold or
+    chain in codegen)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def make(ret_type, caster):
+        def f(fname, base, mods, fmt, tz):
+            vals = [
+                _dyn_modifier_kernel(fn, b, m, fm, t)
+                for fn, b, m, fm, t in zip(fname, base, mods, fmt, tz)
+            ]
+            return pd.Series(vals, dtype=ret_type)
+
+        return pandas_udf(f, caster)
+
+    spark.udf.register(
+        "sqlite_dyn_str", make("object", "string")
+    )
+    spark.udf.register(
+        "sqlite_dyn_double", make("float64", "double")
+    )
+    spark.udf.register(
+        "sqlite_dyn_long", make("object", "bigint")
+    )
 
 
 # --- SQLite datetime-modifier folding (translate time) -------------------
@@ -1472,13 +1551,49 @@ def _py_render(fname: str, v: int | None, fmt: str | None):
     return _sql_string_literal(f"{date_s} {time_s}")
 
 
-def _py_fold_call(fname, base_lit, mod_lits, fmt_lit, local_tz=None):
+def _py_value(fname, v: "int | None", fmt: "str | None"):
+    """Value twin of ``_py_render`` (round 12, dynamic modifiers): the
+    same domain checks and rendering, but returning the PYTHON value a
+    per-row kernel hands back through Arrow — ``("ok", value)`` with
+    value None for SQL NULL, or None when the call needs the SQL path
+    (un-bridged strftime code), exactly where ``_py_render`` returns
+    None. Keeping both twins one screen apart is the drift guard."""
+    if v is None:
+        return ("ok", None)
+    if fname == "julianday":
+        if not (_MS_VALID_LO <= v <= _MS_VALID_HI):
+            return ("ok", None)
+        return ("ok", (v + 210866760000000) / 86400000.0)
+    if fname == "unixepoch":
+        if not (_MS_VALID_LO <= v <= _MS_VALID_HI):
+            return ("ok", None)
+        return ("ok", v // 1000)
+    if fname == "strftime":
+        rendered = _py_strftime(fmt, v)
+        return None if rendered is None else ("ok", rendered)
+    if not (_MS_RENDER_LO <= v <= _MS_VALID_HI):
+        return ("ok", None)
+    y, mo, d = _civil_from_days(v // _DAY_MS)
+    ms_of_day = v % _DAY_MS
+    h, rem = ms_of_day // 3600000, ms_of_day % 3600000
+    mi, sec = rem // 60000, rem % 60000 // 1000
+    date_s, time_s = f"{y:04d}-{mo:02d}-{d:02d}", f"{h:02d}:{mi:02d}:{sec:02d}"
+    if fname == "time":
+        return ("ok", time_s)
+    if fname == "date":
+        return ("ok", date_s)
+    return ("ok", f"{date_s} {time_s}")
+
+
+def _py_fold_call(fname, base_lit, mod_lits, fmt_lit, local_tz=None, render=None):
+    if render is None:
+        render = _py_render
     """Constant-fold a fully-literal call; None = not foldable here."""
     mods = list(mod_lits)
     if mods and mods[0].lower() == "unixepoch":
         t = base_lit.strip()
         if not _BARE_NUMBER.match(t):
-            return _py_render(fname, None, fmt_lit)
+            return render(fname, None, fmt_lit)
         sec = float(t)
         v = _c_round(sec * 1000.0) if abs(sec) <= 3e11 else None
         mods = mods[1:]
@@ -1499,7 +1614,7 @@ def _py_fold_call(fname, base_lit, mod_lits, fmt_lit, local_tz=None):
         v = _py_parse(base_lit)
         if mods and mods[0].lower() == "julianday":
             if not (_BARE_NUMBER.match(base_lit.strip())):
-                return _py_render(fname, None, fmt_lit)
+                return render(fname, None, fmt_lit)
             mods = mods[1:]
     # SQLite's tzSet flag (round 10): set by an explicit Z/±HH:MM suffix
     # in the time VALUE, and by the first applied 'utc' modifier; while
@@ -1518,8 +1633,8 @@ def _py_fold_call(fname, base_lit, mod_lits, fmt_lit, local_tz=None):
             tzset = True
         v = _py_modify(v, mod, local_tz)
         if v is None:
-            return _py_render(fname, None, fmt_lit)
-    return _py_render(fname, v, fmt_lit)
+            return render(fname, None, fmt_lit)
+    return render(fname, v, fmt_lit)
 
 
 def _match_paren(s: str, open_ix: int) -> int | None:
@@ -1773,17 +1888,48 @@ def _rewrite_datetime_call(fname, args, projection=False, local_tz=None):
             "more than 500 datetime modifiers in one call — refusing "
             "(bounded to keep ms arithmetic overflow-free)"
         )
-    # decode modifier literals up front (raising on computed expressions)
-    mod_lits = []
-    for raw in mods:
-        lit = _decode_literal(raw)
-        if lit is None:
+    # decode modifier literals up front; COLUMN-VALUED modifiers take
+    # the Arrow kernel (round 12 — previously a pinned loud error)
+    if any(_decode_literal(raw) is None for raw in mods):
+        if is_now:
             raise ValueError(
-                "SQLite datetime modifiers must be string literals in the "
-                f"WHERE clause (got {raw.strip()!r}); computed modifier "
-                "expressions are a documented dialect delta"
+                "dynamic (column-valued) datetime modifiers with a "
+                "'now' base are not bridged: 'now' is statement-stable "
+                "in SQLite and the per-row kernel has no statement "
+                "clock — materialize the timestamp first"
             )
-        mod_lits.append(lit)
+        base_sql = (
+            "cast(("
+            + translate_where(base_raw, projection, local_tz)
+            + ") as string)"
+        )
+        mod_sqls = ", ".join(
+            "cast(("
+            + translate_where(raw, projection, local_tz)
+            + ") as string)"
+            for raw in mods
+        )
+        fmt_sql = (
+            "cast(("
+            + translate_where(args[0], projection, local_tz)
+            + ") as string)"
+            if fname == "strftime"
+            else "cast(null as string)"
+        )
+        tz_sql = (
+            _sql_string_literal(local_tz)
+            if local_tz
+            else "cast(null as string)"
+        )
+        fn = {
+            "julianday": "sqlite_dyn_double",
+            "unixepoch": "sqlite_dyn_long",
+        }.get(fname, "sqlite_dyn_str")
+        return (
+            f"{fn}('{fname}', {base_sql}, array({mod_sqls}), "
+            f"{fmt_sql}, {tz_sql})"
+        )
+    mod_lits = [_decode_literal(raw) for raw in mods]
 
     # the chain bottom: parse the base time value ONCE into timestamp
     # space ('unixepoch' as the first modifier switches how it parses —

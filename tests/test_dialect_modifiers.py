@@ -239,9 +239,12 @@ def test_tz_modifiers_raise_loudly(spark):
             translate_where(f"datetime(marketStartTime, '{mod}')")
 
 
-def test_computed_modifier_raises_loudly():
-    with pytest.raises(ValueError, match="string literals"):
-        translate_where("datetime(marketStartTime, marketType)")
+def test_computed_modifier_translates_to_dynamic_kernel():
+    """Round 12: column-valued modifiers no longer raise — they route
+    through the Arrow kernel (sqlite_dyn_*), which reuses the literal
+    constant-fold engine per row (semantics tests below)."""
+    sql = translate_where("datetime(marketStartTime, marketType)")
+    assert "sqlite_dyn_str" in sql and "'datetime'" in sql
 
 
 def test_modifier_column_chain_fuzz_matches_sqlite(spark):
@@ -842,22 +845,155 @@ def test_century_nonleap_feb29_corner_wontfix(spark):
     assert got == "2100-02-28 20:00:00"
 
 
-def test_non_literal_modifier_raises_loud_contract(spark):
-    """Round 12 (verdict #8): column-valued / computed datetime MODIFIER
-    expressions are a pinned LOUD-ERROR dialect delta (README table) —
-    never silently misinterpreted, never NULLed. Literal modifiers on a
-    column base keep working (the supported grammar); only the modifier
-    argument itself must be a string literal."""
-    for expr in (
-        "datetime(marketStartTime, someColumn)",
-        "datetime(marketStartTime, '+1 day', someColumn)",
-        "strftime('%Y', marketStartTime, upper('utc'))",
-        "time(marketStartTime, mod_col)",
-        "date(marketStartTime, trim(' +1 day '))",
-    ):
-        with pytest.raises(ValueError, match="must be string literals"):
-            translate_where(expr)
-        with pytest.raises(ValueError, match="must be string literals"):
-            translate_where(expr, projection=True)
-    # sanity: the same call with the modifier as a literal translates
-    assert translate_where("datetime(marketStartTime, '+1 day')")
+class TestDynamicModifiers:
+    """Round 12 (verdict #8, upgraded): column-valued datetime MODIFIERS
+    are now BRIDGED — an Arrow-batched kernel evaluates each row through
+    the SAME Python constant-fold engine the literal path uses
+    (``_py_fold_call`` with the ``_py_value`` render), so the dynamic
+    path can never drift from the matrix-tested literal semantics.
+    Documented residuals stay loud: a per-row 'now' base and strftime
+    formats the Python renderer defers to the SQL path."""
+
+    ROWS = [
+        ("2023-07-27 20:30:00", "+1 day"),
+        ("2023-01-31 10:20:30.500", "+1 month"),
+        ("2001-01-31", "+1.5 months"),
+        ("2000-02-29", "+1 year"),
+        ("2023-07-27 20:30:00", "-1.5 hours"),
+        ("2023-07-27 20:30:00", "start of month"),
+        ("2023-07-27 20:30:00", "start of year"),
+        ("2023-07-27", "weekday 0"),
+        ("2023-07-27 10:00:00", "weekday 3"),
+        ("2023-07-27 20:30:00", "-0.0005 seconds"),
+        ("2023-07-27 20:30:00", "bogus mod"),
+        ("2023-07-27 20:30:00", "+1 dayz "),
+        ("2023-07-27 20:30:00", None),
+        (None, "+1 day"),
+        ("2023-13-40", "+1 day"),
+        ("2440587.5", "+12 hours"),
+    ]
+
+    def _cmp(self, spark, expr, sqlite_sql):
+        import sqlite3 as _sq
+
+        con = _sq.connect(":memory:")
+        df = spark.createDataFrame(self.ROWS, "ts string, mod string")
+        df.createOrReplaceTempView("dynmod")
+        got = [
+            r[0]
+            for r in spark.sql(
+                f"SELECT ({translate_where(expr, projection=True)}) "
+                "FROM dynmod"
+            ).collect()
+        ]
+        exp = [
+            con.execute(sqlite_sql, (ts, m)).fetchone()[0]
+            for ts, m in self.ROWS
+        ]
+        assert got == exp, list(zip(self.ROWS, got, exp))
+
+    def test_datetime_dynamic_matches_sqlite(self, spark):
+        register_sqlite_functions(spark)
+        self._cmp(spark, "datetime(ts, mod)", "SELECT datetime(?, ?)")
+
+    def test_date_time_dynamic_match_sqlite(self, spark):
+        register_sqlite_functions(spark)
+        self._cmp(spark, "date(ts, mod)", "SELECT date(?, ?)")
+        self._cmp(spark, "time(ts, mod)", "SELECT time(?, ?)")
+
+    def test_julianday_unixepoch_dynamic_match_sqlite(self, spark):
+        register_sqlite_functions(spark)
+        self._cmp(spark, "julianday(ts, mod)", "SELECT julianday(?, ?)")
+        self._cmp(spark, "unixepoch(ts, mod)", "SELECT unixepoch(?, ?)")
+
+    def test_strftime_literal_format_dynamic_modifier(self, spark):
+        register_sqlite_functions(spark)
+        self._cmp(
+            spark,
+            "strftime('%Y-%m-%d %H:%M', ts, mod)",
+            "SELECT strftime('%Y-%m-%d %H:%M', ?, ?)",
+        )
+
+    def test_mixed_literal_and_dynamic_chain(self, spark):
+        register_sqlite_functions(spark)
+        self._cmp(
+            spark,
+            "datetime(ts, '+2 days', mod, 'start of day')",
+            "SELECT datetime(?, '+2 days', ?, 'start of day')",
+        )
+
+    def test_dynamic_in_where_clause(self, spark):
+        import sqlite3 as _sq
+
+        register_sqlite_functions(spark)
+        con = _sq.connect(":memory:")
+        con.execute("CREATE TABLE t (ts TEXT, mod TEXT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", self.ROWS)
+        df = spark.createDataFrame(self.ROWS, "ts string, mod string")
+        df.createOrReplaceTempView("dynmod")
+        where = "datetime(ts, mod) >= '2023-07-28 00:00:00'"
+        got = sorted(
+            r[0]
+            for r in spark.sql(
+                f"SELECT ts FROM dynmod WHERE {translate_where(where)}"
+            ).collect()
+        )
+        exp = sorted(
+            r[0]
+            for r in con.execute(f"SELECT ts FROM t WHERE {where}")
+        )
+        assert got == exp and got
+
+    def test_dynamic_localtime_agrees_with_literal_bridge(self, spark):
+        """The dynamic kernel and the literal macro chain must agree on
+        tz modifiers (the literal path is sqlite3-pinned elsewhere) —
+        including across a DST boundary."""
+        register_sqlite_functions(spark)
+        rows = [
+            ("2023-03-26 00:30:00", "localtime"),
+            ("2023-03-26 01:30:00", "localtime"),  # CET spring-forward gap window
+            ("2023-10-29 01:30:00", "localtime"),
+            ("2023-07-27 20:30:00", "utc"),
+            ("2023-01-15 10:00:00", "localtime"),
+        ]
+        df = spark.createDataFrame(rows, "ts string, mod string")
+        df.createOrReplaceTempView("dynmodtz")
+        tz = "Europe/Berlin"
+        dyn = [
+            r[0]
+            for r in spark.sql(
+                "SELECT ("
+                + translate_where(
+                    "datetime(ts, mod)", projection=True, local_tz=tz
+                )
+                + ") FROM dynmodtz"
+            ).collect()
+        ]
+        lit = []
+        for ts, mod in rows:
+            lit.append(
+                spark.sql(
+                    "SELECT ("
+                    + translate_where(
+                        f"datetime('{ts}', '{mod}')", local_tz=tz
+                    )
+                    + ")"
+                ).first()[0]
+            )
+        assert dyn == lit
+
+    def test_dynamic_now_base_raises_at_translate_time(self):
+        with pytest.raises(ValueError, match="statement-stable"):
+            translate_where("datetime('now', mod_col)")
+
+    def test_dynamic_tz_without_local_tz_raises_at_runtime(self, spark):
+        register_sqlite_functions(spark)
+        df = spark.createDataFrame(
+            [("2023-07-27 20:30:00", "localtime")], "ts string, mod string"
+        )
+        df.createOrReplaceTempView("dynmoderr")
+        with pytest.raises(Exception, match="un-bridged|local_tz"):
+            spark.sql(
+                f"SELECT ({translate_where('datetime(ts, mod)', projection=True)}) "
+                "FROM dynmoderr"
+            ).collect()

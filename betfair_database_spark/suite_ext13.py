@@ -306,3 +306,73 @@ def pipeline_semdedup_autok(spark, sf):
         F.count("*").alias("n_vectors"),
         F.sum(F.coalesce("_drop", F.lit(0))).alias("n_dropped"),
     )
+
+
+# =========================================================================
+# p8c_dynamic_modifiers — round 12: column-valued modifiers in the gate
+# =========================================================================
+#
+# The dynamic-modifier bridge (sqlite_dyn_*, an Arrow kernel reusing the
+# literal constant-fold engine per row) under DuckDB scrutiny: each event
+# derives its modifier STRING from its type (a 5-way CASE — constrained
+# so the oracle can replicate SQLite's semantics per known value), then
+# datetime(ts_text, mod) runs through translate_where's dynamic path.
+# The oracle mirrors each modifier with native DuckDB interval/trunc
+# arithmetic — agreement proves the kernel applies the right operation
+# per ROW, not just per plan. An unrecognized modifier ('oops') must
+# yield NULL on both sides.
+
+_DYNMOD_ORACLE = """
+WITH src AS (
+  SELECT event_id,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_text,
+         CASE event_type
+           WHEN 'click' THEN '+1 day'
+           WHEN 'view' THEN '-90 minutes'
+           WHEN 'purchase' THEN 'start of month'
+           WHEN 'signup' THEN '+2.5 hours'
+           ELSE 'oops'
+         END AS mod,
+         ts
+  FROM events
+)
+SELECT event_id,
+       CASE mod
+         WHEN '+1 day' THEN strftime(ts_sec + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S')
+         WHEN '-90 minutes' THEN strftime(ts_sec - INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S')
+         WHEN 'start of month' THEN strftime(date_trunc('month', ts_sec), '%Y-%m-%d %H:%M:%S')
+         WHEN '+2.5 hours' THEN strftime(ts_sec + INTERVAL 150 MINUTE, '%Y-%m-%d %H:%M:%S')
+         ELSE NULL
+       END AS shifted
+FROM (SELECT event_id, mod, date_trunc('second', ts) AS ts_sec FROM src)
+"""
+
+
+@_q("p8c_dynamic_modifiers", _DYNMOD_ORACLE)
+def p8c_dynamic_modifiers(spark, sf):
+    """Column-valued datetime modifiers end-to-end: the modifier string
+    is DATA (derived per event), so the literal fold/macro chain cannot
+    apply — translate_where emits the sqlite_dyn_str Arrow kernel. The
+    oracle recomputes each known modifier with DuckDB-native arithmetic;
+    the unknown one must NULL (SQLite's unrecognized-modifier rule,
+    applied per row)."""
+    from betfair_database_spark.plans.dialect import (
+        register_sqlite_functions,
+        translate_where,
+    )
+
+    register_sqlite_functions(spark)
+    _t(spark, sf, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_text"),
+        F.when(F.col("event_type") == "click", "+1 day")
+        .when(F.col("event_type") == "view", "-90 minutes")
+        .when(F.col("event_type") == "purchase", "start of month")
+        .when(F.col("event_type") == "signup", "+2.5 hours")
+        .otherwise("oops")
+        .alias("mod"),
+    ).createOrReplaceTempView("p8c_src")
+    expr = translate_where("datetime(ts_text, mod)", projection=True)
+    return spark.sql(
+        f"SELECT event_id, ({expr}) AS shifted FROM p8c_src"
+    )

@@ -179,6 +179,7 @@ HEADLINE = [
     "rollup_route_stddev_var",
     "rollup_route_hist_percentile",
     "pipeline_semdedup_autok",
+    "p8c_dynamic_modifiers",
 ]
 
 

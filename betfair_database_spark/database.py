@@ -310,11 +310,21 @@ class BetfairDatabase:
         from betfair_database_spark.rollup import _PCTL_COL_RE
 
         hist_params = None
-        pctl_cols = {
-            m.group(1)
-            for c in col_list
-            if (m := _PCTL_COL_RE.match(c)) is not None
-        }
+        pctl_cols = set()
+        for c in col_list:
+            if (m := _PCTL_COL_RE.match(c)) is None:
+                continue
+            if m.group(3) is None:
+                # without an alias the entry would fall through
+                # _scan_agg_sql untransformed and die in Spark analysis
+                # with an opaque undefined-function error — use the same
+                # loud contract error as every other aggregate seam
+                # (round-12 ADVICE)
+                raise ValueError(
+                    f"approx_percentile_hist requires an explicit "
+                    f"'AS alias': {c!r}"
+                )
+            pctl_cols.add(m.group(1))
         if pctl_cols:
             # the function is DEFINED by its declared binning: resolve
             # (lo, hi, nbins) from persisted spec metas (stale-readable),

@@ -332,34 +332,53 @@ def hist_percentile_from_array_sql(
     order-sensitive; it is one fixed tree. q in (0,1] guarantees the
     picked bin is non-empty (rank r > cum_{b-1} forces h_b > 0) and IEEE
     round-to-nearest guarantees r = q*total <= total, so the bin search
-    always lands."""
+    always lands.
+
+    ``arr`` is interpolated into the text exactly ONCE (round-12 ADVICE):
+    each intermediate — the input array, the prefix-sum array, the picked
+    bin — is bound to a nested-lambda variable (``transform(array(x),
+    v -> ...)`` is Spark SQL's let-binding), so the scan twin's
+    nbins-term aggregate text no longer appears five times and the
+    prefix sums are one O(nbins) fold instead of O(nbins²)
+    slice/aggregate work. The double arithmetic (r, the bin search, the
+    interpolation) is the SAME op sequence over the SAME exact bigint
+    counts as before, so routed == scan == oracle values are unchanged
+    bit-for-bit."""
     if not 0 < q <= 1:
         raise ValueError(f"approx_percentile_hist q must be in (0, 1]: {q}")
     w = (hi - lo) / nbins
-    # cumulative counts: exact bigint folds (order-free)
+    # prefix sums over the bound array __h: one exact bigint fold with a
+    # leading 0 seed, sliced off so __c[k] = sum(__h[1..k])
     cum = (
-        f"transform(sequence(1, {nbins}), k -> "
-        f"aggregate(slice({arr}, 1, k), cast(0 as bigint), (a, x) -> a + x))"
+        f"slice(aggregate(__h, array(cast(0 as bigint)), "
+        f"(__a, __x) -> concat(__a, array(element_at(__a, -1) + __x))), "
+        f"2, {nbins})"
     )
-    total = f"element_at({cum}, {nbins})"
+    total = f"element_at(__c, {nbins})"
     r = f"(cast({q!r} as double) * cast({total} as double))"
     b = (
-        f"element_at(filter(sequence(1, {nbins}), k -> "
-        f"cast(element_at({cum}, k) as double) >= {r}), 1)"
+        f"element_at(filter(sequence(1, {nbins}), __k -> "
+        f"cast(element_at(__c, __k) as double) >= {r}), 1)"
     )
     cumb = (
-        f"(CASE WHEN {b} = 1 THEN cast(0 as bigint) "
-        f"ELSE element_at({cum}, {b} - 1) END)"
+        "(CASE WHEN __b = 1 THEN cast(0 as bigint) "
+        "ELSE element_at(__c, __b - 1) END)"
     )
-    h = f"element_at({arr}, {b})"
+    h = "element_at(__h, __b)"
     val = (
         f"(cast({lo!r} as double) + cast({w!r} as double) * "
-        f"cast(({b} - 1) as double) + cast({w!r} as double) * "
+        f"cast((__b - 1) as double) + cast({w!r} as double) * "
         f"({r} - cast({cumb} as double)) / cast({h} as double))"
     )
+    # the empty-group CASE sits inside the __c binding but OUTSIDE the
+    # __b binding: when total == 0 the bin search is never evaluated
+    # (CASE is lazy), matching the old guard's semantics exactly
     return (
-        f"(CASE WHEN {total} <= 0 THEN cast(NULL as double) "
-        f"ELSE {val} END)"
+        f"element_at(transform(array({arr}), __h -> "
+        f"element_at(transform(array({cum}), __c -> "
+        f"CASE WHEN {total} <= 0 THEN cast(NULL as double) "
+        f"ELSE element_at(transform(array({b}), __b -> {val}), 1) END"
+        f"), 1)), 1)"
     )
 
 
@@ -1007,6 +1026,14 @@ def route_select(db, columns, where, group_by, local_tz=None):
     # ran first used to silently skip routing on analysis failure)
     register_sqlite_functions(db.spark)
     dims_sel, aggs, order = shape
+    pctl_cols = {a[1] for a in aggs if a[0] == "approx_percentile_hist"}
+    if pctl_cols:
+        # resolve binning through the ONE ambiguity-checking resolver the
+        # scan path uses — two specs binning the same column differently
+        # must raise IDENTICALLY on both paths, not have the routed path
+        # silently answer from whichever spec iterates first while the
+        # same query errors once the rollup goes stale (round-12 ADVICE)
+        hist_params_for(db, pctl_cols)
     gb = [g.strip() for g in group_by] if group_by else []
     if any(not _IDENT_RE.match(g) for g in gb):
         return None

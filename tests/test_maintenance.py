@@ -2295,6 +2295,45 @@ class TestHistPercentile:
                 use_rollups=False,
             )
 
+    def test_missing_alias_raises(self, env):
+        """No 'AS alias' → loud contract error, not an opaque Spark
+        undefined-function analysis failure (round-12 ADVICE)."""
+        db, _ = env
+        with pytest.raises(ValueError, match="AS alias"):
+            db.select(
+                columns=["approx_percentile_hist(runners, 0.5)"],
+                group_by=[],
+                use_rollups=False,
+            )
+
+    def test_max_bins_scan_form_analyzes(self, env):
+        """HIST_MAX_BINS=512 is a promise: the scan twin's inline SQL
+        must survive the analyzer/codegen at the permitted maximum. The
+        let-binding rewrite (round-12 ADVICE) keeps the nbins-term
+        aggregate text appearing once instead of five times."""
+        import shutil
+
+        from betfair_database_spark.rollup import (
+            HIST_MAX_BINS,
+            spec_rollup_path,
+        )
+
+        db, _ = env
+        db.create_rollup(
+            name="histmax",
+            dims=["marketType"],
+            aggs=[f"bh=hist(eventTypeId, 0, 80, {HIST_MAX_BINS})"],
+        )
+        try:
+            rows = db.select(
+                columns=["approx_percentile_hist(eventTypeId, 0.5) AS p"],
+                group_by=[],
+                use_rollups=False,
+            )
+            assert len(rows) == 1 and rows[0]["p"] is not None
+        finally:
+            shutil.rmtree(spec_rollup_path(db.database_dir, "histmax"))
+
     def test_conflicting_binning_raises(self, env):
         db, _ = env
         db.create_rollup(
@@ -2305,6 +2344,12 @@ class TestHistPercentile:
         try:
             with pytest.raises(ValueError, match="different binning"):
                 db.select(use_rollups=False, **self.Q)
+            # the ROUTED path must raise the SAME ambiguity error before
+            # picking a spec — not silently answer from whichever spec
+            # iterates first (round-12 ADVICE: routed == scan includes
+            # the error contract)
+            with pytest.raises(ValueError, match="different binning"):
+                db.select(**self.Q)
         finally:
             import shutil
 

@@ -60,6 +60,42 @@ class ConcurrentWriterError(BetfairDatabaseError):
         super().__init__(_CONCURRENT_WRITER_MSG.format(lock_path, holder))
 
 
+class PairBudgetError(BetfairDatabaseError):
+    """Pre-flight refusal of a blocked pair-domain operator (near-dup
+    candidate join, fuzzy-match block join, entity-resolution blocking)
+    whose estimated candidate-pair count exceeds the configured budget.
+
+    Pair domains are quadratic in block size by semantics: a blocking
+    key whose blocks grow with the data turns one join into a
+    disk-filling shuffle at 100x scale (the round-12 sf10 sweep filled
+    the disk on two uncollapsed near-dup rows). The guard prices the
+    join from the block-size aggregate BEFORE the shuffle runs and
+    refuses loudly with the measured estimate — the same philosophy as
+    ``assert_bounded_frame`` for global windows. Raise or disable via
+    the ``spark.bfdb.maxCandidatePairs`` session conf (0 disables)."""
+
+    def __init__(
+        self,
+        estimated: int,
+        budget: int,
+        context: str = "",
+        remediation: str = "",
+    ):
+        self.estimated = estimated
+        self.budget = budget
+        msg = (
+            f"candidate-pair budget exceeded: ~{estimated:,} blocked "
+            f"pairs estimated vs budget {budget:,}"
+            + (f" ({context})" if context else "")
+            + ". A pair domain this size would shuffle-spill at scale; "
+            "refusing before the join runs."
+            + (f" Remediation: {remediation}" if remediation else "")
+            + " To override, set spark.bfdb.maxCandidatePairs higher "
+            "(or 0 to disable the guard)."
+        )
+        super().__init__(msg)
+
+
 class RollupMissingError(BetfairDatabaseError):
     """rollup() was called but no materialized rollup exists — call
     create_rollup() first (engine extension; no reference analogue)."""

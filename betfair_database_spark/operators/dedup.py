@@ -336,7 +336,26 @@ def minhash_near_dups(
     # derived from the caller's immutable frame, not from a re-listable path.
     tok = tok.persist()
     sig = minhash_signatures(tok, id_col, num_hashes)
-    buckets = lsh_band_buckets(sig, id_col, num_hashes, bands)
+    # Pre-flight pair budget (round 13): Σ n·(n-1)/2 over band buckets
+    # is the EXACT candidate count of the self-join below. Persisting
+    # the bucket frame makes the counting job double as the cache
+    # materializer, so the candidate join reads cached buckets instead
+    # of recomputing the signatures. On a replica-heavy corpus the guard
+    # refuses BEFORE the disk-filling shuffle (observed at the sf10
+    # sweep, SCALE.md) instead of after.
+    from betfair_database_spark.plans.guards import assert_pair_budget
+
+    buckets = lsh_band_buckets(sig, id_col, num_hashes, bands).persist()
+    assert_pair_budget(
+        buckets,
+        ["band", "bh"],
+        context="minhash_near_dups band buckets",
+        remediation=(
+            "collapse byte-identical texts first "
+            "(collapse_exact=True, or exact_dedup upstream) so LSH "
+            "prices unique documents, not replicas"
+        ),
+    )
     pairs = minhash_candidate_pairs(buckets, id_col)
     return (
         jaccard_on_pairs(pairs, tok, id_col)
@@ -377,10 +396,25 @@ def minhash_incremental_pairs(
     )
     tok = tok.persist()
     sig = minhash_signatures(tok, id_col, num_hashes)
-    buckets = lsh_band_buckets(sig, id_col, num_hashes, bands)
+    buckets = lsh_band_buckets(sig, id_col, num_hashes, bands).persist()
     new_ids = new_df.select(F.col(id_col)).distinct()
     nb = buckets.join(new_ids, id_col, "left_semi").select(
         F.col(id_col).alias("a"), "band", "bh"
+    )
+    # Pre-flight pair budget (round 13), bipartite form: the probe join
+    # below is bounded by Σ n_new·n_all over shared buckets — priced on
+    # the persisted bucket frame before any pair materializes.
+    from betfair_database_spark.plans.guards import assert_pair_budget
+
+    assert_pair_budget(
+        nb.select("band", "bh"),
+        ["band", "bh"],
+        right_df=buckets,
+        context="minhash_incremental_pairs probe buckets",
+        remediation=(
+            "collapse byte-identical texts upstream (exact_dedup) so "
+            "the probe prices unique documents, not replicas"
+        ),
     )
     is_new = new_ids.select(F.col(id_col).alias("b")).withColumn(
         "_bn", F.lit(True)

@@ -1974,8 +1974,23 @@ def fuzzy_levenshtein_pairs(spark, sf):
     costs 2 length() evals per pair (+70%), and Spark's THRESHOLDED
     levenshtein is slower than the full DP at ~25-char strings (banding
     overhead exceeds the saved cells). Both would matter on long,
-    variable-length strings; neither does here."""
+    variable-length strings; neither does here. Round 13: the blocking
+    rule is enforced by assert_pair_budget — a block key that stops
+    keeping expected block size flat now refuses loudly before the
+    shuffle instead of filling the disk."""
+    from betfair_database_spark.plans.guards import assert_pair_budget
+
     p = _t(spark, sf, "part")
+    assert_pair_budget(
+        p,
+        ["p_brand", "p_size"],
+        context="fuzzy_levenshtein_pairs (brand, size) blocks",
+        remediation=(
+            "refine the blocking key (add a container/length-band "
+            "component) so expected block size stays flat as the "
+            "catalog grows"
+        ),
+    )
     a = p.select(
         F.col("p_partkey").alias("a"), F.col("p_brand").alias("brand"),
         F.col("p_size").alias("size"), F.col("p_name").alias("na"),

@@ -958,10 +958,22 @@ def pipeline_entity_resolution(spark, sf):
     block key is (brand, size) — the standard multi-key refinement
     that keeps per-block comparison sets bounded as the catalog grows.
     The oracle recomputes components with a recursive reachability CTE
-    over the identical pair set."""
+    over the identical pair set. Round 13: the blocking rule is enforced
+    at runtime — assert_pair_budget prices the (brand, size) blocks and
+    refuses loudly when they stop being flat."""
     from betfair_database_spark.operators import graph
+    from betfair_database_spark.plans.guards import assert_pair_budget
 
     part = _t(spark, sf, "part")
+    assert_pair_budget(
+        part,
+        ["p_brand", "p_size"],
+        context="pipeline_entity_resolution (brand, size) blocks",
+        remediation=(
+            "refine the blocking key so expected block size stays flat "
+            "as the catalog grows"
+        ),
+    )
     a = part.select(
         F.col("p_partkey").alias("a"),
         F.col("p_name").alias("na"),

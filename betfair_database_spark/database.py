@@ -245,7 +245,13 @@ class BetfairDatabase:
         the variance family — round 12, served from count/sum/sumsq
         partials — and ``approx_percentile_hist(col, q)`` — round 12,
         served from a declared ``hist(col, lo, hi, nbins)`` partial; the
-        binning DEFINES the function, so it errors loudly without one;
+        binning DEFINES the function, so it errors loudly without one.
+        ``approx_percentile(col, q)`` — round 13 — is the PARAMETER-FREE
+        drift-proof quantile: a log-linear sketch (qsketch) with no
+        declared range, relative error <= 1/128; it routes when a spec
+        stores ``qsketch(col)`` and otherwise builds the same sketch
+        from raw rows through a two-level scan, so its value never
+        depends on rollup freshness;
         avg routes when the covering spec stores BOTH ``sum(col)`` and
         ``count(col)`` — it is served as the sum/count division on both
         paths). WHERE may reference derived rollup dims (round 11): the
@@ -332,6 +338,20 @@ class BetfairDatabase:
             from betfair_database_spark.rollup import hist_params_for
 
             hist_params = hist_params_for(self, pctl_cols)
+        from betfair_database_spark.rollup import _PCTL2_COL_RE
+
+        if any(_PCTL2_COL_RE.match(c) for c in col_list):
+            # log-linear-sketch quantile (round 13): needs the two-level
+            # scan twin — per-(group, okey) counts cannot be built in a
+            # flat aggregate. Parameter-free (no declared range), so no
+            # spec resolution step; the sketch IS the definition.
+            where_sql = (
+                translate_where(where, local_tz=local_tz) if where else None
+            )
+            sql = _qsketch_scan_sql(col_list, gb_list, from_clause, where_sql)
+            if limit is not None:
+                sql += f" LIMIT {limit}"
+            return self.spark.sql(sql)
         col_list = [_scan_agg_sql(c, hist_params) for c in col_list]
         cols = ",".join(col_list)
         sql = f"SELECT {cols} FROM {from_clause}"
@@ -957,6 +977,165 @@ class BetfairDatabase:
         # and the real commit below it would immediately read as stale.
         rollup_update(self, repl, touched)
         spec_rollup_update(self, repl, touched)
+
+
+def _qsketch_scan_sql(
+    col_list: list, gb_list: list, from_clause: str, where_sql: str | None
+) -> str:
+    """Scan-path twin of a select() containing ``approx_percentile(col,
+    q) AS alias`` entries (round 13): the log-linear sketch needs
+    per-(group, okey) counts, which one flat aggregate cannot build, so
+    the scan restructures into two levels — inner GROUP BY dims + okeys
+    (bounded inflation: occupied bins, not rows), outer GROUP BY dims
+    merging the inner partials. Every co-aggregate is re-merged through
+    its PARTIAL form (sums of sums, min of mins, the avg division, the
+    moment formula), which is exactly what the routed path computes —
+    so routed == scan holds for the whole result row, not only the
+    sketch column. approx_count_distinct / approx_percentile_hist in
+    the same query raise loudly (their partials have their own serving
+    paths; split the query)."""
+    from betfair_database_spark.rollup import (
+        _AGG_COL_RE,
+        _IDENT_RE,
+        _MOMENT_NORMALIZE,
+        _PCTL2_COL_RE,
+        _PCTL_COL_RE,
+        moment_sql,
+        qsketch_key_sql,
+        qsketch_map_merge_sql,
+        qsketch_percentile_from_map_sql,
+    )
+
+    sketch_cols: list[str] = []  # distinct source columns, stable order
+    inner_aggs, outer_cols = [], []
+    for idx, c in enumerate(col_list):
+        pm2 = _PCTL2_COL_RE.match(c)
+        if pm2:
+            col, q, alias = pm2.group(1), float(pm2.group(2)), pm2.group(3)
+            if alias is None:
+                raise ValueError(
+                    f"approx_percentile requires an explicit "
+                    f"'AS alias': {c!r}"
+                )
+            if col not in sketch_cols:
+                sketch_cols.append(col)
+            ki = f"__qk_{sketch_cols.index(col)}"
+            collected = (
+                f"sort_array(collect_list(CASE WHEN {ki} IS NOT NULL "
+                f"THEN struct({ki} AS k, __qn AS n) END))"
+            )
+            outer_cols.append((idx, col, q, alias, collected))
+            continue
+        if _PCTL_COL_RE.match(c):
+            raise ValueError(
+                "approx_percentile_hist cannot be combined with "
+                "approx_percentile in one select() — their partials "
+                f"serve through different paths; split the query: {c!r}"
+            )
+        m = _AGG_COL_RE.match(c)
+        if m:
+            op, col, alias = m.group(1).lower(), m.group(2), m.group(3)
+            if alias is None:
+                raise ValueError(
+                    "aggregates combined with approx_percentile need "
+                    f"an explicit 'AS alias': {c!r}"
+                )
+            p = f"__p{idx}"
+            if op == "approx_count_distinct":
+                # the HLL register-max union is partition-independent,
+                # so estimate(union of inner sketches) == the flat
+                # twin's estimate — same property the routed path uses
+                inner_aggs.append(
+                    f"hll_sketch_agg(cast({col} as string)) AS {p}"
+                )
+                outer_cols.append(
+                    (
+                        idx,
+                        f"hll_sketch_estimate(hll_union_agg({p})) "
+                        f"AS {alias}",
+                    )
+                )
+            elif op == "count" and col in (None, "*"):
+                outer_cols.append((idx, f"sum(__qn) AS {alias}"))
+            elif op == "count":
+                inner_aggs.append(f"count({col}) AS {p}")
+                outer_cols.append((idx, f"sum({p}) AS {alias}"))
+            elif op == "sum":
+                inner_aggs.append(f"sum({col}) AS {p}")
+                outer_cols.append((idx, f"sum({p}) AS {alias}"))
+            elif op in ("min", "max"):
+                inner_aggs.append(f"{op}({col}) AS {p}")
+                outer_cols.append((idx, f"{op}({p}) AS {alias}"))
+            elif op == "avg":
+                inner_aggs.append(f"sum({col}) AS {p}s")
+                inner_aggs.append(f"count({col}) AS {p}c")
+                outer_cols.append(
+                    (
+                        idx,
+                        f"CASE WHEN sum({p}c) > 0 THEN sum({p}s) / "
+                        f"sum({p}c) END AS {alias}",
+                    )
+                )
+            elif op in _MOMENT_NORMALIZE:
+                inner_aggs.append(f"count({col}) AS {p}c")
+                inner_aggs.append(f"sum({col}) AS {p}s")
+                inner_aggs.append(f"sum({col} * {col}) AS {p}q")
+                outer_cols.append(
+                    (
+                        idx,
+                        moment_sql(
+                            op, f"sum({p}c)", f"sum({p}s)", f"sum({p}q)"
+                        )
+                        + f" AS {alias}",
+                    )
+                )
+            else:  # pragma: no cover — regex bounds the op set
+                raise ValueError(f"unsupported co-aggregate {c!r}")
+            continue
+        if _IDENT_RE.match(c):
+            outer_cols.append((idx, c.strip()))
+            continue
+        raise ValueError(
+            "select() entries combined with approx_percentile must be "
+            f"group dims or 'op(col) AS alias' aggregates: {c!r}"
+        )
+    key_exprs = [
+        f"{qsketch_key_sql(col)} AS __qk_{i}"
+        for i, col in enumerate(sketch_cols)
+    ]
+    inner_gb = [g for g in gb_list] + [
+        f"__qk_{i}" for i in range(len(sketch_cols))
+    ]
+    inner_sel = (
+        [g for g in gb_list]
+        + key_exprs
+        + ["count(*) AS __qn"]
+        + inner_aggs
+    )
+    inner = f"SELECT {', '.join(inner_sel)} FROM {from_clause}"
+    if where_sql:
+        inner += f" WHERE {where_sql}"
+    inner += f" GROUP BY {', '.join(inner_gb)}"
+    final = []
+    for entry in sorted(outer_cols, key=lambda t: t[0]):
+        if len(entry) == 2:
+            final.append(entry[1])
+            continue
+        _, col, q, alias, collected = entry
+        map_sql = (
+            f"map_from_entries({collected})"
+            if len(sketch_cols) == 1
+            else qsketch_map_merge_sql(
+                f"transform({collected}, __t -> map(__t.k, __t.n))"
+            )
+        )
+        final.append(
+            qsketch_percentile_from_map_sql(map_sql, q) + f" AS {alias}"
+        )
+    sql = f"SELECT {', '.join(final)} FROM ({inner})"
+    if gb_list:
+        sql += f" GROUP BY {', '.join(gb_list)}"
+    return sql
 
 
 def _scan_agg_sql(col_entry: str, hist_params: dict | None = None) -> str:

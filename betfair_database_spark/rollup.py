@@ -225,7 +225,7 @@ import re as _re
 
 _SPEC_AGG_RE = _re.compile(
     r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*"
-    r"(count|sumsq|sum|min|max|approx_count_distinct)\s*\(\s*([^)]*?)\s*\)\s*$"
+    r"(count|sumsq|sum|min|max|qsketch|approx_count_distinct)\s*\(\s*([^)]*?)\s*\)\s*$"
 )
 
 # ---- second-moment serving (round 12, verdict #4) ----------------------
@@ -447,6 +447,147 @@ def hist_params_for(db, cols: set) -> dict:
     return out
 
 
+# ---- log-linear quantile sketch partials (round 13) ---------------------
+# The histogram partial (round 12) serves approx_percentile_hist but
+# REQUIRES a declared [lo, hi) — a drifting value domain silently clips
+# into the edge bins. This is the mergeable arbitrary-quantile partial
+# the verdict asked for: a log-linear sketch (HDR-histogram / DDSketch
+# family — Masson et al., VLDB 2019, "DDSketch: a fast and
+# fully-mergeable quantile sketch") with NO declared range. A value maps
+# to (octave, sub-bin): octave e = floor(log2(|x|)) — computed with a
+# comparison-CORRECTED log2 so libm ulp noise can never flip a bin —
+# and 64 LINEAR sub-bins within the octave, where |x|/2^e is EXACT IEEE
+# arithmetic (division by a power of two). The partial is a sparse
+# map<okey, count> of exact longs: merging is element-wise addition —
+# commutative, associative, order-independent — so routed merge, scan
+# twin, streaming fold and the DuckDB oracle all produce IDENTICAL
+# counts, and the quantile (rank-select over sorted keys + a midpoint
+# representative built from exact powers of two) is the same double on
+# every path. Unlike KLL/t-digest, whose compactions are
+# insertion-order-dependent, this sketch keeps the repo's defining
+# invariant: routed == scan == streaming, bit-for-bit.
+#
+# Accuracy contract: relative error <= 1/128 (~0.78%) for any value
+# with |x| in [2^-300, 2^301); values outside clamp into edge bins
+# (like hist edges — but 600 octaves of headroom instead of a declared
+# range); zero is exact (its own bin); NULL/NaN excluded. Memory: at
+# most 64*601*2+1 occupied keys per lane — in practice tens of keys
+# (values span few octaves), far smaller than a 512-bin dense array.
+#
+# ``alias=qsketch(col)`` declares the partial (parameter-free — two
+# specs can never disagree, the ambiguity the hist family must guard
+# against cannot exist); ``approx_percentile(col, q) AS alias`` in
+# select() is served from it when covered, and the scan path builds the
+# SAME sketch from raw rows — the function is DEFINED as the sketch
+# interpolation, so its value never changes with rollup freshness.
+
+QSKETCH_SUB = 64  # sub-bins per octave: relative error <= 1/(2*64)
+QSKETCH_EMAX = 300  # |x| outside [2^-300, 2^301) clamps to edge bins
+
+
+def qsketch_key_sql(col: str) -> str:
+    """Order key (bigint) of a value — ONE portable text (Spark SQL and
+    DuckDB both run it) so bin assignment can never drift between the
+    engine and the oracle. Monotone in the value: negative lane
+    -(k), zero 0, positive lane +(k) with k = (e+300)*64 + s + 1.
+
+    Exactness: log2 is only an INITIAL GUESS — the CASE correction
+    compares against power(2, e) directly, so a 1-ulp libm difference
+    between engines cannot flip the octave; power(2, int) exactness is
+    pinned by test on both engines (powers of two are exactly
+    representable); the sub-bin arithmetic (|x|/2^e - 1) * 64 is exact
+    IEEE (division and multiplication by powers of two). floor/least/
+    greatest/abs are exact everywhere."""
+    x = f"cast({col} as double)"
+    ax = f"abs({x})"
+    e0 = f"cast(least(1100.0, greatest(-1100.0, floor(log2({ax})))) as int)"
+    ec = (
+        f"(CASE WHEN power(2.0, {e0}) > {ax} THEN {e0} - 1 "
+        f"WHEN power(2.0, {e0} + 1) <= {ax} THEN {e0} + 1 "
+        f"ELSE {e0} END)"
+    )
+    e = f"least({QSKETCH_EMAX}, greatest(-{QSKETCH_EMAX}, {ec}))"
+    s = (
+        f"cast(least({QSKETCH_SUB - 1}.0, greatest(0.0, "
+        f"floor(({ax} / power(2.0, {e}) - 1.0) * {QSKETCH_SUB}.0))) as int)"
+    )
+    k = (
+        f"cast(({e} + {QSKETCH_EMAX}) * {QSKETCH_SUB} + {s} + 1 as bigint)"
+    )
+    return (
+        f"(CASE WHEN {col} IS NULL THEN cast(NULL as bigint) "
+        f"WHEN isnan({x}) THEN cast(NULL as bigint) "
+        f"WHEN {x} = 0.0 THEN cast(0 as bigint) "
+        f"WHEN {x} > 0.0 THEN {k} ELSE -{k} END)"
+    )
+
+
+def qsketch_rep_sql(okey: str) -> str:
+    """Representative value (double) of an order key — the bin's
+    midpoint, 2^e * (1 + (s + 0.5)/64), sign-mirrored. Every operation
+    is exact IEEE ((2s+1)/128 has granularity 1/128; 1 + that is
+    exactly representable; the power-of-two product cannot round), so
+    the SAME key yields the SAME double on every engine and path —
+    portable text, shared with the DuckDB oracle."""
+    ak = f"(abs({okey}) - 1)"
+    e64 = f"cast(floor({ak} / {QSKETCH_SUB}.0) as int)"
+    e = f"({e64} - {QSKETCH_EMAX})"
+    s = f"cast({ak} - cast({e64} as bigint) * {QSKETCH_SUB} as int)"
+    rep = (
+        f"(power(2.0, {e}) * (1.0 + (cast({s} as double) + 0.5) "
+        f"/ {QSKETCH_SUB}.0))"
+    )
+    return (
+        f"(CASE WHEN {okey} = 0 THEN 0.0 "
+        f"WHEN {okey} > 0 THEN {rep} ELSE -{rep} END)"
+    )
+
+
+def qsketch_map_merge_sql(maps_arr: str) -> str:
+    """Merge an array of sketch maps by key-wise addition (Spark-side
+    text; higher-order functions). Commutative and associative over
+    exact longs — any merge tree yields the same map."""
+    return (
+        f"aggregate({maps_arr}, cast(map() as map<bigint,bigint>), "
+        f"(__m, __x) -> map_zip_with(__m, __x, (__k, __a, __b) -> "
+        f"coalesce(__a, cast(0 as bigint)) "
+        f"+ coalesce(__b, cast(0 as bigint))))"
+    )
+
+
+def qsketch_percentile_from_map_sql(map_expr: str, q: float) -> str:
+    """Quantile from a merged sketch map (Spark-side text): sort the
+    entries by key, prefix-sum the exact counts, select the first key
+    whose cumulative count reaches r = q * total (the same rank rule as
+    the hist family), return its representative. Let-bound intermediates
+    (round-12 ADVICE pattern) keep ``map_expr`` appearing once. q in
+    (0, 1] guarantees the search lands; empty sketch (all-NULL group)
+    yields NULL."""
+    if not 0 < q <= 1:
+        raise ValueError(f"approx_percentile q must be in (0, 1]: {q}")
+    entries = f"sort_array(map_entries({map_expr}))"
+    cum = (
+        "slice(aggregate(transform(__e, __x -> __x.value), "
+        "array(cast(0 as bigint)), "
+        "(__a, __v) -> concat(__a, array(element_at(__a, -1) + __v))), "
+        "2, size(__e))"
+    )
+    total = "element_at(__c, size(__e))"
+    r = f"(cast({q!r} as double) * cast({total} as double))"
+    b = (
+        f"element_at(filter(sequence(1, size(__e)), __j -> "
+        f"cast(element_at(__c, __j) as double) >= {r}), 1)"
+    )
+    rep = qsketch_rep_sql("element_at(__e, __b).key")
+    return (
+        f"element_at(transform(array({entries}), __e -> "
+        f"CASE WHEN size(__e) = 0 THEN cast(NULL as double) "
+        f"ELSE element_at(transform(array({cum}), __c -> "
+        f"element_at(transform(array({b}), __b -> {rep}), 1)"
+        f"), 1) END), 1)"
+    )
+
+
 def parse_spec(dims: list[str], aggs: list[str]) -> dict:
     """Validate/normalize a rollup spec. ``dims`` entries are index column
     names or ``alias=SQL_EXPR`` derived dims; ``aggs`` entries are
@@ -497,7 +638,8 @@ def parse_spec(dims: list[str], aggs: list[str]) -> dict:
         if not m:
             raise ValueError(
                 f"bad agg {a!r}; expected alias=op(col) with op in "
-                "count/sum/sumsq/min/max/approx_count_distinct, or "
+                "count/sum/sumsq/min/max/qsketch/"
+                "approx_count_distinct, or "
                 "alias=hist(col, lo, hi, nbins)"
             )
         alias, op, col = m.group(1), m.group(2), m.group(3) or None
@@ -568,9 +710,37 @@ def _spec_partial_aggs(spec: dict):
                     ]
                 ).alias(al)
             )
+        elif op == "qsketch":
+            raise ValueError(
+                "qsketch partials need the two-stage build — "
+                "summarize_spec handles them; _spec_partial_aggs must "
+                "only see the non-sketch aggs"
+            )
         else:  # approx_count_distinct: mergeable HLL sketch partial
             out.append(F.hll_sketch_agg(F.col(col).cast("string")).alias(al))
     return out
+
+
+def _qsketch_stage2_expr(spec_aggs_q: list, a: dict, alias: str):
+    """Stage-2 sketch-map build from the (keys x okeys)-grain stage-1
+    frame: collect the (okey, rowcount) entries for THIS sketch column
+    and turn them into the sparse map partial. With one sketch agg the
+    okey is a stage-1 group key, so entries are already key-unique and
+    map_from_entries suffices; with several, entries for one column
+    repeat across the other columns' okeys and the key-wise fold merges
+    the duplicates."""
+    kcol = "_qk_" + a["alias"]
+    collected = (
+        f"sort_array(collect_list(CASE WHEN `{kcol}` IS NOT NULL THEN "
+        f"struct(`{kcol}` AS k, `_qn` AS n) END))"
+    )
+    if len(spec_aggs_q) == 1:
+        sql = f"map_from_entries({collected})"
+    else:
+        sql = qsketch_map_merge_sql(
+            f"transform({collected}, __t -> map(__t.k, __t.n))"
+        )
+    return F.expr(sql).alias(alias)
 
 
 def _hist_elementwise_sum(p: str, nbins: int, alias: str):
@@ -595,6 +765,10 @@ def _spec_merge_aggs(spec: dict):
             out.append(F.max(p).alias(al))
         elif op == "hist":
             out.append(_hist_elementwise_sum(p, a["nbins"], al))
+        elif op == "qsketch":
+            out.append(
+                F.expr(qsketch_map_merge_sql(f"collect_list(`{p}`)")).alias(al)
+            )
         else:
             out.append(
                 F.hll_sketch_estimate(F.hll_union_agg(p)).alias(al)
@@ -621,6 +795,13 @@ def _spec_fold_partials(spec: dict):
         elif op == "hist":
             # per-bin counts add like any sum partial (exact longs)
             out.append(_hist_elementwise_sum(p, a["nbins"], p))
+        elif op == "qsketch":
+            # sparse maps merge by key-wise addition of exact longs —
+            # commutative/associative, so the incremental streaming fold
+            # equals the one-shot build map-for-map
+            out.append(
+                F.expr(qsketch_map_merge_sql(f"collect_list(`{p}`)")).alias(p)
+            )
         else:
             out.append(F.hll_union_agg(p).alias(p))
     return out
@@ -639,7 +820,37 @@ def summarize_spec(
         d["expr"] is None and d["alias"] == part_col for d in spec["dims"]
     )
     keys = ([] if has_part else [F.col(part_col)]) + _spec_dim_cols(spec)
-    return index_df.groupBy(*keys).agg(*_spec_partial_aggs(spec))
+    qs = [a for a in spec["aggs"] if a["op"] == "qsketch"]
+    if not qs:
+        return index_df.groupBy(*keys).agg(*_spec_partial_aggs(spec))
+    # qsketch partials (round 13) need per-(cell, okey) counts, which a
+    # single agg expression cannot build without collecting row-sized
+    # lists. Two-stage instead: stage 1 groups by keys + okeys (the
+    # okey domain is bounded — at most 2*64*601+1 keys per column — so
+    # this inflates the grain by occupied bins, not by rows); stage 2
+    # folds back to the cell grain. Every OTHER partial is itself
+    # mergeable (that is its defining property), so re-merging the
+    # stage-1 partials with _spec_fold_partials is exact.
+    rest = {**spec, "aggs": [a for a in spec["aggs"] if a["op"] != "qsketch"]}
+    kcols = [
+        F.expr(qsketch_key_sql(a["col"])).alias("_qk_" + a["alias"])
+        for a in qs
+    ]
+    stage1 = index_df.groupBy(*keys, *kcols).agg(
+        *_spec_partial_aggs(rest), F.count(F.lit(1)).alias("_qn")
+    )
+    names = ([] if has_part else [part_col]) + [
+        d["alias"] for d in spec["dims"]
+    ]
+    sketch_exprs = [
+        _qsketch_stage2_expr(qs, a, "_p_" + a["alias"]) for a in qs
+    ]
+    out_cols = names + ["_p_" + a["alias"] for a in spec["aggs"]]
+    return (
+        stage1.groupBy(*names)
+        .agg(*_spec_fold_partials(rest), *sketch_exprs)
+        .select(*out_cols)
+    )
 
 
 def spec_view(internal: DataFrame, spec: dict) -> DataFrame:
@@ -779,6 +990,17 @@ _PCTL_COL_RE = _re.compile(
     r"((?:0?\.\d+)|(?:1(?:\.0+)?))\s*\)\s*"
     r"(?:[Aa][Ss]\s+([A-Za-z_][A-Za-z0-9_]*))?\s*$"
 )
+# approx_percentile(col, q) AS alias — the log-linear-sketch quantile
+# (round 13): DEFINED as the qsketch interpolation on every path, so it
+# deliberately shadows Spark's native approx_percentile inside select()
+# (the same single-estimator rule as approx_count_distinct -> HLL
+# sketch). Routes when a spec stores qsketch(col); the scan builds the
+# same sketch from raw rows, so the value never depends on freshness.
+_PCTL2_COL_RE = _re.compile(
+    r"^\s*approx_percentile\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*"
+    r"((?:0?\.\d+)|(?:1(?:\.0+)?))\s*\)\s*"
+    r"(?:[Aa][Ss]\s+([A-Za-z_][A-Za-z0-9_]*))?\s*$"
+)
 _WHERE_KEYWORDS = {
     "AND", "OR", "NOT", "IN", "IS", "NULL", "BETWEEN",
     "LIKE", "GLOB", "ESCAPE", "TRUE", "FALSE",
@@ -819,6 +1041,14 @@ def parse_select_shape(columns, group_by):
             aggs.append(("approx_percentile_hist", col, alias, q))
             order.append(alias)
             continue
+        pm2 = _PCTL2_COL_RE.match(c)
+        if pm2:
+            col, q, alias = pm2.group(1), float(pm2.group(2)), pm2.group(3)
+            if alias is None:
+                return None
+            aggs.append(("approx_percentile", col, alias, q))
+            order.append(alias)
+            continue
         m = _AGG_COL_RE.match(c)
         if m:
             op, col, alias = m.group(1).lower(), m.group(2), m.group(3)
@@ -857,6 +1087,8 @@ def _agg_covered(op: str, col, stored: set) -> bool:
         )
     if op == "approx_percentile_hist":
         return ("hist", col) in stored
+    if op == "approx_percentile":
+        return ("qsketch", col) in stored
     return (op, col) in stored
 
 
@@ -916,6 +1148,21 @@ def merge_partials(
             post[alias] = hist_percentile_from_array_sql(
                 f"`{tmp}`", sa["lo"], sa["hi"], sa["nbins"], q
             )
+            continue
+        if op == "approx_percentile":
+            # log-linear-sketch quantile (round 13): fold the sparse
+            # map partials key-wise inside the aggregate, then the ONE
+            # extraction text (qsketch_percentile_from_map_sql) the
+            # scan twin also builds
+            q = entry[3]
+            p = by_key[("qsketch", col)]
+            tmp = f"__qs_{alias}"
+            exprs.append(
+                F.expr(
+                    qsketch_map_merge_sql(f"collect_list(`{p}`)")
+                ).alias(tmp)
+            )
+            post[alias] = qsketch_percentile_from_map_sql(f"`{tmp}`", q)
             continue
         if op == "avg":
             # avg is DERIVED: sum-partial / count-partial (non-null

@@ -2120,6 +2120,7 @@ from betfair_database_spark import suite_ext10 as _suite_ext10  # noqa: E402,F40
 from betfair_database_spark import suite_ext11 as _suite_ext11  # noqa: E402,F401
 from betfair_database_spark import suite_ext12 as _suite_ext12  # noqa: E402,F401
 from betfair_database_spark import suite_ext13 as _suite_ext13  # noqa: E402,F401
+from betfair_database_spark import suite_ext14 as _suite_ext14  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registration order. External harnesses sample the FIRST 50 queries, so the

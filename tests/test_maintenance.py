@@ -1590,6 +1590,7 @@ class TestRollupRouting:
             "runnersTotal=sum(runners)",
             "rsq=sumsq(runners)",  # second moment: stddev/var numerator
             "rhist=hist(runners, 0, 40, 16)",  # percentile partial
+            "rq=qsketch(runners)",  # log-linear quantile sketch (r13)
             "firstStart=min(marketStartTime)",
             "ids=approx_count_distinct(marketId)",
         ],
@@ -2067,6 +2068,8 @@ class TestRollupRouting:
          ("approx_count_distinct", "marketId"), {"rollup:byvenue"}),
         ("approx_percentile_hist(runners, 0.5) AS ph",
          ("approx_percentile_hist", "runners"), {"rollup:byvenue"}),
+        ("approx_percentile(runners, 0.5) AS qp",
+         ("approx_percentile", "runners"), {"rollup:byvenue"}),
         ("max(marketId) AS mm", ("max", "marketId"), set()),
     ]
     _FUZZ_WHERES = [
@@ -2101,6 +2104,14 @@ class TestRollupRouting:
         for _ in range(n):
             dims = rng.sample(dims_pool, rng.choice([0, 1, 1, 2]))
             aggs = rng.sample(self._FUZZ_AGGS, rng.randint(1, 3))
+            if any(a[1][0] == "approx_percentile" for a in aggs):
+                # hist + qsketch percentiles in ONE query is a
+                # documented loud error on the scan path (their scan
+                # twins need different SQL shapes); pinned separately
+                aggs = [
+                    a for a in aggs
+                    if a[1][0] != "approx_percentile_hist"
+                ] or aggs
             where, wid = self._FUZZ_WHERES[
                 rng.randrange(len(self._FUZZ_WHERES))
             ]
@@ -2375,6 +2386,248 @@ class TestHistPercentile:
             "alias": "h", "op": "hist", "col": "runners",
             "lo": -1.5, "hi": 40.0, "nbins": 16,
         }
+
+
+class TestQSketchPercentile:
+    """Log-linear quantile-sketch partials + approx_percentile (round
+    13, verdict #3): a parameter-free, drift-proof mergeable percentile
+    partial — sparse map<okey, count> with exact-IEEE bin arithmetic —
+    serving approx_percentile(col, q) identically on the routed and
+    scan paths. Unlike hist (round 12), no declared range exists to
+    clip against."""
+
+    @pytest.fixture(scope="class")
+    def env(self, spark, tmp_path_factory):
+        from betfair_database_spark.database import BetfairDatabase
+
+        base = tmp_path_factory.mktemp("qsroute")
+        target = base / "db"
+        target.mkdir()
+        src = base / "src"
+        build_corpus(src)
+        db = BetfairDatabase(target, spark=spark)
+        db.insert(src, copy=True)
+        db.create_rollup(
+            name="qsq",
+            dims=["eventVenue"],
+            aggs=["qn=count()", "rq=qsketch(runners)"],
+        )
+        return db, src
+
+    @staticmethod
+    def _rows(db, **kw):
+        return sorted(
+            (tuple(r) for r in db.select(return_dict=False, **kw)),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+
+    Q = dict(
+        columns=[
+            "eventVenue",
+            "count(*) AS n",
+            "approx_percentile(runners, 0.5) AS p50",
+            "approx_percentile(runners, 0.9) AS p90",
+        ],
+        group_by=["eventVenue"],
+    )
+
+    def test_route_and_scan_parity(self, env, monkeypatch):
+        from betfair_database_spark.database import BetfairDatabase
+
+        db, _ = env
+        want = self._rows(db, use_rollups=False, **self.Q)
+        assert db.last_select_route == "scan" and want
+        monkeypatch.setattr(
+            BetfairDatabase,
+            "_read_index",
+            lambda *a, **k: (_ for _ in ()).throw(
+                AssertionError("index read during routed select")
+            ),
+        )
+        got = self._rows(db, **self.Q)
+        assert db.last_select_route == "rollup:qsq"
+        assert got == want
+
+    def test_maintained_after_insert(self, env, tmp_path):
+        """insert() keeps the sketch partial incrementally maintained
+        (key-wise map fold) — routed after maintenance == scan."""
+        db, src = env
+        extra = tmp_path / "extra"
+        extra.mkdir()
+        for stem in ("1.222000001",):
+            meta = json.loads((src / f"{stem}.json").read_text())
+            meta["marketId"] = "1.999000002"
+            (extra / "1.999000002.json").write_text(json.dumps(meta))
+            (extra / "1.999000002").write_text((src / stem).read_text())
+        assert db.insert(extra, copy=True) == 1
+        want = self._rows(db, use_rollups=False, **self.Q)
+        got = self._rows(db, **self.Q)
+        assert db.last_select_route == "rollup:qsq"
+        assert got == want
+
+    def test_scan_works_without_any_declared_spec(
+        self, spark, tmp_path_factory
+    ):
+        """approx_percentile is parameter-free: the scan builds the
+        sketch from raw rows with NO spec declared anywhere — and the
+        value equals the exact percentile within the documented
+        relative bound."""
+        from betfair_database_spark.database import BetfairDatabase
+
+        base = tmp_path_factory.mktemp("qsnospec")
+        (base / "db").mkdir()
+        src = base / "src"
+        build_corpus(src)
+        db = BetfairDatabase(base / "db", spark=spark)
+        db.insert(src, copy=True)
+        rows = db.select(
+            columns=["approx_percentile(runners, 0.5) AS p"],
+            group_by=[],
+        )
+        assert db.last_select_route == "scan"
+        exact = sorted(
+            r["runners"]
+            for r in db.select(columns=["runners"])
+            if r["runners"] is not None
+        )
+        import math
+
+        true_p50 = exact[max(0, math.ceil(0.5 * len(exact)) - 1)]
+        assert abs(rows[0]["p"] - true_p50) <= abs(true_p50) / 128
+
+    def test_missing_alias_raises(self, env):
+        db, _ = env
+        with pytest.raises(ValueError, match="AS alias"):
+            db.select(
+                columns=["approx_percentile(runners, 0.5)"],
+                group_by=[],
+                use_rollups=False,
+            )
+
+    def test_q_out_of_range_raises(self, env):
+        db, _ = env
+        with pytest.raises(ValueError, match="in \\(0, 1\\]"):
+            db.select(
+                columns=["approx_percentile(runners, 0.0) AS p"],
+                group_by=[],
+                use_rollups=False,
+            )
+
+    def test_hist_mix_raises_loudly(self, env):
+        import shutil
+
+        from betfair_database_spark.rollup import spec_rollup_path
+
+        db, _ = env
+        db.create_rollup(
+            name="qsmixh",
+            dims=["marketType"],
+            aggs=["mh=hist(runners, 0, 40, 16)"],
+        )
+        try:
+            with pytest.raises(ValueError, match="split the query"):
+                db.select(
+                    columns=[
+                        "approx_percentile(runners, 0.5) AS a",
+                        "approx_percentile_hist(runners, 0.5) AS b",
+                    ],
+                    group_by=[],
+                    use_rollups=False,
+                )
+        finally:
+            shutil.rmtree(spec_rollup_path(db.database_dir, "qsmixh"))
+
+    def test_acd_mix_matches_flat_twin(self, env):
+        """approx_count_distinct combined with approx_percentile runs
+        through the two-level scan — the HLL union is partition-
+        independent, so the estimate equals the flat twin's."""
+        db, _ = env
+        q = dict(
+            columns=[
+                "eventVenue",
+                "approx_count_distinct(marketId) AS ids",
+            ],
+            group_by=["eventVenue"],
+        )
+        flat = self._rows(db, use_rollups=False, **q)
+        q2 = dict(
+            columns=q["columns"]
+            + ["approx_percentile(runners, 0.5) AS p"],
+            group_by=["eventVenue"],
+        )
+        key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+        two = [
+            (r[0], r[1]) for r in self._rows(db, use_rollups=False, **q2)
+        ]
+        assert sorted(two, key=key) == sorted(flat, key=key)
+
+    def test_drift_hist_clips_sketch_tracks(self, spark):
+        """THE motivating scenario (round-13 verdict #3): a value
+        domain that drifts far above a hist spec's declared [lo, hi)
+        silently clips into the edge bin — the hist answer stays near
+        hi while the true p90 is 100x higher. The qsketch answer stays
+        within its documented relative bound with no redeclaration."""
+        import pandas as pd
+
+        from betfair_database_spark.rollup import (
+            merge_partials,
+            summarize_spec,
+        )
+
+        # declared when values lived in [0, 100); later drifted to 10000
+        vals = [float(v) for v in range(1, 100)] + [
+            float(v) for v in range(5000, 10001, 50)
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"g": ["a"] * len(vals), "v": vals, "b": [0] * len(vals)}
+            )
+        )
+        exact = sorted(vals)
+        import math
+
+        true_p90 = exact[max(0, math.ceil(0.9 * len(exact)) - 1)]
+        spec_h = {
+            "dims": [{"alias": "g", "expr": None}],
+            "aggs": [
+                {
+                    "alias": "h", "op": "hist", "col": "v",
+                    "lo": 0.0, "hi": 100.0, "nbins": 32,
+                }
+            ],
+        }
+        spec_q = {
+            "dims": [{"alias": "g", "expr": None}],
+            "aggs": [{"alias": "q", "op": "qsketch", "col": "v"}],
+        }
+        hist_p90 = merge_partials(
+            summarize_spec(df, spec_h, part_col="b"),
+            spec_h,
+            ["g"],
+            [("approx_percentile_hist", "v", "p90", 0.9)],
+        ).first()["p90"]
+        qs_p90 = merge_partials(
+            summarize_spec(df, spec_q, part_col="b"),
+            spec_q,
+            ["g"],
+            [("approx_percentile", "v", "p90", 0.9)],
+        ).first()["p90"]
+        # hist: clipped into the edge bin — off by ~99%
+        assert abs(hist_p90 - true_p90) / true_p90 > 0.5
+        # sketch: within the documented 1/128 relative bound
+        assert abs(qs_p90 - true_p90) / true_p90 <= 1 / 128
+
+    def test_parse_spec_qsketch(self):
+        from betfair_database_spark.rollup import parse_spec
+
+        spec = parse_spec(["eventVenue"], ["q=qsketch(runners)"])
+        assert spec["aggs"][0] == {
+            "alias": "q", "op": "qsketch", "col": "runners"
+        }
+        with pytest.raises(ValueError, match="known index column"):
+            parse_spec(["eventVenue"], ["q=qsketch(nosuch)"])
+        with pytest.raises(ValueError, match="known index column"):
+            parse_spec(["eventVenue"], ["q=qsketch()"])
 
 
 class TestSuggestHistBinning:

@@ -1470,6 +1470,9 @@ def test_streaming_spec_rollup_matches_batch_named_rollup(spark, tmp_path):
         # histogram partial (round 12): per-bin counts must add
         # element-wise across micro-batch folds exactly like sums
         "rhist=hist(runners, 0, 40, 8)",
+        # quantile-sketch partial (round 13): sparse maps must merge
+        # key-wise across micro-batch folds to the one-shot map exactly
+        "rq=qsketch(runners)",
     ]
     db = BetfairDatabase(corpus, spark=spark)
     db.index()

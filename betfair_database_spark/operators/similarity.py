@@ -22,6 +22,7 @@ from operator import add
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from betfair_database_spark.operators import veckernels
 from betfair_database_spark.plans.materialize import materialize
 
 
@@ -123,6 +124,18 @@ def cosine_topk(
     norm pre-computed driver-side — whole-stage codegen end to end, one
     narrow scan + a k-row reduce (TakeOrderedAndProject)."""
     q = [float(v) for v in query_vec]
+    if veckernels.supports(df, vec_col):
+        # Arrow kernel (round 13): same guarded left-fold cosine,
+        # bit-identical, but the plan carries ONE Python node instead of a
+        # 64-term-per-component expression tree whose ~1 MB task binary
+        # every task deserializes (measured: the dominant cost of every
+        # knn row at sf0.1). Rounding/ordering stay JVM-side, unchanged.
+        scored = veckernels.cosine_scores(
+            df, q, id_col, vec_col, out_col="_raw"
+        ).select(
+            F.col(id_col), F.round(F.col("_raw"), 4).alias("cos_sim")
+        )
+        return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
     cos = _dot_lit(vec_col, q) / (
         F.sqrt(_normsq_lit(vec_col, len(q))) * F.lit(_py_norm(q))
     )
@@ -370,6 +383,16 @@ def ivf_assign(
         return ivf_assign_broadcast(
             df, centroid_frame(df.sparkSession, centroids), id_col, vec_col
         )
+    if veckernels.supports(df, vec_col):
+        # Arrow kernel (round 13): the literal-expanded argmax below embeds
+        # k x dims multiply-add nodes — ~1 MB of serialized plan at
+        # 8 x 64 that every task deserializes and the driver re-parses per
+        # call (measured ~24 executor-seconds + ~0.5 s driver build for
+        # ONE 2,000-row pass at sf0.1, all overhead). The kernel computes
+        # the identical guarded left-fold cosines and (sim, -cid) argmax
+        # vectorized per Arrow batch; plan size O(1) in k x dims, so
+        # kmeans iterations stop paying a fresh giant plan each pass.
+        return veckernels.assign_cells(df, centroids, id_col, vec_col)
     # The row norm is shared across ALL centroid similarities (one sqrt per
     # row instead of k), and each dot is an expanded literal multiply-add —
     # the whole k-way argmax is a single codegen'd projection.

@@ -1,0 +1,175 @@
+"""Bit-exactness of the Arrow vector kernels (round 13) against the JVM
+literal-expression paths they replace: same guarded cosine, same argmax
+tie-break, same NULL-poisoning, on adversarial shapes (ragged rows, NULL
+vectors, NULL elements, NaN, zero vectors, float32 and float64 arrays)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from betfair_database_spark.operators import similarity, veckernels
+
+
+def _collect_ansi_off(spark, mk):
+    """Build AND collect under ansi=false: the semantics _degenerate_guard
+    documents (zero divisor -> NULL -> -1.0). Under the session default
+    ansi=true the OLD expression path raised DIVIDE_BY_ZERO on zero-norm
+    vectors (eval mode is captured at analysis time, i.e. DataFrame
+    construction); the kernel instead honors the documented -1.0
+    contract, so the reference is built with the documented division
+    semantics."""
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        return mk().collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def _jvm_assign(df, cents, id_col="vec_id", vec_col="embedding"):
+    """The pre-round-13 literal-argmax expression form, verbatim."""
+    from betfair_database_spark.operators.similarity import (
+        _degenerate_guard,
+        _dot_lit,
+        _normsq_lit,
+        _py_norm,
+    )
+
+    dims = len(cents[0][1])
+    vn = F.sqrt(_normsq_lit(vec_col, dims))
+    cands = F.array(
+        *[
+            F.struct(
+                _degenerate_guard(
+                    _dot_lit(vec_col, vec) / (vn * F.lit(_py_norm(vec)))
+                ).alias("sim"),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, vec in cents
+        ]
+    )
+    best = F.array_max(cands)
+    return df.select(
+        F.col(id_col), (-best["ncid"]).alias("cell"), F.col(vec_col)
+    )
+
+
+def _jvm_cosine(df, q, id_col="vec_id", vec_col="embedding"):
+    from betfair_database_spark.operators.similarity import (
+        _degenerate_guard,
+        _dot_lit,
+        _normsq_lit,
+        _py_norm,
+    )
+
+    cos = _dot_lit(vec_col, q) / (
+        F.sqrt(_normsq_lit(vec_col, len(q))) * F.lit(_py_norm(q))
+    )
+    return df.select(
+        F.col(id_col), _degenerate_guard(cos).alias("cos_sim")
+    )
+
+
+def _adversarial_rows(rng, dims, n):
+    rows = []
+    for i in range(n):
+        kind = i % 8
+        if kind == 0:
+            vec = None  # NULL vector
+        elif kind == 1:
+            vec = [rng.uniform(-1, 1) for _ in range(dims - 3)]  # short
+        elif kind == 2:
+            vec = [0.0] * dims  # zero norm -> guard -1.0
+        elif kind == 3:
+            vec = [rng.uniform(-1, 1) for _ in range(dims)]
+            vec[rng.randrange(dims)] = None  # NULL element in range
+        elif kind == 4:
+            vec = [rng.uniform(-1, 1) for _ in range(dims)]
+            vec[rng.randrange(dims)] = float("nan")  # NaN -> guard -1.0
+        elif kind == 5:
+            vec = [rng.uniform(-1, 1) for _ in range(dims + 5)]  # long
+        elif kind == 6:
+            vec = [rng.uniform(-1, 1) for _ in range(dims)]
+            vec.append(None)  # NULL element BEYOND dims: must not poison
+        else:
+            vec = [rng.uniform(-1, 1) for _ in range(dims)]
+        rows.append((i, vec))
+    return rows
+
+
+@pytest.mark.parametrize("elem", ["double", "float"])
+def test_assign_cells_matches_expression_path(spark, elem):
+    rng = random.Random(13)
+    dims = 16
+    rows = _adversarial_rows(rng, dims, 64)
+    df = spark.createDataFrame(
+        rows, f"vec_id long, embedding array<{elem}>"
+    ).repartition(7)
+    cents = [
+        (cid, [rng.uniform(-1, 1) for _ in range(dims)]) for cid in (3, 1, 7)
+    ]
+    # a duplicate-direction centroid forces sim ties -> min-cid tie-break
+    cents.append((9, list(cents[0][1])))
+    ref = {
+        r["vec_id"]: r["cell"] for r in _collect_ansi_off(spark, lambda: _jvm_assign(df, cents))
+    }
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in veckernels.assign_cells(df, cents).collect()
+    }
+    assert got == ref
+    # passthrough schema is unchanged (float stays float)
+    out = veckernels.assign_cells(df, cents)
+    assert out.schema["embedding"].dataType == df.schema["embedding"].dataType
+
+
+@pytest.mark.parametrize("elem", ["double", "float"])
+def test_cosine_scores_matches_expression_path(spark, elem):
+    rng = random.Random(31)
+    dims = 16
+    rows = _adversarial_rows(rng, dims, 64)
+    df = spark.createDataFrame(
+        rows, f"vec_id long, embedding array<{elem}>"
+    ).repartition(5)
+    q = [rng.uniform(-1, 1) for _ in range(dims)]
+    ref = {
+        r["vec_id"]: r["cos_sim"] for r in _collect_ansi_off(spark, lambda: _jvm_cosine(df, q))
+    }
+    got = {
+        r["vec_id"]: r["_raw"]
+        for r in veckernels.cosine_scores(
+            df, q, out_col="_raw"
+        ).collect()
+    }
+    assert set(got) == set(ref)
+    for k in ref:
+        a, b = ref[k], got[k]
+        # bit-identical doubles (guard maps NULL/NaN to exactly -1.0)
+        assert (
+            math.isnan(a) and math.isnan(b)
+        ) or a == b, f"vec_id {k}: {a!r} != {b!r}"
+
+
+def test_kernel_routes_in_suite_paths(spark):
+    """ivf_assign and cosine_topk actually take the kernel route for
+    float/double arrays (guards against the round-13 regression where
+    supports() rejected array<float> and the kernel silently never ran)."""
+    rng = random.Random(5)
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(32)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [(1, [1.0] * 8), (2, [-1.0] * 8)]
+    plan = similarity.ivf_assign(df, cents)._jdf.queryExecution().analyzed().toString()
+    assert "mapInArrow" in plan or "MapInArrow" in plan
+    topk = similarity.cosine_topk(df, [1.0] * 8, k=3)
+    plan2 = topk._jdf.queryExecution().analyzed().toString()
+    assert "mapInArrow" in plan2 or "MapInArrow" in plan2
+    # and the results agree with the expression forms
+    ref = {r["vec_id"]: r["cell"] for r in _collect_ansi_off(spark, lambda: _jvm_assign(df, cents))}
+    got = {r["vec_id"]: r["cell"] for r in similarity.ivf_assign(df, cents).collect()}
+    assert got == ref

@@ -205,6 +205,107 @@ def assign_cells(
     return df.select(id_col, vec_col).mapInArrow(kern, schema)
 
 
+def pair_cosine_scores(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    va_col: str = "va",
+    vb_col: str = "vb",
+    na_col: str = "na",
+    nb_col: str = "nb",
+    out_col: str = "cos_sim",
+) -> DataFrame:
+    """Arrow-kernel twin of the zip_with/aggregate pair cosine:
+    (a, b, cos) with cos = fold_dot(va, vb) / (na * nb), guarded exactly
+    like `_degenerate_guard`. RAW doubles — callers round/filter JVM-side.
+
+    zip_with semantics replicated: a pair whose sides differ in length is
+    NULL-padded by zip_with, so its sum is NULL -> guard -1.0; same for a
+    NULL side or a NULL element. Pairs whose sides share SOME length L
+    fold over exactly L terms — batches are scored per distinct length,
+    so mixed-length corpora stay vectorized."""
+
+    def kern(batches: Iterator):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def lengths_nulls(arr):
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            starts, ends = offs[:-1], offs[1:]
+            lens = ends - starts
+            rnull = (
+                np.asarray(pc.is_null(arr).to_numpy(zero_copy_only=False))
+                if arr.null_count
+                else np.zeros(len(arr), dtype=bool)
+            )
+            vals = arr.values.to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False
+            )
+            if arr.values.null_count:
+                enull = np.asarray(
+                    pc.is_null(arr.values).to_numpy(zero_copy_only=False)
+                )
+                cum = np.concatenate(([0], np.cumsum(enull)))
+                has_enull = (cum[ends] - cum[starts]) > 0
+            else:
+                has_enull = np.zeros(len(arr), dtype=bool)
+            return starts, lens, vals, rnull | has_enull
+
+        for batch in batches:
+            n = batch.num_rows
+            sa, la, va, bad_a = lengths_nulls(batch.column(va_col))
+            sb, lb, vb, bad_b = lengths_nulls(batch.column(vb_col))
+            na = batch.column(na_col).to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False
+            )
+            nb = batch.column(nb_col).to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False
+            )
+            bad = bad_a | bad_b | (la != lb)
+            dot = np.zeros(n, dtype=np.float64)
+            ok = ~bad
+            for L in np.unique(la[ok]):
+                m = ok & (la == L)
+                if L == 0:
+                    # zip_with over two empty arrays -> aggregate returns
+                    # the 0.0 seed, same as the zero init here
+                    continue
+                idx_a = sa[m, None] + np.arange(L)[None, :]
+                idx_b = sb[m, None] + np.arange(L)[None, :]
+                A = va[idx_a]
+                B = vb[idx_b]
+                acc = np.zeros(A.shape[0], dtype=np.float64)
+                for i in range(int(L)):
+                    acc = acc + A[:, i] * B[:, i]
+                dot[m] = acc
+            sim = _guarded_cos(dot, na * nb)
+            # NULL norms (never produced by _norm, but honor NULL-in ->
+            # guard out) and poisoned pairs -> -1.0
+            sim = np.where(bad, -1.0, sim)
+            yield pa.record_batch(
+                [
+                    batch.column(a_col),
+                    batch.column(b_col),
+                    pa.array(sim, type=pa.float64()),
+                ],
+                names=[a_col, b_col, out_col],
+            )
+
+    schema = StructType(
+        [
+            pairs.schema[a_col],
+            pairs.schema[b_col],
+            StructField(out_col, DoubleType(), False),
+        ]
+    )
+    return pairs.select(
+        a_col, b_col, va_col, vb_col, na_col, nb_col
+    ).mapInArrow(kern, schema)
+
+
 def cosine_scores(
     df: DataFrame,
     query_vec: list,

@@ -173,3 +173,58 @@ def test_kernel_routes_in_suite_paths(spark):
     ref = {r["vec_id"]: r["cell"] for r in _collect_ansi_off(spark, lambda: _jvm_assign(df, cents))}
     got = {r["vec_id"]: r["cell"] for r in similarity.ivf_assign(df, cents).collect()}
     assert got == ref
+
+
+def test_pair_cosine_scores_matches_zipwith_path(spark):
+    """pair_cosine_scores == the zip_with/aggregate pair cosine on
+    adversarial pair shapes: equal-short pairs fold over their OWN
+    length, mismatched lengths / NULL sides / NULL elements / zero norms
+    all guard to -1.0, plain pairs are bit-identical."""
+    from betfair_database_spark.operators.similarity import (
+        _degenerate_guard,
+        _dot,
+        _norm,
+    )
+
+    rng = random.Random(99)
+
+    def vec(n):
+        return [rng.uniform(-1, 1) for _ in range(n)]
+
+    rows = [
+        (1, 2, vec(16), vec(16)),        # plain
+        (3, 4, vec(8), vec(8)),          # equal-short: folds over 8
+        (5, 6, vec(16), vec(12)),        # mismatch -> -1.0
+        (7, 8, None, vec(16)),           # NULL side -> -1.0
+        (9, 10, vec(16), vec(16)[:15] + [None]),  # NULL element -> -1.0
+        (11, 12, [0.0] * 16, vec(16)),   # zero norm -> -1.0
+        (13, 14, vec(16), vec(16)[:15] + [float("nan")]),  # NaN -> -1.0
+        (15, 16, [], []),                # empty: dot 0 / (0*0) -> -1.0
+    ] + [(100 + i, 200 + i, vec(16), vec(16)) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "a long, b long, va array<double>, vb array<double>"
+    ).repartition(3)
+    prep = df.select(
+        "a", "b", "va", "vb",
+        _norm(F.col("va")).alias("na"), _norm(F.col("vb")).alias("nb"),
+    )
+
+    def mk_ref():
+        cos = _degenerate_guard(
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+        return prep.select("a", "b", cos.alias("cos_sim"))
+
+    ref = {
+        (r["a"], r["b"]): r["cos_sim"]
+        for r in _collect_ansi_off(spark, mk_ref)
+    }
+    got = {
+        (r["a"], r["b"]): r["cos_sim"]
+        for r in veckernels.pair_cosine_scores(
+            prep, "a", "b"
+        ).collect()
+    }
+    assert set(got) == set(ref)
+    for k in ref:
+        assert ref[k] == got[k], f"pair {k}: {ref[k]!r} != {got[k]!r}"

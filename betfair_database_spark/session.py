@@ -29,6 +29,22 @@ def get_spark(app_name: str = "betfair-database-spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalesces post-shuffle partitions by BYTES, but bytes are a
+        # poor proxy for CPU in array-heavy stages (shingle arrays, pair
+        # verify, wedge joins): profiled at sf0.1, a 15 MB exchange was
+        # coalesced to ~11 partitions and the CPU-dense verify stage ran
+        # on a third of the cores. Lowering the coalesce floor keeps such
+        # stages at full parallelism; measured -35..-41% on the graph
+        # rows, -13% containment ssjoin, no regression on scan/agg rows
+        # (interleaved A/B, OPTIMIZATION_r13.md). At production scale the
+        # floor never binds (partitions are sized by the 64 MB advisory
+        # target); it only matters when shuffle bytes are small relative
+        # to cores x per-row CPU — true on any cluster running CPU-dense
+        # last-mile stages, not a local[32] artifact.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

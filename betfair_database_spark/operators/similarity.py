@@ -124,18 +124,14 @@ def cosine_topk(
     norm pre-computed driver-side — whole-stage codegen end to end, one
     narrow scan + a k-row reduce (TakeOrderedAndProject)."""
     q = [float(v) for v in query_vec]
-    if veckernels.supports(df, vec_col):
-        # Arrow kernel (round 13): same guarded left-fold cosine,
-        # bit-identical, but the plan carries ONE Python node instead of a
-        # 64-term-per-component expression tree whose ~1 MB task binary
-        # every task deserializes (measured: the dominant cost of every
-        # knn row at sf0.1). Rounding/ordering stay JVM-side, unchanged.
-        scored = veckernels.cosine_scores(
-            df, q, id_col, vec_col, out_col="_raw"
-        ).select(
-            F.col(id_col), F.round(F.col("_raw"), 4).alias("cos_sim")
-        )
-        return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+    # Round 13 NEGATIVE result, kept as the JVM path on purpose: routing
+    # this scoring through the Arrow kernel (veckernels.cosine_scores)
+    # measured SLOWER under interleaved A/B (knn_cosine_top10 0.92 ->
+    # 1.16 s median, knn_recall_at_10 3.19 -> 3.89 s at sf0.1): one
+    # literal query vector is a small fixed plan, and shipping every
+    # 64-dim embedding across the Python boundary costs more than the
+    # expression tree saves. The kernel only pays where the JVM side is
+    # k plans deep (ivf_assign's iterative kmeans loop).
     cos = _dot_lit(vec_col, q) / (
         F.sqrt(_normsq_lit(vec_col, len(q))) * F.lit(_py_norm(q))
     )
@@ -348,6 +344,13 @@ def hyperplane_topk(
 # plans that must stay exchange-free.
 IVF_BROADCAST_THRESHOLD = 8
 
+# List-input centroid sets up to this many total components (k x dims)
+# route through the Arrow assignment kernel: the ndarray closure pickles
+# at 8 bytes/component (~8 MB at the cap), far below the point where
+# shipping it per stage hurts, while the kernel does k vectorized passes
+# per batch instead of the broadcast join's n x k exploded candidate rows.
+KERNEL_MAX_CENTROID_ELEMS = 1_000_000
+
 
 def ivf_assign(
     df: DataFrame,
@@ -379,11 +382,22 @@ def ivf_assign(
         return ivf_assign_broadcast(df, centroids, id_col, vec_col)
     if not centroids:
         raise ValueError("centroids must be non-empty")
+    if (
+        veckernels.supports(df, vec_col, "assign")
+        and len(centroids) * len(centroids[0][1]) <= KERNEL_MAX_CENTROID_ELEMS
+    ):
+        # Arrow kernel for ANY list-input k that fits a compact ndarray
+        # closure (round 13): beats the broadcast join too — that path
+        # explodes n x k candidate rows through a partial-max aggregate,
+        # while the kernel is k vectorized passes per batch with no join
+        # at all. Beyond the cap (~8 MB of centroids in the task binary)
+        # the broadcast-join path takes over unchanged.
+        return veckernels.assign_cells(df, centroids, id_col, vec_col)
     if len(centroids) >= IVF_BROADCAST_THRESHOLD:
         return ivf_assign_broadcast(
             df, centroid_frame(df.sparkSession, centroids), id_col, vec_col
         )
-    if veckernels.supports(df, vec_col):
+    if veckernels.supports(df, vec_col, "assign"):
         # Arrow kernel (round 13): the literal-expanded argmax below embeds
         # k x dims multiply-add nodes — ~1 MB of serialized plan at
         # 8 x 64 that every task deserializes and the driver re-parses per
@@ -728,19 +742,12 @@ def embedding_near_dup_pairs(
         norm.alias("nb"),
     )
     pairs = a.join(b, "blk").where(F.col("a") < F.col("b"))
-    if dims is None and veckernels.supports(df, vec_col):
-        # Arrow kernel (round 13): the zip_with/aggregate lambdas evaluate
-        # INTERPRETED per element — profiled as the dominant stage of the
-        # semdedup pipeline (37 executor-seconds at sf0.1 for ~250k pairs
-        # x 64 dims). The kernel computes the identical left-fold dot /
-        # (na * nb) guarded cosine vectorized per Arrow batch; rounding
-        # and the threshold filter stay JVM-side, unchanged.
-        scored = veckernels.pair_cosine_scores(
-            pairs, "a", "b", "va", "vb", "na", "nb", out_col="_raw"
-        ).select(
-            "a", "b", F.round(F.col("_raw"), 4).alias("cos_sim")
-        )
-        return scored.where(F.col("cos_sim") >= threshold)
+    # Round 13 NEGATIVE result, kept as the JVM path on purpose: an Arrow
+    # pair-cosine kernel here (two 64-dim vectors per candidate row across
+    # the Python boundary) measured 2-3x SLOWER than the interpreted
+    # zip_with under interleaved A/B (pipeline_semdedup_cells 2.4 -> 5.6 s,
+    # _autok 1.7 -> 6.9 s median at sf0.1): per-element interpretation is
+    # cheaper than serializing 1 KB of vector payload per pair both ways.
     cos = _degenerate_guard(dot / (F.col("na") * F.col("nb")))
     return pairs.select(
         "a",
@@ -826,19 +833,9 @@ def embedding_near_dup_pairs_lsh(
         _norm(F.col(vec_col)).alias("nb"),
     )
     joined = cand.join(va, "a").join(vb, "b")
-    if veckernels.supports(df, vec_col):
-        # Arrow kernel: same left-fold pair cosine as
-        # embedding_near_dup_pairs (see comment there), vectorized per
-        # batch instead of interpreted zip_with lambdas per element.
-        return (
-            veckernels.pair_cosine_scores(
-                joined, "a", "b", "va", "vb", "na", "nb", out_col="_raw"
-            )
-            .select("a", "b", F.round(F.col("_raw"), 4).alias("cos_sim"))
-            .where(F.col("cos_sim") >= threshold)
-        )
     # zip_with lambda, not the get()-chain: see embedding_near_dup_pairs —
-    # for col x col dots the linear array walk wins 2.5x
+    # for col x col dots the linear array walk wins 2.5x (and NOT the
+    # Arrow pair kernel — measured slower, see the comment there)
     cos = _degenerate_guard(
         _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     )

@@ -1,4 +1,4 @@
-"""Arrow-vectorized kernels for literal-vector arithmetic (round 13).
+"""Arrow-vectorized kernel for literal-centroid cell assignment (round 13).
 
 Why this module exists (measured, guide §1/§4.2): the literal-expanded
 dot-product expressions (`_dot_lit` et al.) embed k x dims multiply-add
@@ -6,11 +6,23 @@ nodes into the plan. At 64 dims x 8 centroids that is a ~1 MB serialized
 task binary and a thousand-node tree that every task deserializes and
 every driver call re-parses: profiled at sf0.1, ONE `ivf_assign` pass
 over 2,000 rows cost ~24 executor-seconds and ~0.5 s of driver build
-time — all fixed overhead, none of it math. These kernels move the same
+time — all fixed overhead, none of it math. The kernel moves the same
 arithmetic into one `mapInArrow` over a zero-copy numpy view: the plan
 shrinks to a single Python node (task binary ~KB), the per-batch work is
 vectorized C, and at real scale the cost is the Arrow boundary crossing
 of exactly the columns the kernel needs (guide §4.1: select first).
+
+Scope is deliberately NARROW — cell assignment only. Two sibling kernels
+(single-query cosine scoring for cosine_topk, pair cosine for the
+near-dup verify joins) were built, proven bit-identical, and then
+REMOVED after interleaved A/B measured them slower than the JVM
+expressions they replaced (knn rows ~1.25x, semdedup pair scoring 2-3x:
+shipping 64-dim vector payloads across the Python boundary per scored
+row costs more than a small fixed expression tree or an interpreted
+zip_with). The assignment kernel is the one case where the JVM
+alternative is k plans deep per call AND the payload crosses once per
+input row, not once per candidate — see OPTIMIZATION_r13.md for the
+numbers.
 
 Bit-exactness contract (the whole point — these kernels MUST NOT change
 any result): every sum is the same IEEE-754 left fold the JVM
@@ -55,12 +67,24 @@ def _py_norm(vec: list[float]) -> float:
     return math.sqrt(reduce(add, (float(v) * float(v) for v in vec)))
 
 
-def supports(df: DataFrame, vec_col: str) -> bool:
+def supports(df: DataFrame, vec_col: str, path: str = "") -> bool:
     """Kernel applies to array<double> and array<float> columns — the JVM
     expressions CAST each element to double, and a float32 -> float64
     cast is exact (every float32 is representable), so numpy's astype
     reproduces it bit-for-bit. Any other element type keeps the JVM
-    expression path."""
+    expression path.
+
+    ``path`` names the routing site (currently only "assign") so an A/B
+    measurement can flip ONE kernel route off via
+    ``SPARK_GRAFT_NO_VECKERNEL_<PATH>`` while leaving any others live;
+    ``SPARK_GRAFT_NO_VECKERNEL`` flips the whole module off. Results are
+    identical either way — these are bisection aids, not behavior knobs."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_NO_VECKERNEL"):
+        return False
+    if path and os.environ.get(f"SPARK_GRAFT_NO_VECKERNEL_{path.upper()}"):
+        return False
     field = df.schema[vec_col].dataType
     return isinstance(field, ArrayType) and isinstance(
         field.elementType, (DoubleType, FloatType)
@@ -156,34 +180,40 @@ def assign_cells(
     (id, cell, vec) with cell = argmax_cid cos(vec, centroid), ties to
     the smallest cid. Bit-identical to the expression form (module
     docstring); plan size O(1) in k x dims."""
+    import numpy as np
+
     cents = sorted(
         ((int(cid), [float(v) for v in vec]) for cid, vec in centroids),
         key=lambda t: t[0],
     )
     dims = len(cents[0][1])
-    cnorms = [_py_norm(vec) for _, vec in cents]
+    # compact ndarray closure (8 bytes/component pickled) so large-k
+    # centroid sets stay a small task binary, unlike the k x dims literal
+    # expression tree this kernel replaces
+    C = np.asarray([vec for _, vec in cents], dtype=np.float64)
+    cids = np.asarray([cid for cid, _ in cents], dtype=np.int32)
+    cnorms = np.asarray([_py_norm(vec) for _, vec in cents])
     min_cid = cents[0][0]
 
     def kern(batches: Iterator):
         import numpy as np
         import pyarrow as pa
 
-        C = [np.asarray(vec, dtype=np.float64) for _, vec in cents]
         for batch in batches:
             X, bad = _batch_matrix(batch.column(vec_col), dims)
             XT = np.ascontiguousarray(X.T)
             vn = np.sqrt(_fold_normsq(XT))
             best_sim = None
             best_cid = None
-            for (cid, _), cvec, cn in zip(cents, C, cnorms):
-                sim = _guarded_cos(_fold_dot(XT, cvec), vn * cn)
+            for j in range(len(cids)):
+                sim = _guarded_cos(_fold_dot(XT, C[j]), vn * cnorms[j])
                 if best_sim is None:
                     best_sim = sim
-                    best_cid = np.full(len(sim), cid, dtype=np.int32)
+                    best_cid = np.full(len(sim), cids[j], dtype=np.int32)
                 else:
                     take = sim > best_sim  # ascending cid: ties keep earlier
                     best_sim = np.where(take, sim, best_sim)
-                    best_cid = np.where(take, np.int32(cid), best_cid)
+                    best_cid = np.where(take, cids[j], best_cid)
             # JVM-poisoned rows: every sim is -1.0 -> argmax = smallest cid
             best_cid = np.where(bad, np.int32(min_cid), best_cid)
             yield pa.record_batch(
@@ -203,148 +233,3 @@ def assign_cells(
         ]
     )
     return df.select(id_col, vec_col).mapInArrow(kern, schema)
-
-
-def pair_cosine_scores(
-    pairs: DataFrame,
-    a_col: str,
-    b_col: str,
-    va_col: str = "va",
-    vb_col: str = "vb",
-    na_col: str = "na",
-    nb_col: str = "nb",
-    out_col: str = "cos_sim",
-) -> DataFrame:
-    """Arrow-kernel twin of the zip_with/aggregate pair cosine:
-    (a, b, cos) with cos = fold_dot(va, vb) / (na * nb), guarded exactly
-    like `_degenerate_guard`. RAW doubles — callers round/filter JVM-side.
-
-    zip_with semantics replicated: a pair whose sides differ in length is
-    NULL-padded by zip_with, so its sum is NULL -> guard -1.0; same for a
-    NULL side or a NULL element. Pairs whose sides share SOME length L
-    fold over exactly L terms — batches are scored per distinct length,
-    so mixed-length corpora stay vectorized."""
-
-    def kern(batches: Iterator):
-        import numpy as np
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        def lengths_nulls(arr):
-            if isinstance(arr, pa.ChunkedArray):
-                arr = arr.combine_chunks()
-            offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-            starts, ends = offs[:-1], offs[1:]
-            lens = ends - starts
-            rnull = (
-                np.asarray(pc.is_null(arr).to_numpy(zero_copy_only=False))
-                if arr.null_count
-                else np.zeros(len(arr), dtype=bool)
-            )
-            vals = arr.values.to_numpy(zero_copy_only=False).astype(
-                np.float64, copy=False
-            )
-            if arr.values.null_count:
-                enull = np.asarray(
-                    pc.is_null(arr.values).to_numpy(zero_copy_only=False)
-                )
-                cum = np.concatenate(([0], np.cumsum(enull)))
-                has_enull = (cum[ends] - cum[starts]) > 0
-            else:
-                has_enull = np.zeros(len(arr), dtype=bool)
-            return starts, lens, vals, rnull | has_enull
-
-        for batch in batches:
-            n = batch.num_rows
-            sa, la, va, bad_a = lengths_nulls(batch.column(va_col))
-            sb, lb, vb, bad_b = lengths_nulls(batch.column(vb_col))
-            na = batch.column(na_col).to_numpy(zero_copy_only=False).astype(
-                np.float64, copy=False
-            )
-            nb = batch.column(nb_col).to_numpy(zero_copy_only=False).astype(
-                np.float64, copy=False
-            )
-            bad = bad_a | bad_b | (la != lb)
-            dot = np.zeros(n, dtype=np.float64)
-            ok = ~bad
-            for L in np.unique(la[ok]):
-                m = ok & (la == L)
-                if L == 0:
-                    # zip_with over two empty arrays -> aggregate returns
-                    # the 0.0 seed, same as the zero init here
-                    continue
-                idx_a = sa[m, None] + np.arange(L)[None, :]
-                idx_b = sb[m, None] + np.arange(L)[None, :]
-                A = va[idx_a]
-                B = vb[idx_b]
-                acc = np.zeros(A.shape[0], dtype=np.float64)
-                for i in range(int(L)):
-                    acc = acc + A[:, i] * B[:, i]
-                dot[m] = acc
-            sim = _guarded_cos(dot, na * nb)
-            # NULL norms (never produced by _norm, but honor NULL-in ->
-            # guard out) and poisoned pairs -> -1.0
-            sim = np.where(bad, -1.0, sim)
-            yield pa.record_batch(
-                [
-                    batch.column(a_col),
-                    batch.column(b_col),
-                    pa.array(sim, type=pa.float64()),
-                ],
-                names=[a_col, b_col, out_col],
-            )
-
-    schema = StructType(
-        [
-            pairs.schema[a_col],
-            pairs.schema[b_col],
-            StructField(out_col, DoubleType(), False),
-        ]
-    )
-    return pairs.select(
-        a_col, b_col, va_col, vb_col, na_col, nb_col
-    ).mapInArrow(kern, schema)
-
-
-def cosine_scores(
-    df: DataFrame,
-    query_vec: list,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    out_col: str = "cos_sim",
-    keep_vec: bool = False,
-) -> DataFrame:
-    """Arrow-kernel twin of the literal single-query cosine projection:
-    (id[, vec], cos) with cos = dot(vec, q) / (norm(vec) * norm(q)),
-    guarded to -1.0 exactly like `_degenerate_guard`. RAW doubles —
-    callers round/sort/limit JVM-side, unchanged."""
-    q = [float(v) for v in query_vec]
-    dims = len(q)
-    qn = _py_norm(q)
-
-    def kern(batches: Iterator):
-        import numpy as np
-        import pyarrow as pa
-
-        w = np.asarray(q, dtype=np.float64)
-        for batch in batches:
-            X, bad = _batch_matrix(batch.column(vec_col), dims)
-            XT = np.ascontiguousarray(X.T)
-            vn = np.sqrt(_fold_normsq(XT))
-            sim = _guarded_cos(_fold_dot(XT, w), vn * qn)
-            sim = np.where(bad, -1.0, sim)
-            cols = [batch.column(id_col)]
-            names = [id_col]
-            if keep_vec:
-                cols.append(batch.column(vec_col))
-                names.append(vec_col)
-            cols.append(pa.array(sim, type=pa.float64()))
-            names.append(out_col)
-            yield pa.record_batch(cols, names=names)
-
-    fields = [df.schema[id_col]]
-    sel = [id_col, vec_col]
-    if keep_vec:
-        fields.append(df.schema[vec_col])
-    fields.append(StructField(out_col, DoubleType(), False))
-    return df.select(*sel).mapInArrow(kern, StructType(fields))

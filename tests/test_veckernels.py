@@ -5,7 +5,6 @@ vectors, NULL elements, NaN, zero vectors, float32 and float64 arrays)."""
 
 from __future__ import annotations
 
-import math
 import random
 
 import pytest
@@ -55,22 +54,6 @@ def _jvm_assign(df, cents, id_col="vec_id", vec_col="embedding"):
     best = F.array_max(cands)
     return df.select(
         F.col(id_col), (-best["ncid"]).alias("cell"), F.col(vec_col)
-    )
-
-
-def _jvm_cosine(df, q, id_col="vec_id", vec_col="embedding"):
-    from betfair_database_spark.operators.similarity import (
-        _degenerate_guard,
-        _dot_lit,
-        _normsq_lit,
-        _py_norm,
-    )
-
-    cos = _dot_lit(vec_col, q) / (
-        F.sqrt(_normsq_lit(vec_col, len(q))) * F.lit(_py_norm(q))
-    )
-    return df.select(
-        F.col(id_col), _degenerate_guard(cos).alias("cos_sim")
     )
 
 
@@ -127,37 +110,12 @@ def test_assign_cells_matches_expression_path(spark, elem):
     assert out.schema["embedding"].dataType == df.schema["embedding"].dataType
 
 
-@pytest.mark.parametrize("elem", ["double", "float"])
-def test_cosine_scores_matches_expression_path(spark, elem):
-    rng = random.Random(31)
-    dims = 16
-    rows = _adversarial_rows(rng, dims, 64)
-    df = spark.createDataFrame(
-        rows, f"vec_id long, embedding array<{elem}>"
-    ).repartition(5)
-    q = [rng.uniform(-1, 1) for _ in range(dims)]
-    ref = {
-        r["vec_id"]: r["cos_sim"] for r in _collect_ansi_off(spark, lambda: _jvm_cosine(df, q))
-    }
-    got = {
-        r["vec_id"]: r["_raw"]
-        for r in veckernels.cosine_scores(
-            df, q, out_col="_raw"
-        ).collect()
-    }
-    assert set(got) == set(ref)
-    for k in ref:
-        a, b = ref[k], got[k]
-        # bit-identical doubles (guard maps NULL/NaN to exactly -1.0)
-        assert (
-            math.isnan(a) and math.isnan(b)
-        ) or a == b, f"vec_id {k}: {a!r} != {b!r}"
-
-
 def test_kernel_routes_in_suite_paths(spark):
-    """ivf_assign and cosine_topk actually take the kernel route for
-    float/double arrays (guards against the round-13 regression where
-    supports() rejected array<float> and the kernel silently never ran)."""
+    """ivf_assign actually takes the kernel route for float/double arrays
+    (guards against the round-13 regression where supports() rejected
+    array<float> and the kernel silently never ran) — while cosine_topk
+    deliberately does NOT (the kernel measured slower there; the JVM
+    literal path is the kept fast path, see similarity.cosine_topk)."""
     rng = random.Random(5)
     df = spark.createDataFrame(
         [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(32)],
@@ -168,63 +126,8 @@ def test_kernel_routes_in_suite_paths(spark):
     assert "mapInArrow" in plan or "MapInArrow" in plan
     topk = similarity.cosine_topk(df, [1.0] * 8, k=3)
     plan2 = topk._jdf.queryExecution().analyzed().toString()
-    assert "mapInArrow" in plan2 or "MapInArrow" in plan2
+    assert "mapInArrow" not in plan2 and "MapInArrow" not in plan2
     # and the results agree with the expression forms
     ref = {r["vec_id"]: r["cell"] for r in _collect_ansi_off(spark, lambda: _jvm_assign(df, cents))}
     got = {r["vec_id"]: r["cell"] for r in similarity.ivf_assign(df, cents).collect()}
     assert got == ref
-
-
-def test_pair_cosine_scores_matches_zipwith_path(spark):
-    """pair_cosine_scores == the zip_with/aggregate pair cosine on
-    adversarial pair shapes: equal-short pairs fold over their OWN
-    length, mismatched lengths / NULL sides / NULL elements / zero norms
-    all guard to -1.0, plain pairs are bit-identical."""
-    from betfair_database_spark.operators.similarity import (
-        _degenerate_guard,
-        _dot,
-        _norm,
-    )
-
-    rng = random.Random(99)
-
-    def vec(n):
-        return [rng.uniform(-1, 1) for _ in range(n)]
-
-    rows = [
-        (1, 2, vec(16), vec(16)),        # plain
-        (3, 4, vec(8), vec(8)),          # equal-short: folds over 8
-        (5, 6, vec(16), vec(12)),        # mismatch -> -1.0
-        (7, 8, None, vec(16)),           # NULL side -> -1.0
-        (9, 10, vec(16), vec(16)[:15] + [None]),  # NULL element -> -1.0
-        (11, 12, [0.0] * 16, vec(16)),   # zero norm -> -1.0
-        (13, 14, vec(16), vec(16)[:15] + [float("nan")]),  # NaN -> -1.0
-        (15, 16, [], []),                # empty: dot 0 / (0*0) -> -1.0
-    ] + [(100 + i, 200 + i, vec(16), vec(16)) for i in range(40)]
-    df = spark.createDataFrame(
-        rows, "a long, b long, va array<double>, vb array<double>"
-    ).repartition(3)
-    prep = df.select(
-        "a", "b", "va", "vb",
-        _norm(F.col("va")).alias("na"), _norm(F.col("vb")).alias("nb"),
-    )
-
-    def mk_ref():
-        cos = _degenerate_guard(
-            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-        )
-        return prep.select("a", "b", cos.alias("cos_sim"))
-
-    ref = {
-        (r["a"], r["b"]): r["cos_sim"]
-        for r in _collect_ansi_off(spark, mk_ref)
-    }
-    got = {
-        (r["a"], r["b"]): r["cos_sim"]
-        for r in veckernels.pair_cosine_scores(
-            prep, "a", "b"
-        ).collect()
-    }
-    assert set(got) == set(ref)
-    for k in ref:
-        assert ref[k] == got[k], f"pair {k}: {ref[k]!r} != {got[k]!r}"

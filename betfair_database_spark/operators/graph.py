@@ -90,6 +90,13 @@ def connected_components(
             F.col("lbl"),
             F.lit(False).alias("is_self"),
         )
+        # LAZY checkpoint + FULL convergence count (round 13): the eager
+        # form ran TWO jobs per round (materialize, then a limit-1 count).
+        # The full count computes every partition, which is exactly the
+        # materialization the checkpoint needs — one job per round, same
+        # total work (eager materialization also computed every
+        # partition), half the driver round-trips on this driver-latency-
+        # bound loop.
         new_labels = (
             self_rows.union(neighbour)
             .groupBy("node")
@@ -97,11 +104,9 @@ def connected_components(
                 F.min("lbl").alias("lbl"),
                 F.max(F.when(F.col("is_self"), F.col("lbl"))).alias("old_lbl"),
             )
-            .localCheckpoint(eager=True)  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
+            .localCheckpoint(eager=False)  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
         )
-        changed = (
-            new_labels.where(F.col("lbl") != F.col("old_lbl")).limit(1).count()
-        )
+        changed = new_labels.where(F.col("lbl") != F.col("old_lbl")).count()
         labels = new_labels.select("node", "lbl")
         if changed == 0:
             converged = True
@@ -259,7 +264,11 @@ def pagerank(
                 ).alias("rank")
             )
         )
-        ranks = contrib.localCheckpoint()  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
+        # lazy (round 13): each ranks frame has exactly ONE consumer (the
+        # next iteration's join), so the eager materialization job per
+        # iteration bought nothing — lineage is still cut, and the final
+        # action executes all iterations in one job with shuffle reuse
+        ranks = contrib.localCheckpoint(eager=False)  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
     return ranks
 
 

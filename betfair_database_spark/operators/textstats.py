@@ -533,8 +533,10 @@ def train_logreg_hashed(
     one doc-keyed aggregation computes z_d = sum_b w_b x_{d,b} against
     the current weights as a broadcast literal map (kmeans_fit's centroid
     pattern — no lineage growth), the sigmoid residuals feed one
-    bucket-keyed gradient aggregation (n_buckets rows to the driver),
-    and the weight update happens on bounded driver state. Determinism
+    bucket-keyed gradient aggregation (n_buckets + 1 rows to the driver;
+    a synthetic bucket -1 with cnt=1 per doc carries the intercept
+    gradient in the same job), and the weight update happens on bounded
+    driver state — one Spark job per iteration total. Determinism
     follows the suite's established recipe: every cross-engine float
     (z, p, gradient, weight) is rounded to 9 decimals at the same chain
     points the unrolled SQL oracle rounds.
@@ -570,6 +572,20 @@ def train_logreg_hashed(
         F.col(id_col), label.cast("int").alias("y")
     ).localCheckpoint()  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
     n_docs = labels.count()
+    # Synthetic bucket -1 with cnt=1 per labeled doc folds the intercept
+    # gradient into the SAME bucket aggregate as the weight gradients
+    # (sum(1 * r) over all docs == sum(r) == g0, rounded at the same
+    # point), so each iteration runs ONE Spark job instead of two — the
+    # second job recomputed the whole z aggregate just for g0 (round 13).
+    # bucket -1 never collides with a feature (buckets are mod n_buckets
+    # >= 0) and never reaches z (wmap has no -1 key; sum skips the NULL).
+    feats_g = feats.unionByName(
+        labels.select(
+            F.col(id_col),
+            F.lit(-1).alias("bucket"),
+            F.lit(1).cast("long").alias("cnt"),
+        )
+    )
 
     w = {b: 0.0 for b in range(n_buckets)}
     b0 = 0.0
@@ -601,12 +617,12 @@ def train_logreg_hashed(
         )
         grads = {
             r["bucket"]: r["g"]
-            for r in feats.join(resid, id_col)
+            for r in feats_g.join(resid, id_col)
             .groupBy("bucket")
             .agg(F.round(F.sum(F.col("cnt") * F.col("r")), 9).alias("g"))
             .collect()
         }
-        g0 = resid.agg(F.round(F.sum("r"), 9).alias("g")).first()["g"]
+        g0 = grads.get(-1)
         for b in range(n_buckets):
             w[b] = round(w[b] + lr * grads.get(b, 0.0) / n_docs, 9)
         b0 = round(b0 + lr * (g0 or 0.0) / n_docs, 9)

@@ -50,7 +50,10 @@ def get_spark(app_name: str = "betfair-database-spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        .config("spark.ui.enabled", "false")
+        # SPARK_GRAFT_UI=true exposes the UI REST API for the per-stage
+        # profiler (scripts/profile_one.py); off by default so bench runs
+        # pay no listener/UI overhead
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.ui.showConsoleProgress", "false")
     )
     if not SparkSession.getActiveSession():

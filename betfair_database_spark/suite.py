@@ -38,6 +38,33 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # (order-dependent reads under a non-UTC driver session).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    # Per-SESSION table registry (round 13, guide §1.2/§6): every
+    # `spark.read.parquet` call re-resolves the datasource and re-infers
+    # the schema from the footer — measured 0.14-0.21 s PER CALL on this
+    # box, paid by every query build (the suite's per-query floor). A
+    # metastore deployment pays this once at CREATE TABLE; this registry
+    # is the same idea session-scoped — the memo holds the LAZY DataFrame
+    # (logical plan + pinned schema), never data: every action still
+    # scans the parquet files, so nothing is precomputed across runs. The
+    # fixture dirs are immutable while a session is alive (suite queries
+    # write only to tempdirs); the registry dies with the session.
+    # SPARK_GRAFT_NO_TABLE_MEMO exists for A/B measurement only.
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_NO_TABLE_MEMO"):
+        return _t_build(spark, sf_dir, name)
+    try:
+        memo = spark._bfdb_suite_tables
+    except AttributeError:
+        memo = spark._bfdb_suite_tables = {}
+    key = (sf_dir, name)
+    df = memo.get(key)
+    if df is None:
+        df = memo[key] = _t_build(spark, sf_dir, name)
+    return df
+
+
+def _t_build(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return _events(spark, sf_dir)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

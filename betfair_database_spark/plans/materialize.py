@@ -62,7 +62,11 @@ CKPT_DIR_CONF = "spark.bfdb.checkpointDir"
 # (possibly dead) SparkContext wrote it.
 SWEEP_TTL_CONF = "spark.bfdb.checkpoint.ttlSeconds"  # default 1 day
 SWEEP_INTERVAL_CONF = "spark.bfdb.checkpoint.sweepIntervalSeconds"
-_SWEEP_STATE = {"t": 0.0}  # monotonic time of the last sweep (throttle)
+# Monotonic time of the last sweep (throttle). -inf = never swept, so the
+# first reliable materialize of a driver process always sweeps: monotonic()
+# counts from BOOT on Linux, and a 0.0 sentinel silently suppressed the
+# first sweep for the first sweepInterval seconds of host uptime.
+_SWEEP_STATE = {"t": float("-inf")}
 
 
 def materialize(df: DataFrame, role: str = "intermediate") -> DataFrame:

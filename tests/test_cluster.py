@@ -113,7 +113,11 @@ def test_materialize_reliable_triggers_throttled_sweep(
 
     calls = []
     monkeypatch.setattr(M, "sweep_checkpoints", lambda s: calls.append(1))
-    monkeypatch.setitem(M._SWEEP_STATE, "t", 0.0)
+    # -inf = "never swept": time.monotonic() counts from boot on Linux, so
+    # a 0.0 sentinel only means "long ago" once the HOST has been up longer
+    # than the sweep interval — this test used to fail on a freshly booted
+    # box because now - 0.0 was still inside the throttle window.
+    monkeypatch.setitem(M._SWEEP_STATE, "t", float("-inf"))
     df = spark.range(10)
     try:
         spark.conf.set(M.MODE_CONF, "reliable")

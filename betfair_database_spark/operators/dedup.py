@@ -18,6 +18,8 @@ computes the identical signatures — no engine-private hash functions).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -576,11 +578,22 @@ def jaccard_ssjoin(
     # no join at all — measured 2.4x faster than the join form, whose AQE
     # broadcast conversion still pays the probe-side shuffle maps. (Pinning
     # broadcast(freq) would be faster still at this SF but is a 100 TB bug:
-    # freq is vocabulary-sized.)
+    # freq is vocabulary-sized.) A third form — SHUFFLE_HASH-hinted
+    # join-back, which keeps the hw exchange but drops the window's
+    # sort of the exploded token stream — was interleaved-A/B'd in round
+    # 13: a wash here (med 6.55 vs 6.69 s) and clearly slower on the
+    # containment sibling (5.67 vs 6.27 s): the probe side's explode runs
+    # twice (freq derives from sh), costing what the sort saved. Window
+    # form kept; env flag kept for re-measurement.
     w_doc = Window.partitionBy(id_col)
-    ranked = sh.withColumn(
-        "df", F.count("*").over(Window.partitionBy("hw"))
-    ).withColumn(
+    if os.environ.get("SPARK_GRAFT_SSJOIN_SHJ_FREQ"):
+        freq = sh.groupBy("hw").agg(F.count("*").alias("df"))
+        ranked = sh.join(freq.hint("shuffle_hash"), "hw")
+    else:
+        ranked = sh.withColumn(
+            "df", F.count("*").over(Window.partitionBy("hw"))
+        )
+    ranked = ranked.withColumn(
         "rnk", F.row_number().over(w_doc.orderBy(F.asc("df"), F.asc("hw")))
     )
     # prefix length n - ceil(t*n) + 1 (the plain Jaccard prefix), slack-relaxed
@@ -815,11 +828,17 @@ def containment_ssjoin(
         F.col(id_col), F.size("hs").alias("n"), F.explode("hs").alias("hw")
     )
     t = float(threshold)
-    # Window-count form of df/rank — see jaccard_ssjoin's ranked comment.
+    # Window-count form of df/rank — see jaccard_ssjoin's ranked comment
+    # (including the round-13 SHUFFLE_HASH join-back negative result).
     w_doc = Window.partitionBy(id_col)
-    ranked = sh.withColumn(
-        "df", F.count("*").over(Window.partitionBy("hw"))
-    ).withColumn(
+    if os.environ.get("SPARK_GRAFT_SSJOIN_SHJ_FREQ"):
+        freq = sh.groupBy("hw").agg(F.count("*").alias("df"))
+        ranked = sh.join(freq.hint("shuffle_hash"), "hw")
+    else:
+        ranked = sh.withColumn(
+            "df", F.count("*").over(Window.partitionBy("hw"))
+        )
+    ranked = ranked.withColumn(
         "rnk", F.row_number().over(w_doc.orderBy(F.asc("df"), F.asc("hw")))
     )
     prefix = ranked.where(

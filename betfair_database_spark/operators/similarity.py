@@ -1125,14 +1125,19 @@ def recall_report(
     methods: dict[str, DataFrame],
     exact: DataFrame,
     id_col: str = "vec_id",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Recall@k rows for several approximate methods against one exact
     ground truth — the harness a user sweeps to pick ANN parameters.
 
     The exact frame is materialized once (k rows): each method's
     recall_at_k consumes it twice (count + semi-join), so leaving it lazy
-    would re-run the exact top-k scan 2x per method."""
-    exact = exact.localCheckpoint()  # lc-ok: k-row harness frame; rerun recomputes
+    would re-run the exact top-k scan 2x per method. Callers that already
+    materialized ``exact`` (e.g. to overlap its job with the method
+    builds on driver threads) pass ``checkpoint=False`` to skip the
+    redundant second copy."""
+    if checkpoint:
+        exact = exact.localCheckpoint()  # lc-ok: k-row harness frame; rerun recomputes
     frames = [
         recall_at_k(df, exact, label=name, id_col=id_col)
         for name, df in methods.items()

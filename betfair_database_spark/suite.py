@@ -1638,16 +1638,47 @@ def knn_recall_at_10(spark, sf):
     (similarity.recall_at_k) as a first-class query, so users can sweep
     tables/bits/nprobe on their own corpus and read recall as a result
     frame. (The int8-quantized path has its own recall row in suite_ext4:
-    knn_recall_quantized.)"""
-    exact = knn_cosine_top10(spark, sf)
-    return similarity.recall_report(
-        {
-            "hyperplane": knn_hyperplane_top10(spark, sf),
-            "ivf": knn_ivf_top10(spark, sf),
-            "bucket": knn_lsh_bucket_top10(spark, sf),
-        },
-        exact,
-    )
+    knn_recall_quantized.)
+
+    The four sub-pipelines are independent until recall_report unions
+    them, but their BUILDS each run 1-2 tiny driver actions (query-vector
+    fetch, the IVF centroid collect, the exact frame's k-row checkpoint)
+    — sequentially that serializes ~5 jobs of scheduler+scan latency
+    before the real query even starts. A 4-thread pool overlaps the
+    builds (guide §2.6: actions are only sequential because driver code
+    calls them sequentially); every frame is deterministic, so the result
+    is identical — only the build-time jobs overlap. Kill-switch
+    SPARK_GRAFT_NO_THREAD_BUILD pins the sequential shape for A/B."""
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_NO_THREAD_BUILD"):
+        exact = knn_cosine_top10(spark, sf).localCheckpoint()  # lc-ok: k rows
+        return similarity.recall_report(
+            {
+                "hyperplane": knn_hyperplane_top10(spark, sf),
+                "ivf": knn_ivf_top10(spark, sf),
+                "bucket": knn_lsh_bucket_top10(spark, sf),
+            },
+            exact,
+            checkpoint=False,
+        )
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_exact = pool.submit(
+            # lc-ok: k-row harness frame; rerun recomputes
+            lambda: knn_cosine_top10(spark, sf).localCheckpoint()
+        )
+        f_hyper = pool.submit(knn_hyperplane_top10, spark, sf)
+        f_ivf = pool.submit(knn_ivf_top10, spark, sf)
+        f_bucket = pool.submit(knn_lsh_bucket_top10, spark, sf)
+        methods = {
+            "hyperplane": f_hyper.result(),
+            "ivf": f_ivf.result(),
+            "bucket": f_bucket.result(),
+        }
+        exact = f_exact.result()
+    return similarity.recall_report(methods, exact, checkpoint=False)
 
 
 # =========================================================================

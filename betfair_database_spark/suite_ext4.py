@@ -358,15 +358,29 @@ FROM quant q WHERE q.vec_id IN (SELECT vec_id FROM exact)
 def knn_recall_quantized(spark, sf):
     """Recall@10 of the int8-quantized scoring path against the exact
     float cosine top-10 — the accuracy cost of the 4x bandwidth cut,
-    measured as a result frame (companion to knn_recall_at_10)."""
+    measured as a result frame (companion to knn_recall_at_10).
+
+    Both sub-builds fetch the query vector with a driver `.first()`; the
+    two jobs are independent, so they run on a 2-thread pool (guide §2.6,
+    same shape as knn_recall_at_10's overlap). Results are identical —
+    only build-time latency overlaps."""
+    import os as _os
+
     from betfair_database_spark.operators.similarity import recall_at_k
     from betfair_database_spark.suite import knn_cosine_top10
 
-    return recall_at_k(
-        knn_quantized_top10(spark, sf),
-        knn_cosine_top10(spark, sf),
-        label="quantized_int8",
-    )
+    if _os.environ.get("SPARK_GRAFT_NO_THREAD_BUILD"):
+        return recall_at_k(
+            knn_quantized_top10(spark, sf),
+            knn_cosine_top10(spark, sf),
+            label="quantized_int8",
+        )
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_q = pool.submit(knn_quantized_top10, spark, sf)
+        f_e = pool.submit(knn_cosine_top10, spark, sf)
+        return recall_at_k(f_q.result(), f_e.result(), label="quantized_int8")
 
 
 @_q("knn_quantized_top10", _KNN_Q8_ORACLE)

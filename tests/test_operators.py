@@ -1136,6 +1136,36 @@ def test_recall_at_k_operator(spark):
         for r in recall_report({"a": approx, "b": exact}, exact).collect()
     }
     assert rep == {"a": 0.7, "b": 1.0}
+    # checkpoint=False must not change results (callers that materialized
+    # the exact frame themselves, e.g. the threaded suite builds)
+    rep2 = {
+        r.method: r.recall
+        for r in recall_report(
+            {"a": approx, "b": exact}, exact, checkpoint=False
+        ).collect()
+    }
+    assert rep2 == rep
+
+
+def test_recall_rows_threaded_build_parity(spark, monkeypatch):
+    """The thread-pool build overlap of knn_recall_at_10 /
+    knn_recall_quantized (round 13, guide §2.6) must produce EXACTLY the
+    sequential build's rows: only build-time job latency may change."""
+    from tests.conftest import SF_DIR
+
+    from betfair_database_spark import suite
+
+    def rows(name):
+        df = suite.SUITE[name].fn(spark, SF_DIR)
+        return sorted(tuple(r) for r in df.collect())
+
+    for name in ("knn_recall_at_10", "knn_recall_quantized"):
+        monkeypatch.delenv("SPARK_GRAFT_NO_THREAD_BUILD", raising=False)
+        threaded = rows(name)
+        monkeypatch.setenv("SPARK_GRAFT_NO_THREAD_BUILD", "1")
+        sequential = rows(name)
+        assert threaded == sequential, name
+        assert threaded, name  # non-empty: the parity is not vacuous
 
 
 def test_leakage_safe_split_property(spark):

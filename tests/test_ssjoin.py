@@ -112,3 +112,39 @@ def test_containment_matches_bruteforce(spark, threshold):
         for r in containment_ssjoin(df, threshold, collapse_exact=False).collect()
     )
     assert got == _brute_containment(docs, threshold)
+
+
+def test_shj_freq_flag_parity(spark, monkeypatch):
+    """SPARK_GRAFT_SSJOIN_SHJ_FREQ swaps the rank stage's window count
+    for a SHUFFLE_HASH join-back (round-13 A/B flag, kept as a negative
+    result). Both forms must produce identical pairs — the df values are
+    the same counts either way."""
+    from betfair_database_spark.operators.dedup import containment_ssjoin
+
+    rng = random.Random(7)
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "spark shuffles hash partitions across the executor fleet tonight",
+    ]
+    docs = []
+    for i in range(18):
+        chars = list(base[i % 2])
+        for _ in range(rng.randrange(0, 10)):
+            chars[rng.randrange(len(chars))] = rng.choice("abcdefgh ")
+        docs.append((i, "".join(chars)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def both(fn, val_col):
+        monkeypatch.delenv("SPARK_GRAFT_SSJOIN_SHJ_FREQ", raising=False)
+        window_form = sorted(
+            (r.a, r.b, r[val_col]) for r in fn(df, 0.6).collect()
+        )
+        monkeypatch.setenv("SPARK_GRAFT_SSJOIN_SHJ_FREQ", "1")
+        shj_form = sorted(
+            (r.a, r.b, r[val_col]) for r in fn(df, 0.6).collect()
+        )
+        assert window_form == shj_form
+        assert window_form  # non-vacuous: the corpus has qualifying pairs
+
+    both(jaccard_ssjoin, "jac")
+    both(containment_ssjoin, "containment")

@@ -216,6 +216,40 @@ def main() -> None:
             return None
 
     load_start = _load()
+
+    # Steal pre-flight gate (round 14, verdict #7): round 13's two
+    # "regressed" flags and the inverted 8-vs-32-core scaling ratios all
+    # traced to a main pass that ran under 4.73% hypervisor steal. External
+    # load on this box arrives in waves (observed load_1m 0.1 -> 19 within
+    # minutes), so a short bounded wait for a quiet window buys comparable
+    # numbers far more often than it costs budget. The gate runs BEFORE the
+    # timed region and before session startup, never inside it; methodology
+    # of the timed queries is unchanged. Bounded: default 45 s max (the
+    # driver's hard timeout is 590 s; a full first pass needs ~200 s).
+    def _steal_sample(window: float = 1.5) -> "float | None":
+        s0 = _cpu_stat()
+        time.sleep(window)
+        s1 = _cpu_stat()
+        if not (s0 and s1 and s1[1] > s0[1]):
+            return None
+        return 100.0 * (s1[0] - s0[0]) / (s1[1] - s0[1])
+
+    gate_budget = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_WAIT", "45"))
+    gate_thresh = float(
+        os.environ.get("SPARK_GRAFT_BENCH_STEAL_THRESH", "1.5")
+    )
+    gate_wait = 0.0
+    if gate_budget > 0:
+        g0 = time.perf_counter()
+        while True:
+            s = _steal_sample()
+            if s is None or s <= gate_thresh:
+                break
+            if time.perf_counter() - g0 + 5.0 > gate_budget:
+                break
+            time.sleep(3.5)
+        gate_wait = round(time.perf_counter() - g0, 1)
+
     cpu_start = _cpu_stat()
 
     spark = get_spark("bench")
@@ -349,10 +383,14 @@ def main() -> None:
         }
 
     total = round(sum(timings.values()), 3)
-    # The driver's stdout capture truncated the 93-query JSON line two
-    # rounds running ("parsed": null despite rc=0) — keep the FINAL line
-    # under ~1 KB: total + count + the 5 slowest queries; the full
-    # per-query map goes to BENCH_DETAIL.json beside this script.
+    # The driver's stdout capture keeps only the LAST 2000 chars (every
+    # BENCH_r*.json "tail" is exactly 2000 chars; rounds 4-5 printed the
+    # full ~93-query line and got "parsed": null because the line's FRONT
+    # fell outside that window). Round 13's PERF comparison collapsed to
+    # n_common=2 because only the 5 slowest queries were printed, so
+    # (round 14, verdict #2, additions-only): pack as MANY of the slowest
+    # queries as fit while keeping the whole line safely inside the
+    # window; the full 147-row map still goes to BENCH_DETAIL.json.
     load_end = _load()
     cpu_end = _cpu_stat()
     load_fields = {
@@ -379,21 +417,31 @@ def main() -> None:
     Path(__file__).resolve().parent.joinpath("BENCH_DETAIL.json").write_text(
         json.dumps(detail, indent=1) + "\n"
     )
-    top5 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
-    print(
-        json.dumps(
+    if gate_wait:
+        load_fields["steal_gate_wait_sec"] = gate_wait
+    ranked_q = sorted(timings.items(), key=lambda kv: -kv[1])
+
+    def _line(n: int) -> str:
+        return json.dumps(
             {
                 "metric": "headline_suite_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": top5,
+                "queries": dict(ranked_q[:n]),
                 "sf": sf,
                 "n_queries": len(timings),
                 "detail": "BENCH_DETAIL.json",
                 **load_fields,
-            }
+            },
+            separators=(",", ":"),
         )
-    )
+
+    # never fewer than the historical top-5; then grow while the line
+    # stays under 1850 chars (150-char margin inside the 2000-char tail)
+    n_fit = 5
+    while n_fit < len(ranked_q) and len(_line(n_fit + 1)) <= 1850:
+        n_fit += 1
+    print(_line(n_fit))
 
 
 if __name__ == "__main__":

@@ -508,6 +508,36 @@ def simhash_near_dups(
     ).where(F.col("hamming") <= max_hamming)
 
 
+def _ranked_shingle_stream(sh: DataFrame, id_col: str) -> DataFrame:
+    """Global-rarity rank per doc over the exploded hashed-shingle stream
+    (the shared SSJoin ranking stage). df as a WINDOW count, not
+    groupBy+join-back: one exchange on hw with no join at all — measured
+    2.4x faster than the join form, whose AQE broadcast conversion still
+    pays the probe-side shuffle maps. (Pinning broadcast(freq) would be
+    faster still at this SF but is a 100 TB bug: freq is vocabulary-
+    sized.) A third form — SHUFFLE_HASH-hinted join-back, which keeps the
+    hw exchange but drops the window's sort of the exploded token stream —
+    was interleaved-A/B'd in round 13: a wash on jaccard (med 6.55 vs
+    6.69 s) and clearly slower on containment (5.67 vs 6.27 s): the probe
+    side's explode runs twice (freq derives from sh), costing what the
+    sort saved. Window form is the default; the env flag keeps the A/B
+    re-runnable and now has exactly one implementation (round 14 ADVICE).
+    """
+    if os.environ.get("SPARK_GRAFT_SSJOIN_SHJ_FREQ"):
+        freq = sh.groupBy("hw").agg(F.count("*").alias("df"))
+        ranked = sh.join(freq.hint("shuffle_hash"), "hw")
+    else:
+        ranked = sh.withColumn(
+            "df", F.count("*").over(Window.partitionBy("hw"))
+        )
+    return ranked.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("hw"))
+        ),
+    )
+
+
 def jaccard_ssjoin(
     df: DataFrame,
     threshold: float,
@@ -574,28 +604,9 @@ def jaccard_ssjoin(
     sh = base.select(
         F.col(id_col), F.size("hs").alias("n"), F.explode("hs").alias("hw")
     )
-    # df as a WINDOW count, not groupBy+join-back: one exchange on hw with
-    # no join at all — measured 2.4x faster than the join form, whose AQE
-    # broadcast conversion still pays the probe-side shuffle maps. (Pinning
-    # broadcast(freq) would be faster still at this SF but is a 100 TB bug:
-    # freq is vocabulary-sized.) A third form — SHUFFLE_HASH-hinted
-    # join-back, which keeps the hw exchange but drops the window's
-    # sort of the exploded token stream — was interleaved-A/B'd in round
-    # 13: a wash here (med 6.55 vs 6.69 s) and clearly slower on the
-    # containment sibling (5.67 vs 6.27 s): the probe side's explode runs
-    # twice (freq derives from sh), costing what the sort saved. Window
-    # form kept; env flag kept for re-measurement.
-    w_doc = Window.partitionBy(id_col)
-    if os.environ.get("SPARK_GRAFT_SSJOIN_SHJ_FREQ"):
-        freq = sh.groupBy("hw").agg(F.count("*").alias("df"))
-        ranked = sh.join(freq.hint("shuffle_hash"), "hw")
-    else:
-        ranked = sh.withColumn(
-            "df", F.count("*").over(Window.partitionBy("hw"))
-        )
-    ranked = ranked.withColumn(
-        "rnk", F.row_number().over(w_doc.orderBy(F.asc("df"), F.asc("hw")))
-    )
+    # Rare-first ranking: shared helper (see _ranked_shingle_stream for
+    # the window-vs-join A/B history).
+    ranked = _ranked_shingle_stream(sh, id_col)
     # prefix length n - ceil(t*n) + 1 (the plain Jaccard prefix), slack-relaxed
     t = float(threshold)
     plen = F.col("n") - F.ceil(F.col("n") * F.lit(t)) + 1 + F.lit(_HASH_SLACK)
@@ -828,19 +839,10 @@ def containment_ssjoin(
         F.col(id_col), F.size("hs").alias("n"), F.explode("hs").alias("hw")
     )
     t = float(threshold)
-    # Window-count form of df/rank — see jaccard_ssjoin's ranked comment
-    # (including the round-13 SHUFFLE_HASH join-back negative result).
-    w_doc = Window.partitionBy(id_col)
-    if os.environ.get("SPARK_GRAFT_SSJOIN_SHJ_FREQ"):
-        freq = sh.groupBy("hw").agg(F.count("*").alias("df"))
-        ranked = sh.join(freq.hint("shuffle_hash"), "hw")
-    else:
-        ranked = sh.withColumn(
-            "df", F.count("*").over(Window.partitionBy("hw"))
-        )
-    ranked = ranked.withColumn(
-        "rnk", F.row_number().over(w_doc.orderBy(F.asc("df"), F.asc("hw")))
-    )
+    # Rare-first ranking: shared helper (see _ranked_shingle_stream for
+    # the window-vs-join A/B history, including the round-13 SHUFFLE_HASH
+    # join-back negative result).
+    ranked = _ranked_shingle_stream(sh, id_col)
     prefix = ranked.where(
         F.col("rnk")
         <= F.col("n") - F.ceil(F.col("n") * F.lit(t)) + 1 + F.lit(_HASH_SLACK)

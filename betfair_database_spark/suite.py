@@ -53,14 +53,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     if _os.environ.get("SPARK_GRAFT_NO_TABLE_MEMO"):
         return _t_build(spark, sf_dir, name)
+    # Thread-safety (round 14, ADVICE): the threaded recall builds call _t
+    # concurrently. The get-then-set race is benign under the GIL (frames
+    # are deterministic, last write wins), but setdefault makes the memo
+    # single-assignment by construction — losers build a duplicate frame
+    # once and discard it; no lock needed on this read-mostly path.
     try:
         memo = spark._bfdb_suite_tables
     except AttributeError:
-        memo = spark._bfdb_suite_tables = {}
+        memo = spark.__dict__.setdefault("_bfdb_suite_tables", {})
     key = (sf_dir, name)
     df = memo.get(key)
     if df is None:
-        df = memo[key] = _t_build(spark, sf_dir, name)
+        df = memo.setdefault(key, _t_build(spark, sf_dir, name))
     return df
 
 
@@ -1666,8 +1671,7 @@ def knn_recall_at_10(spark, sf):
 
     with ThreadPoolExecutor(max_workers=4) as pool:
         f_exact = pool.submit(
-            # lc-ok: k-row harness frame; rerun recomputes
-            lambda: knn_cosine_top10(spark, sf).localCheckpoint()
+            lambda: knn_cosine_top10(spark, sf).localCheckpoint()  # lc-ok: k-row harness frame; rerun recomputes
         )
         f_hyper = pool.submit(knn_hyperplane_top10, spark, sf)
         f_ivf = pool.submit(knn_ivf_top10, spark, sf)

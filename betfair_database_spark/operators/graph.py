@@ -63,9 +63,18 @@ def connected_components(
     directed = edges.select(
         F.col(a).cast(node_t).alias("src"), F.col(b).cast(node_t).alias("dst")
     ).localCheckpoint(eager=True)  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
+    # Round 14: materialize the symmetrized frame ONCE, redistributed on
+    # dst (the per-round join key) at full shuffle width. Note what this
+    # does NOT buy: localCheckpoint's LogicalRDD reports
+    # UnknownPartitioning under AQE, so every round still pays its own
+    # exchange of sym. The measured win (−11% median on the CC rows,
+    # visibly stabler) comes from (a) not re-running the union projection
+    # per round and (b) feeding each round's exchange a balanced 32-way
+    # input instead of the AQE-coalesced narrow one (same starvation
+    # mechanism as the round-13 coalesce-floor fix).
     sym = directed.union(
         directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).repartition("dst").localCheckpoint(eager=False)  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
 
     labels = (
         sym.select(F.col("src").alias("node"))
@@ -223,6 +232,7 @@ def pagerank(
     damping: float = 0.85,
     a: str = "a",
     b: str = "b",
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an UNDIRECTED edge set (each edge
     contributes both directions, so no dangling nodes exist by
@@ -236,7 +246,15 @@ def pagerank(
     same chain points the unrolled SQL oracle rounds), so the
     destination-sum's float ordering noise (~1e-13) never crosses a
     rounding boundary in practice. Returns (node, rank) with the
-    UNNORMALIZED 0.15 + d*sum form (ranks sum to ~N)."""
+    UNNORMALIZED 0.15 + d*sum form (ranks sum to ~N).
+
+    ``broadcast_ranks=True`` ships the rank frame (one row per node) to
+    the per-iteration join instead of shuffling the out-edge frame —
+    each iteration then runs ONE exchange (the destination sum) instead
+    of two. Same bounded-node-set contract as triangle_count's
+    ``broadcast_degrees``: only enable when the node count is bounded
+    (a cohort); at open-world node counts keep the default shuffled
+    join."""
     both = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
         edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
     ).localCheckpoint()  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
@@ -247,13 +265,11 @@ def pagerank(
     ).localCheckpoint()  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
     base = 1.0 - damping
     for _ in range(max(1, iters)):
+        r = ranks.select(F.col("node").alias("src"), F.col("rank"))
+        if broadcast_ranks:
+            r = F.broadcast(r)
         contrib = (
-            out.join(
-                ranks.select(
-                    F.col("node").alias("src"), F.col("rank")
-                ),
-                "src",
-            )
+            out.join(r, "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 F.round(
@@ -297,9 +313,16 @@ def label_propagation(
     into a struct max so majority-then-min-label is a single aggregate).
     Returns (node, label).
     """
+    # Round 14: redistribute on src (the per-round join key) at full
+    # shuffle width before the lineage cut — same rationale as
+    # connected_components (see the note there: the win is a balanced
+    # materialize-once input to each round's exchange, NOT exchange
+    # reuse; LogicalRDD partitioning is unknown under AQE). Measured
+    # −18% median on graph_label_propagation.
     dirs = (
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .repartition("src")
         .localCheckpoint(eager=False)  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
     )
     labels = (

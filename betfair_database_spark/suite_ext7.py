@@ -467,15 +467,18 @@ def graph_pagerank_top20(spark, sf):
     ).distinct()
     a = slots.select(F.col("u").alias("a"), "slot")
     b = slots.select(F.col("u").alias("b"), "slot")
+    # broadcast the b-side slots frame (cohort-bounded: <=1000 users x
+    # the fixed hour grid) — BHJ on slot instead of shuffling both sides
     edges = (
-        a.join(b, "slot")
+        a.join(F.broadcast(b), "slot")
         .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= 8)
         .select("a", "b")
     )
-    ranks = pagerank(edges, iters=3)
+    # broadcast_ranks: one row per cohort node — bounded, see pagerank doc
+    ranks = pagerank(edges, iters=3, broadcast_ranks=True)
     return ranks.select(
         "node", F.round("rank", 6).alias("rank")
     ).orderBy(F.desc("rank"), F.asc("node")).limit(20)

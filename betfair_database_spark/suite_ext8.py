@@ -572,8 +572,9 @@ def graph_label_propagation(spark, sf):
     ).distinct()
     a = slots.select(F.col("u").alias("a"), "slot")
     b = slots.select(F.col("u").alias("b"), "slot")
+    # broadcast the b-side slots frame (cohort-bounded) — BHJ on slot
     edges = (
-        a.join(b, "slot")
+        a.join(F.broadcast(b), "slot")
         .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_shared"))

@@ -203,8 +203,9 @@ def graph_jaccard_similar_pairs(spark, sf):
     ).distinct()
     a = slots.select(F.col("u").alias("a"), "slot")
     b = slots.select(F.col("u").alias("b"), "slot")
+    # broadcast the b-side slots frame (cohort-bounded) — BHJ on slot
     edges = (
-        a.join(b, "slot")
+        a.join(F.broadcast(b), "slot")
         .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
@@ -1119,8 +1120,9 @@ def graph_negative_samples(spark, sf):
     ).distinct()
     a = slots.select(F.col("u").alias("a"), "slot")
     b = slots.select(F.col("u").alias("b"), "slot")
+    # broadcast the b-side slots frame (cohort-bounded) — BHJ on slot
     edges = (
-        a.join(b, "slot")
+        a.join(F.broadcast(b), "slot")
         .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_shared"))

@@ -102,7 +102,8 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame
 
 
 def _hashed_shingle_arrays(
-    df: DataFrame, id_col: str, text_col: str, k: int
+    df: DataFrame, id_col: str, text_col: str, k: int,
+    keep_text: bool = False,
 ) -> DataFrame:
     """One row per doc: ``(id, hs)`` where ``hs`` is the distinct hashed
     k-gram shingle array (vectorized polynomial hash, round 7) — the shared SSJoin primitive. Checkpointed: the
@@ -112,6 +113,13 @@ def _hashed_shingle_arrays(
     a within-doc collision shrinks a doc's set by one, which every
     downstream bound absorbs via ``_HASH_SLACK`` (tier-2 recomputes exact
     string sets for survivors, so outputs are exact).
+
+    ``keep_text=True`` carries the LOWERED text through as ``_lt`` (round
+    14): the tier-2 exact re-verify then reads survivor docs straight off
+    this already-materialized frame instead of re-running the upstream
+    collapse aggregation — one source-frame execution per ssjoin, not
+    two. Costs checkpoint bytes (~the corpus text), which localCheckpoint
+    spills to disk; only enabled by callers that need tier-2 texts.
     """
     lowered = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("_lt"))
 
@@ -151,10 +159,16 @@ def _hashed_shingle_arrays(
                 ).astype(np.uint64)
                 hs = np.unique((win * powers).sum(axis=1, dtype=np.uint64))
                 outs.append(hs.astype(np.int64).tolist())
-            yield pd.DataFrame({id_col: pdf[id_col], "hs": outs})
+            cols = {id_col: pdf[id_col], "hs": outs}
+            if keep_text:
+                cols["_lt"] = pdf["_lt"]
+            yield pd.DataFrame(cols)
 
+    schema = f"{id_col} long, hs array<bigint>"
+    if keep_text:
+        schema += ", _lt string"
     return lowered.mapInPandas(
-        _build, f"{id_col} long, hs array<bigint>"
+        _build, schema
     ).localCheckpoint()  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
 
 
@@ -538,6 +552,45 @@ def _ranked_shingle_stream(sh: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _tier2_string_pairs(
+    base: DataFrame, survivors: DataFrame, id_col: str, k: int
+) -> DataFrame:
+    """(a, b, wsa, wsb): exact distinct STRING k-gram shingle arrays for
+    survivor PAIRS, computed inline off the checkpointed base's lowered
+    text (round 14). Replaces the old semi-join → shingle-explode →
+    collect_list → two-join tail: survivors are within a small factor of
+    the TRUE pair count, so two direct joins plus a per-pair
+    array_distinct(transform(...)) beat three extra shuffles and their
+    stage latency. A doc appearing in p pairs recomputes its array p
+    times — bounded by output size, the right trade at any scale. The
+    gram computation sits ABOVE the joins (expressions are not pushed
+    through joins, only attribute pruning is), so string arrays
+    materialize for survivor PAIR rows only — the full corpus never
+    builds string arrays, exactly as before. The gram expression is
+    shingles()'s exactly (same transform/substring semantics), so tier-2
+    results are bit-identical. The text column is a plain attribute at
+    gram time (multi-use reference blocks CollapseProject from inlining
+    per-element work — the shingles() lesson)."""
+
+    def grams(c: str):
+        return F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(length({c}) - {k - 1}, 0)),"
+                f" i -> substring({c}, i, {k}))"
+            )
+        )
+
+    da = base.select(F.col(id_col).alias("a"), F.col("_lt").alias("_la"))
+    db = base.select(F.col(id_col).alias("b"), F.col("_lt").alias("_lb"))
+    return (
+        survivors.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a", "b", grams("_la").alias("wsa"), grams("_lb").alias("wsb")
+        )
+    )
+
+
 def jaccard_ssjoin(
     df: DataFrame,
     threshold: float,
@@ -600,7 +653,7 @@ def jaccard_ssjoin(
     # and the global n_min all come free from it — round 5 spent two full
     # 24M-row shuffles (groupBy sizes + collect_set rebuild) recomputing
     # what this checkpoint already holds.
-    base = _hashed_shingle_arrays(df, id_col, text_col, k)
+    base = _hashed_shingle_arrays(df, id_col, text_col, k, keep_text=True)
     sh = base.select(
         F.col(id_col), F.size("hs").alias("n"), F.explode("hs").alias("hw")
     )
@@ -748,39 +801,26 @@ def jaccard_ssjoin(
         F.size("hs").alias("nb"),
     )
     ih = F.size(F.array_intersect(F.col("hsa"), F.col("hsb"))) + F.lit(_HASH_SLACK)
+    # No lineage cut here (round 14): the rewritten tier-2 consumes
+    # survivors exactly ONCE (a linear join chain), so the old eager
+    # checkpoint bought recompute-avoidance nothing and cost a separate
+    # materialization job; AQE sizes the tier-2 joins off the runtime
+    # stage statistics instead.
     survivors = (
         t0_surv.join(ha, "a")
         .join(hb, "b")
         .where(ih >= F.lit(t) * (F.col("na") + F.col("nb") - ih))
         .select("a", "b")
-        .localCheckpoint()  # lc-ok: pure compute; executor loss fails the query, rerun recomputes (drives the survivor-doc re-shingle below)
     )
-    # Tier 2: exact string shingle sets for SURVIVOR docs only — the full
-    # corpus never materializes string arrays. Survivors are within a small
-    # factor of the true pair count, so this re-shingles a few hundred docs.
-    surv_ids = (
-        survivors.select(F.col("a").alias(id_col))
-        .union(survivors.select(F.col("b").alias(id_col)))
-        .distinct()
-    )
-    sdocs = df.join(surv_ids, id_col, "left_semi")  # AQE broadcasts when small
-    arrs = (
-        shingles(sdocs, id_col, text_col, k)
-        .groupBy(id_col)
-        .agg(F.collect_list("w").alias("ws"), F.count("*").alias("n"))
-    )
-    aa = arrs.select(
-        F.col(id_col).alias("a"), F.col("ws").alias("wsa"), F.col("n").alias("na")
-    )
-    bb = arrs.select(
-        F.col(id_col).alias("b"), F.col("ws").alias("wsb"), F.col("n").alias("nb")
-    )
+    # Tier 2: exact string shingle sets recomputed INLINE for survivor
+    # pairs only — see _tier2_string_pairs (the full corpus never
+    # materializes string arrays; survivors are within a small factor of
+    # the true pair count).
+    t2 = _tier2_string_pairs(base, survivors, id_col, k)
     i = F.size(F.array_intersect(F.col("wsa"), F.col("wsb")))
-    jac = i / (F.col("na") + F.col("nb") - i)
+    jac = i / (F.size("wsa") + F.size("wsb") - i)
     return (
-        survivors.join(aa, "a")
-        .join(bb, "b")
-        .select("a", "b", F.round(jac, 4).alias("jac"))
+        t2.select("a", "b", F.round(jac, 4).alias("jac"))
         .where(F.col("jac") >= threshold)
     )
 
@@ -834,7 +874,7 @@ def containment_ssjoin(
     # arrays come from the shared checkpointed base (see
     # _hashed_shingle_arrays) — n, the verify lanes and the tier-0 sample
     # all derive from it with no aggregation shuffle.
-    base = _hashed_shingle_arrays(df, id_col, text_col, k)
+    base = _hashed_shingle_arrays(df, id_col, text_col, k, keep_text=True)
     sh = base.select(
         F.col(id_col), F.size("hs").alias("n"), F.explode("hs").alias("hw")
     )
@@ -950,34 +990,22 @@ def containment_ssjoin(
     )
     hb = base.select(F.col(id_col).alias("b"), F.col("hs").alias("hsb"))
     ih = F.size(F.array_intersect(F.col("hsa"), F.col("hsb"))) + F.lit(_HASH_SLACK)
+    # No lineage cut (round 14): single-consumer survivors, see
+    # jaccard_ssjoin's identical note.
     survivors = (
         t0_surv.join(ha, "a")
         .join(hb, "b")
         .where(ih >= F.lit(t) * F.col("na"))
         .select("a", "b")
-        .localCheckpoint()  # lc-ok: pure compute; executor loss fails the query, rerun recomputes (drives the survivor-doc re-shingle below)
     )
-    # Tier 2 on survivor docs only (see jaccard_ssjoin).
-    surv_ids = (
-        survivors.select(F.col("a").alias(id_col))
-        .union(survivors.select(F.col("b").alias(id_col)))
-        .distinct()
+    # Tier 2 inline on survivor pairs only (see _tier2_string_pairs).
+    t2 = _tier2_string_pairs(base, survivors, id_col, k)
+    cont = (
+        F.size(F.array_intersect(F.col("wsa"), F.col("wsb")))
+        / F.size("wsa")
     )
-    sdocs = df.join(surv_ids, id_col, "left_semi")
-    arrs = (
-        shingles(sdocs, id_col, text_col, k)
-        .groupBy(id_col)
-        .agg(F.collect_list("w").alias("ws"), F.count("*").alias("n"))
-    )
-    aa = arrs.select(
-        F.col(id_col).alias("a"), F.col("ws").alias("wsa"), F.col("n").alias("na")
-    )
-    bb = arrs.select(F.col(id_col).alias("b"), F.col("ws").alias("wsb"))
-    cont = F.size(F.array_intersect(F.col("wsa"), F.col("wsb"))) / F.col("na")
     return (
-        survivors.join(aa, "a")
-        .join(bb, "b")
-        .select("a", "b", F.round(cont, 4).alias("containment"))
+        t2.select("a", "b", F.round(cont, 4).alias("containment"))
         .where(F.col("containment") >= threshold)
     )
 

@@ -7,6 +7,8 @@ Everything is built-in column expressions (regexp_count/regexp_replace/md5)
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -551,27 +553,47 @@ def train_logreg_hashed(
             lambda t: t != "",
         )
     ).alias("t")
-    feats = (
-        docs.select(F.col(id_col), toks)
-        .select(
-            id_col,
-            (
-                F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast(
-                    "long"
+
+    def _build_feats() -> DataFrame:
+        return (
+            docs.select(F.col(id_col), toks)
+            .select(
+                id_col,
+                (
+                    F.conv(
+                        F.substring(F.md5(F.col("t")), 1, 8), 16, 10
+                    ).cast("long")
+                    % n_buckets
                 )
-                % n_buckets
+                .cast("int")
+                .alias("bucket"),
             )
-            .cast("int")
-            .alias("bucket"),
+            .groupBy(id_col, "bucket")
+            .agg(F.count("*").alias("cnt"))
+            .localCheckpoint()  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
         )
-        .groupBy(id_col, "bucket")
-        .agg(F.count("*").alias("cnt"))
-        .localCheckpoint()  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
-    )
-    labels = docs.select(
-        F.col(id_col), label.cast("int").alias("y")
-    ).localCheckpoint()  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
-    n_docs = labels.count()
+
+    def _build_labels() -> tuple:
+        lab = docs.select(
+            F.col(id_col), label.cast("int").alias("y")
+        ).localCheckpoint()  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
+        return lab, lab.count()
+
+    # The two eager build materializations (+ the label count) are
+    # independent driver actions — overlap them on a thread pool (round
+    # 14, same pattern and kill-switch as the recall rows, guide §2.6);
+    # both frames are deterministic, so results are identical.
+    if os.environ.get("SPARK_GRAFT_NO_THREAD_BUILD"):
+        feats = _build_feats()
+        labels, n_docs = _build_labels()
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_feats = pool.submit(_build_feats)
+            f_labels = pool.submit(_build_labels)
+            feats = f_feats.result()
+            labels, n_docs = f_labels.result()
     # Synthetic bucket -1 with cnt=1 per labeled doc folds the intercept
     # gradient into the SAME bucket aggregate as the weight gradients
     # (sum(1 * r) over all docs == sum(r) == g0, rounded at the same

@@ -28,6 +28,13 @@ BNLJ_ALLOWED = {
     # global baseline and the normalizer) — bounded by construction
     "sample_doremi_reweight",
     "dedup_minhash_recall",
+    # round 14: the ssjoin prefix screen crossJoins broadcast(nmin) — a
+    # 1-ROW global aggregate (dedup.py `base.agg(min(size(hs)))`), bounded
+    # by construction. The BNLJ existed before the round-14 tier-2 rewrite
+    # but was invisible to this guard: the eager survivors checkpoint
+    # split the row into two plans and the guard only saw the second.
+    "dedup_containment_ssjoin",
+    "dedup_jaccard_ssjoin",
     "ev_type_drift_kl",
     "ev_value_drift_ks",
     "graph_triangle_count",

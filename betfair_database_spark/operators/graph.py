@@ -210,6 +210,14 @@ def triangle_count(
         fwd = fwd.localCheckpoint()  # lc-ok: pure compute; executor loss fails the query, rerun recomputes
     w1 = fwd.select(F.col("s"), F.col("t").alias("x"))
     w2 = fwd.select(F.col("s"), F.col("t").alias("y"))
+    if broadcast_closure:
+        # round 14: w2 is the SAME m-row oriented edge set the closure
+        # branch already broadcasts, so under the broadcast_closure
+        # contract (edge set fits a broadcast) the wedge join can be
+        # map-side too — the wedge enumeration then runs with no exchange
+        # of fwd at all. Measured on the bounded-cohort suite row:
+        # med 2.32 -> 2.00 s, rows identical.
+        w2 = F.broadcast(w2)
     wedges = w1.join(w2, "s").where(F.col("x") < F.col("y"))
     # a wedge (x, y) closes iff the oriented edge x->y or y->x exists; the
     # canonical frame already stores it exactly once as unordered (min, max)

@@ -495,7 +495,11 @@ def bigram_logprob_scores(
         .localCheckpoint(eager=False)  # lc-ok: pure compute; executor loss fails the query, rerun recomputes (feeds counts AND the score join)
     )
     c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    c1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    # c(w1, .) = sum over w2 of c(w1, w2): derive the prefix counts from
+    # the vocab-bounded bigram table instead of re-aggregating the
+    # corpus-sized stream a second time (round 14, guide §1.2 — one
+    # fewer full pass; exact, both are plain integer counts)
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     rates = c2.join(c1, "w1")  # distinct-bigram-sized
     vocab = (
         docs.select(F.explode("ws").alias("w"))

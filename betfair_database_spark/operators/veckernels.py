@@ -91,6 +91,153 @@ def supports(df: DataFrame, vec_col: str, path: str = "") -> bool:
     )
 
 
+def supports_gram(df: DataFrame, vec_col: str) -> bool:
+    """The exact-integer Gram kernel applies to integer array columns up
+    to 32-bit elements (every int32 is exactly representable in float64,
+    which the per-chunk exactness argument in ``gram_exact_int`` needs).
+    int64 elements keep the decimal-aggregate path. Same kill-switch
+    conventions as ``supports`` (``SPARK_GRAFT_NO_VECKERNEL`` /
+    ``SPARK_GRAFT_NO_VECKERNEL_GRAM``) — bisection aids, results are
+    identical either way."""
+    import os
+
+    from pyspark.sql.types import ByteType, ShortType
+
+    if os.environ.get("SPARK_GRAFT_NO_VECKERNEL"):
+        return False
+    if os.environ.get("SPARK_GRAFT_NO_VECKERNEL_GRAM"):
+        return False
+    field = df.schema[vec_col].dataType
+    return isinstance(field, ArrayType) and isinstance(
+        field.elementType, (ByteType, ShortType, IntegerType)
+    )
+
+
+def gram_exact_int(
+    df: DataFrame, vec_col: str, dims: int
+) -> tuple[list[list[int]], int]:
+    """EXACT integer Gram matrix ``G[i][j] = sum_rows v[i] * v[j]`` over an
+    integer array column, in ONE Spark action — the one-pass core of the
+    power iteration (``w <- Q^T (Q w)`` iterated is ``w <- G w``, so after
+    this single pass every iteration is exact driver arithmetic instead of
+    its own full-corpus decimal aggregate).
+
+    Exactness argument: float64 arithmetic on integers is EXACT while every
+    value stays <= 2^53. Products are bounded by B^2 (B = max|v| in the
+    batch, computed from the data) and a chunk of n rows bounds each Gram
+    entry by B^2 * n, so chunking rows at floor(2^53 / B^2) makes every
+    BLAS matmul entry an exactly-representable integer (integer adds in
+    float64 are exact regardless of summation order, so BLAS blocking
+    cannot change the result). Chunk Grams are accumulated in Python ints
+    (unbounded), and per-task totals are emitted as decimal(38,0) — the
+    same range contract as the decimal aggregate this replaces. Batches
+    whose B exceeds 2^26 (never int8-quantized data) fall back to an
+    object-dtype matmul: exact at any magnitude, slow, loud in profile.
+
+    CONTRIBUTION SEMANTICS replicate the decimal-aggregate expression loop
+    bit for bit (pinned empirically; see test_gram_kernel_*): a row
+    contributes iff it is non-NULL, has length == dims and has no NULL
+    element (the zip_with fold NULL-poisons longer/NULL-element rows out
+    of every sum); a non-NULL row SHORTER than dims raises loudly (ANSI
+    element_at past the end raises in the expression form; the kernel
+    raises ValueError — both fail the action).
+
+    Returns (G as dims x dims Python ints, number of contributing rows).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql.types import DecimalType, LongType
+
+    def kern(batches: Iterator):
+        G = np.zeros((dims, dims), dtype=object)
+        n_ok = 0
+        for batch in batches:
+            vec_arr = batch.column(vec_col)
+            if isinstance(vec_arr, pa.ChunkedArray):
+                vec_arr = vec_arr.combine_chunks()
+            n = len(vec_arr)
+            if n == 0:
+                continue
+            offsets = vec_arr.offsets.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            starts, ends = offsets[:-1], offsets[1:]
+            lengths = ends - starts
+            row_null = np.zeros(n, dtype=bool)
+            if vec_arr.null_count:
+                import pyarrow.compute as pc
+
+                row_null = np.asarray(
+                    pc.is_null(vec_arr).to_numpy(zero_copy_only=False)
+                )
+            if bool((~row_null & (lengths < dims)).any()):
+                raise ValueError(
+                    f"gram_exact_int: non-NULL row shorter than dims={dims}"
+                    " (the expression form raises INVALID_ARRAY_INDEX here)"
+                )
+            ok = ~row_null & (lengths == dims)
+            values = vec_arr.values
+            if values.null_count:
+                import pyarrow.compute as pc
+
+                elem_null = np.asarray(
+                    pc.is_null(values).to_numpy(zero_copy_only=False)
+                )
+                cum = np.concatenate(([0], np.cumsum(elem_null)))
+                has_null_elem = (cum[ends] - cum[starts]) > 0
+                ok &= ~has_null_elem
+            if not ok.any():
+                continue
+            vals = values.to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False
+            )
+            idx = starts[ok, None] + np.arange(dims)[None, :]
+            X = vals[idx]
+            n_ok += int(ok.sum())
+            B = float(np.abs(X).max())
+            if B == 0.0:
+                continue
+            if B > float(1 << 26):
+                # pathological magnitudes: exact object-dtype matmul
+                Xo = X.astype(np.int64).astype(object)
+                G = G + Xo.T @ Xo
+                continue
+            chunk = max(1, int(float(1 << 53) / (B * B)))
+            for s in range(0, X.shape[0], chunk):
+                Xc = X[s : s + chunk]
+                Gc = Xc.T @ Xc  # exact: every entry <= B^2 * chunk <= 2^53
+                G = G + Gc.astype(np.int64).astype(object)
+        yield pa.record_batch(
+            [
+                pa.array([n_ok], type=pa.int64()),
+                pa.array(
+                    [[int(v) for v in G.ravel()]],
+                    type=pa.list_(pa.decimal128(38, 0)),
+                ),
+            ],
+            names=["n_ok", "gflat"],
+        )
+
+    schema = StructType(
+        [
+            StructField("n_ok", LongType(), False),
+            StructField("gflat", ArrayType(DecimalType(38, 0)), False),
+        ]
+    )
+    rows = df.select(vec_col).mapInArrow(kern, schema).collect()
+    n_ok = sum(r["n_ok"] for r in rows)
+    G = [[0] * dims for _ in range(dims)]
+    for r in rows:
+        flat = r["gflat"]
+        for i in range(dims):
+            base = i * dims
+            Gi = G[i]
+            for j in range(dims):
+                Gi[j] += int(flat[base + j])
+    return G, n_ok
+
+
 def _batch_matrix(vec_arr, dims: int):
     """(X, bad) from one Arrow list<double> array: X is the (n, dims)
     float64 matrix view of rows that are clean for the fast path, bad is

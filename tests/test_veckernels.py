@@ -131,3 +131,92 @@ def test_kernel_routes_in_suite_paths(spark):
     ref = {r["vec_id"]: r["cell"] for r in _collect_ansi_off(spark, lambda: _jvm_assign(df, cents))}
     got = {r["vec_id"]: r["cell"] for r in similarity.ivf_assign(df, cents).collect()}
     assert got == ref
+
+
+def test_gram_kernel_matches_decimal_aggregate(spark, monkeypatch):
+    """_power_iterate's Gram-kernel path (round 14) returns the EXACT
+    integers of the decimal(38,0) aggregate loop it replaces, including
+    the contribution semantics (long rows, NULL rows and NULL elements
+    excluded; short rows raise) and the pathological big-value object
+    path."""
+    rng = random.Random(77)
+
+    def iterate(rows, dims, iters, kernel):
+        from betfair_database_spark.operators.similarity import _power_iterate
+
+        if kernel:
+            monkeypatch.delenv("SPARK_GRAFT_NO_VECKERNEL_GRAM", raising=False)
+        else:
+            monkeypatch.setenv("SPARK_GRAFT_NO_VECKERNEL_GRAM", "1")
+        df = spark.createDataFrame([(r,) for r in rows], "q8 array<int>")
+        return _power_iterate(df, iters=iters, dims=dims)
+
+    cases = [
+        # clean int8-range data, 3 iterations (the suite shape)
+        [[rng.randint(-127, 127) for _ in range(8)] for _ in range(100)],
+        # negatives, zeros, extremes
+        [[-127, 0, 127, -1, 1, 0, -128, 5] for _ in range(3)],
+        # long rows / NULL rows / NULL elements are excluded, not scored
+        [[1, 2, 3, 4, 5, 6, 7, 8], [9] * 12, None,
+         [1, None, 3, 4, 5, 6, 7, 8], [2, 3, 4, 5, 6, 7, 8, 9]],
+    ]
+    for rows in cases:
+        assert iterate(rows, 8, 3, True) == iterate(rows, 8, 3, False)
+
+    # values past the 2^26 float64-chunk bound take the object path
+    # (1 iteration: at 3 both paths hit the magnitude guard)
+    big = [[1 << 27, -(1 << 27), 3, 4, 5, 6, 7, 8],
+           [5, 6, 7, 8, 9, 10, 11, 12]]
+    assert iterate(big, 8, 1, True) == iterate(big, 8, 1, False)
+
+    # a non-NULL row SHORTER than dims fails the action on both paths
+    # (ANSI element_at raises in the aggregate form; the kernel raises)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        iterate([[1, 2, 3]], 8, 1, True)
+    with _pytest.raises(Exception):
+        iterate([[1, 2, 3]], 8, 1, False)
+
+    # zero contributing rows is loud on both paths
+    with _pytest.raises(Exception):
+        iterate([None], 8, 1, True)
+    with _pytest.raises(Exception):
+        iterate([None], 8, 1, False)
+
+
+def test_gram_kernel_routes_in_embed_rows(spark):
+    """The dominant-component rows actually take the one-pass Gram route
+    (array<int> q8), and kernel vs aggregate produce identical frames on
+    a small corpus end to end."""
+    import os
+
+    from betfair_database_spark.operators import similarity as sim
+
+    rng = random.Random(11)
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    a = sorted(
+        map(tuple, sim.dominant_component_projection(df, iters=3, dims=16).collect())
+    )
+    os.environ["SPARK_GRAFT_NO_VECKERNEL_GRAM"] = "1"
+    try:
+        b = sorted(
+            map(tuple, sim.dominant_component_projection(df, iters=3, dims=16).collect())
+        )
+    finally:
+        os.environ.pop("SPARK_GRAFT_NO_VECKERNEL_GRAM", None)
+    assert a == b
+    c = sorted(
+        map(tuple, sim.remove_dominant_component(df, iters=3, dims=16).collect())
+    )
+    os.environ["SPARK_GRAFT_NO_VECKERNEL_GRAM"] = "1"
+    try:
+        d = sorted(
+            map(tuple, sim.remove_dominant_component(df, iters=3, dims=16).collect())
+        )
+    finally:
+        os.environ.pop("SPARK_GRAFT_NO_VECKERNEL_GRAM", None)
+    assert c == d
